@@ -1,0 +1,13 @@
+from .timeutils import time_bucket, epoch_ms, from_epoch_ms, INTERVAL_SECONDS
+from .numbers import round4, dec, money, money4
+
+__all__ = [
+    "time_bucket",
+    "epoch_ms",
+    "from_epoch_ms",
+    "INTERVAL_SECONDS",
+    "round4",
+    "dec",
+    "money",
+    "money4",
+]

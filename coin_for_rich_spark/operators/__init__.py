@@ -1,0 +1,32 @@
+from .candles import ohlcv_rollup, rollup_family
+from .analytics import (
+    common_keys_top30,
+    top_k_with_other,
+    weekly_return,
+    geo_daily_return,
+)
+from .maintenance import (
+    latest_per_key,
+    detect_gaps,
+    recompute_is_trading,
+    retention_anti_join,
+    dedup_pk,
+    count_distinct_pairs,
+)
+from .gapfill import gap_fill_series
+
+__all__ = [
+    "ohlcv_rollup",
+    "rollup_family",
+    "common_keys_top30",
+    "top_k_with_other",
+    "weekly_return",
+    "geo_daily_return",
+    "latest_per_key",
+    "detect_gaps",
+    "recompute_is_trading",
+    "retention_anti_join",
+    "dedup_pk",
+    "count_distinct_pairs",
+    "gap_fill_series",
+]

@@ -1,0 +1,178 @@
+"""The reference's four analytics materialized views, Spark-first.
+
+- ``common_basequote_30`` (`scripts/database/init/create.sql:94-99`)
+- ``top_20_quoted_vol``  (`create.sql:280-316`)
+- ``weekly_return``      (`create.sql:318-337`)
+- ``geo_daily_return``   (`create.sql:225-278`)
+
+Each is a pure DataFrame plan; "materialized view refresh" is just writing
+the plan's result to a sink table (see plans/maintenance notes), so the same
+definitions serve batch recompute and scheduled refresh.
+
+Scale posture notes per operator are inline. The common theme: aggregate
+FIRST (shrinking to ~|keys| rows), and only then apply any global ordering —
+``row_number`` over an unpartitioned window is fine on a post-aggregation
+relation of thousands of rows, and never applied to the raw fact table
+(SURVEY §7 "100 TB posture").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from ..functions.numbers import money
+from .candles import ohlcv_rollup
+
+
+def common_keys_top30(
+    df: DataFrame,
+    key_col: str = "l_partkey",
+    across_col: str = "l_suppkey",
+    min_across: int = 2,
+    top_n: int = 30,
+) -> DataFrame:
+    """Keys present across more than ``min_across`` counterparties, first
+    ``top_n`` in key order.
+
+    Parity: ``common_basequote_30`` — (base, quote) pairs listed on > 2
+    exchanges, ORDER BY keys LIMIT 30 (`create.sql:94-99`).
+
+    Scale: groupBy + count-distinct is two hash aggregations (partial
+    distinct then count) — no sort of the fact table; the ORDER BY runs on
+    the already-aggregated key list.
+    """
+    return (
+        df.groupBy(key_col)
+        .agg(F.countDistinct(across_col).alias("n_across"))
+        .filter(F.col("n_across") > min_across)
+        .orderBy(key_col)
+        .limit(top_n)
+    )
+
+
+def top_k_with_other(
+    df: DataFrame,
+    key_col: str,
+    measure_col: str,
+    k: int = 20,
+    label_prefix: str = "P-",
+) -> DataFrame:
+    """Top-K keys by summed measure; everything below rank K collapses into
+    an 'Other' bucket; re-aggregated per label.
+
+    Parity: ``top_20_quoted_vol`` — SUM(close*volume) per pair, ROW_NUMBER
+    ranking, rank > 20 → 'Other', second aggregation, ROUND(...,4)
+    (`create.sql:280-316`, ops A5/A6/W4 in SURVEY §2).
+
+    Scale: the expensive part is the first aggregation (hash agg, one
+    shuffle on key). The ranking window is unpartitioned by design —
+    it ranks the *aggregated* per-key totals (≤ |distinct keys| rows), same
+    as the reference's view which ranks pairs, not candles. Deterministic
+    tie-break on key keeps the result stable across runs.
+    """
+    measure = (
+        F.col(measure_col)
+        if isinstance(df.schema[measure_col].dataType, T.DecimalType)
+        else money(measure_col)
+    )
+    per_key = df.groupBy(key_col).agg(F.sum(measure).alias("_vol_dec"))
+    w = Window.orderBy(F.col("_vol_dec").desc(), F.col(key_col))
+    ranked = per_key.withColumn("ranking", F.row_number().over(w))
+    labeled = ranked.withColumn(
+        "bucket_label",
+        F.when(F.col("ranking") > k, F.lit("Other")).otherwise(
+            F.concat(F.lit(label_prefix), F.col(key_col).cast("string"))
+        ),
+    )
+    return (
+        labeled.groupBy("bucket_label")
+        .agg(F.round(F.sum("_vol_dec"), 4).cast("double").alias("total_vol"))
+        .orderBy(F.col("total_vol").desc(), F.col("bucket_label"))
+    )
+
+
+def weekly_return(
+    df: DataFrame,
+    keys: list[str] = ("symbol",),
+    time_col: str = "ts",
+    price_col: str = "price",
+    **rollup_kwargs,
+) -> DataFrame:
+    """% return of each key's latest week: ROUND((close-open)/open*100, 4).
+
+    Parity: ``weekly_return`` (`create.sql:318-337`) — a 1-week rollup (A1),
+    DISTINCT ON (keys) ... ORDER BY bucket DESC to keep the latest week (W6,
+    emulated with row_number over a per-key window), then the return
+    arithmetic (A9). Guard ``open <> 0`` per `create.sql:334-335`.
+    """
+    weekly = ohlcv_rollup(df, "7D", keys=list(keys), time_col=time_col,
+                          price_col=price_col, **rollup_kwargs)
+    w = Window.partitionBy(*keys).orderBy(F.col("bucket").desc())
+    latest = weekly.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        latest.filter(F.col("open") != 0)
+        .select(
+            *keys,
+            F.col("bucket").alias("week"),
+            F.round((F.col("close") - F.col("open")) / F.col("open") * 100, 4).alias(
+                "weekly_return_pct"
+            ),
+        )
+    )
+
+
+def geo_daily_return(
+    df: DataFrame,
+    keys: list[str] = ("symbol",),
+    time_col: str = "ts",
+    price_col: str = "price",
+    lookback_days: int = 8,
+    now=None,
+    **rollup_kwargs,
+) -> DataFrame:
+    """Geometric-mean daily return over the last ``lookback_days`` per key:
+    ``(POWER(EXP(SUM(ln(close/prev_close))), 1/COUNT(*)) - 1) * 100``.
+
+    Parity: ``geo_daily_return`` (`create.sql:225-278`) — daily rollup,
+    LAG(close) per key (W3), ln of the daily factor, geometric mean (A4),
+    CURRENT_DATE-relative window (`create.sql:241`) parameterized by ``now``
+    so results are deterministic (SURVEY §7 M0). Divergence (documented): the
+    reference gap-fills missing days via generate_series before the LAG; we
+    compute factors over the days actually present, so a factor may span a
+    gap — the gap-fill operator itself lives in operators.gapfill and is
+    oracle-checked separately.
+
+    Zero-guards per `create.sql:242,275`: prev_close <> 0 and factor rows
+    with NULL ln dropped.
+    """
+    daily = ohlcv_rollup(df, "1D", keys=list(keys), time_col=time_col,
+                         price_col=price_col, **rollup_kwargs)
+    if now is None:
+        now = df.select(F.max(time_col)).first()[0]
+    cutoff = F.date_sub(F.lit(now).cast("timestamp").cast("date"), lookback_days)
+    recent = daily.filter(F.col("bucket") >= cutoff.cast("timestamp"))
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    factors = (
+        recent.withColumn("prev_close", F.lag("close").over(w))
+        .filter(F.col("prev_close").isNotNull() & (F.col("prev_close") != 0))
+        .withColumn("ln_daily_factor", F.log(F.col("close") / F.col("prev_close")))
+        .filter(F.col("ln_daily_factor").isNotNull())
+    )
+    return (
+        factors.groupBy(*keys)
+        .agg(
+            F.round(
+                (
+                    F.pow(F.exp(F.sum("ln_daily_factor")), F.lit(1.0) / F.count(F.lit(1)))
+                    - 1
+                )
+                * 100,
+                4,
+            ).alias("daily_return_pct"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy(*keys)
+    )

@@ -1,0 +1,76 @@
+"""Gap-filled time series with avg-fill dummy rows.
+
+Reference parity: the chart reader's ``empty_ts`` mode
+(`web/routes/api/rest/utils/readers.py:210-244` for 1m, `:329-362` for
+buckets): a ``generate_series`` of expected timestamps LEFT JOINed to the
+data (J4), missing rows COALESCEd to dummy candles whose open/high/low/close
+are the AVERAGE over the *fetched window* and whose volume is 0 (A8) — a
+reference idiosyncrasy reproduced exactly (SURVEY §4 item 3).
+
+Spark-first expression: ``explode(sequence(min, max, interval))`` builds the
+spine (Postgres ``generate_series`` equivalent, SURVEY §2.7); the window
+average comes from an unpartitioned-window aggregate over the (already
+small, post-rollup, limit-clamped ≤500-row) fetched set — mirroring the
+reference, which also computes the avg over the limited fetched set
+(`readers.py:221-227`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numbers import money
+from ..functions.timeutils import INTERVAL_SECONDS
+
+
+def gap_fill_series(
+    candles: DataFrame,
+    interval: str,
+    bucket_col: str = "bucket",
+    value_cols: list[str] = ("open", "high", "low", "close"),
+    volume_col: str = "volume",
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Fill missing buckets of a single-key candle frame.
+
+    ``candles`` must already be filtered to one key (the reference fills
+    per-request, one symbol per call). Missing buckets get
+    avg(value over fetched window) for each price column, 0 volume, and
+    ``filled = true``. The avg is decimal-summed / count to stay
+    deterministic under parallel aggregation.
+    """
+    width = INTERVAL_SECONDS[interval]
+    if width is None:
+        raise ValueError("gap fill over calendar months not supported; use fixed widths")
+    bounds = F.struct(F.min(bucket_col), F.max(bucket_col))
+    lo = F.lit(start).cast("timestamp") if start is not None else F.min(bucket_col)
+    hi = F.lit(end).cast("timestamp") if end is not None else F.max(bucket_col)
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    avgs = {
+        c: (F.sum(money(c)).over(w).cast("double") / F.count(c).over(w)).alias(f"_avg_{c}")
+        for c in value_cols
+    }
+    enriched = candles.select("*", *avgs.values())
+
+    spine = (
+        candles.select(lo.alias("_lo"), hi.alias("_hi"))
+        .select(
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {width} SECOND"))
+            ).alias(bucket_col)
+        )
+    )
+    joined = spine.join(enriched, on=bucket_col, how="left")
+    filled_flag = F.col(value_cols[0]).isNull()
+    out_cols = [F.col(bucket_col)]
+    # window-avg columns are NULL on spine-only rows; fill them from any row
+    # via a second unbounded-window max (the avg is constant per frame).
+    for c in value_cols:
+        fill = F.max(f"_avg_{c}").over(w)
+        out_cols.append(F.round(F.coalesce(F.col(c), fill), 4).alias(c))
+    out_cols.append(F.coalesce(F.col(volume_col), F.lit(0.0)).alias(volume_col))
+    out_cols.append(filled_flag.alias("filled"))
+    return joined.select(*out_cols)

@@ -1,0 +1,156 @@
+"""Maintenance / ops operators: latest-per-key, gap detection, liveness
+recompute, retention, PK dedup, cardinality probes.
+
+Reference parity (SURVEY §2.3/§2.5/§2.8):
+- J3  LATERAL top-1-per-group  (`fetchers/config/queries.py:19-31`)
+- W1  LEAD-based gap detection (`fetchers/config/queries.py:54-61`)
+- M1  is_trading recompute     (`scripts/database/cron/daily.sql:1-40`)
+- J5/M2 retention anti-join    (`schemas/delete_queries.sql:3-10`)
+- J6/M3 PK dedup               (`schemas/insert_queries.sql:8-15`)
+- A7  count distinct tuple     (`schemas/select_queries.sql:215-218`)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numbers import money
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Most recent row per key.
+
+    Parity: the reference's LATERAL ``ORDER BY time DESC LIMIT 1`` join
+    (J3, `queries.py:19-31`) — in Spark no lateral is needed: a per-key
+    row_number window (or equivalently ``max_by`` over a struct) expresses
+    "top-1 per group" with a single shuffle on the key.
+
+    Scale: partitioned window over the key — parallel across keys, no global
+    sort. For the 100 TB case where only recency matters, the streaming
+    latest-value aggregate (streaming.latest) maintains this incrementally
+    instead of rescanning history.
+    """
+    order = [F.col(time_col).desc()]
+    if tiebreak_col and tiebreak_col in df.columns:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def detect_gaps(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    min_gap_seconds: int = 60,
+) -> DataFrame:
+    """Per-key gaps: consecutive rows more than ``min_gap_seconds`` apart.
+
+    Parity: TS_GAPS — ``LEAD(time) OVER (PARTITION BY key ORDER BY time)``
+    with ``next - time > 60s`` (W1, `queries.py:54-61`). Gap length in whole
+    seconds (epoch-truncated diff, matching EXTRACT(EPOCH FROM ...) usage at
+    `select_queries.sql:43`).
+    """
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    return (
+        df.select(*keys, F.col(time_col))
+        .withColumn("next_time", F.lead(time_col).over(w))
+        .withColumn(
+            "gap_seconds",
+            F.to_unix_timestamp("next_time") - F.to_unix_timestamp(time_col),
+        )
+        .filter(F.col("gap_seconds") > min_gap_seconds)
+        .select(
+            *keys,
+            F.col(time_col).alias("gap_start"),
+            F.col("next_time").alias("gap_end"),
+            "gap_seconds",
+        )
+    )
+
+
+def recompute_is_trading(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    now=None,
+    stale_after_days: int = 1,
+) -> DataFrame:
+    """Key liveness: active iff its latest row is within ``stale_after_days``
+    of ``now``.
+
+    Parity: the daily cron's ``UPDATE symbol_exchange SET is_trading``
+    (M1, `daily.sql:1-40`): LATERAL latest-candle + CASE diff <= INTERVAL
+    '1 day'. ``now`` is parameterized (the reference uses NOW(),
+    `daily.sql:22`) for deterministic replay. In Spark the "UPDATE" is a
+    dimension recompute: the result overwrites / MERGEs the dim table.
+    """
+    latest = df.groupBy(*keys).agg(F.max(time_col).alias("latest_time"))
+    if now is None:
+        now = df.select(F.max(time_col)).first()[0]
+    now_col = F.lit(now).cast("timestamp")
+    return latest.select(
+        *keys,
+        "latest_time",
+        (
+            F.to_unix_timestamp(now_col) - F.to_unix_timestamp("latest_time")
+            <= stale_after_days * 86400
+        ).alias("is_trading"),
+    )
+
+
+def retention_anti_join(df: DataFrame, keep_keys: DataFrame, on: list[str]) -> DataFrame:
+    """Rows of ``df`` whose key is NOT in ``keep_keys``.
+
+    Parity: the retention DELETE ``WHERE NOT EXISTS (... common_basequote_30)``
+    (J5/M2, `delete_queries.sql:3-10`) — deletion in an immutable store is a
+    rewrite keeping the anti-join complement.
+
+    Scale: ``keep_keys`` is an aggregated key list (tiny) → Catalyst
+    broadcasts it, so this is a broadcast anti-join with no shuffle of the
+    fact side.
+    """
+    return df.join(F.broadcast(keep_keys.select(*on).distinct()), on=on, how="left_anti")
+
+
+def dedup_pk(
+    df: DataFrame, pk_cols: list[str], tiebreak_col: str | None = None
+) -> DataFrame:
+    """One row per primary key.
+
+    Parity: ``ON CONFLICT DO NOTHING`` (S6, `queries.py:4`) and the ctid
+    dedup delete (J6, `insert_queries.sql:8-15`). With ``tiebreak_col`` the
+    kept row is deterministic (lowest tiebreak — the reference keeps lowest
+    ctid ≈ earliest insert); without it, ``dropDuplicates`` keeps an
+    arbitrary row, which is fine for idempotent ingest but not for oracle
+    comparison.
+    """
+    if tiebreak_col is None:
+        return df.dropDuplicates(list(pk_cols))
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(tiebreak_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def count_distinct_pairs(df: DataFrame, cols: list[str], group_by: list[str] | None = None) -> DataFrame:
+    """COUNT(DISTINCT (a, b)) probe (A7, `select_queries.sql:215-218`),
+    optionally per group. Exact — the approximate variant
+    (approx_count_distinct, HLL) is the 100 TB fast path and exposed in
+    bench, but the parity query is exact.
+    """
+    agg = F.countDistinct(*cols).alias("n_distinct")
+    if group_by:
+        return df.groupBy(*group_by).agg(agg).orderBy(*group_by)
+    return df.select(agg)

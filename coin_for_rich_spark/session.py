@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Local test posture: one JVM, ``local[$SPARK_GRAFT_CPUS]``. Production posture
+(the design target): 1000-executor cluster over ~100 TB of time-partitioned
+Parquet. Every knob below is chosen to survive that scale-up:
+
+- AQE on: runtime coalescing + skew-join splitting replace hand-tuning of
+  ``spark.sql.shuffle.partitions`` per stage.
+- UTC session timezone: the reference stores TIMESTAMPTZ and converses in
+  epoch milliseconds (`common/helpers/datetimehelpers.py:8-127`); pinning UTC
+  makes every bucket boundary deterministic.
+- Arrow enabled: any Pandas-UDF fallback (llmdata multimodal path) moves
+  columnar batches, not pickled rows.
+- ``parquet.nanosAsLong``: the driver's testdata writes nanosecond INT64
+  timestamps, which Spark refuses by default; we read them as longs and
+  convert with exact integer division (see sources.tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "coin_for_rich_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,118 @@
+"""Semantic unit tests for the core operators — reference-parity behaviors
+that the oracle gate can't isolate (tie-breaking, gap-fill fill values,
+router validation, limit clamping)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from coin_for_rich_spark.functions.timeutils import time_bucket
+from coin_for_rich_spark.operators import (
+    dedup_pk,
+    gap_fill_series,
+    latest_per_key,
+    ohlcv_rollup,
+)
+from coin_for_rich_spark.plans import read_ohlcvs, route_interval
+from coin_for_rich_spark.sources import candles_view
+
+
+def _ticks(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # one bucket, distinct times: open=first, close=last
+        Row(event_id=1, ts=t0, symbol="A", price=10.0, volume=1.0),
+        Row(event_id=2, ts=t0 + dt.timedelta(minutes=1), symbol="A", price=30.0, volume=1.0),
+        Row(event_id=3, ts=t0 + dt.timedelta(minutes=2), symbol="A", price=5.0, volume=1.0),
+        Row(event_id=4, ts=t0 + dt.timedelta(minutes=3), symbol="A", price=20.0, volume=1.0),
+        # tie on timestamp: tiebreak_col must decide deterministically
+        Row(event_id=5, ts=t0 + dt.timedelta(hours=1), symbol="A", price=100.0, volume=1.0),
+        Row(event_id=6, ts=t0 + dt.timedelta(hours=1), symbol="A", price=200.0, volume=1.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_rollup_ohlc_semantics(spark):
+    out = {
+        r["bucket"]: r
+        for r in ohlcv_rollup(_ticks(spark), "1h", tiebreak_col="event_id").collect()
+    }
+    b0 = out[dt.datetime(2024, 1, 1, 0, 0)]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (10.0, 30.0, 5.0, 20.0)
+    assert b0["volume"] == 4.0 and b0["n_trades"] == 4
+
+
+def test_rollup_tiebreak_deterministic(spark):
+    out = {
+        r["bucket"]: r
+        for r in ohlcv_rollup(_ticks(spark), "1h", tiebreak_col="event_id").collect()
+    }
+    b1 = out[dt.datetime(2024, 1, 1, 1, 0)]
+    # Timescale first/last tie order is internal heap order; ours is defined:
+    # lowest (ts, event_id) opens, highest closes (SURVEY §4 item 2).
+    assert b1["open"] == 100.0 and b1["close"] == 200.0
+
+
+def test_time_bucket_epoch_alignment(spark):
+    df = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 1, 13, 47, 59))]
+    ).select(
+        time_bucket("ts", "5m").alias("b5"),
+        time_bucket("ts", "6h").alias("b6h"),
+        time_bucket("ts", "1M").alias("b1m"),
+    )
+    r = df.first()
+    assert r["b5"] == dt.datetime(2024, 1, 1, 13, 45)
+    assert r["b6h"] == dt.datetime(2024, 1, 1, 12, 0)
+    assert r["b1m"] == dt.datetime(2024, 1, 1, 0, 0)
+
+
+def test_route_interval_rejects_unknown(spark, sf_dir):
+    cv = candles_view(spark, sf_dir)
+    with pytest.raises(ValueError, match="unknown interval"):
+        route_interval(cv, "42s")
+
+
+def test_read_ohlcvs_clamps_limit(spark, sf_dir):
+    cv = candles_view(spark, sf_dir)
+    # `readers.py:168`: limit = min(limit, 500)
+    n = read_ohlcvs(cv, "click", "1m", limit=10_000).count()
+    assert n <= 500
+
+
+def test_gap_fill_avg_dummies(spark):
+    candles = spark.createDataFrame(
+        [
+            Row(bucket=dt.datetime(2024, 1, 1), open=10.0, high=12.0, low=9.0, close=11.0, volume=5.0),
+            Row(bucket=dt.datetime(2024, 1, 3), open=20.0, high=22.0, low=19.0, close=21.0, volume=7.0),
+        ]
+    )
+    out = {r["bucket"]: r for r in gap_fill_series(candles, "1D").collect()}
+    assert len(out) == 3
+    dummy = out[dt.datetime(2024, 1, 2)]
+    # avg over the fetched window, volume 0 (`readers.py:221-227`)
+    assert dummy["filled"] and dummy["volume"] == 0.0
+    assert dummy["open"] == 15.0 and dummy["close"] == 16.0
+    assert not out[dt.datetime(2024, 1, 1)]["filled"]
+
+
+def test_dedup_keeps_lowest_tiebreak(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", v=1, tb=2), Row(k="a", v=9, tb=1), Row(k="b", v=3, tb=5)]
+    )
+    rows = {r["k"]: r for r in dedup_pk(df, ["k"], "tb").collect()}
+    assert rows["a"]["v"] == 9 and rows["a"]["tb"] == 1
+    assert len(rows) == 2
+
+
+def test_latest_per_key_single_row(spark, sf_dir):
+    from coin_for_rich_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_per_key(ev, ["user_id"], "ts", "event_id")
+    dup = latest.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert dup == 0
