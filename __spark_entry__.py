@@ -34,6 +34,22 @@ from coin_for_rich_spark.operators import (
     top_k_with_other,
     weekly_return,
 )
+from coin_for_rich_spark.llmdata import (
+    attach_fake_media,
+    cosine_knn,
+    doc_fingerprint,
+    doc_langid,
+    doc_stats,
+    doc_tokens,
+    exact_dedup,
+    extract_media_features,
+    lsh_ann_knn,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    sample_frames,
+    simhash_pairs,
+)
+from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
 from coin_for_rich_spark.plans import read_ohlcvs
 from coin_for_rich_spark.sources import candles_view, load_table
 
@@ -57,6 +73,10 @@ def _candle_sql(bucket_expr: str) -> str:
         FROM events
         GROUP BY 1, 2
     """
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
 
 
 def _epoch_bucket(width: int) -> str:
@@ -264,6 +284,86 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (llmdata package)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token/char/punct counts, stopword ratio,
+    quality bucket (llmdata.textstats.doc_stats)."""
+    return doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokens."""
+    return doc_tokens(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with deterministic tie-breaking."""
+    return doc_langid(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-tokens md5 fingerprint per document."""
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(normalized text) → keep-id + copy count."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified with exact Jaccard (rows-only:
+    xxhash64 has no DuckDB equivalent; correctness vs brute force is asserted
+    in tests/test_llmdata.py)."""
+    return minhash_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 pairs via chunk pigeonhole banding (rows-only)."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 around the vec_id=0 embedding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_knn(emb, qv, k=10)
+
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (rows-only; recall vs brute force is
+    asserted in tests/test_llmdata.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    # 8 planes → 256 buckets: sized for the testdata corpus (~hundreds of
+    # vectors); at real scale n_planes grows with log2(corpus/bucket_target).
+    return lsh_ann_knn(emb, qv, k=10, n_planes=8)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas feature extraction (deterministic fake decoder); the
+    metadata/digest columns are oracle-checked."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, fake=True)
+    return feats.select("media_id", "mime", "n_bytes", "sha256")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: sequence+explode of sample timestamps."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -296,6 +396,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "brand_revenue": q_brand_revenue,
+        "doc_stats": q_doc_stats,
+        "doc_tokens": q_doc_tokens,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embed_knn": q_embed_knn,
+        "embed_ann_lsh": q_embed_ann_lsh,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -488,5 +600,114 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
             ORDER BY p_brand
+        """,
+        "doc_stats": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '([^A-Za-z0-9\\s])', 1)) AS n_punct
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
+                       len(list_filter(toks, x -> x IN ({_sql_list(STOPWORDS)}))) AS n_stopwords
+                FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+                   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+                   CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+                   CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+                   CASE WHEN n_tokens < 10 THEN 'too_short'
+                        WHEN CAST(n_punct AS DOUBLE) / n_chars > 0.2 THEN 'punct_heavy'
+                        WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 'fluent'
+                        ELSE 'ok' END AS quality_bucket
+            FROM s
+        """,
+        "doc_tokens": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS bpe_tokens
+            FROM documents
+        """,
+        "doc_langid": f"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['en'])}))) AS score_en,
+                       len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['es'])}))) AS score_es,
+                       len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['de'])}))) AS score_de
+                FROM t
+            )
+            SELECT doc_id, score_en, score_es, score_de,
+                   CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                        WHEN score_es >= score_de THEN 'es'
+                        ELSE 'de' END AS pred_lang
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS bag_fingerprint,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens
+            FROM documents
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(lower(trim(text))) AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(toks) >= 3
+                           THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                           ELSE []::VARCHAR[] END) AS shingles
+                FROM t
+            ),
+            sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+                   CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
+        """,
+        "embed_knn": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0, doc_id * 40 + 1000, 1000)) AS frame_ts_ms
+            FROM documents
+            WHERE doc_id % 3 = 2
         """,
     }

@@ -1,0 +1,289 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. ``exact_dedup``        — hash-groupBy on md5(text). One shuffle on a
+                            16-byte key; at 100 TB this is the only pass that
+                            touches every byte, and it's a pure hash agg.
+2. ``ngram_jaccard_pairs``— exact near-dup pairs via a shingle inverted
+                            index. Quadratic in the worst case; used to
+                            verify/calibrate the probabilistic tiers at small
+                            scale and on candidate subsets.
+3. ``minhash_pairs``      — MinHash signatures + LSH banding: candidates are
+                            found by an equi-join on (band, band_hash), i.e.
+                            a shuffle keyed on tiny band buckets — the scale
+                            path (linear in corpus size, no all-pairs).
+4. ``simhash_fingerprints``/``simhash_pairs`` — 64-bit SimHash; Hamming-≤k
+                            pairs via the chunk-pigeonhole trick (k<4 ⇒ at
+                            least one of four 16-bit chunks equal).
+
+Everything is built-in column algebra (xxhash64, explode, groupBy,
+array ops) — no Python UDFs; the only shuffles are the inverted-index /
+band-bucket joins, which is exactly the access pattern published MinHash-LSH
+dedup pipelines use on cluster engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokenize
+
+
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact duplicate groups: md5 of (optionally lowercased, trimmed) text.
+
+    Returns one row per distinct content hash with the kept (minimum) id and
+    the duplicate count — the MERGE/DO-NOTHING analog of the reference's PK
+    dedup (`schemas/insert_queries.sql:8-15`) lifted to content identity.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.trim(t))
+    return (
+        docs.select(F.md5(t).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of a text column (empty if < n tokens)."""
+    toks = tokenize(text)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, ngrams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ngram_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, sim ≥ threshold).
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count co-occurrences, then |A∪B| = |A|+|B|−|A∩B|. All integer arithmetic
+    until the final single division — deterministic across engines.
+    """
+    sizes = docs.select(
+        F.col(id_col).alias("doc"), F.size(ngram_shingles(text_col, n)).alias("sz")
+    )
+    idx = _shingle_index(docs, text_col, id_col, n)
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """MinHash signature per doc: for permutation i, min over shingles of
+    xxhash64(shingle ⊕ i). One explode + one hash-agg with ``num_perm`` min
+    columns — map-side combinable, shuffles |docs| rows."""
+    idx = _shingle_index(docs, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    sig = idx.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: signatures → split into ``bands`` bands of num_perm/bands rows
+    → explode (band_idx, band_hash) → equi-join on the band bucket →
+    candidate pairs → exact shingle-set Jaccard on candidates only.
+    Collision probability per band is s^(rows_per_band), so with 8×4 a pair
+    at s=0.5 is caught with P ≈ 1-(1-0.0625)^8 ≈ 0.40 per band set — tune
+    bands/rows for the corpus; the exact verify step removes false
+    positives entirely.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, text_col, id_col, n, num_perm)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc", F.explode(band_cols).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    shingled = docs.select(
+        F.col(id_col).alias("doc"), ngram_shingles(text_col, n).alias("sh")
+    )
+    a = shingled.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash per document, stored as 4×16-bit chunks (array<int>).
+
+    Per token: xxhash64 → 64 sign contributions (+1 if bit set else −1),
+    summed per document; fingerprint bit i = sign of sum. The chunked
+    representation avoids BIGINT sign/overflow issues under ANSI mode and is
+    what the pigeonhole banding joins on.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    summed = tok.groupBy("doc").agg(*bit_sums)
+    chunks = []
+    for c in range(4):
+        bits = [
+            F.when(F.col(f"s_{c*16 + j}") > 0, F.lit(1 << j)).otherwise(0)
+            for j in range(16)
+        ]
+        expr = bits[0]
+        for bcol in bits[1:]:
+            expr = expr + bcol
+        chunks.append(expr.alias(f"chunk_{c}"))
+    fp = summed.select("doc", *chunks)
+    return fp.select(
+        "doc",
+        F.array(*[F.col(f"chunk_{c}") for c in range(4)]).alias("simhash_chunks"),
+        F.concat_ws(
+            "",
+            *[F.lpad(F.hex(F.col(f"chunk_{c}")), 4, "0") for c in range(4)],
+        ).alias("simhash_hex"),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming`` (< 4).
+
+    Pigeonhole: distance < 4 over 64 bits ⇒ at least one of the four 16-bit
+    chunks is identical → candidates come from an equi-join on
+    (chunk_idx, chunk_value); exact Hamming verification via bit_count(xor)
+    over the chunks. Same candidate-generation shape as published SimHash
+    dedup systems: no all-pairs comparison ever materializes.
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    buckets = fp.select(
+        "doc",
+        "simhash_chunks",
+        F.posexplode("simhash_chunks"),
+    ).select("doc", "simhash_chunks", F.col("pos").alias("ci"), F.col("col").alias("cv"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("x.simhash_chunks").alias("ch_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("y.simhash_chunks").alias("ch_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("ch_a")[0].bitwiseXOR(F.col("ch_b")[0]))
+        + F.bit_count(F.col("ch_a")[1].bitwiseXOR(F.col("ch_b")[1]))
+        + F.bit_count(F.col("ch_a")[2].bitwiseXOR(F.col("ch_b")[2]))
+        + F.bit_count(F.col("ch_a")[3].bitwiseXOR(F.col("ch_b")[3]))
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines: tokenization, quality scoring,
+language ID, document fingerprinting.
+
+These go beyond the reference's surface (it has no text processing) and are
+the driver's mandated LLM-data-pipeline extensions. Everything here is pure
+``pyspark.sql.functions`` column algebra — JVM-side, whole-stage-codegen'd,
+zero Python UDFs — so the same expressions run unchanged on a 1000-executor
+scan of 100 TB of documents: embarrassingly parallel, no shuffle at all for
+the per-document stats.
+
+Determinism: counts are integers and ratios are single double divisions of
+integers, so results are bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker lexicons for the n-gram/stopword language-ID heuristic. Tiny on
+# purpose: language ID here is a deterministic scoring operator, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ein", "zu", "ist"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPE_REGEX = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality stats: token count, char count, punctuation
+    ratio, stopword ratio, mean word length, and a coarse quality bucket.
+
+    The quality bucket thresholds follow common pretraining heuristics
+    (very short docs and punctuation-heavy docs are low quality).
+    """
+    toks = tokenize(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9\s])"), 1))
+    n_stop = _count_in(toks, STOPWORDS)
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    mean_word_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        F.when(n_tokens < 10, "too_short")
+        .when(punct_ratio > 0.2, "punct_heavy")
+        .when(stop_ratio > 0.05, "fluent")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish pre-tokens
+    (letter runs / digit runs / single punctuation marks)."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokenize(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 1)).alias("bpe_tokens"),
+    )
+
+
+def doc_langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic language ID: count marker-word hits per language, pick
+    the max with a fixed priority order (en > es > de) on ties."""
+    toks = tokenize(text_col)
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+    return docs.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive bag fingerprint: md5 over the sorted distinct token
+    set. Two documents that are token-permutations of each other collide —
+    the cheap first pass before shingle-based near-dup detection."""
+    toks = tokenize(text_col)
+    bag = F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))
+    return docs.select(
+        F.col(id_col),
+        F.md5(bag).alias("bag_fingerprint"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )

@@ -1,0 +1,143 @@
+"""Validation for the LLM-data operators, focusing on the probabilistic ops
+whose outputs can't be oracle-checked in SQL: MinHash/SimHash recall against
+exact brute force, ANN recall against exact KNN, and the multimodal stub
+contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from coin_for_rich_spark.llmdata import (
+    attach_fake_media,
+    cosine_knn,
+    exact_dedup,
+    extract_media_features,
+    lsh_ann_knn,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    sample_frames,
+    simhash_pairs,
+)
+from coin_for_rich_spark.llmdata.dedup import ngram_shingles
+from coin_for_rich_spark.llmdata.multimodal import decode_media
+from coin_for_rich_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_exact_dedup_finds_planted_duplicate(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text="  A b C  "),  # same after normalize
+            Row(doc_id=3, text="different entirely"),
+        ]
+    )
+    out = {r["keep_id"]: r for r in exact_dedup(df).collect()}
+    assert out[1]["n_copies"] == 2
+    assert out[3]["n_copies"] == 1
+
+
+def test_ngram_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="one two")])
+    row = df.select(ngram_shingles("text", 3).alias("s")).first()
+    assert row["s"] == []
+
+
+def test_minhash_recall_vs_exact(docs):
+    """Every high-similarity pair found by exact Jaccard must be recovered by
+    the MinHash+LSH path (at this corpus size the banding catches s≥0.2
+    pairs essentially always), and reported jaccard values must agree."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_pairs(docs, threshold=0.2).collect()
+    }
+    # minhash output is a subset of exact pairs (verify step) ...
+    assert set(mh) <= set(exact)
+    # ... with identical jaccard values where present
+    for pair, j in mh.items():
+        assert j == exact[pair]
+    # ... and recall at this scale should be high
+    if exact:
+        assert len(mh) / len(exact) >= 0.8
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="totally unrelated words here now ok"),
+        ]
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ann_recall_on_planted_cluster(spark):
+    """Random-hyperplane LSH must recover planted near-duplicates of the
+    query vector: vectors at small angular distance share the query's bucket
+    (or a Hamming-1 probe) with overwhelming probability. (On uniformly
+    random embeddings ANN recall is inherently poor — that's the operator
+    working as specified, so the recall contract is tested on structure.)"""
+    import random
+
+    rng = random.Random(42)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = []
+    for i in range(5):  # planted near-dups of the query
+        rows.append(
+            Row(vec_id=i, embedding=[x + rng.uniform(-0.01, 0.01) for x in base])
+        )
+    for i in range(5, 105):  # background noise
+        rows.append(
+            Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(64)])
+        )
+    emb = spark.createDataFrame(rows)
+    ann = [r["vec_id"] for r in lsh_ann_knn(emb, base, k=5).collect()]
+    assert set(ann) == {0, 1, 2, 3, 4}
+
+
+def test_cosine_knn_self_is_top(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    top = cosine_knn(emb, qv, k=3).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cosine"] == 1.0
+
+
+def test_decode_media_stub_contract():
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_media(b"bytes", "image/png", fake=False)
+    f1 = decode_media(b"bytes", "image/png", fake=True)
+    f2 = decode_media(b"bytes", "audio/wav", fake=True)
+    assert f1 == f2 and len(f1) == 8  # deterministic, payload-derived
+
+
+def test_media_pipeline_arrow_batches(docs):
+    media = attach_fake_media(docs)
+    feats = extract_media_features(media, fake=True)
+    rows = feats.limit(5).collect()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(len(r["sha256"]) == 64 for r in rows)
+    # plumbing must preserve row count (map-only, no dedup/filter)
+    assert feats.count() == docs.count()
+
+
+def test_sample_frames_counts(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, mime="video/mp4", duration_ms=3500),
+         Row(media_id=2, mime="image/png", duration_ms=None)]
+    )
+    out = sample_frames(df, every_ms=1000).collect()
+    # 0,1000,2000,3000 for the video; nothing for the image
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]
