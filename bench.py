@@ -1,0 +1,74 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs every ``queries()`` entry from ``__spark_entry__`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the ``noop`` writer (full execution of
+every partition, no driver-side collect — the same shape a cluster run has).
+A warm-up pass of a trivial action first amortizes JVM/session startup out of
+the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import __spark_entry__ as entry_mod
+from coin_for_rich_spark.session import get_spark
+
+
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    only = set(sys.argv[1:])
+
+    spark = get_spark("coin_for_rich_spark-bench")
+    # warm-up: touch every table once so fs cache / codegen / Arrow init don't
+    # land on the first measured query.
+    from coin_for_rich_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            timings[name] = round(run_query(spark, fn, sf_dir), 3)
+        except Exception as exc:  # noqa: BLE001 — record the failure, keep going
+            print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if any(t < 0 for t in timings.values()) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
