@@ -52,6 +52,14 @@ from coin_for_rich_spark.llmdata import (
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
 from coin_for_rich_spark.plans import read_ohlcvs
 from coin_for_rich_spark.sources import candles_view, load_table
+from coin_for_rich_spark.streaming import (
+    ParquetMergeSink,
+    candle_stream,
+    latest_value_serve,
+    run_ingest,
+    stage_stream_chunks,
+    streaming_ohlcv_rollup,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +372,68 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming operators (Structured Streaming, replayed deterministically)
+# ---------------------------------------------------------------------------
+
+
+def _staged_stream(spark: SparkSession, sf_dir: str):
+    """Replay `events` as a 6-batch time-ordered file stream (S3 stand-in)."""
+    import tempfile
+
+    from coin_for_rich_spark.streaming.source import read_file_stream
+
+    path = tempfile.mkdtemp(prefix="cfr_stream_") + "/events"
+    ev = load_table(spark, sf_dir, "events")
+    schema = stage_stream_chunks(ev, path, n_chunks=6)
+    return read_file_stream(spark, path, schema)
+
+
+def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/S4 — watermarked streaming hourly rollup (continuous-aggregate
+    analog, create.sql:161-174 + policies :345-381). Append mode emits only
+    watermark-closed candles — the open candle is held back exactly like the
+    updater (updater.py:177-184); with delay 0 the closed set is every bucket
+    whose end <= max(ts), which is what the oracle filters to."""
+    import uuid
+
+    from coin_for_rich_spark.streaming.rollup import run_rollup_to_memory
+
+    stream = candle_stream(_staged_stream(spark, sf_dir))
+    rolled = streaming_ohlcv_rollup(stream, "1h", watermark="0 seconds")
+    return run_rollup_to_memory(rolled, f"stream_rollup_1h_{uuid.uuid4().hex}")
+
+
+def q_stream_latest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — latest-value serve aggregate (the Redis serve-hash,
+    bitfinex.py:202-217): streaming max_by per key in complete mode."""
+    import uuid
+
+    from coin_for_rich_spark.streaming.latest import run_latest_to_memory
+
+    stream = candle_stream(_staged_stream(spark, sf_dir))
+    served = latest_value_serve(stream, keys=("symbol",))
+    return run_latest_to_memory(served, f"stream_latest_{uuid.uuid4().hex}")
+
+
+def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S7 — foreachBatch merge-upsert ingest (ON CONFLICT DO UPDATE,
+    queries.py:12-15): time-ordered replay means the kept row per
+    (user_id, event_type) is the globally latest by ts."""
+    import tempfile
+
+    sink = ParquetMergeSink(
+        tempfile.mkdtemp(prefix="cfr_sink_") + "/tbl",
+        pk=("user_id", "event_type"),
+        mode="upsert",
+        tiebreak_col="ts",
+    )
+    run_ingest(
+        _staged_stream(spark, sf_dir), sink, tempfile.mkdtemp(prefix="cfr_ckpt_")
+    )
+    return sink.read(spark)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -408,6 +478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_lsh": q_embed_ann_lsh,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "stream_rollup_1h": q_stream_rollup_1h,
+        "stream_latest_serve": q_stream_latest_serve,
+        "stream_upsert_ingest": q_stream_upsert_ingest,
     }
 
 
@@ -709,5 +782,26 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, doc_id * 40 + 1000, 1000)) AS frame_ts_ms
             FROM documents
             WHERE doc_id % 3 = 2
+        """,
+        # append mode + watermark 0 ⇒ exactly the buckets whose window end
+        # precedes the stream's max event time (the open candle is withheld).
+        "stream_rollup_1h": f"""
+            WITH c AS ({HOURLY})
+            SELECT * FROM c
+            WHERE bucket + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        """,
+        "stream_latest_serve": """
+            SELECT event_type AS symbol, ts, value AS price, value AS volume
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) = 1
+        """,
+        # time-ranged replay batches ⇒ the last batch containing a PK holds
+        # its max ts, and within-batch upsert keeps max ts ⇒ global argmax.
+        "stream_upsert_ingest": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts DESC
+            ) = 1
         """,
     }

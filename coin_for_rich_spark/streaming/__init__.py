@@ -1,0 +1,24 @@
+"""Structured Streaming layer: the reference's ingest path re-expressed.
+
+Reference parity map (SURVEY §2.9):
+- continuous aggregates + refresh policies  → streaming.rollup (A1/A2)
+- WS micro-batch updater (10 s, hold-back)  → streaming.rollup + trigger (S4)
+- COPY/upsert bulk sink, ON CONFLICT        → streaming.sink (S5/S6/S7)
+- latest-value serve hash                   → streaming.latest (S8)
+- file-chunk replay source for tests        → streaming.source (S3 stand-in)
+"""
+
+from .latest import latest_value_serve
+from .rollup import CONAGG_POLICIES, streaming_ohlcv_rollup
+from .sink import ParquetMergeSink, run_ingest
+from .source import candle_stream, stage_stream_chunks
+
+__all__ = [
+    "CONAGG_POLICIES",
+    "ParquetMergeSink",
+    "candle_stream",
+    "latest_value_serve",
+    "run_ingest",
+    "stage_stream_chunks",
+    "streaming_ohlcv_rollup",
+]

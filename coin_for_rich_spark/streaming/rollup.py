@@ -1,0 +1,121 @@
+"""Streaming OHLCV rollup — the continuous-aggregate path (A1/A2, S4).
+
+Reference parity: each TimescaleDB continuous aggregate
+(`scripts/database/init/create.sql:105-223`) is refreshed incrementally by a
+policy `(start_offset, end_offset, schedule_interval)`
+(`create.sql:345-381`); the WS updater additionally holds back each key's
+newest (still-open) candle and drains every 10 s
+(`fetchers/ws/updater.py:29,165-184`). Structured Streaming expresses all
+three semantics natively:
+
+- bucket           → ``window(time, Δ)`` (epoch-aligned tumbling window,
+                     identical boundaries to functions.timeutils.time_bucket)
+- end_offset /     → ``withWatermark(time, end_offset)``: a window emits only
+  hold-open-candle   once the watermark passes its end, so open buckets are
+                     never published (append mode) — exactly the updater's
+                     hold-back and the conagg's end_offset lag.
+- start_offset /   → state-store retention: late rows within the watermark
+  re-scan             revise the window before emission; rows later than that
+                     are dropped (the reference instead re-fetches via REST
+                     and upserts — that correction path is sink.run_ingest
+                     with mode='upsert').
+- schedule_interval→ ``trigger(processingTime=...)``.
+
+Scale posture: partial aggregation happens per micro-batch map-side; state is
+keyed on (key, window) so state size scales with active windows per key, not
+input rows. At 1000 executors the state store shards on the same shuffle
+partitioning as the batch rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numbers import money
+from ..functions.timeutils import INTERVAL_SECONDS
+
+# (start_offset, end_offset, schedule_interval) per resolution —
+# `create.sql:345-381`. end_offset doubles as the watermark delay.
+CONAGG_POLICIES: dict[str, tuple[str, str, str]] = {
+    "5m": ("15 minutes", "5 minutes", "5 minutes"),
+    "15m": ("45 minutes", "15 minutes", "15 minutes"),
+    "30m": ("90 minutes", "30 minutes", "30 minutes"),
+    "1h": ("3 hours", "1 hour", "1 hour"),
+    "6h": ("18 hours", "6 hours", "6 hours"),
+    "12h": ("36 hours", "12 hours", "12 hours"),
+    "1D": ("3 days", "1 day", "1 day"),
+    "7D": ("21 days", "7 days", "7 days"),
+}
+
+_DURATIONS: dict[str, str] = {
+    iv: f"{secs} seconds" for iv, secs in INTERVAL_SECONDS.items() if secs
+}
+
+
+def streaming_ohlcv_rollup(
+    stream: DataFrame,
+    interval: str,
+    watermark: str | None = None,
+    keys: tuple[str, ...] = ("symbol",),
+    time_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Watermarked tumbling-window OHLCV candles over a streaming DataFrame.
+
+    Same aggregate expressions as the batch operators.candles.ohlcv_rollup —
+    one definition of open/high/low/close/volume, two execution modes — so
+    batch backfill and streaming refresh can never disagree on semantics
+    (the reference keeps them consistent by construction too: one SQL view
+    definition, `create.sql:105-118`).
+
+    Append-mode output emits a candle exactly once, when the watermark passes
+    the window end (the "don't publish the open candle" rule, S4).
+    """
+    if watermark is None:
+        watermark = CONAGG_POLICIES.get(interval, (None, "0 seconds", None))[1]
+    order: Column = F.col(time_col)
+    win = F.window(time_col, _DURATIONS[interval])
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(win.alias("win"), *keys)
+        .agg(
+            F.min_by(price_col, order).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, order).alias("close"),
+            F.sum(money(volume_col)).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            *keys,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )
+
+
+def run_rollup_to_memory(
+    rolled: DataFrame,
+    table_name: str,
+    trigger: dict | None = None,
+) -> "DataFrame":
+    """Drive a streaming rollup into an in-memory sink (tests / serve cache).
+
+    Append mode ⇒ only watermark-closed candles land in the table. Returns
+    after the stream finishes (availableNow by default).
+    """
+    writer = (
+        rolled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table_name)
+    )
+    q = writer.trigger(**(trigger or {"availableNow": True})).start()
+    q.awaitTermination()
+    return rolled.sparkSession.table(table_name)
