@@ -28,6 +28,7 @@ from coin_for_rich_spark.operators import (
     detect_gaps,
     geo_daily_return,
     latest_per_key,
+    moving_average,
     ohlcv_rollup,
     recompute_is_trading,
     retention_anti_join,
@@ -50,7 +51,7 @@ from coin_for_rich_spark.llmdata import (
     simhash_pairs,
 )
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
-from coin_for_rich_spark.plans import read_ohlcvs
+from coin_for_rich_spark.plans import read_ohlcvs, serialize_candles
 from coin_for_rich_spark.sources import candles_view, load_table
 from coin_for_rich_spark.streaming import (
     ParquetMergeSink,
@@ -291,6 +292,24 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — trailing moving average (aggregations.sql:26-39): 168-row (7-day)
+    frame over hourly closes per symbol; decimal sliding sum / double divide
+    so the frame accumulation is engine-independent."""
+    hourly = ohlcv_rollup(candles_view(spark, sf_dir), "1h")
+    return moving_average(
+        hourly, ["symbol"], "bucket", "close", n_preceding=167, out_col="ma"
+    ).select("bucket", "symbol", "close", "ma")
+
+
+def q_serve_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — serve serialization (parsers.py:9-40): chart read → epoch-ms
+    time + 4-decimal OHLCV, the API's wire contract."""
+    cv = candles_view(spark, sf_dir)
+    chart = read_ohlcvs(cv, "purchase", "1h", limit=500)
+    return serialize_candles(chart, results_mls=True)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (llmdata package)
 # ---------------------------------------------------------------------------
@@ -466,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "brand_revenue": q_brand_revenue,
+        "moving_avg": q_moving_avg,
+        "serve_payload": q_serve_payload,
         "doc_stats": q_doc_stats,
         "doc_tokens": q_doc_tokens,
         "doc_langid": q_doc_langid,
@@ -673,6 +694,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
             ORDER BY p_brand
+        """,
+        "moving_avg": f"""
+            WITH c AS ({HOURLY})
+            SELECT bucket, symbol, close,
+                   CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / count(*) OVER w AS ma
+            FROM c
+            WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                         ROWS BETWEEN 167 PRECEDING AND CURRENT ROW)
+        """,
+        "serve_payload": f"""
+            WITH c AS ({HOURLY})
+            SELECT CAST(epoch_ms(bucket) AS BIGINT) AS time,
+                   symbol,
+                   round(open, 4) AS open, round(high, 4) AS high,
+                   round(low, 4) AS low, round(close, 4) AS close,
+                   round(volume, 4) AS volume,
+                   n_trades
+            FROM (
+                SELECT * FROM c WHERE symbol = 'purchase'
+                ORDER BY bucket DESC LIMIT 500
+            )
         """,
         "doc_stats": f"""
             WITH t AS (

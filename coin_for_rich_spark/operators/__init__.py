@@ -14,6 +14,7 @@ from .maintenance import (
     count_distinct_pairs,
 )
 from .gapfill import gap_fill_series
+from .windowed import moving_average
 
 __all__ = [
     "ohlcv_rollup",
@@ -29,4 +30,5 @@ __all__ = [
     "dedup_pk",
     "count_distinct_pairs",
     "gap_fill_series",
+    "moving_average",
 ]

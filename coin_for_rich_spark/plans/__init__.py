@@ -1,3 +1,10 @@
 from .reader import read_ohlcvs, route_interval, VALID_INTERVALS
+from .serve import serialize_candles, to_json_rows
 
-__all__ = ["read_ohlcvs", "route_interval", "VALID_INTERVALS"]
+__all__ = [
+    "read_ohlcvs",
+    "route_interval",
+    "VALID_INTERVALS",
+    "serialize_candles",
+    "to_json_rows",
+]
