@@ -258,9 +258,13 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    # lineitem ⋈ orders is fact ⋈ fact — shuffle join on the key (AQE may
+    # still broadcast at tiny SFs, but the hint must not force it: orders is
+    # not broadcastable at scale). customer is SF-scaled too → AQE decides;
+    # nation is a true fixed-size dim → explicit broadcast.
     rev = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

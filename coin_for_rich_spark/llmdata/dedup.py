@@ -85,10 +85,11 @@ def ngram_jaccard_pairs(
     count co-occurrences, then |A∪B| = |A|+|B|−|A∩B|. All integer arithmetic
     until the final single division — deterministic across engines.
     """
-    sizes = docs.select(
-        F.col(id_col).alias("doc"), F.size(ngram_shingles(text_col, n)).alias("sz")
-    )
     idx = _shingle_index(docs, text_col, id_col, n)
+    # |shingles(d)| derived from the index (shingles are already distinct) —
+    # avoids a second full tokenize pass over the corpus; docs with no
+    # shingles can't appear in any pair, so their absence here is harmless.
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))

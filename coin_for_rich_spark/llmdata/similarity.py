@@ -19,6 +19,7 @@ Vectors are cast to double before any arithmetic (float accumulation drifts).
 from __future__ import annotations
 
 import math
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,28 +64,43 @@ def cosine_knn(
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def _plane_weight(plane: int, dim: int) -> Column:
-    # Deterministic pseudo-random weight in [-1, 1): xxhash64 of (plane, dim)
-    # scaled from the signed-64 range. Stable across sessions and engines.
-    h = F.xxhash64(F.lit(plane), F.lit(dim))
-    return h.cast("double") / F.lit(float(2**63))
+def plane_weights(dims: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): a fixed-seed
+    Mersenne Twister, generated once on the driver. These enter the plan as
+    literal double arrays — computing them with per-row hash expressions
+    would bloat codegen to n_planes × dims hash calls per input row."""
+    rng = random.Random(42)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dims)] for _ in range(n_planes)]
 
 
-def bucket_of(vec_col: Column, dims: int, n_planes: int = 12) -> Column:
+def bucket_of(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign of <v, plane_p>."""
     v = _as_double(vec_col)
     bits = []
-    for p in range(n_planes):
-        proj = None
-        w = F.array(*[_plane_weight(p, d) for d in range(dims)])
+    for p, w in enumerate(planes):
         proj = F.aggregate(
-            F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+            F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, b: a + b,
         )
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(0))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def _bucket_of_py(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side twin of ``bucket_of`` for the (single) query vector — the
+    same fold order as Spark's sequential ``aggregate``, so signs agree."""
+    bucket = 0
+    for p, w in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(vec, w):
+            acc += float(x) * y
+        if acc >= 0:
+            bucket |= 1 << p
+    return bucket
 
 
 def lsh_ann_knn(
@@ -102,16 +118,11 @@ def lsh_ann_knn(
     Returns the same schema as ``cosine_knn`` plus the candidate count is
     observable via ``.count()`` upstream of the limit.
     """
-    dims = len(query_vec)
-    bucketed = embeddings.withColumn("_bucket", bucket_of(F.col(vec_col), dims, n_planes))
+    planes = plane_weights(len(query_vec), n_planes)
+    bucketed = embeddings.withColumn("_bucket", bucket_of(F.col(vec_col), planes))
 
-    # compute the query's bucket with the same expressions on a 1-row frame
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame([(1,)], ["one"]).withColumn(
-        "_qb",
-        bucket_of(F.array(*[F.lit(float(x)) for x in query_vec]), dims, n_planes),
-    )
-    qbucket = qdf.first()["_qb"]
+    # the query's bucket is pure driver-side arithmetic — no Spark job
+    qbucket = _bucket_of_py([float(x) for x in query_vec], planes)
     probes = [qbucket] + (
         [qbucket ^ (1 << p) for p in range(n_planes)] if multiprobe else []
     )
