@@ -52,7 +52,12 @@ from coin_for_rich_spark.llmdata import (
 )
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
 from coin_for_rich_spark.plans import read_ohlcvs, serialize_candles
-from coin_for_rich_spark.sources import candles_view, load_table
+from coin_for_rich_spark.sources import (
+    build_fetch_plan,
+    candles_view,
+    fetch_pages,
+    load_table,
+)
 from coin_for_rich_spark.streaming import (
     ParquetMergeSink,
     candle_stream,
@@ -395,6 +400,38 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# backfill fetch plan (S1/S2 — the REST work queue as a distributed relation)
+# ---------------------------------------------------------------------------
+
+_FETCH_SYMBOLS = [
+    ("bitfinex", "BTC-USD"),
+    ("binance", "ETH-USDT"),
+    ("bittrex", "XRP-BTC"),
+]
+_FETCH_START_MS = 1704067200000  # 2024-01-01T00:00:00Z
+_FETCH_END_MS = _FETCH_START_MS + 1500 * 60000  # 1500 minutes
+_FETCH_PAGE_MIN = 500
+
+_FETCH_SYMS_SQL = ", ".join(f"('{e}', '{s}')" for e, s in _FETCH_SYMBOLS)
+
+
+def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — the backfill work queue as a relation (bitfinex.py:492-538):
+    (exchange, symbol, page window) rows from sequence+explode."""
+    return build_fetch_plan(
+        spark, _FETCH_SYMBOLS, _FETCH_START_MS, _FETCH_END_MS, _FETCH_PAGE_MIN
+    )
+
+
+def q_fetch_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — paginated fetch + per-exchange field normalization
+    (bitfinex.py:357-490, close/high swap :195-245), deterministic synthetic
+    fetcher standing in for HTTP."""
+    plan = q_fetch_plan(spark, sf_dir)
+    return fetch_pages(plan)
+
+
+# ---------------------------------------------------------------------------
 # streaming operators (Structured Streaming, replayed deterministically)
 # ---------------------------------------------------------------------------
 
@@ -503,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_lsh": q_embed_ann_lsh,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "fetch_plan": q_fetch_plan,
+        "fetch_backfill": q_fetch_backfill,
         "stream_rollup_1h": q_stream_rollup_1h,
         "stream_latest_serve": q_stream_latest_serve,
         "stream_upsert_ingest": q_stream_upsert_ingest,
@@ -829,6 +868,41 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, doc_id * 40 + 1000, 1000)) AS frame_ts_ms
             FROM documents
             WHERE doc_id % 3 = 2
+        """,
+        "fetch_plan": f"""
+            WITH syms(exchange, symbol) AS (VALUES {_FETCH_SYMS_SQL})
+            SELECT exchange, symbol, page_start_ms,
+                   least(page_start_ms + {_FETCH_PAGE_MIN * 60000},
+                         {_FETCH_END_MS}) AS page_end_ms
+            FROM (
+                SELECT exchange, symbol,
+                       unnest(generate_series({_FETCH_START_MS},
+                                              {_FETCH_END_MS} - 1,
+                                              {_FETCH_PAGE_MIN * 60000}))
+                           AS page_start_ms
+                FROM syms
+            )
+        """,
+        "fetch_backfill": f"""
+            WITH syms(exchange, symbol) AS (VALUES {_FETCH_SYMS_SQL}),
+            mins AS (
+                SELECT exchange, symbol,
+                       unnest(generate_series({_FETCH_START_MS},
+                                              {_FETCH_END_MS} - 1,
+                                              60000)) AS time_ms
+                FROM syms
+            )
+            SELECT exchange, symbol, time_ms,
+                   CAST(((time_ms // 60000) * 37 + length(symbol) * 13) % 1000
+                        AS DOUBLE) / 10 AS open,
+                   CAST(((time_ms // 60000) * 37 + length(symbol) * 13) % 1000 + 5
+                        AS DOUBLE) / 10 AS high,
+                   CAST(((time_ms // 60000) * 37 + length(symbol) * 13) % 1000 - 5
+                        AS DOUBLE) / 10 AS low,
+                   CAST(((time_ms // 60000) * 37 + length(symbol) * 13) % 1000 + 1
+                        AS DOUBLE) / 10 AS close,
+                   CAST((time_ms // 60000) % 100 AS DOUBLE) AS volume
+            FROM mins
         """,
         # append mode + watermark 0 ⇒ exactly the buckets whose window end
         # precedes the stream's max event time (the open candle is withheld).

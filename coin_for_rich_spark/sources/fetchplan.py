@@ -1,0 +1,202 @@
+"""Historical-backfill fetch plan: the REST work queue, Spark-native (S1/S2).
+
+Reference parity: the producer seeds a Redis set with
+``symbol;;start_ms;;end_ms;;tf;;limit;;sort`` page params and a consumer pops
+batches of 500, fetches concurrently, and re-queues the remainder
+(`fetchers/rest/bitfinex.py:492-589`, pagination-by-advancing-start
+`:429-433,485-490`); parsed rows differ per exchange (bitfinex swaps the
+close/high positions `bitfinex.py:195-245`, binance is positional
+`binance.py:273-302`, bittrex keys by name `bittrex.py:170-201`); failures
+land in ``ohlcvs_errors`` (`create.sql:32-42`).
+
+Spark-first re-expression: the queue choreography *is* the task scheduler.
+``build_fetch_plan`` enumerates every (symbol, page) with ``sequence`` +
+``explode`` — a distributed relation, not a driver loop — and
+``fetch_pages`` maps each page through a fetcher with ``mapInPandas``
+(Arrow-batched; one HTTP client per partition in production). Spark's retry +
+checkpoint machinery replaces the tofetch/fetching crash-recovery sets
+(`base.py:230-241`). Rows that fail to parse become dead-letter rows in the
+``ohlcvs_errors`` shape instead of aborting the job.
+
+The container has no network, so the default fetcher is a deterministic
+synthetic one (pure arithmetic on (symbol, minute) — reproducible in any
+engine); swap in a real HTTP fetcher with the same signature in production.
+
+Scale posture: the plan is ~|symbols| × |pages| rows — repartitioned so page
+fetches spread evenly; each output candle batch is bounded by
+``limit`` rows per page, so executor memory is bounded regardless of the
+backfill span.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Per-exchange positional layout of a raw candle record (S1 parse parity:
+#: bitfinex swaps close and high — `fetchers/rest/bitfinex.py:195-245`).
+EXCHANGE_FIELD_ORDER: dict[str, tuple[str, ...]] = {
+    "bitfinex": ("time_ms", "open", "close", "high", "low", "volume"),
+    "binance": ("time_ms", "open", "high", "low", "close", "volume"),
+    "bittrex": ("time_ms", "open", "high", "low", "close", "volume"),
+}
+
+CANDLE_SCHEMA = (
+    "exchange string, symbol string, time_ms long, "
+    "open double, high double, low double, close double, volume double"
+)
+
+ERROR_SCHEMA = (
+    "exception_class string, exchange string, symbol string, "
+    "start_ms long, end_ms long, time_frame string, message string"
+)
+
+MINUTE_MS = 60_000
+
+
+def build_fetch_plan(
+    spark: SparkSession,
+    symbols: list[tuple[str, str]],
+    start_ms: int,
+    end_ms: int,
+    page_minutes: int = 1000,
+) -> DataFrame:
+    """Enumerate fetch pages: one row per (exchange, symbol, page window).
+
+    Pages advance by ``page_minutes`` (the reference's candles-per-request,
+    9500 for bitfinex / 1000 for binance, `bitfinex.py:36`, `binance.py:42`);
+    the last page is clamped to ``end_ms``. Built with sequence+explode so
+    the plan itself is distributed.
+    """
+    page_ms = page_minutes * MINUTE_MS
+    sym = spark.createDataFrame(symbols, "exchange string, symbol string")
+    return (
+        sym.withColumn(
+            "page_start_ms",
+            F.explode(
+                F.sequence(F.lit(start_ms), F.lit(end_ms - 1), F.lit(page_ms))
+            ),
+        )
+        .withColumn(
+            "page_end_ms",
+            F.least(F.col("page_start_ms") + page_ms, F.lit(end_ms)),
+        )
+        .repartition("exchange", "symbol", "page_start_ms")
+    )
+
+
+def synthetic_fetcher(
+    exchange: str, symbol: str, page_start_ms: int, page_end_ms: int
+) -> list[tuple]:
+    """Deterministic stand-in for one REST page fetch: one candle per minute,
+    values from pure integer arithmetic (engine-reproducible). Returns raw
+    positional records in the exchange's field order."""
+    order = EXCHANGE_FIELD_ORDER[exchange]
+    out = []
+    for t in range(page_start_ms, page_end_ms, MINUTE_MS):
+        minute = t // MINUTE_MS
+        base = (minute * 37 + len(symbol) * 13) % 1000
+        named = {
+            "time_ms": t,
+            "open": base / 10.0,
+            "high": (base + 5) / 10.0,
+            "low": (base - 5) / 10.0,
+            "close": (base + 1) / 10.0,
+            "volume": float(minute % 100),
+        }
+        out.append(tuple(named[f] for f in order))
+    return out
+
+
+def fetch_pages(
+    plan: DataFrame,
+    fetcher: Callable[[str, str, int, int], list[tuple]] = synthetic_fetcher,
+) -> DataFrame:
+    """Execute the fetch plan: each page row → normalized candle rows.
+
+    Arrow-batched ``mapInPandas``: the Python hop is intrinsic here (the
+    fetcher is Python I/O, not column math). Per-exchange positional layouts
+    are normalized to the unified candle schema inside the same pass.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                order = EXCHANGE_FIELD_ORDER[r.exchange]
+                for rec in fetcher(
+                    r.exchange, r.symbol, int(r.page_start_ms), int(r.page_end_ms)
+                ):
+                    named = dict(zip(order, rec))
+                    rows.append(
+                        (
+                            r.exchange,
+                            r.symbol,
+                            named["time_ms"],
+                            named["open"],
+                            named["high"],
+                            named["low"],
+                            named["close"],
+                            named["volume"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "exchange",
+                    "symbol",
+                    "time_ms",
+                    "open",
+                    "high",
+                    "low",
+                    "close",
+                    "volume",
+                ],
+            )
+
+    return plan.mapInPandas(run, schema=CANDLE_SCHEMA)
+
+
+def dead_letters(
+    plan: DataFrame,
+    fetcher: Callable[[str, str, int, int], list[tuple]],
+    time_frame: str = "1m",
+) -> DataFrame:
+    """Pages whose fetch raises → ``ohlcvs_errors``-shaped rows
+    (`create.sql:32-42`): the error log is data, not an exception path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    fetcher(r.exchange, r.symbol, int(r.page_start_ms), int(r.page_end_ms))
+                except Exception as exc:  # noqa: BLE001 — the point is to log it
+                    rows.append(
+                        (
+                            type(exc).__name__,
+                            r.exchange,
+                            r.symbol,
+                            int(r.page_start_ms),
+                            int(r.page_end_ms),
+                            time_frame,
+                            str(exc)[:500],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "exception_class",
+                    "exchange",
+                    "symbol",
+                    "start_ms",
+                    "end_ms",
+                    "time_frame",
+                    "message",
+                ],
+            )
+
+    return plan.mapInPandas(run, schema=ERROR_SCHEMA)
