@@ -137,6 +137,27 @@ def q_candles_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlcv_rollup(candles_view(spark, sf_dir), "7D")
 
 
+def q_candles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup at 15m (create.sql:134-146)."""
+    return ohlcv_rollup(candles_view(spark, sf_dir), "15m")
+
+
+def q_candles_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup at 6h (create.sql:175-187)."""
+    return ohlcv_rollup(candles_view(spark, sf_dir), "6h")
+
+
+def q_candles_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 divergence: '3h' is accepted-but-unbound in the reference's router
+    (readers.py:180-289) — we define it as an on-the-fly epoch bucket."""
+    return ohlcv_rollup(candles_view(spark, sf_dir), "3h")
+
+
+def q_candles_1month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 divergence: '1M' defined as a calendar-month date_trunc bucket."""
+    return ohlcv_rollup(candles_view(spark, sf_dir), "1M")
+
+
 def q_chart_read_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The main read path (readers.py:126-368): route interval → filter key +
     time range → DESC limit 500 → ASC re-sort (P1/P2/P8, §2.6)."""
@@ -475,6 +496,28 @@ def q_stream_latest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_latest_to_memory(served, f"stream_latest_{uuid.uuid4().hex}")
 
 
+def q_stream_hold_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — the updater's data-driven close rule via applyInPandasWithState
+    (updater.py:165-184): a 1m candle is emitted once a later candle for the
+    same key arrives; each key's newest candle is withheld."""
+    import uuid
+
+    from coin_for_rich_spark.streaming.stateful import hold_back_collector
+
+    stream = candle_stream(_staged_stream(spark, sf_dir))
+    name = f"stream_hold_back_{uuid.uuid4().hex}"
+    q = (
+        hold_back_collector(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S7 — foreachBatch merge-upsert ingest (ON CONFLICT DO UPDATE,
     queries.py:12-15): time-ordered replay means the kept row per
@@ -511,6 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candles_1d": q_candles_1d,
         "candles_5m": q_candles_5m,
         "candles_7d": q_candles_7d,
+        "candles_15m": q_candles_15m,
+        "candles_6h": q_candles_6h,
+        "candles_3h": q_candles_3h,
+        "candles_1month": q_candles_1month,
         "chart_read_1h": q_chart_read_1h,
         "chart_read_gapfill": q_chart_read_gapfill,
         "common_keys_30": q_common_keys_30,
@@ -544,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_backfill": q_fetch_backfill,
         "stream_rollup_1h": q_stream_rollup_1h,
         "stream_latest_serve": q_stream_latest_serve,
+        "stream_hold_back": q_stream_hold_back,
         "stream_upsert_ingest": q_stream_upsert_ingest,
     }
 
@@ -554,6 +602,10 @@ def oracle_sql() -> dict[str, str]:
         "candles_1d": DAILY,
         "candles_5m": _candle_sql(_epoch_bucket(300)),
         "candles_7d": _candle_sql(_epoch_bucket(604800)),
+        "candles_15m": _candle_sql(_epoch_bucket(900)),
+        "candles_6h": _candle_sql(_epoch_bucket(21600)),
+        "candles_3h": _candle_sql(_epoch_bucket(10800)),
+        "candles_1month": _candle_sql("date_trunc('month', ts)"),
         "chart_read_1h": f"""
             WITH c AS ({HOURLY})
             SELECT * FROM (
@@ -915,6 +967,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS symbol, ts, value AS price, value AS volume
             FROM events
             QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) = 1
+        """,
+        # data-driven close: every minute candle except each key's newest
+        "stream_hold_back": f"""
+            WITH m AS ({_candle_sql("date_trunc('minute', ts)")})
+            SELECT * FROM m
+            QUALIFY bucket < max(bucket) OVER (PARTITION BY symbol)
         """,
         # time-ranged replay batches ⇒ the last batch containing a PK holds
         # its max ts, and within-batch upsert keeps max ts ⇒ global argmax.

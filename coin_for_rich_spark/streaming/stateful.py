@@ -1,0 +1,180 @@
+"""Custom stateful collector: per-key open-candle hold-back (S4).
+
+Reference parity: the WS updater drains every sub-hash each cycle but always
+EXCLUDES each key's newest timestamp — the still-forming candle — and
+force-flushes anything held longer than ``DATA_HELD_MLS_THRESHOLD``
+(`fetchers/ws/updater.py:140-241`, hold-back `:177-184`, stale flush
+`:30,165-176`).
+
+The watermarked window rollup (streaming.rollup) reproduces the *time-based*
+version of this; the updater's actual rule is **data-driven** — a candle is
+closed the moment a later candle for the *same key* appears, regardless of
+any global watermark. That per-key logic is not expressible with built-in
+window aggregates, so this is the one genuinely custom stateful operator:
+``applyInPandasWithState`` with per-key state = the aggregates of the
+still-open minutes.
+
+Semantics per key and minute bucket:
+- rows aggregate into (open@first-ts, high, low, close@last-ts, Σvolume, n);
+- a bucket is EMITTED (append) once a strictly later bucket for the key
+  arrives — the newest bucket is always held;
+- with a processing-time timeout configured, held state older than the
+  threshold is flushed on timeout (the stale-flush rule) — in bounded test
+  replays the timeout never fires, matching the updater's behavior of never
+  emitting the final open candle until more data arrives.
+
+Volume is accumulated in integer cents (inputs are 2-decimal measures) so
+the emitted sum is exact and engine-independent — same contract as the
+decimal routing in the batch aggregates (functions.numbers).
+
+Scale posture: state per key = the open buckets only (normally one), keyed
+shuffle identical to any groupBy on the key — 1000-executor sharding comes
+free; each micro-batch touches only keys present in that batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.TimestampType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.DoubleType()),
+        T.StructField("n_trades", T.LongType()),
+    ]
+)
+
+# one parallel array entry per open bucket: minute index + running aggregates
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("minutes", T.ArrayType(T.LongType())),
+        T.StructField("open_ts", T.ArrayType(T.LongType())),
+        T.StructField("open_v", T.ArrayType(T.DoubleType())),
+        T.StructField("high", T.ArrayType(T.DoubleType())),
+        T.StructField("low", T.ArrayType(T.DoubleType())),
+        T.StructField("close_ts", T.ArrayType(T.LongType())),
+        T.StructField("close_v", T.ArrayType(T.DoubleType())),
+        T.StructField("vol_cents", T.ArrayType(T.LongType())),
+        T.StructField("n", T.ArrayType(T.LongType())),
+    ]
+)
+
+_MINUTE_US = 60_000_000
+
+
+def _flush_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # rebuild the open-bucket dict from state
+    open_buckets: dict[int, dict[str, Any]] = {}
+    if state.exists:
+        (minutes, o_ts, o_v, hi, lo, c_ts, c_v, vc, n) = state.get
+        for i, m in enumerate(minutes):
+            open_buckets[m] = dict(
+                open_ts=o_ts[i], open_v=o_v[i], high=hi[i], low=lo[i],
+                close_ts=c_ts[i], close_v=c_v[i], vol_cents=vc[i], n=n[i],
+            )
+
+    if state.hasTimedOut:
+        # stale flush: emit everything held, clear state
+        emitted = sorted(open_buckets.items())
+        state.remove()
+    else:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty and not open_buckets:
+            return
+        # event-time order within the batch (replay order across batches is
+        # the source's responsibility)
+        rows = rows.sort_values("ts")
+        # unit-safe epoch µs regardless of the Arrow datetime resolution
+        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        for t, price, vol in zip(ts_us, rows["price"], rows["volume"]):
+            m = int(t) // _MINUTE_US
+            b = open_buckets.get(m)
+            cents = round(float(vol) * 100)
+            if b is None:
+                open_buckets[m] = dict(
+                    open_ts=int(t), open_v=float(price), high=float(price),
+                    low=float(price), close_ts=int(t), close_v=float(price),
+                    vol_cents=cents, n=1,
+                )
+            else:
+                if int(t) < b["open_ts"]:
+                    b["open_ts"], b["open_v"] = int(t), float(price)
+                if int(t) >= b["close_ts"]:
+                    b["close_ts"], b["close_v"] = int(t), float(price)
+                b["high"] = max(b["high"], float(price))
+                b["low"] = min(b["low"], float(price))
+                b["vol_cents"] += cents
+                b["n"] += 1
+        # the newest bucket stays open; everything older is closed by the
+        # existence of later data for this key
+        newest = max(open_buckets)
+        emitted = sorted((m, b) for m, b in open_buckets.items() if m != newest)
+        held = {newest: open_buckets[newest]}
+        state.update(
+            (
+                [m for m in held],
+                [b["open_ts"] for b in held.values()],
+                [b["open_v"] for b in held.values()],
+                [b["high"] for b in held.values()],
+                [b["low"] for b in held.values()],
+                [b["close_ts"] for b in held.values()],
+                [b["close_v"] for b in held.values()],
+                [b["vol_cents"] for b in held.values()],
+                [b["n"] for b in held.values()],
+            )
+        )
+
+    if emitted:
+        yield pd.DataFrame(
+            {
+                "symbol": [key[0]] * len(emitted),
+                "bucket": [
+                    pd.Timestamp(m * _MINUTE_US * 1000) for m, _ in emitted
+                ],
+                "open": [b["open_v"] for _, b in emitted],
+                "high": [b["high"] for _, b in emitted],
+                "low": [b["low"] for _, b in emitted],
+                "close": [b["close_v"] for _, b in emitted],
+                "volume": [b["vol_cents"] / 100.0 for _, b in emitted],
+                "n_trades": [b["n"] for _, b in emitted],
+            }
+        )
+
+
+def hold_back_collector(
+    stream: DataFrame,
+    key_col: str = "symbol",
+    stale_timeout: bool = False,
+) -> DataFrame:
+    """1-minute candles emitted per the updater's data-driven close rule.
+
+    Input stream needs (key_col, ts, price, volume). With
+    ``stale_timeout=True`` the production stale-flush applies (processing-
+    time timeout drains held candles); bounded deterministic replays leave
+    it off so the final open candle is withheld exactly like the updater.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if stale_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream.select(key_col, "ts", "price", "volume")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _flush_fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
+        )
+    )

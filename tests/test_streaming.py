@@ -102,6 +102,39 @@ def test_merge_sink_upsert_newest_wins(spark, tmp_path):
     assert got == [("a", 4, 10.9), ("b", 2, 20.0), ("c", 5, 30.0)]
 
 
+def test_hold_back_collector_matches_batch_minus_open_candle(
+    spark, sf_dir, staged_events
+):
+    """S4 data-driven close rule: every candle except each key's newest is
+    emitted; the newest (still-open) one is withheld."""
+    from coin_for_rich_spark.streaming.stateful import hold_back_collector
+
+    path, schema = staged_events
+    stream = candle_stream(read_file_stream(spark, path, schema))
+    collected = hold_back_collector(stream)
+    q = (
+        collected.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_hold_back")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_hold_back")
+
+    minutely = ohlcv_rollup(candles_view(spark, sf_dir), "1m")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("symbol")
+    expected = (
+        minutely.withColumn("_mx", F.max("bucket").over(w))
+        .filter(F.col("bucket") < F.col("_mx"))
+        .drop("_mx")
+    )
+    cols = ["bucket", "symbol", "open", "high", "low", "close", "volume", "n_trades"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
 def test_streamed_ingest_pipeline_dedups_on_pk(spark, sf_dir, tmp_path, staged_events):
     """End-to-end S4+S6: chunked replay → foreachBatch ignore-merge ==
     batch dedup_pk over the same input."""
