@@ -141,3 +141,19 @@ def test_sample_frames_counts(spark):
     out = sample_frames(df, every_ms=1000).collect()
     # 0,1000,2000,3000 for the video; nothing for the image
     assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]
+
+
+def test_jaccard_prefix_equals_count(docs):
+    from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    cols = ["doc_a", "doc_b", "n_inter", "sz_a", "sz_b"]
+    count_rows = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.2).select(*cols).collect()
+    )
+    prefix_rows = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, method="prefix")
+        .select(*cols)
+        .collect()
+    )
+    assert count_rows == prefix_rows and len(count_rows) > 0

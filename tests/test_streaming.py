@@ -159,3 +159,14 @@ def test_streamed_ingest_pipeline_dedups_on_pk(spark, sf_dir, tmp_path, staged_e
     assert (
         got.select("user_id", "event_type").distinct().count() == got.count()
     )
+
+
+def test_jdbc_upsert_sql_shapes():
+    from coin_for_rich_spark.streaming.jdbc import upsert_sql
+
+    ignore = upsert_sql("ohlcvs", "ohlcvs__staging",
+                        ["exchange", "time", "open"], ["exchange", "time"])
+    assert ignore.endswith("ON CONFLICT (exchange, time) DO NOTHING")
+    up = upsert_sql("ohlcvs", "s", ["exchange", "time", "open", "close"],
+                    ["exchange", "time"], mode="upsert")
+    assert up.endswith("DO UPDATE SET open = excluded.open, close = excluded.close")
