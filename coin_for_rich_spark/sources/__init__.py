@@ -5,6 +5,13 @@ from .fetchplan import (
     fetch_pages,
     synthetic_fetcher,
 )
+from .store import (
+    load_rollups,
+    materialize_rollups,
+    prune_time_range,
+    read_partitioned,
+    write_partitioned,
+)
 
 __all__ = [
     "TABLES",
@@ -15,4 +22,9 @@ __all__ = [
     "dead_letters",
     "fetch_pages",
     "synthetic_fetcher",
+    "load_rollups",
+    "materialize_rollups",
+    "prune_time_range",
+    "read_partitioned",
+    "write_partitioned",
 ]

@@ -1,0 +1,64 @@
+"""Partitioned store semantics: pruning actually reaches the scan, and the
+materialized-rollup path serves the interval router."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from coin_for_rich_spark.operators import ohlcv_rollup
+from coin_for_rich_spark.plans import read_ohlcvs
+from coin_for_rich_spark.sources import candles_view, load_table
+from coin_for_rich_spark.sources.store import (
+    load_rollups,
+    materialize_rollups,
+    prune_time_range,
+    read_partitioned,
+    write_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "events")
+    write_partitioned(load_table(spark, sf_dir, "events"), path)
+    return path
+
+
+def test_roundtrip_preserves_rows(spark, sf_dir, store):
+    ev = load_table(spark, sf_dir, "events")
+    back = read_partitioned(spark, store)
+    assert back.count() == ev.count()
+    assert back.select(F.sum("event_id")).first()[0] == ev.select(F.sum("event_id")).first()[0]
+
+
+def test_time_range_prunes_partitions(spark, store):
+    back = read_partitioned(spark, store)
+    pruned = prune_time_range(back, "ts", start="2024-01-10 00:00:00", end="2024-01-12 23:59:59")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # the derived dt bounds must appear as partition filters on the scan
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters", 1)[1][:300]
+    # and the result only contains the three requested days
+    days = sorted(r[0].isoformat() for r in pruned.select("dt").distinct().collect())
+    assert days == ["2024-01-10", "2024-01-11", "2024-01-12"]
+
+
+def test_materialized_rollups_serve_the_router(spark, sf_dir, tmp_path):
+    cv = candles_view(spark, sf_dir)
+    paths = materialize_rollups(cv, str(tmp_path / "rollups"), intervals=("1h", "1D"))
+    rollups = load_rollups(spark, paths)
+
+    served = read_ohlcvs(cv, "purchase", "1h", limit=100, rollups=rollups)
+    direct = read_ohlcvs(cv, "purchase", "1h", limit=100)
+    cols = ["bucket", "open", "high", "low", "close", "volume", "n_trades"]
+    assert sorted(map(tuple, served.select(*cols).collect())) == sorted(
+        map(tuple, direct.select(*cols).collect())
+    )
