@@ -322,6 +322,36 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 multi-hop: revenue per nation where supplier and customer share the
+    nation, one region (the local-supplier-volume shape — exercises every
+    dimension hop: region→nation→{customer,supplier}→orders/lineitem).
+    Fixed dims broadcast; fact⋈fact shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 — trailing moving average (aggregations.sql:26-39): 168-row (7-day)
     frame over hourly closes per symbol; decimal sliding sum / double divide
@@ -573,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "brand_revenue": q_brand_revenue,
+        "region_supplier_volume": q_region_supplier_volume,
         "moving_avg": q_moving_avg,
         "serve_payload": q_serve_payload,
         "doc_stats": q_doc_stats,
@@ -789,6 +820,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
             ORDER BY p_brand
+        """,
+        "region_supplier_volume": f"""
+            SELECT n_name,
+                   CAST({REVENUE_DEC} AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
         """,
         "moving_avg": f"""
             WITH c AS ({HOURLY})
