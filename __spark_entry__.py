@@ -47,6 +47,7 @@ from coin_for_rich_spark.llmdata import (
     lsh_ann_knn,
     minhash_pairs,
     ngram_jaccard_pairs,
+    resize_plan,
     sample_frames,
     simhash_pairs,
 )
@@ -450,6 +451,13 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize targets for image rows (declarative dims;
+    pixel resample is the stubbed codec step)."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return resize_plan(media, max_w=256, max_h=256)
+
+
 # ---------------------------------------------------------------------------
 # backfill fetch plan (S1/S2 — the REST work queue as a distributed relation)
 # ---------------------------------------------------------------------------
@@ -495,7 +503,9 @@ def _staged_stream(spark: SparkSession, sf_dir: str):
 
     path = tempfile.mkdtemp(prefix="cfr_stream_") + "/events"
     ev = load_table(spark, sf_dir, "events")
-    schema = stage_stream_chunks(ev, path, n_chunks=6)
+    # 4 micro-batches: enough to exercise cross-batch state/watermark logic;
+    # replay semantics are chunk-count-invariant (tests use 6)
+    schema = stage_stream_chunks(ev, path, n_chunks=4)
     return read_file_stream(spark, path, schema)
 
 
@@ -618,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_lsh": q_embed_ann_lsh,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "media_resize": q_media_resize,
         "fetch_plan": q_fetch_plan,
         "fetch_backfill": q_fetch_backfill,
         "stream_rollup_1h": q_stream_rollup_1h,
@@ -965,6 +976,19 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, doc_id * 40 + 1000, 1000)) AS frame_ts_ms
             FROM documents
             WHERE doc_id % 3 = 2
+        """,
+        "media_resize": """
+            WITH imgs AS (
+                SELECT doc_id AS media_id,
+                       CAST(doc_id % 1920 + 1 AS INT) AS width,
+                       CAST(doc_id % 1080 + 1 AS INT) AS height
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT media_id, width, height,
+                   round(least(1.0, 256.0 / width, 256.0 / height), 6) AS scale,
+                   greatest(1, CAST(floor(width * least(1.0, 256.0 / width, 256.0 / height)) AS INT)) AS target_w,
+                   greatest(1, CAST(floor(height * least(1.0, 256.0 / width, 256.0 / height)) AS INT)) AS target_h
+            FROM imgs
         """,
         "fetch_plan": f"""
             WITH syms(exchange, symbol) AS (VALUES {_FETCH_SYMS_SQL})

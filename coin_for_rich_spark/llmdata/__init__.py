@@ -1,7 +1,7 @@
 from .textstats import tokenize, doc_stats, doc_langid, doc_fingerprint, doc_tokens
 from .dedup import exact_dedup, ngram_shingles, ngram_jaccard_pairs, minhash_pairs, simhash_fingerprints, simhash_pairs
 from .similarity import cosine_knn, lsh_ann_knn
-from .multimodal import media_schema, attach_fake_media, extract_media_features, sample_frames
+from .multimodal import media_schema, attach_fake_media, extract_media_features, resize_plan, sample_frames
 
 __all__ = [
     "tokenize",
@@ -20,5 +20,6 @@ __all__ = [
     "media_schema",
     "attach_fake_media",
     "extract_media_features",
+    "resize_plan",
     "sample_frames",
 ]

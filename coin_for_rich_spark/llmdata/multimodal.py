@@ -116,6 +116,33 @@ def extract_media_features(media: DataFrame, fake: bool = True, batch_hint: int 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(
+    media: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Aspect-preserving resize targets for image rows.
+
+    The dimension arithmetic is pure column algebra (deterministic IEEE
+    doubles + floor, identical in any engine); the actual pixel resampling
+    belongs to the stubbed codec boundary (``decode_media``) — at scale the
+    resample happens inside the same Arrow batch pass as decode, with the
+    target dims computed here pushed in as columns.
+    """
+    imgs = media.filter(F.col("mime").startswith("image/"))
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+    )
+    return imgs.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(scale, 6).alias("scale"),
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale).cast("int")).alias("target_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale).cast("int")).alias("target_h"),
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (the decode of the actual frame is the stubbed step).
