@@ -112,6 +112,51 @@ DAILY = _candle_sql("date_trunc('day', ts)")
 # ties), then an exact decimal accumulation. See functions/numbers.py.
 REVENUE_DEC = "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
 
+# shared by the doc_stats / doc_langid oracles and the corpus_curation
+# pipeline oracle that composes them as CTEs
+DOC_STATS_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '([^A-Za-z0-9\\s])', 1)) AS n_punct
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
+               len(list_filter(toks, x -> x IN ({_sql_list(STOPWORDS)}))) AS n_stopwords
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN CAST(n_punct AS DOUBLE) / n_chars > 0.2 THEN 'punct_heavy'
+                WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 'fluent'
+                ELSE 'ok' END AS quality_bucket
+    FROM s
+"""
+
+DOC_LANGID_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['en'])}))) AS score_en,
+               len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['es'])}))) AS score_es,
+               len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['de'])}))) AS score_de
+        FROM t
+    )
+    SELECT doc_id, score_en, score_es, score_de,
+           CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                WHEN score_es >= score_de THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM s
+"""
+
 
 # ---------------------------------------------------------------------------
 # queries — SURVEY §2 operators (Spark side)
@@ -157,6 +202,12 @@ def q_candles_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_candles_1month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 divergence: '1M' defined as a calendar-month date_trunc bucket."""
     return ohlcv_rollup(candles_view(spark, sf_dir), "1M")
+
+
+def q_candles_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 divergence: '14D' (accepted-but-unbound in the reference) as an
+    epoch-aligned two-week bucket."""
+    return ohlcv_rollup(candles_view(spark, sf_dir), "14D")
 
 
 def q_chart_read_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +425,32 @@ def q_serve_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (llmdata package)
 # ---------------------------------------------------------------------------
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: quality gate (doc_stats) + language ID +
+    exact-dedup canonical-copy selection, summarized per (lang, quality).
+    The composition is pure DataFrame algebra over the individual operators —
+    the same plan shape a 100 TB curation run would use, with the dedup
+    keep-list as a broadcast semi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = doc_stats(docs).select("doc_id", "n_tokens", "quality_bucket")
+    lang = doc_langid(docs).select("doc_id", "pred_lang")
+    keep_ids = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = (
+        docs.join(F.broadcast(keep_ids), "doc_id", "left_semi")
+        .join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("quality_bucket") != "too_short")
+    )
+    return (
+        kept.groupBy("pred_lang", "quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("pred_lang", "quality_bucket")
+    )
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candles_6h": q_candles_6h,
         "candles_3h": q_candles_3h,
         "candles_1month": q_candles_1month,
+        "candles_14d": q_candles_14d,
         "chart_read_1h": q_chart_read_1h,
         "chart_read_gapfill": q_chart_read_gapfill,
         "common_keys_30": q_common_keys_30,
@@ -616,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_supplier_volume": q_region_supplier_volume,
         "moving_avg": q_moving_avg,
         "serve_payload": q_serve_payload,
+        "corpus_curation": q_corpus_curation,
         "doc_stats": q_doc_stats,
         "doc_tokens": q_doc_tokens,
         "doc_langid": q_doc_langid,
@@ -648,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "candles_6h": _candle_sql(_epoch_bucket(21600)),
         "candles_3h": _candle_sql(_epoch_bucket(10800)),
         "candles_1month": _candle_sql("date_trunc('month', ts)"),
+        "candles_14d": _candle_sql(_epoch_bucket(1209600)),
         "chart_read_1h": f"""
             WITH c AS ({HOURLY})
             SELECT * FROM (
@@ -868,28 +948,26 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY bucket DESC LIMIT 500
             )
         """,
-        "doc_stats": f"""
-            WITH t AS (
-                SELECT doc_id, text,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks,
-                       length(text) AS n_chars,
-                       len(regexp_extract_all(text, '([^A-Za-z0-9\\s])', 1)) AS n_punct
-                FROM documents
+        "doc_stats": DOC_STATS_SQL,
+        "corpus_curation": f"""
+            WITH stats AS ({DOC_STATS_SQL}),
+            lang AS ({DOC_LANGID_SQL}),
+            ded AS (
+                SELECT min(doc_id) AS doc_id
+                FROM documents GROUP BY md5(lower(trim(text)))
             ),
-            s AS (
-                SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
-                       len(list_filter(toks, x -> x IN ({_sql_list(STOPWORDS)}))) AS n_stopwords
-                FROM t
+            kept AS (
+                SELECT s.n_tokens, s.quality_bucket, l.pred_lang
+                FROM ded
+                JOIN stats s ON ded.doc_id = s.doc_id
+                JOIN lang l ON ded.doc_id = l.doc_id
+                WHERE s.quality_bucket <> 'too_short'
             )
-            SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
-                   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-                   CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
-                   CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
-                   CASE WHEN n_tokens < 10 THEN 'too_short'
-                        WHEN CAST(n_punct AS DOUBLE) / n_chars > 0.2 THEN 'punct_heavy'
-                        WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 'fluent'
-                        ELSE 'ok' END AS quality_bucket
-            FROM s
+            SELECT pred_lang, quality_bucket, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM kept
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "doc_tokens": """
             SELECT doc_id,
@@ -897,24 +975,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS bpe_tokens
             FROM documents
         """,
-        "doc_langid": f"""
-            WITH t AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-                FROM documents
-            ),
-            s AS (
-                SELECT doc_id,
-                       len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['en'])}))) AS score_en,
-                       len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['es'])}))) AS score_es,
-                       len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['de'])}))) AS score_de
-                FROM t
-            )
-            SELECT doc_id, score_en, score_es, score_de,
-                   CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
-                        WHEN score_es >= score_de THEN 'es'
-                        ELSE 'de' END AS pred_lang
-            FROM s
-        """,
+        "doc_langid": DOC_LANGID_SQL,
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
