@@ -1,0 +1,53 @@
+"""Physical-plan regression guards: the scale properties the engine promises
+must be visible in the optimized plan, not just asserted in docstrings."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from coin_for_rich_spark.operators import ohlcv_rollup, retention_anti_join
+from coin_for_rich_spark.plans import read_ohlcvs
+from coin_for_rich_spark.sources import candles_view, load_table
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_chart_read_pushes_key_filter_to_scan(spark, sf_dir):
+    plan = _plan(read_ohlcvs(candles_view(spark, sf_dir), "purchase", "1h", limit=500))
+    scan = plan.split("Scan parquet", 1)[1]
+    assert "EqualTo(event_type,purchase)" in scan  # predicate reached parquet
+    # column pruning: the 6-column source reads only what the rollup needs
+    read_schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_chart_read_uses_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(read_ohlcvs(candles_view(spark, sf_dir), "purchase", "1h", limit=500))
+    assert "TakeOrderedAndProject" in plan  # DESC limit = top-K, never a full Sort
+
+
+def test_rollup_is_partial_then_final_aggregate(spark, sf_dir):
+    import re
+
+    plan = _plan(ohlcv_rollup(candles_view(spark, sf_dir), "1h"))
+    # formatted explain lists each node once in the tree and once in the
+    # detail section — count the numbered detail headers, one per node
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_agg == 2  # map-side combine + final
+    assert n_exchange == 1  # exactly one shuffle, on the group keys
+
+
+def test_retention_anti_join_broadcasts_keep_list(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    keep = ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(30)
+    plan = _plan(retention_anti_join(ev, keep, ["user_id"]))
+    assert "BroadcastHashJoin LeftAnti" in plan  # fact side never shuffles
