@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coin_for_rich_spark.operators import (
+    cascade_rollup,
     common_keys_top30,
     count_distinct_pairs,
     dedup_pk,
@@ -208,6 +209,14 @@ def q_candles_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 divergence: '14D' (accepted-but-unbound in the reference) as an
     epoch-aligned two-week bucket."""
     return ohlcv_rollup(candles_view(spark, sf_dir), "14D")
+
+
+def q_candles_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 scale path: daily candles cascaded from hourly candles (24x
+    smaller input than rescanning ticks) — same oracle as the direct daily
+    rollup, proving the cascade is exact."""
+    hourly = ohlcv_rollup(candles_view(spark, sf_dir), "1h")
+    return cascade_rollup(hourly, "1D")
 
 
 def q_chart_read_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candles_3h": q_candles_3h,
         "candles_1month": q_candles_1month,
         "candles_14d": q_candles_14d,
+        "candles_1d_cascade": q_candles_1d_cascade,
         "chart_read_1h": q_chart_read_1h,
         "chart_read_gapfill": q_chart_read_gapfill,
         "common_keys_30": q_common_keys_30,
@@ -728,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "candles_3h": _candle_sql(_epoch_bucket(10800)),
         "candles_1month": _candle_sql("date_trunc('month', ts)"),
         "candles_14d": _candle_sql(_epoch_bucket(1209600)),
+        "candles_1d_cascade": DAILY,
         "chart_read_1h": f"""
             WITH c AS ({HOURLY})
             SELECT * FROM (

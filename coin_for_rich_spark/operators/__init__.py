@@ -1,4 +1,4 @@
-from .candles import ohlcv_rollup, rollup_family
+from .candles import cascade_rollup, ohlcv_rollup, rollup_family
 from .analytics import (
     common_keys_top30,
     top_k_with_other,
@@ -17,6 +17,7 @@ from .gapfill import gap_fill_series
 from .windowed import moving_average
 
 __all__ = [
+    "cascade_rollup",
     "ohlcv_rollup",
     "rollup_family",
     "common_keys_top30",

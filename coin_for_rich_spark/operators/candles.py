@@ -69,6 +69,39 @@ def ohlcv_rollup(
     )
 
 
+def cascade_rollup(
+    candles: DataFrame,
+    coarse_interval: str,
+    keys: list[str] = ("symbol",),
+) -> DataFrame:
+    """Roll already-bucketed candles up to a coarser resolution.
+
+    Exactly equals ``ohlcv_rollup(ticks, coarse_interval)`` whenever the
+    coarse width is a multiple of the fine width (bucket nesting — proven as
+    a property in tests/test_properties.py): open = open of the earliest
+    fine bucket, close = close of the latest, high/low = max/min, volume and
+    n_trades sum. Volume re-enters the decimal accumulator (fine volumes
+    carry ≤2 decimals) so the cascade stays bit-exact.
+
+    Scale: this is THE way to maintain the 8-resolution family at 100 TB —
+    each step consumes the previous resolution's output (~60× fewer rows
+    5m→1h, 24× 1h→1D) instead of rescanning raw ticks; same plan shape
+    (one hash agg, one shuffle), input orders of magnitude smaller.
+    """
+    b = time_bucket("bucket", coarse_interval).alias("bucket")
+    return (
+        candles.groupBy(b, *keys)
+        .agg(
+            F.min_by("open", F.col("bucket")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("bucket")).alias("close"),
+            F.sum(money("volume")).cast("double").alias("volume"),
+            F.sum("n_trades").alias("n_trades"),
+        )
+    )
+
+
 def rollup_family(
     df: DataFrame,
     intervals: list[str] = ("5m", "15m", "30m", "1h", "6h", "12h", "1D", "7D"),
