@@ -316,6 +316,24 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_distinct_pairs(li, ["l_partkey", "l_suppkey"], ["l_returnflag"])
 
 
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON wire-format handling (§2.7 row_to_json's read twin): typed
+    from_json extraction of the props payload, aggregated per event_type.
+    Integer sums are exact; the mean is one double division of exact ints."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate showcase over the fact table (A-family): decimal-exact sums
     and explicit sum/count averages."""
@@ -698,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_summary": q_retention_summary,
         "dedup_pk": q_dedup_pk,
         "count_distinct": q_count_distinct,
+        "props_extract": q_props_extract,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "brand_revenue": q_brand_revenue,
@@ -890,6 +909,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "props_extract": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                     / count(*) AS avg_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
