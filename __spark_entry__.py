@@ -316,6 +316,23 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_distinct_pairs(li, ["l_partkey", "l_suppkey"], ["l_returnflag"])
 
 
+def q_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 fast path — HLL approx_count_distinct per group (rows-only: sketch
+    implementations differ across engines; accuracy vs exact is asserted in
+    tests). At 100 TB this replaces the exact two-phase distinct whenever a
+    ±2% cardinality answers the question, at a fraction of the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct(
+                F.concat_ws("|", "l_partkey", "l_suppkey"), 0.02
+            ).alias("n_distinct_approx")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON wire-format handling (§2.7 row_to_json's read twin): typed
     from_json extraction of the props payload, aggregated per event_type.
@@ -716,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_summary": q_retention_summary,
         "dedup_pk": q_dedup_pk,
         "count_distinct": q_count_distinct,
+        "count_distinct_approx": q_count_distinct_approx,
         "props_extract": q_props_extract,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,

@@ -116,3 +116,26 @@ def test_latest_per_key_single_row(spark, sf_dir):
     latest = latest_per_key(ev, ["user_id"], "ts", "event_id")
     dup = latest.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The HLL fast path must track the exact distinct count within the
+    configured relative error (x2 safety margin for small groups)."""
+    from coin_for_rich_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", "l_partkey", "l_suppkey")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct(key).alias("n")).collect()
+    }
+    approx = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct(key, 0.02).alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= max(0.04 * n, 5)
