@@ -39,6 +39,7 @@ from coin_for_rich_spark.operators import (
 from coin_for_rich_spark.llmdata import (
     attach_fake_media,
     cosine_knn,
+    embedding_neardup_pairs,
     doc_fingerprint,
     doc_langid,
     doc_stats,
@@ -557,6 +558,14 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_knn(emb, qv, k=10, n_planes=8)
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the embedding tier of the dedup
+    ladder), exact method as the oracle-checkable baseline; the LSH-blocked
+    scale path shares the verify step (subset property tested in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4, method="exact")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas feature extraction (deterministic fake decoder); the
@@ -752,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embed_knn": q_embed_knn,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
@@ -1080,6 +1090,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        "embed_neardup": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         """,
         "media_features": """
             SELECT doc_id AS media_id,

@@ -1,6 +1,6 @@
 from .textstats import tokenize, doc_stats, doc_langid, doc_fingerprint, doc_tokens
 from .dedup import exact_dedup, ngram_shingles, ngram_jaccard_pairs, minhash_pairs, simhash_fingerprints, simhash_pairs
-from .similarity import cosine_knn, lsh_ann_knn
+from .similarity import cosine_knn, embedding_neardup_pairs, lsh_ann_knn
 from .multimodal import media_schema, attach_fake_media, extract_media_features, resize_plan, sample_frames
 
 __all__ = [
@@ -16,6 +16,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "cosine_knn",
+    "embedding_neardup_pairs",
     "lsh_ann_knn",
     "media_schema",
     "attach_fake_media",

@@ -103,6 +103,56 @@ def _bucket_of_py(vec: list[float], planes: list[list[float]]) -> int:
     return bucket
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_planes: int = 4,
+    dims: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine near-duplicate detection (id_a < id_b, cos ≥ t) —
+    the embedding tier of the dedup ladder (llmdata.dedup).
+
+    - ``method='exact'`` — full pairwise join with per-vector norms computed
+      once. Quadratic: the calibration/verification baseline, fine to ~10⁴
+      vectors.
+    - ``method='lsh'`` — candidates restricted to same-LSH-bucket pairs,
+      then the same exact cosine verify: every returned pair is a true
+      near-dup (precision 1), recall < 1 governed by n_planes. The linear-
+      cost scale path: at 10⁹ vectors the bucket self-join shuffles each
+      vector once, and missed-pair probability is tuned via fewer planes /
+      multiple plane sets, never by scanning all pairs.
+    """
+    v = _as_double(F.col(vec_col))
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+    )
+    if method == "lsh":
+        sample = embeddings.select(vec_col).first()
+        d = dims or len(sample[0])
+        planes = plane_weights(d, n_planes)
+        base = base.withColumn("_bucket", bucket_of(F.col("v"), planes))
+        cond = (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        cond = F.col("a.id") < F.col("b.id")
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_ann_knn(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -157,3 +157,21 @@ def test_jaccard_prefix_equals_count(docs):
         .collect()
     )
     assert count_rows == prefix_rows and len(count_rows) > 0
+
+
+def test_embed_neardup_lsh_is_subset_of_exact(spark, sf_dir):
+    from coin_for_rich_spark.llmdata import embedding_neardup_pairs
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, threshold=0.4, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, threshold=0.4, method="lsh").collect()
+    }
+    assert len(exact) > 0
+    # verification step guarantees precision 1: every LSH pair is a true pair
+    assert lsh <= exact
