@@ -35,14 +35,25 @@ from pyspark.sql import functions as F
 
 
 class ParquetMergeSink:
-    """PK-merge sink over a parquet directory.
+    """PK-merge sink over a parquet directory, merge-on-read (LSM-style).
 
     mode='ignore' — first writer wins (ON CONFLICT DO NOTHING, S6).
     mode='upsert' — newest batch wins (ON CONFLICT DO UPDATE, S7).
     ``tiebreak_col`` orders rows *within* one batch so the kept row per PK is
     deterministic (highest tiebreak wins for upsert, lowest for ignore —
     matching "earliest insert" ctid semantics, `insert_queries.sql:8-15`).
+
+    Write path: each micro-batch lands as its own ``batch=N`` partition —
+    write amplification is O(batch), never O(table) (the previous design
+    rewrote the whole table per batch, which is quadratic over a day of
+    10-second batches). Replaying a batch overwrites its own partition:
+    idempotent. Read path: one window per PK ordered by (batch, tiebreak)
+    resolves the winner — exactly Delta/Iceberg's merge-on-read shape; an
+    explicit ``compact()`` folds the log into a base partition when read
+    amplification matters.
     """
+
+    _BASE_BATCH = -1  # compaction target; sorts before/after all real batches
 
     def __init__(
         self,
@@ -60,52 +71,64 @@ class ParquetMergeSink:
 
     # -- batch-side helpers ------------------------------------------------
 
-    def _dedup_batch(self, batch: DataFrame) -> DataFrame:
-        if self.tiebreak_col is None:
-            return batch.dropDuplicates(self.pk)
-        order = (
-            F.col(self.tiebreak_col).desc()
-            if self.mode == "upsert"
-            else F.col(self.tiebreak_col).asc()
-        )
-        w = Window.partitionBy(*self.pk).orderBy(order)
-        return (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+    def _order(self) -> list:
+        asc = self.mode == "ignore"  # first batch wins vs newest batch wins
+        cols = [F.col("_batch").asc() if asc else F.col("_batch").desc()]
+        if self.tiebreak_col is not None:
+            cols.append(
+                F.col(self.tiebreak_col).asc() if asc else F.col(self.tiebreak_col).desc()
+            )
+        return cols
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
+        """Resolved table state: one winner per PK across the batch log."""
+        if not os.path.exists(self.path):
             return None
-        return spark.read.parquet(self.path)
+        parts = [d for d in os.listdir(self.path) if d.startswith("batch=")]
+        if not parts:
+            return None
+        raw = spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, d) for d in parts]
+        ).withColumnRenamed("batch", "_batch")
+        if self.tiebreak_col is None:
+            # no deterministic within-batch order was requested; any row of
+            # the winning batch is acceptable (idempotent-ingest contract)
+            w = Window.partitionBy(*self.pk).orderBy(*self._order())
+        else:
+            w = Window.partitionBy(*self.pk).orderBy(*self._order())
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_batch")
+        )
 
     # -- the foreachBatch body ----------------------------------------------
 
     def merge(self, batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        batch = self._dedup_batch(batch)
-        current = self.read(spark)
-        if current is None:
-            merged = batch
-        elif self.mode == "ignore":
-            # keep every current row; admit only new PKs
-            merged = current.unionByName(
-                batch.join(current.select(*self.pk), on=self.pk, how="left_anti")
-            )
-        else:  # upsert
-            # batch rows replace current rows on PK match
-            merged = batch.unionByName(
-                current.join(batch.select(*self.pk), on=self.pk, how="left_anti")
-            )
-        tmp = f"{self.path}__stage_{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(tmp)
+        # replay-idempotent: the batch owns its partition and overwrites it
+        batch.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"batch={int(batch_id)}")
+        )
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the batch log into a single base partition (read-amp → 1).
+
+        The resolved state becomes ``batch=-1``: for 'ignore' it sorts first
+        (existing rows keep winning), for 'upsert' it sorts last (future
+        batches keep overriding) — semantics are unchanged either way.
+        """
+        resolved = self.read(spark)
+        if resolved is None:
+            return
+        tmp = f"{self.path}__compact_{uuid.uuid4().hex}"
+        resolved.write.mode("overwrite").parquet(tmp)
         old = f"{self.path}__old_{uuid.uuid4().hex}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        os.rename(self.path, old)
+        os.makedirs(self.path, exist_ok=True)
+        os.rename(tmp, os.path.join(self.path, f"batch={self._BASE_BATCH}"))
+        shutil.rmtree(old)
 
 
 def run_ingest(

@@ -170,3 +170,26 @@ def test_jdbc_upsert_sql_shapes():
     up = upsert_sql("ohlcvs", "s", ["exchange", "time", "open", "close"],
                     ["exchange", "time"], mode="upsert")
     assert up.endswith("DO UPDATE SET open = excluded.open, close = excluded.close")
+
+
+def test_merge_sink_compact_preserves_state_and_semantics(spark, tmp_path):
+    from coin_for_rich_spark.streaming import ParquetMergeSink
+
+    sink = ParquetMergeSink(
+        str(tmp_path / "tbl"), pk=("k",), mode="upsert", tiebreak_col="seq"
+    )
+    b1 = spark.createDataFrame([("a", 1, 10.0), ("b", 2, 20.0)],
+                               "k string, seq int, v double")
+    b2 = spark.createDataFrame([("a", 3, 10.5)], "k string, seq int, v double")
+    sink.merge(b1, 0)
+    sink.merge(b2, 1)
+    before = sorted(map(tuple, sink.read(spark).collect()))
+    sink.compact(spark)
+    after = sorted(map(tuple, sink.read(spark).collect()))
+    assert before == after == [("a", 3, 10.5), ("b", 2, 20.0)]
+    # post-compaction batches still override the base
+    b3 = spark.createDataFrame([("b", 4, 21.0)], "k string, seq int, v double")
+    sink.merge(b3, 2)
+    assert sorted(map(tuple, sink.read(spark).collect())) == [
+        ("a", 3, 10.5), ("b", 4, 21.0)
+    ]
