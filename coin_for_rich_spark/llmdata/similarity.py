@@ -137,20 +137,72 @@ def embedding_neardup_pairs(
         planes = plane_weights(d, n_planes)
         base = base.withColumn("_bucket", bucket_of(F.col("v"), planes))
         cond = (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a.id") < F.col("b.id"))
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.join(b, cond).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
     else:
-        cond = F.col("a.id") < F.col("b.id")
-    a, b = base.alias("a"), base.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+        cand = _gemm_candidates(embeddings, threshold, id_col, vec_col)
+    # exact verify: the same sequential fold both engines run — candidate
+    # generation (GEMM or LSH) only proposes pairs, never decides them
+    av = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("norm").alias("na"))
+    bv = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("norm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, cond)
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
-        )
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _gemm_candidates(
+    embeddings: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact-recall candidate pairs via one BLAS matrix product.
+
+    The normalized corpus matrix is broadcast to executors; each Arrow batch
+    of rows computes ``block @ corpusᵀ`` and emits (id_a < id_b) pairs whose
+    GEMM cosine clears ``threshold − ε`` (ε covers summation-order float
+    drift, so no true pair is lost; the caller's sequential-fold verify then
+    decides exactly). ~n·d flops per row on vectorized BLAS instead of an
+    interpreted per-pair fold — two orders of magnitude faster.
+
+    Scale: the broadcast tier works while the corpus matrix fits an executor
+    (~10⁶×768 ≈ 3 GB); past that, block-pair the corpus (grid join of row
+    blocks, GEMM per block pair) — same emit logic, no all-pairs rows ever
+    materialize either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = embeddings.select(id_col, vec_col).toPandas()
+    ids = rows[id_col].to_numpy()
+    M = np.stack([np.asarray(x, dtype=np.float64) for x in rows[vec_col]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((ids, Mn))
+    eps = 1e-9
+
+    def gen(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy()
+            Q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            G = Qn @ b_mat.T
+            qi, bi = np.nonzero(G >= threshold - eps)
+            a = q_ids[qi]
+            b = b_ids[bi]
+            keep = a < b
+            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    return embeddings.mapInPandas(gen, schema="id_a long, id_b long")
 
 
 def lsh_ann_knn(
