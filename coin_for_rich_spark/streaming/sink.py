@@ -71,13 +71,21 @@ class ParquetMergeSink:
 
     # -- batch-side helpers ------------------------------------------------
 
-    def _order(self) -> list:
+    def _order(self, data_cols: list[str]) -> list:
         asc = self.mode == "ignore"  # first batch wins vs newest batch wins
         cols = [F.col("_batch").asc() if asc else F.col("_batch").desc()]
         if self.tiebreak_col is not None:
             cols.append(
                 F.col(self.tiebreak_col).asc() if asc else F.col(self.tiebreak_col).desc()
             )
+        # total order: rows sharing (batch, tiebreak) on one PK must resolve
+        # identically on EVERY read — merge-on-read re-evaluates the window
+        # per read, so any ambiguity would make reads unstable over time
+        tail = [
+            c for c in data_cols
+            if c not in self.pk and c != self.tiebreak_col and c != "_batch"
+        ]
+        cols.extend(F.col(c).asc() for c in sorted(tail))
         return cols
 
     def read(self, spark: SparkSession) -> DataFrame | None:
@@ -90,12 +98,7 @@ class ParquetMergeSink:
         raw = spark.read.option("basePath", self.path).parquet(
             *[os.path.join(self.path, d) for d in parts]
         ).withColumnRenamed("batch", "_batch")
-        if self.tiebreak_col is None:
-            # no deterministic within-batch order was requested; any row of
-            # the winning batch is acceptable (idempotent-ingest contract)
-            w = Window.partitionBy(*self.pk).orderBy(*self._order())
-        else:
-            w = Window.partitionBy(*self.pk).orderBy(*self._order())
+        w = Window.partitionBy(*self.pk).orderBy(*self._order(raw.columns))
         return (
             raw.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
