@@ -23,21 +23,40 @@ def latest_per_key(
     keys: list[str],
     time_col: str = "ts",
     tiebreak_col: str | None = "event_id",
+    method: str = "agg",
 ) -> DataFrame:
     """Most recent row per key.
 
     Parity: the reference's LATERAL ``ORDER BY time DESC LIMIT 1`` join
-    (J3, `queries.py:19-31`) — in Spark no lateral is needed: a per-key
-    row_number window (or equivalently ``max_by`` over a struct) expresses
-    "top-1 per group" with a single shuffle on the key.
+    (J3, `queries.py:19-31`) — no lateral needed in Spark.
 
-    Scale: partitioned window over the key — parallel across keys, no global
-    sort. For the 100 TB case where only recency matters, the streaming
-    latest-value aggregate (streaming.latest) maintains this incrementally
-    instead of rescanning history.
+    Two plans, identical results:
+    - ``method='agg'`` (default) — ``max_by(struct(row), struct(order))``:
+      a hash aggregation with map-side partial combine, so a hot key reduces
+      to ONE candidate row per input partition before the shuffle. Immune to
+      key skew; shuffled bytes ≈ |keys| × |partitions|, not |rows|.
+    - ``method='window'`` — per-key ``row_number`` window: shuffles and
+      sorts every row of a key into one task. Kept for reference/generality
+      (top-N per key with N>1 needs it); at 100 TB with a hot key it is the
+      skew trap the default avoids.
+
+    For the streaming case, streaming.latest maintains the same aggregate
+    incrementally instead of rescanning history.
     """
+    has_tb = tiebreak_col and tiebreak_col in df.columns
+    if method == "agg":
+        order = (
+            F.struct(F.col(time_col), F.col(tiebreak_col))
+            if has_tb
+            else F.col(time_col)
+        )
+        return (
+            df.groupBy(*keys)
+            .agg(F.max_by(F.struct(*df.columns), order).alias("_row"))
+            .select("_row.*")
+        )
     order = [F.col(time_col).desc()]
-    if tiebreak_col and tiebreak_col in df.columns:
+    if has_tb:
         order.append(F.col(tiebreak_col).desc())
     w = Window.partitionBy(*keys).orderBy(*order)
     return (

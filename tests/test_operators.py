@@ -139,3 +139,13 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     assert set(exact) == set(approx)
     for flag, n in exact.items():
         assert abs(approx[flag] - n) <= max(0.04 * n, 5)
+
+
+def test_latest_per_key_agg_equals_window(spark, sf_dir):
+    from coin_for_rich_spark.operators import latest_per_key
+    from coin_for_rich_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = sorted(map(tuple, latest_per_key(ev, ["user_id"]).collect()))
+    win = sorted(map(tuple, latest_per_key(ev, ["user_id"], method="window").collect()))
+    assert agg == win
