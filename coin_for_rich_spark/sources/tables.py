@@ -41,6 +41,11 @@ _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-sufficient on a vanilla SparkSession: the testdata's `events.parquet`
+    # stores INT64 TIMESTAMP(NANOS) columns, which Spark rejects at scan time
+    # unless nanosAsLong is on. The conf is runtime-settable, so set it here
+    # rather than relying on the session builder (session.py) having run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
