@@ -195,6 +195,16 @@ def q_candles_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlcv_rollup(candles_view(spark, sf_dir), "6h")
 
 
+def q_candles_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup at 30m (create.sql:147-159)."""
+    return ohlcv_rollup(candles_view(spark, sf_dir), "30m")
+
+
+def q_candles_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup at 12h (create.sql:188-200)."""
+    return ohlcv_rollup(candles_view(spark, sf_dir), "12h")
+
+
 def q_candles_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 divergence: '3h' is accepted-but-unbound in the reference's router
     (readers.py:180-289) — we define it as an on-the-fly epoch bucket."""
@@ -725,7 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candles_5m": q_candles_5m,
         "candles_7d": q_candles_7d,
         "candles_15m": q_candles_15m,
+        "candles_30m": q_candles_30m,
         "candles_6h": q_candles_6h,
+        "candles_12h": q_candles_12h,
         "candles_3h": q_candles_3h,
         "candles_1month": q_candles_1month,
         "candles_14d": q_candles_14d,
@@ -781,7 +793,9 @@ def oracle_sql() -> dict[str, str]:
         "candles_5m": _candle_sql(_epoch_bucket(300)),
         "candles_7d": _candle_sql(_epoch_bucket(604800)),
         "candles_15m": _candle_sql(_epoch_bucket(900)),
+        "candles_30m": _candle_sql(_epoch_bucket(1800)),
         "candles_6h": _candle_sql(_epoch_bucket(21600)),
+        "candles_12h": _candle_sql(_epoch_bucket(43200)),
         "candles_3h": _candle_sql(_epoch_bucket(10800)),
         "candles_1month": _candle_sql("date_trunc('month', ts)"),
         "candles_14d": _candle_sql(_epoch_bucket(1209600)),
@@ -864,13 +878,28 @@ def oracle_sql() -> dict[str, str]:
         "geo_daily_return": f"""
             WITH daily AS ({DAILY}),
             recent AS (
-                SELECT * FROM daily
+                SELECT symbol, bucket, close FROM daily
                 WHERE bucket >= date_trunc('day', (SELECT max(ts) FROM events)) - INTERVAL 8 DAY
+                  AND close <> 0
+            ),
+            nx AS (
+                SELECT symbol, bucket, close,
+                       lead(bucket) OVER (PARTITION BY symbol ORDER BY bucket) AS next_bucket
+                FROM recent
+            ),
+            filled AS (
+                SELECT symbol,
+                       unnest(generate_series(
+                           bucket,
+                           coalesce(next_bucket - INTERVAL 1 DAY, bucket),
+                           INTERVAL 1 DAY)) AS bucket,
+                       close
+                FROM nx
             ),
             factors AS (
                 SELECT symbol, close,
                        lag(close) OVER (PARTITION BY symbol ORDER BY bucket) AS prev_close
-                FROM recent
+                FROM filled
             )
             SELECT symbol,
                    round((pow(exp(sum(ln(close / prev_close))), 1.0 / count(*)) - 1) * 100, 4)

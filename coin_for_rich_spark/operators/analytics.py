@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from ..functions.numbers import money
 from .candles import ohlcv_rollup
+from .gapfill import lead_bounded_fill
 
 
 def common_keys_top30(
@@ -137,26 +138,34 @@ def geo_daily_return(
     ``(POWER(EXP(SUM(ln(close/prev_close))), 1/COUNT(*)) - 1) * 100``.
 
     Parity: ``geo_daily_return`` (`create.sql:225-278`) — daily rollup,
-    LAG(close) per key (W3), ln of the daily factor, geometric mean (A4),
+    per-gap LEAD-bounded forward fill of close (the ``close_filled`` CTE,
+    `create.sql:227-244`, via operators.gapfill.lead_bounded_fill), LAG(close)
+    per key (W3), ln of the daily factor, geometric mean (A4),
     CURRENT_DATE-relative window (`create.sql:241`) parameterized by ``now``
-    so results are deterministic (SURVEY §7 M0). Divergence (documented): the
-    reference gap-fills missing days via generate_series before the LAG; we
-    compute factors over the days actually present, so a factor may span a
-    gap — the gap-fill operator itself lives in operators.gapfill and is
-    oracle-checked separately.
+    so results are deterministic (SURVEY §7 M0). A gap day carries the
+    previous close forward, so its factor is ln(1)=0 — it dilutes the
+    geometric mean (larger n) without adding return, exactly the reference's
+    semantics; a factor never spans a gap.
 
-    Zero-guards per `create.sql:242,275`: prev_close <> 0 and factor rows
-    with NULL ln dropped.
+    Zero-guards per `create.sql:242,275`: close <> 0 before the fill (so a
+    forward-filled prev_close is never 0) and factor rows with NULL ln
+    dropped.
     """
     daily = ohlcv_rollup(df, "1D", keys=list(keys), time_col=time_col,
                          price_col=price_col, **rollup_kwargs)
     if now is None:
         now = df.select(F.max(time_col)).first()[0]
     cutoff = F.date_sub(F.lit(now).cast("timestamp").cast("date"), lookback_days)
-    recent = daily.filter(F.col("bucket") >= cutoff.cast("timestamp"))
+    recent = daily.filter(
+        (F.col("bucket") >= cutoff.cast("timestamp")) & (F.col("close") != 0)
+    ).select(*keys, "bucket", "close")
+    filled = lead_bounded_fill(
+        recent, keys=list(keys), bucket_col="bucket", interval="1D",
+        carry_cols=["close"],
+    )
     w = Window.partitionBy(*keys).orderBy("bucket")
     factors = (
-        recent.withColumn("prev_close", F.lag("close").over(w))
+        filled.withColumn("prev_close", F.lag("close").over(w))
         .filter(F.col("prev_close").isNotNull() & (F.col("prev_close") != 0))
         .withColumn("ln_daily_factor", F.log(F.col("close") / F.col("prev_close")))
         .filter(F.col("ln_daily_factor").isNotNull())

@@ -24,6 +24,42 @@ from ..functions.numbers import money
 from ..functions.timeutils import INTERVAL_SECONDS
 
 
+def lead_bounded_fill(
+    df: DataFrame,
+    keys: list[str],
+    bucket_col: str = "bucket",
+    interval: str = "1D",
+    carry_cols: list[str] = ("close",),
+) -> DataFrame:
+    """W2 — per-gap LEAD-bounded forward fill (the reference's
+    ``close_filled`` CTE, `create.sql:227-244`): each present bucket is
+    extended with copies carrying its values forward to
+    ``LEAD(bucket) - interval`` — so every gap is filled from its left edge
+    and the series never extends past the last present bucket.
+
+    Spark-first: one LEAD window per key (the rows are already post-rollup,
+    ~|buckets| per key), then ``explode(sequence(bucket, next - Δ, Δ))`` —
+    Postgres's per-row ``generate_series(bucket, LEAD(bucket) - Δ, Δ)``
+    exactly. No join: the fill factor is data-dependent per gap, and the
+    exploded output streams out of the window stage map-side.
+    """
+    width = INTERVAL_SECONDS[interval]
+    if width is None:
+        raise ValueError("lead-bounded fill needs a fixed-width interval")
+    step = F.expr(f"INTERVAL {width} SECOND")
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    nxt = F.lead(bucket_col).over(w)
+    seq = F.sequence(
+        F.col(bucket_col),
+        F.coalesce(F.col("_next") - step, F.col(bucket_col)),
+        step,
+    )
+    return (
+        df.withColumn("_next", nxt)
+        .select(*keys, F.explode(seq).alias(bucket_col), *carry_cols)
+    )
+
+
 def gap_fill_series(
     candles: DataFrame,
     interval: str,
