@@ -1,0 +1,30 @@
+"""Partition-shape helpers.
+
+``ensure_parallelism`` exists for one reason: a CPU-bound per-row stage
+(shingle explode, 64-column SimHash sums, GEMM batches) is only as parallel
+as its *input* partition count, and a small parquet file arrives as ONE
+partition — so on a 32-core executor the tokenize stage runs at 1/32 of the
+machine. Spark sizes scan partitions by bytes (`spark.sql.files.
+maxPartitionBytes`), which is the right default for IO-bound scans and the
+wrong one for compute-bound stages over compact inputs.
+
+At real scale this is a no-op: a 100 TB corpus scans as ~10⁶ partitions,
+`getNumPartitions() >= cores` holds, and no shuffle is added. The check reads
+the planned partition count (physical planning only — no job runs), so the
+guard itself is cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to the session's core count iff the
+    planned scan has fewer partitions — i.e., trade one small shuffle for
+    full-width parallelism of a compute-heavy downstream stage. Never
+    shrinks, never reshuffles an already-wide input."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

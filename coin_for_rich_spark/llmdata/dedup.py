@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_parallelism
 from .textstats import tokenize
 
 
@@ -66,7 +67,10 @@ def ngram_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
+    # widen a tiny scan first: shingling is the CPU-bound stage and inherits
+    # the scan's partition count (1 for a small parquet file) otherwise
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    return narrow.select(
         F.col(id_col).alias("doc"),
         F.explode(ngram_shingles(text_col, n)).alias("shingle"),
     )
@@ -78,25 +82,41 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
-    method: str = "count",
+    method: str = "auto",
+    pair_budget: int = 50_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, sim ≥ threshold).
 
-    Two exact plans with identical result sets; choose by corpus shape:
+    Two exact plans with identical result sets, picked by measured corpus
+    shape when ``method='auto'`` (default):
 
     - ``method='count'`` — inverted-index self-join + co-occurrence count:
       |A∩B| falls out of a groupBy, no per-pair array work. Intermediate
-      size is Σ_s df(s)², so it is the faster plan whenever document
-      frequencies are bounded (measured on this testdata: max df 25/5000
-      docs → 1.3M pair-rows — trivial).
+      size is Σ_s df(s)², so it is the faster plan only while document
+      frequencies are bounded.
     - ``method='prefix'`` — PPJoin-family prefix filtering: each doc indexes
       only its |d| − ⌈t·|d|⌉ + 1 rarest shingles (two sets with Jaccard ≥ t
       must share one), plus a length filter, then exact array-intersect
-      verification on candidates. More fixed shuffles, but the only plan
-      that survives a Zipfian corpus where hot shingles make Σ df(s)²
-      quadratic — at 100 TB this is the default; flipping is a parameter,
-      not a rewrite.
+      verification on candidates. More fixed shuffles, but the plan that
+      survives a Zipfian corpus where hot shingles make Σ df(s)² quadratic.
+    - ``method='auto'`` — probe Σ df(s)² with one aggregation over the
+      shingle index (a map + tiny shuffle — negligible next to the pair
+      join it sizes) and take the count plan only when the intermediate
+      stays under ``pair_budget`` rows. The probe is what makes the fast
+      plan safe: on a Zipfian corpus one hot shingle pushes Σ df² past any
+      budget and the plan flips to prefix before the quadratic join ever
+      runs.
     """
+    if method == "auto":
+        probe = (
+            _shingle_index(docs, text_col, id_col, n)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("sum_df2"))
+            .first()
+        )
+        sum_df2 = probe["sum_df2"] or 0
+        method = "count" if sum_df2 <= pair_budget else "prefix"
     if method == "prefix":
         return _jaccard_prefix(docs, text_col, id_col, n, threshold)
     idx = _shingle_index(docs, text_col, id_col, n)
@@ -257,7 +277,7 @@ def minhash_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    shingled = docs.select(
+    shingled = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc"), ngram_shingles(text_col, n).alias("sh")
     )
     a = shingled.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -288,9 +308,11 @@ def simhash_fingerprints(
     representation avoids BIGINT sign/overflow issues under ANSI mode and is
     what the pigeonhole banding joins on.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    tok = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("token"))
+        .withColumn("h", F.xxhash64("token"))
+    )
     bit_sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
@@ -324,37 +346,47 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    method: str = "banded",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming`` (< 4).
 
-    Pigeonhole: distance < 4 over 64 bits ⇒ at least one of the four 16-bit
-    chunks is identical → candidates come from an equi-join on
-    (chunk_idx, chunk_value); exact Hamming verification via bit_count(xor)
-    over the chunks. Same candidate-generation shape as published SimHash
-    dedup systems: no all-pairs comparison ever materializes.
+    - ``method='banded'`` (default) — pigeonhole: distance < 4 over 64 bits
+      ⇒ at least one of the four 16-bit chunks is identical → candidates
+      come from an equi-join on (chunk_idx, chunk_value); exact Hamming
+      verification via bit_count(xor) over the chunks. Same candidate-
+      generation shape as published SimHash dedup systems: no all-pairs
+      comparison ever materializes, and the pigeonhole guarantee makes the
+      result *identical* to brute force — a provable-recall banding.
+    - ``method='brute'`` — all-pairs Hamming scan: the verification twin
+      (quadratic; calibration and the oracle-checked recall property only).
     """
     fp = simhash_fingerprints(docs, text_col, id_col)
-    buckets = fp.select(
-        "doc",
-        "simhash_chunks",
-        F.posexplode("simhash_chunks"),
-    ).select("doc", "simhash_chunks", F.col("pos").alias("ci"), F.col("col").alias("cv"))
-    x, y = buckets.alias("x"), buckets.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.ci") == F.col("y.ci"))
-            & (F.col("x.cv") == F.col("y.cv"))
-            & (F.col("x.doc") < F.col("y.doc")),
+    if method == "brute":
+        x = fp.select(F.col("doc").alias("doc_a"), F.col("simhash_chunks").alias("ch_a"))
+        y = fp.select(F.col("doc").alias("doc_b"), F.col("simhash_chunks").alias("ch_b"))
+        cand = x.join(y, F.col("doc_a") < F.col("doc_b"))
+    else:
+        buckets = fp.select(
+            "doc",
+            "simhash_chunks",
+            F.posexplode("simhash_chunks"),
+        ).select("doc", "simhash_chunks", F.col("pos").alias("ci"), F.col("col").alias("cv"))
+        x, y = buckets.alias("x"), buckets.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.ci") == F.col("y.ci"))
+                & (F.col("x.cv") == F.col("y.cv"))
+                & (F.col("x.doc") < F.col("y.doc")),
+            )
+            .select(
+                F.col("x.doc").alias("doc_a"),
+                F.col("x.simhash_chunks").alias("ch_a"),
+                F.col("y.doc").alias("doc_b"),
+                F.col("y.simhash_chunks").alias("ch_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("x.simhash_chunks").alias("ch_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.col("y.simhash_chunks").alias("ch_b"),
-        )
-        .distinct()
-    )
     hamming = (
         F.bit_count(F.col("ch_a")[0].bitwiseXOR(F.col("ch_b")[0]))
         + F.bit_count(F.col("ch_a")[1].bitwiseXOR(F.col("ch_b")[1]))

@@ -64,12 +64,13 @@ def cosine_knn(
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def plane_weights(dims: int, n_planes: int) -> list[list[float]]:
+def plane_weights(dims: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1): a fixed-seed
     Mersenne Twister, generated once on the driver. These enter the plan as
     literal double arrays — computing them with per-row hash expressions
-    would bloat codegen to n_planes × dims hash calls per input row."""
-    rng = random.Random(42)
+    would bloat codegen to n_planes × dims hash calls per input row. The
+    ``seed`` selects the hash table in multi-table (OR-amplified) LSH."""
+    rng = random.Random(seed)
     return [[rng.uniform(-1.0, 1.0) for _ in range(dims)] for _ in range(n_planes)]
 
 
@@ -115,9 +116,10 @@ def embedding_neardup_pairs(
     """All-pairs cosine near-duplicate detection (id_a < id_b, cos ≥ t) —
     the embedding tier of the dedup ladder (llmdata.dedup).
 
-    - ``method='exact'`` — full pairwise join with per-vector norms computed
-      once. Quadratic: the calibration/verification baseline, fine to ~10⁴
-      vectors.
+    - ``method='exact'`` — exact recall via the blocked-GEMM grid
+      (``_gemm_candidates``): distributed block-pair matrix products, no
+      driver collect, no all-pairs rows. Quadratic *flops* (inside BLAS) but
+      linear shuffle; the exact tier for corpora where recall must be 1.
     - ``method='lsh'`` — candidates restricted to same-LSH-bucket pairs,
       then the same exact cosine verify: every returned pair is a true
       near-dup (precision 1), recall < 1 governed by n_planes. The linear-
@@ -160,49 +162,94 @@ def embedding_neardup_pairs(
 
 
 def _gemm_candidates(
-    embeddings: DataFrame, threshold: float, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int = 4,
 ) -> DataFrame:
-    """Exact-recall candidate pairs via one BLAS matrix product.
+    """Exact-recall candidate pairs via blocked BLAS matrix products — fully
+    distributed, nothing collected to the driver.
 
-    The normalized corpus matrix is broadcast to executors; each Arrow batch
-    of rows computes ``block @ corpusᵀ`` and emits (id_a < id_b) pairs whose
-    GEMM cosine clears ``threshold − ε`` (ε covers summation-order float
-    drift, so no true pair is lost; the caller's sequential-fold verify then
-    decides exactly). ~n·d flops per row on vectorized BLAS instead of an
-    interpreted per-pair fold — two orders of magnitude faster.
+    Grid decomposition: the corpus is hash-partitioned into ``n_blocks`` row
+    blocks; every unordered block pair (i ≤ j) is one ``applyInPandas`` group
+    holding the two blocks' vectors, which computes ``block_i @ block_jᵀ``
+    with BLAS and emits (id_a < id_b) pairs whose GEMM cosine clears
+    ``threshold − ε`` (ε covers summation-order float drift, so no true pair
+    is lost; the caller's sequential-fold verify then decides exactly).
 
-    Scale: the broadcast tier works while the corpus matrix fits an executor
-    (~10⁶×768 ≈ 3 GB); past that, block-pair the corpus (grid join of row
-    blocks, GEMM per block pair) — same emit logic, no all-pairs rows ever
-    materialize either way.
+    Scale shape: each vector is replicated ``n_blocks`` times (shuffle is
+    n·B rows — linear, tunable), each group holds ≤ 2n/B vectors, and no
+    all-pairs rows ever materialize: the n² work happens inside BLAS, which
+    is ~100× an interpreted per-pair fold. Pick B so a block matrix fits an
+    executor: B ≈ n·d·8 bytes / (executor working set) — e.g. 10⁸×768 at
+    4 GB per task → B ≈ 150, a 150× replication of a table that is 0.1% of
+    the corpus bytes. Zero-norm vectors are guarded (norm→1 ⇒ cosine 0 ⇒
+    never a candidate) instead of silently yielding NaN rows.
     """
     import numpy as np
     import pandas as pd
 
-    rows = embeddings.select(id_col, vec_col).toPandas()
-    ids = rows[id_col].to_numpy()
-    M = np.stack([np.asarray(x, dtype=np.float64) for x in rows[vec_col]])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    spark = embeddings.sparkSession
-    bc = spark.sparkContext.broadcast((ids, Mn))
     eps = 1e-9
+    grid = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_blk"), F.lit(q)).alias("bi"),
+                F.greatest(F.col("_blk"), F.lit(q)).alias("bj"),
+            )
+            for q in range(n_blocks)
+        ]
+    )
+    exploded = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+        )
+        .select("id", "v", "_blk", F.explode(grid).alias("_cell"))
+        .select(
+            "id",
+            "v",
+            F.col("_cell.bi").alias("bi"),
+            F.col("_cell.bj").alias("bj"),
+            F.when(F.col("_blk") == F.col("_cell.bi"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+        )
+    )
 
-    def gen(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf[id_col].to_numpy()
-            Q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            G = Qn @ b_mat.T
-            qi, bi = np.nonzero(G >= threshold - eps)
-            a = q_ids[qi]
-            b = b_ids[bi]
-            keep = a < b
-            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+    def _norm_rows(pdf):
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm = np.where(nrm == 0, 1.0, nrm)
+        return pdf["id"].to_numpy(), M / nrm
 
-    return embeddings.mapInPandas(gen, schema="id_a long, id_b long")
+    def kernel(key, pdf):
+        diagonal = key[0] == key[1]
+        a = pdf[pdf["side"] == "a"]
+        if len(a) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+        a_ids, An = _norm_rows(a)
+        if diagonal:
+            b_ids, Bn = a_ids, An
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if len(b) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+            b_ids, Bn = _norm_rows(b)
+        G = An @ Bn.T
+        ai, bi = np.nonzero(G >= threshold - eps)
+        x, y = a_ids[ai], b_ids[bi]
+        if diagonal:
+            keep = x < y
+            x, y = x[keep], y[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)}
+        )
+
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        kernel, schema="id_a long, id_b long"
+    )
 
 
 def lsh_ann_knn(
@@ -211,22 +258,37 @@ def lsh_ann_knn(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: restrict to the query's LSH bucket (plus Hamming-1
-    neighbor buckets when ``multiprobe``), then exact cosine re-rank.
+    """Approximate top-k via multi-table random-hyperplane LSH: a vector is a
+    candidate if it lands in the query's bucket (or a Hamming-1 probe, when
+    ``multiprobe``) in ANY of ``n_tables`` independent hash tables — the
+    standard OR-amplification that turns a per-table catch probability p
+    into 1-(1-p)^L — then exact cosine re-rank of candidates only.
 
-    Returns the same schema as ``cosine_knn`` plus the candidate count is
-    observable via ``.count()`` upstream of the limit.
+    Recall/cost knob: more planes → smaller buckets (fewer candidates, lower
+    per-table recall); more tables → recall back up at linear candidate
+    cost. On a clustered real corpus the same config probes a tiny corpus
+    fraction; on isotropic random vectors (the worst case — neighbors are
+    barely closer than strangers) it degrades gracefully toward a partial
+    scan rather than losing the true neighbors silently. The whole candidate
+    test is one codegen'd filter — no shuffle, no join; at 10⁹ vectors the
+    scan prunes to the candidate fraction and the TakeOrdered k is the only
+    thing ever collected.
     """
-    planes = plane_weights(len(query_vec), n_planes)
-    bucketed = embeddings.withColumn("_bucket", bucket_of(F.col(vec_col), planes))
-
-    # the query's bucket is pure driver-side arithmetic — no Spark job
-    qbucket = _bucket_of_py([float(x) for x in query_vec], planes)
-    probes = [qbucket] + (
-        [qbucket ^ (1 << p) for p in range(n_planes)] if multiprobe else []
-    )
-    cands = bucketed.filter(F.col("_bucket").isin(probes))
+    q = [float(x) for x in query_vec]
+    cond = None
+    for t in range(n_tables):
+        planes = plane_weights(len(q), n_planes, seed=42 + t)
+        b = bucket_of(F.col(vec_col), planes)
+        # the query's bucket is pure driver-side arithmetic — no Spark job
+        qbucket = _bucket_of_py(q, planes)
+        probes = [qbucket] + (
+            [qbucket ^ (1 << p) for p in range(n_planes)] if multiprobe else []
+        )
+        c = b.isin(probes)
+        cond = c if cond is None else (cond | c)
+    cands = embeddings.filter(cond)
     return cosine_knn(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)

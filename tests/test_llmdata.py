@@ -159,6 +159,21 @@ def test_jaccard_prefix_equals_count(docs):
     assert count_rows == prefix_rows and len(count_rows) > 0
 
 
+def test_jaccard_auto_probe_picks_plan_by_skew(docs):
+    from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    # benign corpus, generous budget → the count plan (no array verify step)
+    benign = ngram_jaccard_pairs(docs, threshold=0.2)
+    assert "array_intersect" not in benign._jdf.queryExecution().optimizedPlan().toString()
+    # a 1-row budget forces the skew-safe prefix plan
+    forced = ngram_jaccard_pairs(docs, threshold=0.2, pair_budget=1)
+    assert "array_intersect" in forced._jdf.queryExecution().optimizedPlan().toString()
+    cols = ["doc_a", "doc_b", "n_inter", "sz_a", "sz_b"]
+    assert sorted(tuple(r) for r in benign.select(*cols).collect()) == sorted(
+        tuple(r) for r in forced.select(*cols).collect()
+    )
+
+
 def test_embed_neardup_lsh_is_subset_of_exact(spark, sf_dir):
     from coin_for_rich_spark.llmdata import embedding_neardup_pairs
     from coin_for_rich_spark.sources import load_table
