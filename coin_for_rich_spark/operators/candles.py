@@ -32,6 +32,29 @@ from ..functions.numbers import money
 from ..functions.timeutils import time_bucket
 
 
+def ohlcv_aggs(
+    time_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str = "volume",
+    order: Column | None = None,
+) -> list[Column]:
+    """THE OHLCV aggregate expressions — the single definition shared by the
+    batch rollup (below) and the streaming rollup (streaming.rollup), so
+    backfill and incremental refresh can never disagree on candle semantics
+    (the reference gets the same guarantee from one SQL view definition,
+    `create.sql:105-118`). Guarded by tests/test_plans.py."""
+    if order is None:
+        order = F.col(time_col)
+    return [
+        F.min_by(price_col, order).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, order).alias("close"),
+        F.sum(money(volume_col)).cast("double").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ]
+
+
 def ohlcv_rollup(
     df: DataFrame,
     interval: str,
@@ -56,16 +79,8 @@ def ohlcv_rollup(
         if tiebreak_col and tiebreak_col in df.columns
         else F.col(time_col)
     )
-    return (
-        df.groupBy(time_bucket(time_col, interval).alias("bucket"), *keys)
-        .agg(
-            F.min_by(price_col, order).alias("open"),
-            F.max(price_col).alias("high"),
-            F.min(price_col).alias("low"),
-            F.max_by(price_col, order).alias("close"),
-            F.sum(money(volume_col)).cast("double").alias("volume"),
-            F.count(F.lit(1)).alias("n_trades"),
-        )
+    return df.groupBy(time_bucket(time_col, interval).alias("bucket"), *keys).agg(
+        *ohlcv_aggs(time_col, price_col, volume_col, order=order)
     )
 
 

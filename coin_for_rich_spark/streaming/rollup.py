@@ -29,11 +29,11 @@ partitioning as the batch rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.numbers import money
 from ..functions.timeutils import INTERVAL_SECONDS
+from ..operators.candles import ohlcv_aggs
 
 # (start_offset, end_offset, schedule_interval) per resolution —
 # `create.sql:345-381`. end_offset doubles as the watermark delay.
@@ -64,30 +64,23 @@ def streaming_ohlcv_rollup(
 ) -> DataFrame:
     """Watermarked tumbling-window OHLCV candles over a streaming DataFrame.
 
-    Same aggregate expressions as the batch operators.candles.ohlcv_rollup —
-    one definition of open/high/low/close/volume, two execution modes — so
-    batch backfill and streaming refresh can never disagree on semantics
-    (the reference keeps them consistent by construction too: one SQL view
-    definition, `create.sql:105-118`).
+    The aggregate expressions ARE the batch operator's —
+    ``operators.candles.ohlcv_aggs`` is imported, not copied — one definition
+    of open/high/low/close/volume, two execution modes, so batch backfill and
+    streaming refresh can never disagree on semantics (the reference keeps
+    them consistent by construction too: one SQL view definition,
+    `create.sql:105-118`). Guarded by tests/test_plans.py.
 
     Append-mode output emits a candle exactly once, when the watermark passes
     the window end (the "don't publish the open candle" rule, S4).
     """
     if watermark is None:
         watermark = CONAGG_POLICIES.get(interval, (None, "0 seconds", None))[1]
-    order: Column = F.col(time_col)
     win = F.window(time_col, _DURATIONS[interval])
     return (
         stream.withWatermark(time_col, watermark)
         .groupBy(win.alias("win"), *keys)
-        .agg(
-            F.min_by(price_col, order).alias("open"),
-            F.max(price_col).alias("high"),
-            F.min(price_col).alias("low"),
-            F.max_by(price_col, order).alias("close"),
-            F.sum(money(volume_col)).cast("double").alias("volume"),
-            F.count(F.lit(1)).alias("n_trades"),
-        )
+        .agg(*ohlcv_aggs(time_col, price_col, volume_col))
         .select(
             F.col("win.start").alias("bucket"),
             *keys,

@@ -121,16 +121,28 @@ class ParquetMergeSink:
         The resolved state becomes ``batch=-1``: for 'ignore' it sorts first
         (existing rows keep winning), for 'upsert' it sorts last (future
         batches keep overriding) — semantics are unchanged either way.
+
+        Swap protocol: the complete compacted log is fully staged in a
+        sibling directory BEFORE the table location is touched, then swapped
+        in with two directory renames — the table is never an empty/partial
+        directory, and a crash at any point leaves a complete log at either
+        the original or the staged path (recoverable by rename, nothing
+        lost). Concurrency contract: run with the stream stopped — a merge()
+        landing between the renames would write into the outgoing directory
+        and be dropped. (On a transactional table format — Delta/Iceberg,
+        the production sink — OPTIMIZE does this under a real log commit.)
         """
         resolved = self.read(spark)
         if resolved is None:
             return
-        tmp = f"{self.path}__compact_{uuid.uuid4().hex}"
-        resolved.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}__old_{uuid.uuid4().hex}"
+        token = uuid.uuid4().hex
+        staged = f"{self.path}__compact_{token}"
+        resolved.write.mode("overwrite").parquet(
+            os.path.join(staged, f"batch={self._BASE_BATCH}")
+        )
+        old = f"{self.path}__old_{token}"
         os.rename(self.path, old)
-        os.makedirs(self.path, exist_ok=True)
-        os.rename(tmp, os.path.join(self.path, f"batch={self._BASE_BATCH}"))
+        os.rename(staged, self.path)
         shutil.rmtree(old)
 
 

@@ -72,9 +72,16 @@ STATE_SCHEMA = T.StructType(
 
 _MINUTE_US = 60_000_000
 
+#: the reference's stale-flush threshold (`fetchers/ws/updater.py:30`):
+#: candles held longer than this are force-emitted even with no later data
+DATA_HELD_MS_THRESHOLD = 3_600_000
+
 
 def _flush_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    stale_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     # rebuild the open-bucket dict from state
     open_buckets: dict[int, dict[str, Any]] = {}
@@ -136,6 +143,11 @@ def _flush_fn(
                 [b["n"] for b in held.values()],
             )
         )
+        # arm the stale flush: without this the ProcessingTimeTimeout mode
+        # never fires (state.hasTimedOut stays false forever) and held
+        # candles would only ever close on later data
+        if stale_ms is not None:
+            state.setTimeoutDuration(stale_ms)
 
     if emitted:
         yield pd.DataFrame(
@@ -158,23 +170,32 @@ def hold_back_collector(
     stream: DataFrame,
     key_col: str = "symbol",
     stale_timeout: bool = False,
+    stale_ms: int = DATA_HELD_MS_THRESHOLD,
 ) -> DataFrame:
     """1-minute candles emitted per the updater's data-driven close rule.
 
     Input stream needs (key_col, ts, price, volume). With
-    ``stale_timeout=True`` the production stale-flush applies (processing-
-    time timeout drains held candles); bounded deterministic replays leave
-    it off so the final open candle is withheld exactly like the updater.
+    ``stale_timeout=True`` the production stale-flush applies: every state
+    update arms a processing-time timeout of ``stale_ms`` (the reference's
+    DATA_HELD_MLS_THRESHOLD, `updater.py:30,165-176`), so a candle held with
+    no successor data is force-emitted once stale. Bounded deterministic
+    replays leave it off so the final open candle is withheld exactly like
+    the updater.
     """
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if stale_timeout
         else GroupStateTimeout.NoTimeout
     )
+    effective_stale = stale_ms if stale_timeout else None
+
+    def fn(key, pdfs, state):
+        return _flush_fn(key, pdfs, state, stale_ms=effective_stale)
+
     return (
         stream.select(key_col, "ts", "price", "volume")
         .groupBy(key_col)
         .applyInPandasWithState(
-            _flush_fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
+            fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
         )
     )

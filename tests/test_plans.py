@@ -46,6 +46,35 @@ def test_rollup_is_partial_then_final_aggregate(spark, sf_dir):
     assert n_exchange == 1  # exactly one shuffle, on the group keys
 
 
+def test_streaming_rollup_shares_batch_aggregate_definitions(spark, sf_dir):
+    """One candle definition, two execution modes: the streaming rollup must
+    build its aggregates from operators.candles.ohlcv_aggs (imported, not
+    copied), and both plans must carry the same ordered-aggregate and
+    decimal-sum expressions."""
+    import re
+
+    from coin_for_rich_spark.operators import candles
+    from coin_for_rich_spark.streaming import rollup as srollup
+    from coin_for_rich_spark.streaming.rollup import streaming_ohlcv_rollup
+
+    assert srollup.ohlcv_aggs is candles.ohlcv_aggs
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("price"),
+            F.col("value").cast("double").alias("volume"),
+            F.lit("k").alias("symbol"),
+        )
+    )
+    splan = streaming_ohlcv_rollup(stream, "1h", watermark="0 seconds")._jdf.queryExecution().analyzed().toString()
+    bplan = ohlcv_rollup(candles_view(spark, sf_dir), "1h")._jdf.queryExecution().analyzed().toString()
+    for marker in (r"min_by\(price#\d+, ", r"max_by\(price#\d+, ", r"cast\(volume#\d+ as decimal\(18,2\)\)"):
+        assert re.search(marker, splan), marker
+        assert re.search(marker, bplan), marker
+
+
 def test_retention_anti_join_broadcasts_keep_list(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     keep = ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(30)

@@ -62,3 +62,19 @@ def test_materialized_rollups_serve_the_router(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, served.select(*cols).collect())) == sorted(
         map(tuple, direct.select(*cols).collect())
     )
+
+
+def test_materialized_route_scans_rollup_not_ticks(spark, sf_dir, tmp_path):
+    """M4: the pre-aggregated route must read the candles_1h sink table and
+    never rescan the raw tick relation (the conagg↔router contract)."""
+    cv = candles_view(spark, sf_dir)
+    paths = materialize_rollups(cv, str(tmp_path / "rollups"), intervals=("1h",))
+    rollups = load_rollups(spark, paths)
+    served = read_ohlcvs(cv, "purchase", "1h", limit=100, rollups=rollups)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    assert "candles_1h" in plan
+    assert "events.parquet" not in plan
