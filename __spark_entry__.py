@@ -606,13 +606,28 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+# the exact-Jaccard pair relation is both a declared query and the truth set
+# for the minhash recall property — compute (and persist) it once per
+# (session, sf_dir) instead of twice
+_NGRAM_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _NGRAM_PAIRS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _NGRAM_PAIRS_CACHE[sf_dir] = ngram_jaccard_pairs(
+            docs, threshold=0.2
+        ).persist()
+    return _NGRAM_PAIRS_CACHE[sf_dir]
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs. method='auto' (the default)
     probes Σ df(shingle)² and picks the inverted-index count plan only while
     the pair intermediate is bounded, else the PPJoin-style prefix-filter
     plan — the skew-safe behavior a 100 TB corpus needs, without paying the
     prefix plan's fixed cost on benign corpora."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    return _exact_jaccard_pairs(spark, sf_dir)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,23 +639,18 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step). The raw pair listing is the operator's API
     (llmdata.dedup.minhash_pairs), value-checked in tests/test_llmdata.py."""
     docs = load_table(spark, sf_dir, "documents")
-    found = minhash_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    exact = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_hit = exact.join(found, ["doc_a", "doc_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    n_extra = found.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("n_extra")
-    )
-    return (
-        n_exact.crossJoin(n_hit)
-        .crossJoin(n_extra)
-        .select(
-            "n_exact_pairs",
-            (F.col("n_hits") >= 0.8 * F.col("n_exact_pairs")).alias("recall_ok"),
-            (F.col("n_extra") == 0).alias("precision_ok"),
-        )
+    # both pair sets feed two set-comparison branches each — persist and
+    # materialize each ONCE (the count), then the semi/anti joins read the
+    # cache; leaving materialization to the final combined plan would race
+    # the uncached relation across concurrent stages and recompute it
+    found = minhash_pairs(docs, threshold=0.2).select("doc_a", "doc_b").persist()
+    exact = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_hits = exact.join(found, ["doc_a", "doc_b"], "left_semi").count()
+    n_extra = found.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_exact, n_hits >= 0.8 * n_exact, n_extra == 0)],
+        "n_exact_pairs bigint, recall_ok boolean, precision_ok boolean",
     )
 
 
@@ -651,23 +661,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds — so n_missing and n_extra must be exactly 0. The oracle pins that
     guarantee; the raw pair listing is the operator's API, value-checked in
     tests/test_llmdata.py."""
+    from coin_for_rich_spark.llmdata.dedup import simhash_fingerprints
+
     docs = load_table(spark, sf_dir, "documents")
-    banded = simhash_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
-    brute = simhash_pairs(docs, max_hamming=3, method="brute").select(
+    # one persisted fingerprint relation feeds both methods and both
+    # anti-joins — without it the 64-column signature agg runs ~6×
+    fp = simhash_fingerprints(docs).persist()
+    banded = simhash_pairs(docs, max_hamming=3, fingerprints=fp).select(
         "doc_a", "doc_b"
-    )
-    n_missing = brute.join(banded, ["doc_a", "doc_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("n_missing")
-    )
-    n_extra = banded.join(brute, ["doc_a", "doc_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("n_extra")
-    )
-    return n_missing.crossJoin(n_extra).select(
-        ((F.col("n_missing") == 0) & (F.col("n_extra") == 0)).alias(
-            "pigeonhole_exact"
-        ),
-        "n_missing",
-        "n_extra",
+    ).persist()
+    brute = simhash_pairs(
+        docs, max_hamming=3, method="brute", fingerprints=fp
+    ).select("doc_a", "doc_b").persist()
+    banded.count(), brute.count()  # materialize each side exactly once
+    n_missing = brute.join(banded, ["doc_a", "doc_b"], "left_anti").count()
+    n_extra = banded.join(brute, ["doc_a", "doc_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_missing == 0 and n_extra == 0, n_missing, n_extra)],
+        "pigeonhole_exact boolean, n_missing bigint, n_extra bigint",
     )
 
 

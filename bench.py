@@ -44,15 +44,24 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # two measured passes, per-query MIN: wall-clock on a shared host is
+    # noisy (co-tenant bursts inflate single runs 2-3×); the min of two runs
+    # is a far better estimate of the plan's actual cost than one sample
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        if only and name not in only:
-            continue
-        try:
-            timings[name] = round(run_query(spark, fn, sf_dir), 3)
-        except Exception as exc:  # noqa: BLE001 — record the failure, keep going
-            print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    for _ in range(n_passes):
+        for name, fn in entry_mod.queries().items():
+            if only and name not in only:
+                continue
+            try:
+                t = round(run_query(spark, fn, sf_dir), 3)
+            except Exception as exc:  # noqa: BLE001 — record the failure, keep going
+                print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
+                t = -1.0
+            prev = timings.get(name)
+            timings[name] = t if prev is None or prev < 0 else (
+                min(prev, t) if t >= 0 else prev
+            )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -63,6 +72,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": n_passes,
             }
         )
     )

@@ -347,6 +347,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     method: str = "banded",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming`` (< 4).
 
@@ -359,8 +360,16 @@ def simhash_pairs(
       result *identical* to brute force — a provable-recall banding.
     - ``method='brute'`` — all-pairs Hamming scan: the verification twin
       (quadratic; calibration and the oracle-checked recall property only).
+
+    ``fingerprints`` lets callers running both methods (the recall property)
+    share one — ideally persisted — fingerprint relation instead of paying
+    the 64-column signature aggregation per method.
     """
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(docs, text_col, id_col)
+    )
     if method == "brute":
         x = fp.select(F.col("doc").alias("doc_a"), F.col("simhash_chunks").alias("ch_a"))
         y = fp.select(F.col("doc").alias("doc_b"), F.col("simhash_chunks").alias("ch_b"))

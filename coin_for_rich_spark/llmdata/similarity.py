@@ -74,21 +74,26 @@ def plane_weights(dims: int, n_planes: int, seed: int = 42) -> list[list[float]]
     return [[rng.uniform(-1.0, 1.0) for _ in range(dims)] for _ in range(n_planes)]
 
 
-def bucket_of(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = sign of <v, plane_p>."""
-    v = _as_double(vec_col)
-    bits = []
+def bucket_of(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign of <v, plane_p>.
+
+    The plane weights are embedded as SQL double literals in ONE parsed
+    expression per plane rather than per-weight ``F.lit`` Column objects —
+    with 8 tables × 8 planes × 768 dims the literal-by-literal construction
+    is thousands of py4j round trips of pure *driver* latency before any
+    executor runs; a formatted expression string is two orders of magnitude
+    cheaper to build and compiles to the identical sequential fold (so the
+    signs agree bit-for-bit with ``_bucket_of_py``)."""
+    vec_sql = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    terms = []
     for p, w in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, b: a + b,
+        arr = ", ".join(f"{x!r}D" for x in w)
+        proj = (
+            f"aggregate(zip_with({vec_sql}, array({arr}),"
+            " (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)"
         )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(0))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        terms.append(f"(CASE WHEN {proj} >= 0D THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def _bucket_of_py(vec: list[float], planes: list[list[float]]) -> int:
@@ -137,7 +142,7 @@ def embedding_neardup_pairs(
         sample = embeddings.select(vec_col).first()
         d = dims or len(sample[0])
         planes = plane_weights(d, n_planes)
-        base = base.withColumn("_bucket", bucket_of(F.col("v"), planes))
+        base = base.withColumn("_bucket", bucket_of("v", planes))
         cond = (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a.id") < F.col("b.id"))
         a, b = base.alias("a"), base.alias("b")
         cand = a.join(b, cond).select(
@@ -282,7 +287,7 @@ def lsh_ann_knn(
     cond = None
     for t in range(n_tables):
         planes = plane_weights(len(q), n_planes, seed=42 + t)
-        b = bucket_of(F.col(vec_col), planes)
+        b = bucket_of(vec_col, planes)
         # the query's bucket is pure driver-side arithmetic — no Spark job
         qbucket = _bucket_of_py(q, planes)
         probes = [qbucket] + (
