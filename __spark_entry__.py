@@ -39,6 +39,7 @@ from coin_for_rich_spark.operators import (
 from coin_for_rich_spark.llmdata import (
     attach_fake_media,
     cosine_knn,
+    dedup_clusters,
     embedding_neardup_pairs,
     doc_fingerprint,
     doc_langid,
@@ -46,12 +47,16 @@ from coin_for_rich_spark.llmdata import (
     doc_tokens,
     exact_dedup,
     extract_media_features,
+    hash_sample,
     lsh_ann_knn,
     minhash_pairs,
     ngram_jaccard_pairs,
+    normalize_text,
+    pack_sequences,
     resize_plan,
     sample_frames,
     simhash_pairs,
+    token_quantiles,
 )
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
 from coin_for_rich_spark.plans import read_ohlcvs, serialize_candles
@@ -682,6 +687,45 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pairs → dedup groups
+    (doc_id, cluster_id = component min, cluster_size). Iterative min-label
+    propagation, one shuffle per round, converges in O(component diameter);
+    the oracle recomputes components via a recursive transitive closure."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir)
+    return dedup_clusters(pairs)
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing at a 2048-token budget via the
+    two-phase distributed prefix sum (llmdata.pipeline.pack_sequences) — the
+    global running token count is computed per-partition + broadcast
+    offsets, never through a single-task global window."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=2048)
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 holdout split: first hex char of md5(doc_id) —
+    reproducible across engines/runs/appends, unlike Bernoulli sample()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (control-char strip, whitespace
+    collapse, trim, lowercase) + chars-removed noise signal."""
+    return normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution: exact interpolated p50/p90/p99 (value-
+    checked vs quantile_cont) + the percentile_approx sketch pinned within
+    10% of exact (the one-pass bounded-memory 100 TB path)."""
+    return token_quantiles(load_table(spark, sf_dir, "documents"))
+
+
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around the vec_id=0 embedding."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -926,6 +970,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "seq_packing": q_seq_packing,
+        "doc_sample": q_doc_sample,
+        "doc_normalize": q_doc_normalize,
+        "token_quantiles": q_token_quantiles,
         "embed_knn": q_embed_knn,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_neardup": q_embed_neardup,
@@ -1274,6 +1323,74 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+                WHERE e.dst <> r.a
+            ),
+            comp AS (
+                SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp
+        """,
+        "seq_packing": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum_before
+                FROM t
+            )
+            SELECT doc_id, n_tokens, cum_before,
+                   cum_before // 2048 AS seq_id,
+                   cum_before % 2048 AS seq_offset
+            FROM c
+        """,
+        "doc_sample": """
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        """,
+        "doc_normalize": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       lower(trim(regexp_replace(regexp_replace(
+                           text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                           '\\s+', ' ', 'g'))) AS norm_text
+                FROM documents
+            )
+            SELECT doc_id, norm_text,
+                   length(text) - length(norm_text) AS n_chars_removed
+            FROM n
+        """,
+        "token_quantiles": """
+            WITH t AS (
+                SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+            )
+            SELECT round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+                   round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+                   round(quantile_cont(n_tokens, 0.99), 4) AS p99,
+                   TRUE AS approx_ok
+            FROM t
         """,
         "embed_knn": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

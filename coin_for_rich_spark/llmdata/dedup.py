@@ -209,6 +209,75 @@ def _jaccard_prefix(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id,
+    cluster_size), cluster_id = the component's minimum doc id.
+
+    This is the step every dedup ladder ends with: pair lists from any tier
+    (Jaccard / MinHash / SimHash / embedding) become *groups*, from which one
+    canonical copy per cluster is kept. Spark-first as iterative min-label
+    propagation: each round every node adopts the minimum label among itself
+    and its neighbors — a broadcast-friendly join + min-agg per round,
+    converging in O(component diameter) rounds (near-dup components are
+    shallow; typical corpora converge in ≤3). Each round is one shuffle keyed
+    on node id; no all-pairs work, state is |nodes| rows.
+
+    Iterative-plan hygiene: each round's label relation is
+    ``localCheckpoint``ed — the label lineage references itself twice per
+    round, so without truncation the logical plan doubles every iteration
+    and Catalyst analysis, not the data, becomes the bottleneck (the classic
+    iterative-Spark failure mode). On a cluster, swap localCheckpoint for a
+    reliable ``checkpoint`` dir; the loop is otherwise unchanged.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,163 @@
+"""Corpus-to-training-batch operators: deterministic sampling, text
+normalization, sequence packing, and distribution probes.
+
+These are the steps between a curated corpus and a training run. Like
+textstats, everything that can be column algebra is column algebra; the one
+genuinely order-dependent operator (sequence packing) is implemented as the
+two-phase distributed prefix sum a 100 TB corpus needs, not a single-task
+global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.partitioning import ensure_parallelism
+from .textstats import tokenize
+
+
+def hash_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    hex_chars: tuple[str, ...] = ("0",),
+) -> DataFrame:
+    """Deterministic content-free sampling: keep a row iff the first hex
+    character of md5(id) is in ``hex_chars`` — each char selects 1/16 of the
+    corpus (uniformly, since md5 is equidistributed on ids).
+
+    Unlike ``df.sample`` (engine-specific Bernoulli draw), this is a pure
+    expression: reproducible across engines, stable under re-runs, re-
+    partitioning, and incremental appends — the property a training-data
+    holdout split must have. No shuffle; the predicate pushes to the scan
+    stage.
+    """
+    first_hex = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return docs.filter(first_hex.isin(*hex_chars))
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical text form: strip control characters, collapse whitespace
+    runs to single spaces, trim, lowercase. Emits the normalized text plus
+    how many characters normalization removed (a cheap corpus-noise signal).
+
+    Pure regexp/column algebra — per-row, no shuffle, identical semantics in
+    any RE2-compatible engine (the oracle runs the same patterns in DuckDB).
+    """
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, r"[\x00-\x1F\x7F]", " ")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    norm = F.lower(collapsed)
+    return docs.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        (F.length(t) - F.length(norm)).alias("n_chars_removed"),
+    )
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (the packing measure)."""
+    return F.size(tokenize(text_col))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    ``id_col`` order as one logical token stream and cut into fixed
+    ``budget``-token training sequences; each document reports the sequence
+    its first token lands in and the offset within it.
+
+    The global running token count is the crux: a naive unpartitioned window
+    (``sum().over(Window.orderBy(id))``) serializes the whole corpus through
+    ONE task. This implements the scale-correct two-phase prefix sum
+    instead:
+
+    1. range-repartition by ``id_col`` (so partition p holds an id range,
+       ordered), count tokens per partition — a tiny per-partition aggregate;
+    2. collect the |partitions| partial sums (scalars, not rows), prefix-sum
+       them on the driver, broadcast the offsets;
+    3. per-partition cumulative sum + broadcast offset = exact global prefix,
+       computed fully in parallel.
+
+    The result is invariant to the partition count (the offsets compose), so
+    sf0.001 and a 1000-executor run produce identical packings.
+    """
+    n_partitions = n_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        ensure_parallelism(
+            docs.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+        )
+        .repartitionByRange(n_partitions, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part_sums = {
+        r["_pid"]: r["s"]
+        for r in base.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(part_sums):
+        offsets[pid] = acc
+        acc += part_sums[pid]
+    offs = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w_local = F.sum("n_tokens").over(
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (F.coalesce(w_local, F.lit(0)) + offs[F.col("_pid")]).alias(
+        "cum_before"
+    )
+    out = base.select(F.col(id_col), "n_tokens", cum_before)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "cum_before",
+        F.expr(f"cum_before div {int(budget)}").alias("seq_id"),
+        (F.col("cum_before") % budget).alias("seq_offset"),
+    )
+
+
+def token_quantiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    rel_tol: float = 0.1,
+) -> DataFrame:
+    """Token-length distribution probe: exact interpolated percentiles (the
+    cross-engine-identical values) alongside an ``approx_ok`` flag asserting
+    the streaming sketch (``percentile_approx`` — the 100 TB fast path, one
+    pass, bounded memory) lands within ``rel_tol`` of each exact value.
+    """
+    t = docs.select(token_count(text_col).alias("n_tokens"))
+    probs_sql = ", ".join(str(p) for p in probs)
+    exact = F.expr(f"percentile(n_tokens, array({probs_sql}))")
+    approx = F.expr(f"percentile_approx(n_tokens, array({probs_sql}), 10000)")
+    agg = t.agg(exact.alias("ex"), approx.alias("ap"))
+    ok = F.forall(
+        F.zip_with(
+            "ex",
+            F.transform("ap", lambda x: x.cast("double")),
+            lambda e, a: F.abs(e - a) <= F.greatest(e * rel_tol, F.lit(1.0)),
+        ),
+        lambda b: b,
+    )
+    # exact interpolated percentiles are rounded to 4 decimals: the linear
+    # interpolation is mathematically identical across engines but the
+    # floating evaluation order is not guaranteed to the last ulp
+    cols = [
+        F.round(F.col("ex")[i], 4).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return agg.select(*cols, ok.alias("approx_ok"))

@@ -1,0 +1,74 @@
+"""Corpus→training-batch operators: clustering, packing, sampling,
+normalization, quantiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from coin_for_rich_spark.llmdata import (
+    dedup_clusters,
+    hash_sample,
+    normalize_text,
+    pack_sequences,
+    token_quantiles,
+)
+from coin_for_rich_spark.sources import load_table
+
+
+def test_dedup_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
+    )
+    rows = {r.doc_id: (r.cluster_id, r.cluster_size) for r in dedup_clusters(pairs).collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+def test_dedup_clusters_chain_converges(spark):
+    # a long path graph needs multiple propagation rounds
+    pairs = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(9)])
+    rows = dedup_clusters(pairs).collect()
+    assert all(r.cluster_id == 0 and r.cluster_size == 10 for r in rows)
+
+
+def test_pack_sequences_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, pack_sequences(docs, 512, n_partitions=2).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, 512, n_partitions=7).collect()))
+    assert a == b and len(a) == docs.count()
+    # the packing is a valid prefix layout: cum_before is the running sum
+    ordered = sorted(a)
+    run = 0
+    for _, n_tokens, cum_before, seq_id, seq_offset in ordered:
+        assert cum_before == run
+        assert seq_id == cum_before // 512
+        assert seq_offset == cum_before % 512
+        run += n_tokens
+
+
+def test_hash_sample_is_deterministic_subset(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r.doc_id for r in hash_sample(docs).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs).select("doc_id").collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < docs.count()
+    # two disjoint hex buckets never overlap and together double the draw
+    s3 = {r.doc_id for r in hash_sample(docs, hex_chars=("1",)).select("doc_id").collect()}
+    assert not (s1 & s3)
+
+
+def test_normalize_text_canonical_form(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="  Hello\x00\tWorld  THERE ")])
+    r = normalize_text(df).first()
+    assert r.norm_text == "hello world there"
+    assert r.n_chars_removed == len("  Hello\x00\tWorld  THERE ") - len("hello world there")
+
+
+def test_token_quantiles_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = [len(r.text.strip().split()) for r in docs.select("text").collect()]
+    r = token_quantiles(docs).first()
+    assert r.p50 == round(float(np.percentile(counts, 50)), 4)
+    assert r.p90 == round(float(np.percentile(counts, 90)), 4)
+    assert r.approx_ok
