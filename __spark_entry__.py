@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coin_for_rich_spark.operators import (
+    asof_join,
     cascade_rollup,
     common_keys_top30,
     count_distinct_pairs,
@@ -45,9 +46,11 @@ from coin_for_rich_spark.llmdata import (
     doc_langid,
     doc_stats,
     doc_tokens,
+    chunk_documents,
     exact_dedup,
     extract_media_features,
     hash_sample,
+    scrub_text,
     lsh_ann_knn,
     minhash_pairs,
     ngram_jaccard_pairs,
@@ -383,6 +386,36 @@ def q_dedup_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("event_id").alias("checksum"),
     )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click event decorated with the
+    user's latest purchase value at or before the click — the canonical
+    time-series decoration the reference writes as a LATERAL latest-row
+    query (queries.py:19-31), here as one union + ordered carry-forward
+    window (single shuffle, no range join). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"],
+        payload={"value": "last_purchase_value"},
+    )
+
+
+def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise redaction pass + per-doc audit counts."""
+    return scrub_text(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 128-token context chunks at stride 64."""
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_trading": q_is_trading,
         "retention_summary": q_retention_summary,
         "dedup_pk": q_dedup_pk,
+        "asof_join": q_asof_join,
+        "doc_scrub": q_doc_scrub,
+        "doc_chunks": q_doc_chunks,
         "count_distinct": q_count_distinct,
         "count_distinct_approx": q_count_distinct_approx,
         "props_extract": q_props_extract,
@@ -1174,6 +1210,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS checksum
             FROM deduped
             GROUP BY event_type
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.ts, l.user_id, l.value,
+                   r.value AS last_purchase_value
+            FROM (SELECT event_id, ts, user_id, value FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "doc_scrub": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                       '[0-9]{7,}', '<NUM>', 'g') AS scrubbed_text,
+                   len(regexp_extract_all(text,
+                       '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})', 1)) AS n_email,
+                   len(regexp_extract_all(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '(https?://[^\\s]+)', 1)) AS n_url,
+                   len(regexp_extract_all(
+                       regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           'https?://[^\\s]+', '<URL>', 'g'),
+                       '([0-9]{7,})', 1)) AS n_num
+            FROM documents
+        """,
+        "doc_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       unnest(generate_series(0, len(toks) - 1, 64)) AS tok_start
+                FROM t
+            )
+            SELECT doc_id,
+                   tok_start // 64 AS chunk_id,
+                   tok_start,
+                   least(128, n - tok_start) AS n_chunk_tokens,
+                   array_to_string(
+                       toks[tok_start + 1 : tok_start + least(128, n - tok_start)],
+                       ' ') AS chunk_text
+            FROM s
         """,
         "count_distinct": """
             SELECT l_returnflag, count(DISTINCT (l_partkey, l_suppkey)) AS n_distinct

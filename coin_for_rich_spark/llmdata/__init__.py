@@ -2,13 +2,15 @@ from .textstats import tokenize, doc_stats, doc_langid, doc_fingerprint, doc_tok
 from .dedup import exact_dedup, ngram_shingles, ngram_jaccard_pairs, minhash_pairs, simhash_fingerprints, simhash_pairs, dedup_clusters
 from .similarity import cosine_knn, embedding_neardup_pairs, lsh_ann_knn
 from .multimodal import media_schema, attach_fake_media, extract_media_features, resize_plan, sample_frames
-from .pipeline import hash_sample, normalize_text, pack_sequences, token_quantiles
+from .pipeline import chunk_documents, hash_sample, normalize_text, pack_sequences, scrub_text, token_quantiles
 
 __all__ = [
+    "chunk_documents",
     "dedup_clusters",
     "hash_sample",
     "normalize_text",
     "pack_sequences",
+    "scrub_text",
     "token_quantiles",
     "tokenize",
     "doc_stats",

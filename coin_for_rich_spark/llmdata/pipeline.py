@@ -59,6 +59,84 @@ def normalize_text(
     )
 
 
+# redaction patterns: deliberately simple RE2-compatible classes (no
+# lookaround/backrefs) so the identical pattern runs in Spark's Java regex
+# and the DuckDB oracle's RE2
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]{7,}", "<NUM>"),
+)
+
+
+def scrub_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII/noise redaction: emails, URLs, and long digit runs replaced by
+    typed placeholder tokens — the standard pre-training scrub pass. Emits
+    per-document counts of each redaction (the corpus-level audit signal a
+    compliance review asks for). Pure regexp column algebra: per-row, no
+    shuffle, order of patterns is significant (emails before bare numbers).
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for pat, token in SCRUB_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(f"({pat})"), 1)).alias(
+                f"n_{token.strip('<>').lower()}"
+            )
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(F.col(id_col), scrubbed.alias("scrubbed_text"), *counts)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks (context windows for training/RAG):
+    chunk k covers tokens [k·stride, k·stride + chunk_tokens). Emits one row
+    per (doc, chunk) with the chunk text and its token span.
+
+    ``sequence`` + ``explode`` + ``slice`` — the same declarative
+    generate_series idiom as frame sampling; fan-out happens executor-side
+    inside the scan stage, never on the driver. A chunk starts at every
+    stride offset below the token count; the final chunk is truncated to the
+    remaining tokens.
+    """
+    toks = tokenize(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .select(
+            F.col(id_col),
+            "_toks",
+            "_n",
+            F.explode(starts).alias("tok_start"),
+        )
+    )
+    chunk_len = F.least(F.lit(chunk_tokens), F.col("_n") - F.col("tok_start"))
+    return exploded.select(
+        F.col(id_col),
+        (F.col("tok_start") / stride).cast("bigint").alias("chunk_id"),
+        "tok_start",
+        chunk_len.alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("_toks", F.col("tok_start") + 1, chunk_len)
+        ).alias("chunk_text"),
+    )
+
+
 def token_count(text_col: str = "text") -> Column:
     """Whitespace token count (the packing measure)."""
     return F.size(tokenize(text_col))

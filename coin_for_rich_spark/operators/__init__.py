@@ -1,3 +1,4 @@
+from .asof import asof_join
 from .candles import cascade_rollup, ohlcv_rollup, rollup_family
 from .analytics import (
     common_keys_top30,
@@ -32,4 +33,5 @@ __all__ = [
     "count_distinct_pairs",
     "gap_fill_series",
     "moving_average",
+    "asof_join",
 ]

@@ -63,6 +63,57 @@ def test_normalize_text_canonical_form(spark):
     assert r.n_chars_removed == len("  Hello\x00\tWorld  THERE ") - len("hello world there")
 
 
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from coin_for_rich_spark.operators import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=t(5), user_id=1, value=0.0),   # after r@3 → 30.0
+            Row(event_id=2, ts=t(3), user_id=1, value=0.0),   # tie with r@3 → 30.0
+            Row(event_id=3, ts=t(1), user_id=1, value=0.0),   # before any → null
+            Row(event_id=4, ts=t(9), user_id=2, value=0.0),   # user 2 has no rights
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(user_id=1, ts=t(3), value=30.0), Row(user_id=1, ts=t(7), value=70.0)]
+    )
+    out = {
+        r.event_id: r.v
+        for r in asof_join(
+            left, right, on=["user_id"], payload={"value": "v"}
+        ).collect()
+    }
+    assert out == {1: 30.0, 2: 30.0, 3: None, 4: None}
+
+
+def test_scrub_text_redacts_and_counts(spark):
+    from coin_for_rich_spark.llmdata import scrub_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="mail a@b.com or https://x.io/p?q=1 code 12345678 ok")]
+    )
+    r = scrub_text(df).first()
+    assert r.scrubbed_text == "mail <EMAIL> or <URL> code <NUM> ok"
+    assert (r.n_email, r.n_url, r.n_num) == (1, 1, 1)
+
+
+def test_chunk_documents_spans(spark):
+    from coin_for_rich_spark.llmdata import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    rows = sorted(
+        (r.chunk_id, r.tok_start, r.n_chunk_tokens)
+        for r in chunk_documents(df, chunk_tokens=128, stride=64).collect()
+    )
+    assert rows == [(0, 0, 128), (1, 64, 86), (2, 128, 22)]
+    full = chunk_documents(df, chunk_tokens=128, stride=64).filter("chunk_id = 0").first()
+    assert full.chunk_text.split() == [f"w{i}" for i in range(128)]
+
+
 def test_token_quantiles_match_numpy(spark, sf_dir):
     import numpy as np
 
