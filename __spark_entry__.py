@@ -32,6 +32,7 @@ from coin_for_rich_spark.operators import (
     latest_per_key,
     moving_average,
     ohlcv_rollup,
+    sessionize,
     recompute_is_trading,
     retention_anti_join,
     top_k_with_other,
@@ -72,6 +73,7 @@ from coin_for_rich_spark.sources import (
 from coin_for_rich_spark.streaming import (
     ParquetMergeSink,
     candle_stream,
+    exactly_once_dedup,
     latest_value_serve,
     run_ingest,
     stage_stream_chunks,
@@ -386,6 +388,15 @@ def q_dedup_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("event_id").alias("checksum"),
     )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/windowed.sessionize): per-user
+    sessions split at >12h silences (the same threshold as gap_detect),
+    summarized as start/end/count/duration — the W1 LAG family promoted
+    from detecting gaps to segmenting by them."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, keys=["user_id"], time_col="ts", gap_seconds=43200)
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,6 +940,30 @@ def q_stream_hold_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 streaming twin — exactly-once dedup under duplicate delivery: the
+    replay stream unioned with itself (every event delivered twice, the
+    reconnect-replay failure mode) must land each event exactly once via
+    dropDuplicatesWithinWatermark keyed state."""
+    import uuid
+
+    stream = _staged_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    deduped = exactly_once_dedup(
+        doubled, ["event_id"], time_col="ts", watermark="1 hour"
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S7 — foreachBatch merge-upsert ingest (ON CONFLICT DO UPDATE,
     queries.py:12-15): time-ordered replay means the kept row per
@@ -985,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_trading": q_is_trading,
         "retention_summary": q_retention_summary,
         "dedup_pk": q_dedup_pk,
+        "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "doc_scrub": q_doc_scrub,
         "doc_chunks": q_doc_chunks,
@@ -1022,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1h": q_stream_rollup_1h,
         "stream_latest_serve": q_stream_latest_serve,
         "stream_hold_back": q_stream_hold_back,
+        "stream_dedup": q_stream_dedup,
         "stream_upsert_ingest": q_stream_upsert_ingest,
     }
 
@@ -1210,6 +1247,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS checksum
             FROM deduped
             GROUP BY event_type
+        """,
+        "sessionize": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                                    > 43200
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            n AS (
+                SELECT user_id, ts,
+                       CAST(sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM s
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(floor(epoch(max(ts))) AS BIGINT)
+                     - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_seconds
+            FROM n
+            GROUP BY user_id, session_id
+        """,
+        "stream_dedup": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
         """,
         "asof_join": """
             SELECT l.event_id, l.ts, l.user_id, l.value,

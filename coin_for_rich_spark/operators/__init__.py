@@ -15,7 +15,7 @@ from .maintenance import (
     count_distinct_pairs,
 )
 from .gapfill import gap_fill_series
-from .windowed import moving_average
+from .windowed import moving_average, sessionize
 
 __all__ = [
     "cascade_rollup",
@@ -33,5 +33,6 @@ __all__ = [
     "count_distinct_pairs",
     "gap_fill_series",
     "moving_average",
+    "sessionize",
     "asof_join",
 ]

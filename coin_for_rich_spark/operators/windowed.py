@@ -24,6 +24,64 @@ from pyspark.sql import functions as F
 from ..functions.numbers import money
 
 
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    gap_seconds: int = 3600,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a key belong to one
+    session until a silence longer than ``gap_seconds``; emits per-session
+    summary rows (start/end/n_events/duration).
+
+    The classic two-window composition (the same LAG family as W1's gap
+    detection, `schemas/queries.py:54-61`, promoted from *detecting* gaps to
+    *segmenting* by them): LAG marks session starts, a running SUM of the
+    start flags numbers the sessions, then one hash-agg per (key, session).
+    Batch twin of Structured Streaming's ``session_window`` aggregate.
+
+    Scale: both windows partition by key and order by time — parallel across
+    keys, no global sort; the final aggregate shuffles on (key, session_id)
+    which the window pass already co-located, so AQE collapses it to a
+    local aggregation.
+    """
+    order = [F.col(time_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(time_col).over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (
+            F.to_unix_timestamp(F.col(time_col)) - F.to_unix_timestamp(prev)
+            > gap_seconds
+        ),
+        1,
+    ).otherwise(0)
+    numbered = df.select(
+        *keys,
+        F.col(time_col),
+        is_start.alias("_new"),
+    ).select(
+        *keys,
+        F.col(time_col),
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return (
+        numbered.groupBy(*keys, "session_id")
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.to_unix_timestamp(F.max(time_col))
+                - F.to_unix_timestamp(F.min(time_col))
+            ).alias("duration_seconds"),
+        )
+    )
+
+
 def moving_average(
     df: DataFrame,
     keys: list[str],

@@ -8,6 +8,7 @@ Reference parity map (SURVEY §2.9):
 - file-chunk replay source for tests        → streaming.source (S3 stand-in)
 """
 
+from .dedupe import exactly_once_dedup
 from .latest import latest_value_serve
 from .rollup import CONAGG_POLICIES, streaming_ohlcv_rollup
 from .sink import ParquetMergeSink, run_ingest
@@ -15,6 +16,7 @@ from .source import candle_stream, stage_stream_chunks
 
 __all__ = [
     "CONAGG_POLICIES",
+    "exactly_once_dedup",
     "ParquetMergeSink",
     "candle_stream",
     "latest_value_serve",

@@ -149,3 +149,26 @@ def test_latest_per_key_agg_equals_window(spark, sf_dir):
     agg = sorted(map(tuple, latest_per_key(ev, ["user_id"]).collect()))
     win = sorted(map(tuple, latest_per_key(ev, ["user_id"], method="window").collect()))
     assert agg == win
+
+
+def test_sessionize_splits_on_gap(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.operators import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=10)),
+        Row(user_id=1, ts=t0 + dt.timedelta(hours=3)),   # > 1h gap → new session
+        Row(user_id=2, ts=t0),
+    ]
+    out = sorted(
+        (r.user_id, r.session_id, r.n_events, r.duration_seconds)
+        for r in sessionize(
+            spark.createDataFrame(rows), ["user_id"], gap_seconds=3600
+        ).collect()
+    )
+    assert out == [(1, 1, 2, 600), (1, 2, 1, 0), (2, 1, 1, 0)]

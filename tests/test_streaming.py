@@ -193,3 +193,24 @@ def test_merge_sink_compact_preserves_state_and_semantics(spark, tmp_path):
     assert sorted(map(tuple, sink.read(spark).collect())) == [
         ("a", 3, 10.5), ("b", 4, 21.0)
     ]
+
+
+def test_exactly_once_dedup_under_duplicate_delivery(spark, sf_dir, staged_events):
+    from coin_for_rich_spark.streaming import exactly_once_dedup
+
+    path, schema = staged_events
+    stream = read_file_stream(spark, path, schema)
+    doubled = stream.union(stream)
+    deduped = exactly_once_dedup(doubled, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_stream_dedup")
+    ev = load_table(spark, sf_dir, "events")
+    assert got.count() == ev.count()  # every event exactly once
+    assert _rows(got, ["event_id"]) == _rows(ev, ["event_id"])
