@@ -75,6 +75,35 @@ def test_streaming_rollup_shares_batch_aggregate_definitions(spark, sf_dir):
         assert re.search(marker, bplan), marker
 
 
+def test_asof_join_is_single_shuffle_no_range_join(spark, sf_dir):
+    """The as-of join must compile to union + one keyed exchange + window —
+    never a BroadcastNestedLoop/cartesian range join."""
+    import re
+
+    from coin_for_rich_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = _plan(asof_join(left, right, on=["user_id"], payload={"value": "v"}))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1  # one hashpartitioning on the key, shared by union+window
+
+
+def test_sessionize_windows_share_one_shuffle(spark, sf_dir):
+    """Both windows and the final session aggregate run off ONE exchange on
+    the key — the window pass already co-locates (key, session)."""
+    import re
+
+    from coin_for_rich_spark.operators import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(sessionize(ev, ["user_id"], gap_seconds=43200))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1
+
+
 def test_retention_anti_join_broadcasts_keep_list(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     keep = ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(30)
