@@ -52,6 +52,7 @@ from coin_for_rich_spark.llmdata import (
     extract_media_features,
     hash_sample,
     scrub_text,
+    ivf_ann_knn,
     lsh_ann_knn,
     minhash_pairs,
     ngram_jaccard_pairs,
@@ -799,6 +800,26 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 — the clustered-corpus ANN tier (coarse
+    centroids from a deterministic hash sample, 6-of-16 cells probed, exact
+    re-rank) — declared as the oracle-checkable recall property (≥ 40% of
+    exact top-10; deterministic: fixed centroids, fixed data). Exactness at
+    n_probe = n_centroids is pinned in tests/test_llmdata.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ann = ivf_ann_knn(emb, qv, k=10, n_centroids=16, n_probe=6).select("vec_id")
+    exact = cosine_knn(emb, qv, k=10).select("vec_id")
+    return (
+        exact.join(ann, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).alias("k"),
+            (F.col("n_hits") >= 4).alias("recall_ok"),
+        )
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the embedding tier of the dedup
     ladder): exact method, now the distributed blocked-GEMM grid — no driver
@@ -1049,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "embed_knn": q_embed_knn,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_ann_ivf": q_embed_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -1467,6 +1489,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_extra
         """,
         "embed_ann_lsh": """
+            SELECT 10 AS k, TRUE AS recall_ok
+        """,
+        "embed_ann_ivf": """
             SELECT 10 AS k, TRUE AS recall_ok
         """,
         "count_distinct_approx": """

@@ -74,25 +74,29 @@ def plane_weights(dims: int, n_planes: int, seed: int = 42) -> list[list[float]]
     return [[rng.uniform(-1.0, 1.0) for _ in range(dims)] for _ in range(n_planes)]
 
 
-def bucket_of(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = sign of <v, plane_p>.
+def _dot_sql(vec_sql: str, w: list[float]) -> str:
+    """<vec, literal weights> as ONE SQL expression string — constant
+    weights embedded as double literals instead of per-weight ``F.lit``
+    Columns, because literal-by-literal construction is thousands of py4j
+    round trips of pure *driver* latency (8 tables × 8 planes × 768 dims);
+    the formatted string is two orders of magnitude cheaper to build and
+    compiles to the identical sequential fold."""
+    arr = ", ".join(f"{x!r}D" for x in w)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}),"
+        " (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)"
+    )
 
-    The plane weights are embedded as SQL double literals in ONE parsed
-    expression per plane rather than per-weight ``F.lit`` Column objects —
-    with 8 tables × 8 planes × 768 dims the literal-by-literal construction
-    is thousands of py4j round trips of pure *driver* latency before any
-    executor runs; a formatted expression string is two orders of magnitude
-    cheaper to build and compiles to the identical sequential fold (so the
-    signs agree bit-for-bit with ``_bucket_of_py``)."""
+
+def bucket_of(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign of <v, plane_p>
+    (SQL-literal planes via ``_dot_sql``, so the signs agree bit-for-bit
+    with ``_bucket_of_py``)."""
     vec_sql = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
-    terms = []
-    for p, w in enumerate(planes):
-        arr = ", ".join(f"{x!r}D" for x in w)
-        proj = (
-            f"aggregate(zip_with({vec_sql}, array({arr}),"
-            " (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)"
-        )
-        terms.append(f"(CASE WHEN {proj} >= 0D THEN {1 << p} ELSE 0 END)")
+    terms = [
+        f"(CASE WHEN {_dot_sql(vec_sql, w)} >= 0D THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(planes)
+    ]
     return F.expr(" + ".join(terms))
 
 
@@ -255,6 +259,86 @@ def _gemm_candidates(
     return exploded.groupBy("bi", "bj").applyInPandas(
         kernel, schema="id_a long, id_b long"
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids: the ``n_centroids`` corpus
+    vectors ranked first by xxhash64(id) — an unbiased, reproducible sample
+    (the same idea as hash sampling). A k-means refinement is a strict
+    drop-in upgrade: everything downstream only sees a list of vectors.
+    The collect is ``n_centroids`` rows — index metadata, not data."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _nearest_centroid_expr(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """argmax over centroids of cosine(vec, centroid) as one expression:
+    an array of (−cosine, cid) structs reduced with array_min — ties and
+    NaN-free by construction (centroid norms are constants; the row norm is
+    clamped away from zero)."""
+    row_norm = f"greatest(sqrt(aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)), 1e-300D)"
+    entries = []
+    for cid, c in enumerate(centroids):
+        cnorm = math.sqrt(sum(x * x for x in c)) or 1e-300
+        cos = f"({_dot_sql(vec_sql, c)} / ({row_norm} * {cnorm!r}D))"
+        entries.append(f"struct(-{cos} AS negcos, {cid} AS cid)")
+    return F.expr(f"array_min(array({', '.join(entries)})).cid")
+
+
+def _centroid_ranks_py(q: list[float], centroids: list[list[float]]) -> list[int]:
+    qn = math.sqrt(sum(x * x for x in q)) or 1e-300
+    scored = []
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1e-300
+        dot = 0.0
+        for x, y in zip(q, c):
+            dot += float(x) * y
+        scored.append((-dot / (qn * cn), cid))
+    return [cid for _, cid in sorted(scored)]
+
+
+def ivf_ann_knn(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustered-data scale path
+    next to ``lsh_ann_knn``: every vector is assigned to its nearest coarse
+    centroid; a query scans only the ``n_probe`` nearest cells, then exact
+    cosine re-ranks the candidates.
+
+    Cost shape: assignment is one codegen'd expression over the scan (at
+    ingest time it would be materialized as a stored ``cell`` column +
+    partition key, making the probe a partition-pruned read); the query
+    touches ~n_probe/n_centroids of the corpus. Recall follows the data's
+    cluster structure — high when neighbors share cells (real corpora), and
+    on isotropic noise it degrades toward a partial scan, same contract as
+    the LSH tier. ``n_probe = n_centroids`` is exact by construction.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    q = [float(x) for x in query_vec]
+    probes = _centroid_ranks_py(q, centroids)[:n_probe]
+    cell = _nearest_centroid_expr(vec_col, centroids)
+    cands = embeddings.withColumn("_cell", cell).filter(
+        F.col("_cell").isin(probes)
+    )
+    return cosine_knn(cands, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def lsh_ann_knn(

@@ -190,3 +190,30 @@ def test_embed_neardup_lsh_is_subset_of_exact(spark, sf_dir):
     assert len(exact) > 0
     # verification step guarantees precision 1: every LSH pair is a true pair
     assert lsh <= exact
+
+
+def test_ivf_exact_when_probing_all_cells(spark, sf_dir):
+    """n_probe = n_centroids must reproduce the exact top-k (the IVF
+    candidate filter becomes a no-op and only the re-rank remains)."""
+    from coin_for_rich_spark.llmdata import cosine_knn, ivf_ann_knn
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = [(r.vec_id, r.cosine) for r in cosine_knn(emb, qv, k=10).collect()]
+    ivf_all = [
+        (r.vec_id, r.cosine)
+        for r in ivf_ann_knn(emb, qv, k=10, n_centroids=16, n_probe=16).collect()
+    ]
+    assert ivf_all == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    from coin_for_rich_spark.llmdata import cosine_knn, ivf_ann_knn
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = {r.vec_id for r in cosine_knn(emb, qv, k=10).collect()}
+    ann = {r.vec_id for r in ivf_ann_knn(emb, qv, k=10, n_centroids=16, n_probe=6).collect()}
+    assert len(exact & ann) >= 4
