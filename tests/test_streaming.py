@@ -214,3 +214,70 @@ def test_exactly_once_dedup_under_duplicate_delivery(spark, sf_dir, staged_event
     ev = load_table(spark, sf_dir, "events")
     assert got.count() == ev.count()  # every event exactly once
     assert _rows(got, ["event_id"]) == _rows(ev, ["event_id"])
+
+
+def test_stale_flush_force_emits_held_candle(spark, tmp_path):
+    """ADVICE fix: with stale_timeout on, a key with NO later data must still
+    flush once its processing-time timeout lapses (the reference's
+    DATA_HELD_MLS_THRESHOLD force-flush) — the timeout is armed on every
+    state update. Key 'lonely' appears only in batch 1; by the time batch 2
+    (other keys) processes, its 1 ms timeout has lapsed → its held candle is
+    emitted. Without the timeout it stays withheld forever."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.streaming.stateful import hold_back_collector
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch1 = [
+        Row(symbol="lonely", ts=t0, price=1.0, volume=1.0),
+        Row(symbol="busy", ts=t0, price=2.0, volume=1.0),
+    ]
+    batch2 = [
+        Row(symbol="busy", ts=t0 + dt.timedelta(minutes=5), price=3.0, volume=1.0),
+    ]
+    path = str(tmp_path / "stale")
+    df1 = spark.createDataFrame(batch1)
+    df2 = spark.createDataFrame(batch2)
+    import os
+
+    df1.coalesce(1).write.mode("overwrite").parquet(path)
+    df2.coalesce(1).write.mode("append").parquet(path)
+    parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    base = os.stat(path).st_mtime
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(path, name), (base + 10 * (i + 1),) * 2)
+
+    import time
+
+    stream = read_file_stream(spark, path, df1.schema)
+    for flag, expect_lonely in ((True, True), (False, False)):
+        name = f"t_stale_{int(flag)}"
+        q = (
+            hold_back_collector(stream, stale_timeout=flag, stale_ms=1)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if flag:
+                # a ProcessingTimeTimeout query keeps running no-data batches
+                # to fire timeouts, so availableNow never self-terminates —
+                # poll the sink for the force-flushed candle instead
+                deadline = time.monotonic() + 120
+                while time.monotonic() < deadline:
+                    got = {r.symbol for r in spark.table(name).collect()}
+                    if "lonely" in got:
+                        break
+                    time.sleep(0.5)
+            else:
+                q.awaitTermination(120)
+                got = {r.symbol for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+        assert ("lonely" in got) == expect_lonely, (flag, got)
+        # busy's first candle closes by later data in both modes
+        assert "busy" in got
