@@ -1,4 +1,4 @@
-from .textstats import tokenize, doc_stats, doc_langid, doc_fingerprint, doc_tokens
+from .textstats import tokenize, doc_stats, doc_langid, doc_fingerprint, doc_profile, doc_tokens
 from .dedup import exact_dedup, ngram_shingles, ngram_jaccard_pairs, minhash_pairs, simhash_fingerprints, simhash_pairs, dedup_clusters
 from .similarity import cosine_knn, embedding_neardup_pairs, ivf_ann_knn, lsh_ann_knn
 from .multimodal import media_schema, attach_fake_media, extract_media_features, resize_plan, sample_frames
@@ -14,6 +14,7 @@ __all__ = [
     "token_quantiles",
     "tokenize",
     "doc_stats",
+    "doc_profile",
     "doc_langid",
     "doc_fingerprint",
     "doc_tokens",

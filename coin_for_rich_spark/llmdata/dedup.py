@@ -213,7 +213,7 @@ def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id,
     cluster_size), cluster_id = the component's minimum doc id.
@@ -244,6 +244,7 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -269,7 +270,17 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # falling through silently would return split (wrong) clusters for a
+        # chain-shaped component whose diameter exceeds max_iter — fail loud;
+        # for pathological graphs raise max_iter or switch to large-star/
+        # small-star contraction (O(log n) rounds).
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "label-propagation rounds (component diameter too large)"
+        )
     w = Window.partitionBy("label")
     return labels.select(
         F.col("id").alias("doc_id"),

@@ -168,6 +168,13 @@ def pack_sequences(
 
     The result is invariant to the partition count (the offsets compose), so
     sf0.001 and a 1000-executor run produce identical packings.
+
+    The range partitioning itself is NOT deterministic across executions
+    (repartitionByRange samples its boundaries), so the relation is persisted
+    and materialized by the partial-sum job: the second (row-level) job reads
+    the exact same physical partitioning from cache instead of re-sampling —
+    otherwise the broadcast offsets could disagree with the partition a
+    boundary row actually landed in.
     """
     n_partitions = n_partitions or docs.sparkSession.sparkContext.defaultParallelism
     base = (
@@ -177,6 +184,7 @@ def pack_sequences(
         .repartitionByRange(n_partitions, F.col(id_col))
         .sortWithinPartitions(id_col)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     part_sums = {
         r["_pid"]: r["s"]

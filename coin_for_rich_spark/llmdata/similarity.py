@@ -88,16 +88,85 @@ def _dot_sql(vec_sql: str, w: list[float]) -> str:
     )
 
 
-def bucket_of(vec_col: Column | str, planes: list[list[float]]) -> Column:
+def bucket_of(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign of <v, plane_p>
     (SQL-literal planes via ``_dot_sql``, so the signs agree bit-for-bit
-    with ``_bucket_of_py``)."""
-    vec_sql = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    with ``_bucket_of_py``).
+
+    ``vec_col`` must be a plain column name: the planes are embedded as SQL
+    literals, so the vector reference has to be re-parseable SQL text —
+    arbitrary Column expressions (aliases, qualified refs, computed columns)
+    don't round-trip through a string, and the private ``Column._jc`` handle
+    this used to lean on does not exist under Spark Connect.
+    """
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "bucket_of requires a column NAME (str); got a Column expression"
+        )
+    vec_sql = vec_col
     terms = [
         f"(CASE WHEN {_dot_sql(vec_sql, w)} >= 0D THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(planes)
     ]
     return F.expr(" + ".join(terms))
+
+
+# Budget of embedded double literals per plan before the literal-SQL paths
+# switch to an Arrow-batched numpy fallback: one giant codegen'd expression is
+# the fastest plan while Janino compiles it, but past the method-size /
+# constant-pool limits Spark silently falls back to interpreted evaluation of
+# the same enormous tree — slower than honest vectorized Python. The current
+# defaults (768 dims × 8 planes × 8 tables ≈ 49k literals) stay codegen'd;
+# bigger dims/configs take the numpy path.
+_MAX_SQL_LITERALS = 100_000
+
+
+def _lsh_candidate_udf(tables: list[tuple[list[list[float]], list[int]]]):
+    """Arrow-batched candidate test for the over-budget LSH config: per hash
+    table, sign-bit buckets from one BLAS matmul, membership via isin. Sign
+    agreement with the sequential fold holds except on exact zero-crossing
+    dot products (measure-zero; the guard path trades that last ulp for not
+    losing codegen entirely)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.asarray(planes, dtype=np.float64) for planes, _ in tables]
+    probe_lists = [list(probes) for _, probes in tables]
+
+    @pandas_udf("boolean")
+    def is_candidate(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.zeros(len(M), dtype=bool)
+        for W, probes in zip(mats, probe_lists):
+            signs = (M @ W.T) >= 0.0
+            buckets = signs @ (1 << np.arange(W.shape[0], dtype=np.int64))
+            out |= np.isin(buckets, probes)
+        return pd.Series(out)
+
+    return is_candidate
+
+
+def _nearest_centroid_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment for the over-budget IVF
+    config — same tie rule as ``_nearest_centroid_expr`` (lowest cid wins)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn = np.where(cn == 0, 1e-300, cn)
+    Cn = C / cn[:, None]
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        cos = (M / nrm) @ Cn.T
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    return cell_of
 
 
 def _bucket_of_py(vec: list[float], planes: list[list[float]]) -> int:
@@ -334,7 +403,10 @@ def ivf_ann_knn(
         centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     q = [float(x) for x in query_vec]
     probes = _centroid_ranks_py(q, centroids)[:n_probe]
-    cell = _nearest_centroid_expr(vec_col, centroids)
+    if len(centroids) * len(centroids[0]) > _MAX_SQL_LITERALS:
+        cell = _nearest_centroid_udf(centroids)(F.col(vec_col))
+    else:
+        cell = _nearest_centroid_expr(vec_col, centroids)
     cands = embeddings.withColumn("_cell", cell).filter(
         F.col("_cell").isin(probes)
     )
@@ -368,16 +440,21 @@ def lsh_ann_knn(
     thing ever collected.
     """
     q = [float(x) for x in query_vec]
-    cond = None
+    tables = []
     for t in range(n_tables):
         planes = plane_weights(len(q), n_planes, seed=42 + t)
-        b = bucket_of(vec_col, planes)
         # the query's bucket is pure driver-side arithmetic — no Spark job
         qbucket = _bucket_of_py(q, planes)
         probes = [qbucket] + (
             [qbucket ^ (1 << p) for p in range(n_planes)] if multiprobe else []
         )
-        c = b.isin(probes)
-        cond = c if cond is None else (cond | c)
-    cands = embeddings.filter(cond)
+        tables.append((planes, probes))
+    if len(q) * n_planes * n_tables > _MAX_SQL_LITERALS:
+        cands = embeddings.filter(_lsh_candidate_udf(tables)(F.col(vec_col)))
+    else:
+        cond = None
+        for planes, probes in tables:
+            c = bucket_of(vec_col, planes).isin(probes)
+            cond = c if cond is None else (cond | c)
+        cands = embeddings.filter(cond)
     return cosine_knn(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -102,6 +102,57 @@ def doc_langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The full per-document text-analysis profile — quality stats, token
+    counts (whitespace + BPE-ish), language ID, bag fingerprint — in ONE
+    projection.
+
+    This is the shape a 100 TB curation scan should take: every column is
+    independent per-row algebra, so computing them together costs one pass
+    over the text with zero joins and zero shuffles, where joining the four
+    single-purpose operators on doc_id would shuffle the corpus four times
+    for no semantic gain. The single-purpose operators remain the composable
+    API; this is their fused scan.
+    """
+    toks = tokenize(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9\s])"), 1))
+    n_stop = _count_in(toks, STOPWORDS)
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    mean_word_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+    bag = F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        F.when(n_tokens < 10, "too_short")
+        .when(punct_ratio > 0.2, "punct_heavy")
+        .when(stop_ratio > 0.05, "fluent")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 1)).alias("bpe_tokens"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+        F.md5(bag).alias("bag_fingerprint"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive bag fingerprint: md5 over the sorted distinct token
     set. Two documents that are token-permutations of each other collide —

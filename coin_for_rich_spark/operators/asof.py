@@ -54,6 +54,25 @@ def asof_join(
             if c not in on and c != right_time
         }
     left_cols = left.columns
+    # the union plan uses _t/_src plus one _c_<alias> carry column per
+    # payload — collisions with input columns or between payload aliases and
+    # left columns would silently produce duplicate/ambiguous output, so the
+    # API boundary rejects them up front
+    reserved = {"_t", "_src"} | {f"_c_{alias}" for alias in payload.values()}
+    clashes = reserved & (set(left_cols) | set(right.columns))
+    if clashes:
+        raise ValueError(
+            f"asof_join: input columns collide with reserved internal names: "
+            f"{sorted(clashes)}"
+        )
+    alias_clashes = set(payload.values()) & set(left_cols)
+    if alias_clashes:
+        raise ValueError(
+            f"asof_join: payload aliases collide with left columns: "
+            f"{sorted(alias_clashes)} — rename via the payload mapping"
+        )
+    if len(set(payload.values())) != len(payload):
+        raise ValueError("asof_join: duplicate payload aliases")
 
     r = right.select(
         *on,
