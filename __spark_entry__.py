@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from coin_for_rich_spark.operators import (
     asof_join,
-    cascade_rollup,
+    cascade_rollup_multi,
     common_keys_top30,
     count_distinct_pairs,
     dedup_pk,
@@ -238,23 +238,19 @@ def q_candles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2 — the ENTIRE 11-resolution candle family as one relation with a
     ``resolution`` column, built the way a 100 TB deployment maintains it:
     one scan of the ticks into a 5m base rollup (the finest resolution),
-    then every coarser resolution CASCADES from that persisted base
-    (operators/candles.cascade_rollup) — bucket nesting makes the cascade
-    bit-exact vs re-aggregating the raw ticks (every coarser bucket boundary
-    is 300s-aligned, calendar months included), and the input to the 10
-    coarse aggregations is ~Δ/5m smaller than the tick table. The oracle
+    then every resolution CASCADES from that base in ONE fused shuffle
+    (operators/candles.cascade_rollup_multi) — bucket nesting makes the
+    cascade bit-exact vs re-aggregating the raw ticks (every coarser bucket
+    boundary is 300s-aligned, calendar months included), the coarse
+    aggregation reads ~Δ/5m fewer rows than the tick table, and the whole
+    family costs two exchanges total instead of eleven scans. The oracle
     recomputes each resolution directly from the raw rows (UNION ALL of the
     11 direct SQL rollups), so a green row proves both every resolution's
     semantics AND the cascade's exactness — the r2 ``candles_1d_cascade``
     check, generalized to the whole family."""
     cv = candles_view(spark, sf_dir)
-    base = ohlcv_rollup(cv, "5m").persist()
-    out = base.withColumn("resolution", F.lit("5m"))
-    for res in _ALL_RESOLUTIONS[1:]:
-        out = out.unionByName(
-            cascade_rollup(base, res).withColumn("resolution", F.lit(res))
-        )
-    return out
+    base = ohlcv_rollup(cv, "5m")
+    return cascade_rollup_multi(base, list(_ALL_RESOLUTIONS))
 
 
 # materialized rollup-family paths keyed on sf_dir (M4): materialize once

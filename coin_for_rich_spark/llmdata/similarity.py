@@ -21,6 +21,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,8 +129,6 @@ def _lsh_candidate_udf(tables: list[tuple[list[list[float]], list[int]]]):
     agreement with the sequential fold holds except on exact zero-crossing
     dot products (measure-zero; the guard path trades that last ulp for not
     losing codegen entirely)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     mats = [np.asarray(planes, dtype=np.float64) for planes, _ in tables]
@@ -150,8 +150,6 @@ def _lsh_candidate_udf(tables: list[tuple[list[list[float]], list[int]]]):
 def _nearest_centroid_udf(centroids: list[list[float]]):
     """Arrow-batched nearest-centroid assignment for the over-budget IVF
     config — same tie rule as ``_nearest_centroid_expr`` (lowest cid wins)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -265,9 +263,6 @@ def _gemm_candidates(
     the corpus bytes. Zero-norm vectors are guarded (norm→1 ⇒ cosine 0 ⇒
     never a candidate) instead of silently yielding NaN rows.
     """
-    import numpy as np
-    import pandas as pd
-
     eps = 1e-9
     grid = F.array(
         *[

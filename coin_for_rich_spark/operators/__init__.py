@@ -1,5 +1,5 @@
 from .asof import asof_join
-from .candles import cascade_rollup, ohlcv_rollup, rollup_family
+from .candles import cascade_rollup, cascade_rollup_multi, ohlcv_rollup, rollup_family
 from .analytics import (
     common_keys_top30,
     top_k_with_other,
@@ -19,6 +19,7 @@ from .windowed import moving_average, sessionize
 
 __all__ = [
     "cascade_rollup",
+    "cascade_rollup_multi",
     "ohlcv_rollup",
     "rollup_family",
     "common_keys_top30",

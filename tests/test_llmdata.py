@@ -217,3 +217,69 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     exact = {r.vec_id for r in cosine_knn(emb, qv, k=10).collect()}
     ann = {r.vec_id for r in ivf_ann_knn(emb, qv, k=10, n_centroids=16, n_probe=6).collect()}
     assert len(exact & ann) >= 4
+
+
+def test_doc_profile_matches_single_purpose_operators(spark, sf_dir):
+    """The fused one-projection scan must be column-identical to the four
+    single-purpose operators it subsumes."""
+    from coin_for_rich_spark.llmdata import (
+        doc_fingerprint,
+        doc_langid,
+        doc_profile,
+        doc_stats,
+        doc_tokens,
+    )
+    from coin_for_rich_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = {r.doc_id: r for r in doc_profile(docs).collect()}
+    for r in doc_stats(docs).collect():
+        p = prof[r.doc_id]
+        for c in ("n_chars", "n_tokens", "n_punct", "n_stopwords",
+                  "quality_bucket"):
+            assert getattr(p, c) == getattr(r, c), c
+    for r in doc_tokens(docs).collect():
+        assert prof[r.doc_id].bpe_tokens == r.bpe_tokens
+        assert prof[r.doc_id].n_tokens == r.ws_tokens
+    for r in doc_langid(docs).collect():
+        assert prof[r.doc_id].pred_lang == r.pred_lang
+    for r in doc_fingerprint(docs).collect():
+        assert prof[r.doc_id].bag_fingerprint == r.bag_fingerprint
+        assert prof[r.doc_id].n_distinct_tokens == r.n_distinct_tokens
+
+
+def test_bucket_of_requires_column_name():
+    import pytest
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.llmdata.similarity import bucket_of
+
+    with pytest.raises(TypeError, match="column NAME"):
+        bucket_of(F.col("embedding"), [[1.0, -1.0]])
+
+
+def test_lsh_ann_numpy_fallback_matches_codegen_path(spark, sf_dir, monkeypatch):
+    """Past the codegen literal budget the candidate filter switches to the
+    Arrow-batched numpy path — same query, same result set."""
+    from coin_for_rich_spark.llmdata import similarity as sim
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter("vec_id = 0").select("embedding").first()[0]
+    lit = sim.lsh_ann_knn(emb, qv, k=5, n_planes=4, n_tables=2).collect()
+    monkeypatch.setattr(sim, "_MAX_SQL_LITERALS", 1)
+    fb = sim.lsh_ann_knn(emb, qv, k=5, n_planes=4, n_tables=2).collect()
+    assert [(r.vec_id, r.cosine) for r in lit] == [(r.vec_id, r.cosine) for r in fb]
+
+
+def test_ivf_numpy_fallback_matches_codegen_path(spark, sf_dir, monkeypatch):
+    from coin_for_rich_spark.llmdata import similarity as sim
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter("vec_id = 0").select("embedding").first()[0]
+    cents = sim.ivf_centroids(emb, 8)
+    lit = sim.ivf_ann_knn(emb, qv, k=5, n_probe=3, centroids=cents).collect()
+    monkeypatch.setattr(sim, "_MAX_SQL_LITERALS", 1)
+    fb = sim.ivf_ann_knn(emb, qv, k=5, n_probe=3, centroids=cents).collect()
+    assert [(r.vec_id, r.cosine) for r in lit] == [(r.vec_id, r.cosine) for r in fb]

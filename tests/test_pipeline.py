@@ -123,3 +123,35 @@ def test_token_quantiles_match_numpy(spark, sf_dir):
     assert r.p50 == round(float(np.percentile(counts, 50)), 4)
     assert r.p90 == round(float(np.percentile(counts, 90)), 4)
     assert r.approx_ok
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    import pytest
+
+    # diameter 9 cannot converge in a single propagation round
+    pairs = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(9)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=1)
+
+
+def test_asof_join_rejects_name_collisions(spark):
+    import datetime as dt
+
+    import pytest
+
+    from coin_for_rich_spark.operators import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([Row(k=1, ts=t, value=1.0)])
+    right = spark.createDataFrame([Row(k=1, ts=t, price=2.0)])
+    # payload alias equal to an existing left column
+    with pytest.raises(ValueError, match="payload aliases collide"):
+        asof_join(left, right, on=["k"], payload={"price": "value"})
+    # input column named like a reserved internal
+    left_bad = spark.createDataFrame([Row(k=1, ts=t, _src=0)])
+    with pytest.raises(ValueError, match="reserved internal"):
+        asof_join(left_bad, right, on=["k"], payload={"price": "p"})
+    # duplicate aliases
+    right2 = spark.createDataFrame([Row(k=1, ts=t, price=2.0, qty=3.0)])
+    with pytest.raises(ValueError, match="duplicate payload aliases"):
+        asof_join(left, right2, on=["k"], payload={"price": "x", "qty": "x"})
