@@ -878,23 +878,47 @@ def q_fetch_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # staged replay dirs keyed on sf_dir: staging `events` into time-ordered
 # chunks costs a full scan + write, and every stream_* query needs the same
-# chunks — one staging per (session, sf_dir), robust to repeated invocation
+# chunks. Cached at two levels: in-process (this dict) and on disk at a
+# deterministic path — the driver's correctness gate runs each query in its
+# OWN process, so without the disk level all five stream_* queries re-stage
+# the identical chunks. The staged dir only ever appears at its final path
+# fully built (stage into a temp dir, then one atomic rename), so a reader
+# can never observe a half-staged replay.
 _STREAM_STAGE_CACHE: dict[str, tuple[str, object]] = {}
+_STREAM_N_CHUNKS = 4
 
 
 def _staged_stream(spark: SparkSession, sf_dir: str):
-    """Replay `events` as a 4-batch time-ordered file stream (S3 stand-in)."""
+    """Replay `events` as a 4-batch time-ordered file stream (S3 stand-in).
+
+    4 micro-batches: enough to exercise cross-batch state/watermark logic;
+    replay semantics are chunk-count-invariant (tests use 6).
+    """
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from coin_for_rich_spark.streaming.source import read_file_stream
 
     if sf_dir not in _STREAM_STAGE_CACHE:
-        path = tempfile.mkdtemp(prefix="cfr_stream_") + "/events"
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        final = os.path.join(
+            tempfile.gettempdir(),
+            f"cfr_stream_{key}_{_STREAM_N_CHUNKS}",
+            "events",
+        )
         ev = load_table(spark, sf_dir, "events")
-        # 4 micro-batches: enough to exercise cross-batch state/watermark
-        # logic; replay semantics are chunk-count-invariant (tests use 6)
-        schema = stage_stream_chunks(ev, path, n_chunks=4)
-        _STREAM_STAGE_CACHE[sf_dir] = (path, schema)
+        if not os.path.isdir(final):
+            tmp = tempfile.mkdtemp(prefix="cfr_stream_stage_") + "/events"
+            stage_stream_chunks(ev, tmp, n_chunks=_STREAM_N_CHUNKS)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                # a concurrent staging won the rename — its dir is complete
+                shutil.rmtree(tmp, ignore_errors=True)
+        _STREAM_STAGE_CACHE[sf_dir] = (final, ev.schema)
     path, schema = _STREAM_STAGE_CACHE[sf_dir]
     return read_file_stream(spark, path, schema)
 

@@ -109,3 +109,16 @@ def test_retention_anti_join_broadcasts_keep_list(spark, sf_dir):
     keep = ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(30)
     plan = _plan(retention_anti_join(ev, keep, ["user_id"]))
     assert "BroadcastHashJoin LeftAnti" in plan  # fact side never shuffles
+
+
+def test_candles_all_is_one_scan_two_exchanges(spark, sf_dir):
+    """The fused 11-resolution cascade must stay one tick scan + two
+    exchanges (5m base agg, fused multi-resolution agg) — the shape that
+    holds at 100 TB; a regression to per-resolution unions shows up as 11
+    scans / ~11 exchanges."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_candles_all(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
