@@ -154,13 +154,13 @@ def _nearest_centroid_udf(centroids: list[list[float]]):
 
     C = np.asarray(centroids, dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
-    cn = np.where(cn == 0, 1e-300, cn)
+    cn = np.where(cn == 0, 1e-150, cn)
     Cn = C / cn[:, None]
 
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        nrm = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        nrm = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-150)
         cos = (M / nrm) @ Cn.T
         return pd.Series(np.argmax(cos, axis=1).astype("int32"))
 
@@ -345,25 +345,75 @@ def ivf_centroids(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over the corpus, initialized from ``centroids`` — the
+    drop-in quality upgrade for ``ivf_centroids`` (everything downstream
+    only sees a list of vectors).
+
+    Spark-first iteration: each round assigns every vector to its nearest
+    centroid (the same cell expression the IVF probe uses — codegen'd, or
+    the Arrow fallback past the literal budget) and re-averages per cell
+    with one hash aggregation — ONE shuffle of |cells| × dims partial sums
+    per round, nothing but the k centroid rows ever collected. Empty cells
+    keep their previous centroid (k never degenerates mid-iteration).
+    Deterministic: fixed init (hash-sampled), fixed data, and the per-cell
+    mean is an exact integer-count divide of a decimal-free float sum whose
+    partial-order drift is irrelevant to an argmax assignment.
+    """
+    cents = [list(map(float, c)) for c in centroids]
+    k = len(cents)
+    dims = len(cents[0])
+    v = _as_double(F.col(vec_col))
+    for _ in range(n_iter):
+        if k * dims > _MAX_SQL_LITERALS:
+            cell = _nearest_centroid_udf(cents)(F.col(vec_col))
+        else:
+            cell = _nearest_centroid_expr(vec_col, cents)
+        sums = (
+            embeddings.select(cell.alias("_cell"), v.alias("_v"))
+            .groupBy("_cell")
+            .agg(
+                F.array(
+                    *[F.sum(F.col("_v")[d]) for d in range(dims)]
+                ).alias("_sum"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in sums:
+            new_cents[r["_cell"]] = [s / r["_n"] for s in r["_sum"]]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
+
+
 def _nearest_centroid_expr(vec_sql: str, centroids: list[list[float]]) -> Column:
     """argmax over centroids of cosine(vec, centroid) as one expression:
     an array of (−cosine, cid) structs reduced with array_min — ties and
     NaN-free by construction (centroid norms are constants; the row norm is
     clamped away from zero)."""
-    row_norm = f"greatest(sqrt(aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)), 1e-300D)"
+    row_norm = f"greatest(sqrt(aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)), 1e-150D)"
     entries = []
     for cid, c in enumerate(centroids):
-        cnorm = math.sqrt(sum(x * x for x in c)) or 1e-300
+        cnorm = math.sqrt(sum(x * x for x in c)) or 1e-150
         cos = f"({_dot_sql(vec_sql, c)} / ({row_norm} * {cnorm!r}D))"
         entries.append(f"struct(-{cos} AS negcos, {cid} AS cid)")
     return F.expr(f"array_min(array({', '.join(entries)})).cid")
 
 
 def _centroid_ranks_py(q: list[float], centroids: list[list[float]]) -> list[int]:
-    qn = math.sqrt(sum(x * x for x in q)) or 1e-300
+    qn = math.sqrt(sum(x * x for x in q)) or 1e-150
     scored = []
     for cid, c in enumerate(centroids):
-        cn = math.sqrt(sum(x * x for x in c)) or 1e-300
+        cn = math.sqrt(sum(x * x for x in c)) or 1e-150
         dot = 0.0
         for x, y in zip(q, c):
             dot += float(x) * y

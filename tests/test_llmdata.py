@@ -283,3 +283,53 @@ def test_ivf_numpy_fallback_matches_codegen_path(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(sim, "_MAX_SQL_LITERALS", 1)
     fb = sim.ivf_ann_knn(emb, qv, k=5, n_probe=3, centroids=cents).collect()
     assert [(r.vec_id, r.cosine) for r in lit] == [(r.vec_id, r.cosine) for r in fb]
+
+
+def test_kmeans_refine_improves_planted_clusters(spark):
+    """Lloyd refinement must recover planted cluster structure: starting
+    from hash-sampled seeds, refined centroids give IVF at n_probe=1 perfect
+    recall of a query's own cluster."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata.similarity import (
+        cosine_knn,
+        ivf_ann_knn,
+        ivf_centroids,
+        kmeans_refine,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append(Row(vec_id=i, embedding=(centers[c] + rng.randn(16) * 0.05).tolist()))
+    emb = spark.createDataFrame(rows).cache()
+    emb.count()
+    seeds = ivf_centroids(emb, 4)
+    refined = kmeans_refine(emb, seeds, n_iter=10)
+    assert len(refined) == 4 and len(refined[0]) == 16
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    exact = {r.vec_id for r in cosine_knn(emb, qv, k=10).collect()}
+    got = {
+        r.vec_id
+        for r in ivf_ann_knn(
+            emb, qv, k=10, n_probe=1, centroids=refined
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_kmeans_refine_deterministic(spark):
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata.similarity import kmeans_refine
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3), float(i % 5)]) for i in range(60)]
+    )
+    seeds = [[0.0, 0.0], [2.0, 4.0]]
+    a = kmeans_refine(emb, seeds, n_iter=4)
+    b = kmeans_refine(emb, seeds, n_iter=4)
+    assert a == b
