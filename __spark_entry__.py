@@ -63,6 +63,7 @@ from coin_for_rich_spark.llmdata import (
     token_quantiles,
 )
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
+from coin_for_rich_spark.functions.partitioning import scoped_shuffle_partitions
 from coin_for_rich_spark.plans import read_ohlcvs, serialize_candles
 from coin_for_rich_spark.sources import (
     build_fetch_plan,
@@ -887,6 +888,13 @@ def q_fetch_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STAGE_CACHE: dict[str, tuple[str, object]] = {}
 _STREAM_N_CHUNKS = 4
 
+# state stores are per shuffle partition and commit every micro-batch; the
+# replay keyspace is a handful of symbols / ~150 users, so the state store
+# count is sized to the keyspace instead of inheriting the batch-wide 32
+# (which pays 32 commits x 4 batches of pure overhead). At production scale
+# this knob goes UP with the keyspace — sized, not defaulted.
+_STREAM_STATE_PARTITIONS = 8
+
 
 def _staged_stream(spark: SparkSession, sf_dir: str):
     """Replay `events` as a 4-batch time-ordered file stream (S3 stand-in).
@@ -935,7 +943,11 @@ def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = candle_stream(_staged_stream(spark, sf_dir))
     rolled = streaming_ohlcv_rollup(stream, "1h", watermark="0 seconds")
-    return run_rollup_to_memory(rolled, f"stream_rollup_1h_{uuid.uuid4().hex}")
+    return run_rollup_to_memory(
+        rolled,
+        f"stream_rollup_1h_{uuid.uuid4().hex}",
+        state_partitions=_STREAM_STATE_PARTITIONS,
+    )
 
 
 def q_stream_latest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,7 +959,11 @@ def q_stream_latest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = candle_stream(_staged_stream(spark, sf_dir))
     served = latest_value_serve(stream, keys=("symbol",))
-    return run_latest_to_memory(served, f"stream_latest_{uuid.uuid4().hex}")
+    return run_latest_to_memory(
+        served,
+        f"stream_latest_{uuid.uuid4().hex}",
+        state_partitions=_STREAM_STATE_PARTITIONS,
+    )
 
 
 def q_stream_hold_back(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,15 +976,16 @@ def q_stream_hold_back(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = candle_stream(_staged_stream(spark, sf_dir))
     name = f"stream_hold_back_{uuid.uuid4().hex}"
-    q = (
-        hold_back_collector(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, _STREAM_STATE_PARTITIONS):
+        q = (
+            hold_back_collector(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -985,14 +1002,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled, ["event_id"], time_col="ts", watermark="1 hour"
     )
     name = f"stream_dedup_{uuid.uuid4().hex}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, _STREAM_STATE_PARTITIONS):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1009,7 +1027,10 @@ def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="ts",
     )
     run_ingest(
-        _staged_stream(spark, sf_dir), sink, tempfile.mkdtemp(prefix="cfr_ckpt_")
+        _staged_stream(spark, sf_dir),
+        sink,
+        tempfile.mkdtemp(prefix="cfr_ckpt_"),
+        state_partitions=_STREAM_STATE_PARTITIONS,
     )
     return sink.read(spark)
 

@@ -16,7 +16,9 @@ guard itself is cheap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -28,3 +30,27 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` for the enclosed
+    plan-and-start window, restoring the previous value after.
+
+    Exists for the streaming runners: a stateful query creates one state
+    store per shuffle partition and commits EVERY one of them in EVERY
+    micro-batch, even when the keyspace is a handful of symbols — so the
+    per-batch floor cost is partitions × commit, paid regardless of data.
+    State partitioning is fixed at the first checkpoint, so the right number
+    is keyspace-sized, chosen per query, not inherited from the batch-wide
+    shuffle default (where 32+ is correct for fact-table joins). At real
+    scale the same knob goes UP for hot wide keyspaces — the point is that
+    it's sized, not defaulted.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)

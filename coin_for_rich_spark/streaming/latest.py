@@ -39,16 +39,30 @@ def latest_value_serve(
 
 
 def run_latest_to_memory(
-    served: DataFrame, table_name: str, trigger: dict | None = None
+    served: DataFrame,
+    table_name: str,
+    trigger: dict | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive the serve aggregate into an in-memory sink in complete mode
-    (state is one row per key, so 'complete' is the serve-hash snapshot)."""
-    q = (
-        served.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table_name)
-        .trigger(**(trigger or {"availableNow": True}))
-        .start()
+    (state is one row per key, so 'complete' is the serve-hash snapshot).
+    ``state_partitions`` sizes the state store to the keyspace."""
+    from contextlib import nullcontext
+
+    from ..functions.partitioning import scoped_shuffle_partitions
+
+    scope = (
+        scoped_shuffle_partitions(served.sparkSession, state_partitions)
+        if state_partitions
+        else nullcontext()
     )
-    q.awaitTermination()
+    with scope:
+        q = (
+            served.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table_name)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+        q.awaitTermination()
     return served.sparkSession.table(table_name)

@@ -98,17 +98,32 @@ def run_rollup_to_memory(
     rolled: DataFrame,
     table_name: str,
     trigger: dict | None = None,
+    state_partitions: int | None = None,
 ) -> "DataFrame":
     """Drive a streaming rollup into an in-memory sink (tests / serve cache).
 
     Append mode ⇒ only watermark-closed candles land in the table. Returns
-    after the stream finishes (availableNow by default).
+    after the stream finishes (availableNow by default). ``state_partitions``
+    sizes the state store to the keyspace (see
+    functions.partitioning.scoped_shuffle_partitions).
     """
+    from contextlib import nullcontext
+
+    from ..functions.partitioning import scoped_shuffle_partitions
+
+    scope = (
+        scoped_shuffle_partitions(rolled.sparkSession, state_partitions)
+        if state_partitions
+        else nullcontext()
+    )
     writer = (
         rolled.writeStream.outputMode("append")
         .format("memory")
         .queryName(table_name)
     )
-    q = writer.trigger(**(trigger or {"availableNow": True})).start()
-    q.awaitTermination()
+    with scope:
+        # the scope must cover awaitTermination: micro-batch planning (which
+        # captures the state partition count) happens after start() returns
+        q = writer.trigger(**(trigger or {"availableNow": True})).start()
+        q.awaitTermination()
     return rolled.sparkSession.table(table_name)

@@ -151,6 +151,7 @@ def run_ingest(
     sink: ParquetMergeSink,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    state_partitions: int | None = None,
 ) -> None:
     """The micro-batch collector (S4): drive a stream into a merge sink.
 
@@ -158,10 +159,20 @@ def run_ingest(
     updater's drain cadence (`fetchers/ws/updater.py:29`); tests use
     availableNow for a deterministic bounded run.
     """
-    q = (
-        stream.writeStream.foreachBatch(sink.merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(**(trigger or {"availableNow": True}))
-        .start()
+    from contextlib import nullcontext
+
+    from ..functions.partitioning import scoped_shuffle_partitions
+
+    scope = (
+        scoped_shuffle_partitions(stream.sparkSession, state_partitions)
+        if state_partitions
+        else nullcontext()
     )
-    q.awaitTermination()
+    with scope:
+        q = (
+            stream.writeStream.foreachBatch(sink.merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+        q.awaitTermination()
