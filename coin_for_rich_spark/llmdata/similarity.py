@@ -114,13 +114,19 @@ def bucket_of(vec_col: str, planes: list[list[float]]) -> Column:
 
 
 # Budget of embedded double literals per plan before the literal-SQL paths
-# switch to an Arrow-batched numpy fallback: one giant codegen'd expression is
-# the fastest plan while Janino compiles it, but past the method-size /
-# constant-pool limits Spark silently falls back to interpreted evaluation of
-# the same enormous tree — slower than honest vectorized Python. The current
-# defaults (768 dims × 8 planes × 8 tables ≈ 49k literals) stay codegen'd;
-# bigger dims/configs take the numpy path.
-_MAX_SQL_LITERALS = 100_000
+# switch to an Arrow-batched numpy (BLAS) implementation. Two reasons, both
+# measured, not assumed:
+# - correctness of the fast-path claim: past Janino's method-size /
+#   constant-pool limits Spark silently falls back to interpreted evaluation
+#   of the same enormous expression tree;
+# - the perf crossover arrives far earlier than the codegen limit: the
+#   literal fold is a per-row sequential loop plus a per-invocation
+#   parse/analyze of a thousands-of-literals expression, while the Arrow
+#   path is one batched matmul. Measured on 64-dim vectors at sf0.1:
+#   LSH 8×8 (4096 literals) 1.36 s codegen'd vs 0.35 s BLAS; IVF 16 cells
+#   (1024 literals) 0.92 s vs 0.40 s. The literal path remains the right
+#   plan for narrow configs where Arrow transfer overhead dominates.
+_MAX_SQL_LITERALS = 1000
 
 
 def _lsh_candidate_udf(tables: list[tuple[list[list[float]], list[int]]]):
