@@ -910,7 +910,15 @@ def _staged_stream(spark: SparkSession, sf_dir: str):
     from coin_for_rich_spark.streaming.source import read_file_stream
 
     if sf_dir not in _STREAM_STAGE_CACHE:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        # the key includes the source file's identity (size + mtime), so a
+        # regenerated testdata dir at the same path can never serve a stale
+        # staged replay
+        try:
+            st = os.stat(os.path.join(sf_dir, "events.parquet"))
+            ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+        except OSError:
+            ident = sf_dir
+        key = hashlib.md5(ident.encode()).hexdigest()[:12]
         final = os.path.join(
             tempfile.gettempdir(),
             f"cfr_stream_{key}_{_STREAM_N_CHUNKS}",
@@ -918,14 +926,15 @@ def _staged_stream(spark: SparkSession, sf_dir: str):
         )
         ev = load_table(spark, sf_dir, "events")
         if not os.path.isdir(final):
-            tmp = tempfile.mkdtemp(prefix="cfr_stream_stage_") + "/events"
+            tmp_parent = tempfile.mkdtemp(prefix="cfr_stream_stage_")
+            tmp = os.path.join(tmp_parent, "events")
             stage_stream_chunks(ev, tmp, n_chunks=_STREAM_N_CHUNKS)
             os.makedirs(os.path.dirname(final), exist_ok=True)
             try:
                 os.rename(tmp, final)
             except OSError:
-                # a concurrent staging won the rename — its dir is complete
-                shutil.rmtree(tmp, ignore_errors=True)
+                pass  # a concurrent staging won the rename — its dir is complete
+            shutil.rmtree(tmp_parent, ignore_errors=True)
         _STREAM_STAGE_CACHE[sf_dir] = (final, ev.schema)
     path, schema = _STREAM_STAGE_CACHE[sf_dir]
     return read_file_stream(spark, path, schema)
