@@ -40,6 +40,8 @@ from coin_for_rich_spark.operators import (
 )
 from coin_for_rich_spark.llmdata import (
     attach_fake_media,
+    attach_real_media,
+    decode_media_stats,
     cosine_knn,
     dedup_clusters,
     embedding_neardup_pairs,
@@ -840,6 +842,21 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(media, max_w=256, max_h=256)
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip, oracle-checked: per document, a valid 8-bit
+    grayscale PNG (even ids) or PCM16 mono WAV (odd ids) is ENCODED from
+    closed-form content, then DECODED back (pure stdlib+numpy: zlib inflate
+    + PNG filter reconstruction / RIFF walk — llmdata.codecs) and reduced to
+    integer-exact value statistics. The oracle never sees the bytes — it
+    recomputes count/sum/min/max of the decoded pixels/samples directly from
+    the generation formulas — so a green row certifies the whole
+    encode→bytes→decode pipeline, not just metadata plumbing. Bytes are
+    born and die inside executor Arrow batches (two chained mapInPandas);
+    library-dependent formats (JPEG/MP4/…) remain honestly stubbed."""
+    media = attach_real_media(load_table(spark, sf_dir, "documents"))
+    return decode_media_stats(media)
+
+
 # ---------------------------------------------------------------------------
 # backfill fetch plan (S1/S2 — the REST work queue as a distributed relation)
 # ---------------------------------------------------------------------------
@@ -1082,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
+        "media_decode": q_media_decode,
         # sketch / probabilistic dedup tiers
         "token_quantiles": q_token_quantiles,
         "simhash_pairs": q_simhash_pairs,
@@ -1641,6 +1659,56 @@ def oracle_sql() -> dict[str, str]:
                    greatest(1, CAST(floor(width * least(1.0, 256.0 / width, 256.0 / height)) AS INT)) AS target_w,
                    greatest(1, CAST(floor(height * least(1.0, 256.0 / width, 256.0 / height)) AS INT)) AS target_h
             FROM imgs
+        """,
+        # the decode oracle recomputes the statistics of the DECODED values
+        # straight from the generation formulas (attach_real_media docstring)
+        # — it can't parse PNG/WAV, and doesn't need to: the Spark side must
+        # arrive at the same integers THROUGH the bytes.
+        "media_decode": """
+            WITH png_px AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           0, (doc_id % 31 + 1) * (doc_id % 23 + 1) - 1)) AS k
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            png_v AS (
+                SELECT doc_id,
+                       ((k % (doc_id % 31 + 1)) * 7
+                        + (k // (doc_id % 31 + 1)) * 13 + doc_id) % 256 AS v
+                FROM png_px
+            ),
+            png_feats AS (
+                SELECT doc_id AS media_id, 'png' AS kind,
+                       CAST(min(doc_id) % 31 + 1 AS INT) AS width,
+                       CAST(min(doc_id) % 23 + 1 AS INT) AS height,
+                       count(*) AS n_values,
+                       CAST(sum(v) AS BIGINT) AS value_sum,
+                       CAST(min(v) AS BIGINT) AS value_min,
+                       CAST(max(v) AS BIGINT) AS value_max
+                FROM png_v GROUP BY doc_id
+            ),
+            wav_s AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, doc_id % 977 + 99)) AS t
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            wav_v AS (
+                SELECT doc_id, (t * 31 + doc_id * 17) % 65521 - 32760 AS v
+                FROM wav_s
+            ),
+            wav_feats AS (
+                SELECT doc_id AS media_id, 'wav' AS kind,
+                       CAST(NULL AS INT) AS width,
+                       CAST(NULL AS INT) AS height,
+                       count(*) AS n_values,
+                       CAST(sum(v) AS BIGINT) AS value_sum,
+                       CAST(min(v) AS BIGINT) AS value_min,
+                       CAST(max(v) AS BIGINT) AS value_max
+                FROM wav_v GROUP BY doc_id
+            )
+            SELECT * FROM png_feats
+            UNION ALL
+            SELECT * FROM wav_feats
         """,
         "fetch_plan": f"""
             WITH syms(exchange, symbol) AS (VALUES {_FETCH_SYMS_SQL})

@@ -2,11 +2,18 @@
 with typed metadata, processed by Arrow-batched Pandas functions.
 
 The Spark-side architecture is real and tested: schema, partition-preserving
-``mapInPandas`` plumbing, batch shapes, deterministic outputs. The actual
-codec work (PIL/ffmpeg/librosa decode) is STUBBED — those libraries are not
-in this container — behind ``decode_media``: pass ``fake=True`` for a
-deterministic fake decoder (hash-derived "pixels"), or get a clearly-marked
-``NotImplementedError`` naming the dependency.
+``mapInPandas`` plumbing, batch shapes, deterministic outputs. The codec
+boundary is split honestly in two:
+
+- REAL: 8-bit grayscale PNG and PCM16 mono WAV encode/decode in pure
+  stdlib+numpy (llmdata.codecs — zlib inflate + PNG filter reconstruction,
+  RIFF chunk walk). ``attach_real_media``/``decode_media_stats`` run a
+  genuine bytes→pixels/samples round trip whose integer statistics are
+  oracle-checked (`media_decode` query).
+- STUBBED: everything needing a codec library (JPEG, MP4, compressed
+  audio — PIL/ffmpeg/librosa are not in this container) raises a
+  clearly-marked ``NotImplementedError``; ``decode_media(fake=True)`` is the
+  deterministic fake for plumbing tests.
 
 Scale posture: media bytes stay in the executor's Arrow batches end-to-end —
 never collected, never shuffled (feature extraction is map-only). For 100 TB
@@ -114,6 +121,118 @@ def extract_media_features(media: DataFrame, fake: bool = True, batch_hint: int 
             yield out
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_values", T.LongType(), False),
+        T.StructField("value_sum", T.LongType(), False),
+        T.StructField("value_min", T.LongType(), False),
+        T.StructField("value_max", T.LongType(), False),
+    ]
+)
+
+
+def attach_real_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate a REAL encoded media payload per document — a valid 8-bit
+    grayscale PNG for even ids, a valid PCM16 mono WAV for odd ids — from
+    closed-form deterministic content (llmdata.codecs encoders):
+
+    - PNG, id i: width i%31+1, height i%23+1, pixel(x,y) = (7x+13y+i) % 256
+    - WAV, id i: i%977+100 samples, sample(t) = (31t + 17i) % 65521 − 32760
+
+    The formulas are the contract: an oracle can predict every statistic of
+    the DECODED values without being able to parse the bytes, which is what
+    makes a real end-to-end decode oracle-checkable. Generation runs in
+    Arrow-batched ``mapInPandas``; bytes are born on executors and never
+    visit the driver.
+    """
+    import numpy as np
+
+    from .codecs import png_encode_gray, wav_encode_pcm16
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, payloads = [], [], []
+            for i in pdf["media_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = i % 31 + 1, i % 23 + 1
+                    x = np.arange(w, dtype=np.int64)[None, :]
+                    y = np.arange(h, dtype=np.int64)[:, None]
+                    px = ((7 * x + 13 * y + i) % 256).astype(np.uint8)
+                    mimes.append("image/png")
+                    payloads.append(png_encode_gray(px))
+                else:
+                    n = i % 977 + 100
+                    t = np.arange(n, dtype=np.int64)
+                    s = ((31 * t + 17 * i) % 65521 - 32760).astype(np.int16)
+                    mimes.append("audio/wav")
+                    payloads.append(wav_encode_pcm16(s))
+                ids.append(i)
+            yield pd.DataFrame(
+                {"media_id": ids, "mime": mimes, "payload": payloads}
+            )
+
+    src = docs.select(F.col(id_col).alias("media_id"))
+    return src.mapInPandas(gen, schema=schema)
+
+
+def decode_media_stats(media: DataFrame) -> DataFrame:
+    """REAL decode of PNG/WAV payloads (llmdata.codecs — zlib inflate +
+    filter reconstruction / RIFF walk, no media libraries) to integer-exact
+    value statistics: count, sum, min, max of the decoded pixels/samples.
+
+    Integer stats make the decode itself oracle-checkable: uint8/int16
+    values summed in int64 are bit-identical in any engine, so a mismatch
+    anywhere in chunk parsing, inflate, or unfiltering breaks the hash.
+    Map-only mapInPandas — bytes stay inside the executor's Arrow batches.
+    """
+    import numpy as np
+
+    from .codecs import png_decode_gray, wav_decode_pcm16
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime == "image/png":
+                    px = png_decode_gray(bytes(payload))
+                    v = px.astype(np.int64)
+                    h, w = px.shape
+                    rows.append((int(media_id), "png", w, h, v.size,
+                                 int(v.sum()), int(v.min()), int(v.max())))
+                elif mime == "audio/wav":
+                    s, _rate = wav_decode_pcm16(bytes(payload))
+                    v = s.astype(np.int64)
+                    rows.append((int(media_id), "wav", None, None, v.size,
+                                 int(v.sum()), int(v.min()), int(v.max())))
+                else:
+                    raise NotImplementedError(
+                        f"decode of {mime!r} requires a codec library not in "
+                        "this environment"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "width", "height", "n_values",
+                         "value_sum", "value_min", "value_max"],
+            )
+
+    return media.mapInPandas(decode, schema=DECODE_STATS_SCHEMA)
 
 
 def resize_plan(

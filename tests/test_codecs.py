@@ -1,0 +1,123 @@
+"""Pure-stdlib PNG/WAV codecs: round trips, full PNG filter-set decode,
+honest NotImplementedError boundaries."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from coin_for_rich_spark.llmdata.codecs import (
+    _png_chunk,
+    _PNG_MAGIC,
+    png_decode_gray,
+    png_encode_gray,
+    wav_decode_pcm16,
+    wav_encode_pcm16,
+)
+
+
+def test_png_round_trip_random():
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (7, 3), (64, 48), (31, 23)]:
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(png_decode_gray(png_encode_gray(px)), px)
+
+
+def _encode_with_filters(px: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-built encoder applying an explicit filter type per row — used to
+    prove the decoder reconstructs all five filter types, not just the
+    filter-0 stream our encoder emits."""
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        cur = px[y].astype(np.int64)
+        left = np.concatenate(([0], cur[:-1]))
+        upleft = np.concatenate(([0], prev[:-1]))
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = (cur - left) % 256
+        elif f == 2:
+            out = (cur - prev) % 256
+        elif f == 3:
+            out = (cur - (left + prev) // 2) % 256
+        else:
+            pa = abs(prev - upleft)
+            pb = abs(left - upleft)
+            pc = abs(left + prev - 2 * upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = (cur - pred) % 256
+        raw.extend(int(v) for v in out)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(10, 17), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = png_decode_gray(_encode_with_filters(px, filters))
+        assert np.array_equal(got, px), filters
+
+
+def test_png_unsupported_subset_raises():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # color type 2 = RGB
+    data = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError, match="color type 2"):
+        png_decode_gray(data)
+    with pytest.raises(ValueError, match="bad signature"):
+        png_decode_gray(b"JFIF....")
+
+
+def test_wav_round_trip_and_chunk_skip():
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32768, size=501, dtype=np.int16)
+    data = wav_encode_pcm16(s, sample_rate=16000)
+    # splice an extra LIST chunk (odd length → word-aligned) before data
+    fmt_end = data.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = data[:fmt_end] + extra + data[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    got, rate = wav_decode_pcm16(spliced)
+    assert rate == 16000
+    assert np.array_equal(got, s)
+
+
+def test_wav_unsupported_subset_raises():
+    s = np.zeros(4, dtype=np.int16)
+    data = bytearray(wav_encode_pcm16(s))
+    pos = data.index(b"fmt ") + 8
+    data[pos + 2 : pos + 4] = struct.pack("<H", 2)  # channels = 2
+    with pytest.raises(NotImplementedError, match="2ch"):
+        wav_decode_pcm16(bytes(data))
+
+
+def test_attach_real_media_decodes_externally(spark, sf_dir):
+    """The generated payloads are REAL files: every PNG/WAV byte string
+    round-trips through the decoder with the dimensions/lengths the
+    generation formulas promise."""
+    from coin_for_rich_spark.llmdata import attach_real_media
+    from coin_for_rich_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    for r in attach_real_media(docs).collect():
+        if r.mime == "image/png":
+            px = png_decode_gray(bytes(r.payload))
+            assert px.shape == (r.media_id % 23 + 1, r.media_id % 31 + 1)
+        else:
+            s, rate = wav_decode_pcm16(bytes(r.payload))
+            assert rate == 8000 and len(s) == r.media_id % 977 + 100
