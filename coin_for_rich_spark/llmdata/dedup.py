@@ -376,10 +376,21 @@ def minhash_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+# packed-lane SimHash accumulator geometry: 3 bit-counters per BIGINT in
+# 21-bit lanes → 22 aggregate columns instead of 64. Lane sums are exact as
+# long as no document has ≥ 2^21 tokens (guarded loudly below); bit i of the
+# fingerprint is set iff strictly more than half the token hashes set it —
+# identical to the ±1-sum sign rule (2·ones > n ⇔ Σ(±1) > 0).
+_SIMHASH_LANE_BITS = 21
+_SIMHASH_BITS_PER_COL = 3
+_SIMHASH_N_PACKED = 22  # ceil(64 / 3)
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "packed",
 ) -> DataFrame:
     """64-bit SimHash per document, stored as 4×16-bit chunks (array<int>).
 
@@ -387,29 +398,83 @@ def simhash_fingerprints(
     summed per document; fingerprint bit i = sign of sum. The chunked
     representation avoids BIGINT sign/overflow issues under ANSI mode and is
     what the pigeonhole banding joins on.
+
+    ``impl='packed'`` (default) accumulates 3 per-bit counters per BIGINT in
+    21-bit lanes — a 22-column aggregation buffer instead of 64, measurably
+    faster through the hash agg's per-row buffer update, with a loud
+    ``assert_true`` guard on the 2²¹-tokens-per-doc lane capacity.
+    ``impl='wide'`` is the direct 64-column ±1 formulation, kept as the
+    reference implementation; equality of the two is pinned in
+    tests/test_llmdata.py.
     """
     tok = (
         ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("token"))
         .withColumn("h", F.xxhash64("token"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
-        ).alias(f"s_{i}")
-        for i in range(64)
-    ]
-    summed = tok.groupBy("doc").agg(*bit_sums)
+    if impl == "wide":
+        bit_sums = [
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
+            ).alias(f"s_{i}")
+            for i in range(64)
+        ]
+        summed = tok.groupBy("doc").agg(*bit_sums)
+        bit_of = {
+            i: (F.col(f"s_{i}") > 0) for i in range(64)
+        }
+    else:
+        packed = []
+        for g in range(_SIMHASH_N_PACKED):
+            bits = range(
+                g * _SIMHASH_BITS_PER_COL,
+                min((g + 1) * _SIMHASH_BITS_PER_COL, 64),
+            )
+            lanes = None
+            for j, b in enumerate(bits):
+                lane = F.shiftleft(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)),
+                    _SIMHASH_LANE_BITS * j,
+                )
+                lanes = lane if lanes is None else lanes + lane
+            packed.append(F.sum(lanes).alias(f"p_{g}"))
+        summed = tok.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("_n"), *packed
+        )
+        lane_mask = (1 << _SIMHASH_LANE_BITS) - 1
+
+        def _count(i: int):
+            g, j = divmod(i, _SIMHASH_BITS_PER_COL)
+            return F.shiftright(
+                F.col(f"p_{g}"), _SIMHASH_LANE_BITS * j
+            ).bitwiseAND(F.lit(lane_mask))
+
+        bit_of = {i: (2 * _count(i) > F.col("_n")) for i in range(64)}
+        # the lane-capacity guard must live INSIDE an expression that reaches
+        # the output (a free-standing column would be pruned by Catalyst and
+        # never evaluated): assert_true yields NULL (or raises), so this adds
+        # a non-foldable 0 to chunk_0
+        guard = F.coalesce(
+            F.assert_true(
+                F.col("_n") < F.lit(1 << _SIMHASH_LANE_BITS),
+                F.lit(
+                    "simhash packed lanes overflow: document exceeds 2^21 "
+                    "tokens — use impl='wide'"
+                ),
+            ).cast("int"),
+            F.lit(0),
+        )
+    if impl == "wide":
+        guard = F.lit(0)
     chunks = []
     for c in range(4):
-        bits = [
-            F.when(F.col(f"s_{c*16 + j}") > 0, F.lit(1 << j)).otherwise(0)
-            for j in range(16)
-        ]
-        expr = bits[0]
-        for bcol in bits[1:]:
-            expr = expr + bcol
-        chunks.append(expr.alias(f"chunk_{c}"))
+        expr = None
+        for j in range(16):
+            bcol = F.when(bit_of[c * 16 + j], F.lit(1 << j)).otherwise(0)
+            expr = bcol if expr is None else expr + bcol
+        if c == 0:
+            expr = expr + guard
+        chunks.append(expr.cast("int").alias(f"chunk_{c}"))
     fp = summed.select("doc", *chunks)
     return fp.select(
         "doc",

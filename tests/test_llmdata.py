@@ -333,3 +333,18 @@ def test_kmeans_refine_deterministic(spark):
     a = kmeans_refine(emb, seeds, n_iter=4)
     b = kmeans_refine(emb, seeds, n_iter=4)
     assert a == b
+
+
+def test_simhash_packed_equals_wide(spark, sf_dir):
+    """The packed-lane accumulator (22 BIGINT columns) must produce exactly
+    the fingerprints of the reference 64-column ±1 formulation."""
+    from coin_for_rich_spark.llmdata.dedup import simhash_fingerprints
+    from coin_for_rich_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = {r.doc: r.simhash_hex for r in simhash_fingerprints(docs).collect()}
+    wide = {
+        r.doc: r.simhash_hex
+        for r in simhash_fingerprints(docs, impl="wide").collect()
+    }
+    assert packed == wide and len(packed) == docs.count()
