@@ -42,6 +42,7 @@ from coin_for_rich_spark.llmdata import (
     attach_fake_media,
     attach_real_media,
     decode_media_stats,
+    resample_media,
     cosine_knn,
     dedup_clusters,
     embedding_neardup_pairs,
@@ -857,6 +858,16 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_stats(media)
 
 
+def q_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resample, oracle-checked: real PNGs decoded, NN-downscaled
+    (aspect-preserving, the resize_plan arithmetic), re-encoded, re-decoded,
+    reduced to integer stats. The oracle predicts every output pixel from
+    the generation formulas + the NN index map ((x*w)//tw, (y*h)//th) — the
+    codec never runs in the oracle, yet the values must agree exactly."""
+    media = attach_real_media(load_table(spark, sf_dir, "documents"))
+    return resample_media(media, max_w=16, max_h=12)
+
+
 # ---------------------------------------------------------------------------
 # backfill fetch plan (S1/S2 — the REST work queue as a distributed relation)
 # ---------------------------------------------------------------------------
@@ -1100,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
         "media_decode": q_media_decode,
+        "media_resample": q_media_resample,
         # sketch / probabilistic dedup tiers
         "token_quantiles": q_token_quantiles,
         "simhash_pairs": q_simhash_pairs,
@@ -1709,6 +1721,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM png_feats
             UNION ALL
             SELECT * FROM wav_feats
+        """,
+        # output pixel (x, y) of the NN downscale is source pixel
+        # ((x*w)//tw, (y*h)//th), and source pixel (sx, sy) of image i is
+        # (7sx + 13sy + i) % 256 — so the oracle enumerates the output grid
+        # and predicts every decoded value without running any codec.
+        "media_resample": """
+            WITH img AS (
+                SELECT doc_id, doc_id % 31 + 1 AS w, doc_id % 23 + 1 AS h
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            dims AS (
+                SELECT doc_id, w, h, least(1.0, 16.0 / w, 12.0 / h) AS scale
+                FROM img
+            ),
+            t AS (
+                SELECT doc_id, w, h,
+                       greatest(1, CAST(floor(w * scale) AS BIGINT)) AS tw,
+                       greatest(1, CAST(floor(h * scale) AS BIGINT)) AS th
+                FROM dims
+            ),
+            grid AS (
+                SELECT doc_id, w, h, tw, th,
+                       unnest(generate_series(0, tw * th - 1)) AS k
+                FROM t
+            ),
+            vals AS (
+                SELECT doc_id, w, h, tw, th,
+                       ((((k % tw) * w) // tw) * 7
+                        + (((k // tw) * h) // th) * 13 + doc_id) % 256 AS v
+                FROM grid
+            )
+            SELECT doc_id AS media_id,
+                   CAST(min(w) AS INT) AS width,
+                   CAST(min(h) AS INT) AS height,
+                   CAST(min(tw) AS INT) AS target_w,
+                   CAST(min(th) AS INT) AS target_h,
+                   count(*) AS n_values,
+                   CAST(sum(v) AS BIGINT) AS value_sum,
+                   CAST(min(v) AS BIGINT) AS value_min,
+                   CAST(max(v) AS BIGINT) AS value_max
+            FROM vals GROUP BY doc_id
         """,
         "fetch_plan": f"""
             WITH syms(exchange, symbol) AS (VALUES {_FETCH_SYMS_SQL})

@@ -7,6 +7,7 @@ from .multimodal import (
     attach_real_media,
     decode_media_stats,
     extract_media_features,
+    resample_media,
     resize_plan,
     sample_frames,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "attach_real_media",
     "decode_media_stats",
     "extract_media_features",
+    "resample_media",
     "resize_plan",
     "sample_frames",
 ]

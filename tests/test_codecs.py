@@ -121,3 +121,45 @@ def test_attach_real_media_decodes_externally(spark, sf_dir):
         else:
             s, rate = wav_decode_pcm16(bytes(r.payload))
             assert rate == 8000 and len(s) == r.media_id % 977 + 100
+
+
+def test_resample_gray_nn_mapping():
+    from coin_for_rich_spark.llmdata.codecs import resample_gray
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(23, 31), dtype=np.uint8)
+    out = resample_gray(px, 16, 11)
+    assert out.shape == (11, 16)
+    for y in range(11):
+        for x in range(16):
+            assert out[y, x] == px[(y * 23) // 11, (x * 31) // 16]
+    # upscale and identity
+    assert np.array_equal(resample_gray(px, 31, 23), px)
+    up = resample_gray(px, 62, 23)
+    assert up.shape == (23, 62) and up[0, 0] == px[0, 0] and up[0, 1] == px[0, 0]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 30),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_round_trip_property(w, h, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(png_decode_gray(png_encode_gray(px)), px)
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(1, 2000), seed=st.integers(0, 2**31 - 1))
+    def test_wav_round_trip_property(n, seed):
+        rng = np.random.RandomState(seed)
+        s = rng.randint(-32768, 32768, size=n, dtype=np.int16)
+        got, rate = wav_decode_pcm16(wav_encode_pcm16(s, 44100))
+        assert rate == 44100 and np.array_equal(got, s)
+except ImportError:  # pragma: no cover
+    pass
