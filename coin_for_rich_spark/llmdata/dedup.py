@@ -289,6 +289,70 @@ def dedup_clusters(
     )
 
 
+def cross_corpus_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+    exact: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: which TRAIN documents share content
+    with an EVAL set — exact duplicates and/or n-gram shingle overlap.
+
+    Returns one row per contaminated (train_id, eval_id) pair with
+    ``exact_dup`` (normalized-text hash equality) and ``n_shared_shingles``
+    (distinct n-gram overlap ≥ ``min_overlap``). This is the standard
+    pre-training hygiene step (remove eval benchmarks from the training
+    corpus) expressed as pure relational algebra:
+
+    - shingle overlap is the same inverted-index equi-join as
+      ``ngram_jaccard_pairs``, but ACROSS corpora — the eval side is tiny
+      relative to training data, so its shingle index broadcasts and the
+      100 TB train scan never shuffles;
+    - exact duplication is a broadcast semi-join on md5(normalized text).
+
+    At scale this is one pass over the training corpus with two broadcast
+    hash probes — no train-side self-join ever happens.
+    """
+    t_idx = _shingle_index(train, text_col, id_col, n).withColumnRenamed(
+        "doc", "train_id"
+    )
+    e_idx = _shingle_index(evalset, text_col, id_col, n).withColumnRenamed(
+        "doc", "eval_id"
+    )
+    shingle_hits = (
+        t_idx.join(F.broadcast(e_idx), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_overlap)
+    )
+    if not exact:
+        return shingle_hits.withColumn("exact_dup", F.lit(False))
+    norm = lambda c: F.md5(F.lower(F.trim(F.col(c))))  # noqa: E731
+    t_hash = train.select(
+        F.col(id_col).alias("train_id"), norm(text_col).alias("_h")
+    )
+    e_hash = evalset.select(
+        F.col(id_col).alias("eval_id"), norm(text_col).alias("_h")
+    )
+    exact_pairs = t_hash.join(F.broadcast(e_hash), "_h").select(
+        "train_id", "eval_id", F.lit(True).alias("exact_dup")
+    )
+    return (
+        shingle_hits.join(exact_pairs, ["train_id", "eval_id"], "full")
+        .select(
+            "train_id",
+            "eval_id",
+            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("n_shared_shingles"), F.lit(0)).alias(
+                "n_shared_shingles"
+            ),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -348,3 +348,35 @@ def test_simhash_packed_equals_wide(spark, sf_dir):
         for r in simhash_fingerprints(docs, impl="wide").collect()
     }
     assert packed == wide and len(packed) == docs.count()
+
+
+def test_cross_corpus_contamination(spark):
+    """Planted eval leakage: an exact copy, a shingle-overlapping rewrite,
+    and a clean doc — only the first two are flagged, with the right
+    classification."""
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata import cross_corpus_contamination
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely unrelated training material about spark"),
+            Row(doc_id=3, text="something with the quick brown fox phrase inside it"),
+        ]
+    )
+    evalset = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="The Quick Brown Fox Jumps Over The Lazy Dog Today".lower()),
+            Row(doc_id=101, text="held out benchmark question nobody trained on"),
+        ]
+    )
+    got = {
+        (r.train_id, r.eval_id): (r.exact_dup, r.n_shared_shingles)
+        for r in cross_corpus_contamination(train, evalset, min_overlap=2).collect()
+    }
+    assert (1, 100) in got
+    exact_dup, shared = got[(1, 100)]
+    assert exact_dup and shared >= 7
+    assert (3, 100) in got and not got[(3, 100)][0]
+    assert all(tid != 2 and eid != 101 for tid, eid in got)
