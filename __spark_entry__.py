@@ -46,9 +46,7 @@ from coin_for_rich_spark.llmdata import (
     cosine_knn,
     dedup_clusters,
     embedding_neardup_pairs,
-    doc_langid,
     doc_profile,
-    doc_stats,
     chunk_documents,
     exact_dedup,
     extract_media_features,
@@ -587,19 +585,20 @@ def q_serve_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation pipeline: quality gate (doc_stats) + language ID +
-    exact-dedup canonical-copy selection, summarized per (lang, quality).
-    The composition is pure DataFrame algebra over the individual operators —
-    the same plan shape a 100 TB curation run would use, with the dedup
-    keep-list as a broadcast semi-join."""
+    """End-to-end curation pipeline: quality gate + language ID (one fused
+    doc_profile scan — per-doc columns never need a join between themselves)
+    + exact-dedup canonical-copy selection, summarized per (lang, quality).
+    Pure DataFrame algebra over the individual operators — the same plan
+    shape a 100 TB curation run would use: one corpus scan for the profile,
+    one hash agg for the dedup keep-list, a broadcast semi-join between
+    them."""
     docs = load_table(spark, sf_dir, "documents")
-    stats = doc_stats(docs).select("doc_id", "n_tokens", "quality_bucket")
-    lang = doc_langid(docs).select("doc_id", "pred_lang")
+    profile = doc_profile(docs).select(
+        "doc_id", "n_tokens", "quality_bucket", "pred_lang"
+    )
     keep_ids = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     kept = (
-        docs.join(F.broadcast(keep_ids), "doc_id", "left_semi")
-        .join(stats, "doc_id")
-        .join(lang, "doc_id")
+        profile.join(F.broadcast(keep_ids), "doc_id", "left_semi")
         .filter(F.col("quality_bucket") != "too_short")
     )
     return (

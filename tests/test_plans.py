@@ -122,3 +122,28 @@ def test_candles_all_is_one_scan_two_exchanges(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan.count("FileScan")
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_doc_profile_is_exchange_free(spark, sf_dir):
+    """The fused text-analysis scan is pure per-row algebra — any Exchange
+    in its plan means a join/shuffle crept back in."""
+    from coin_for_rich_spark.llmdata import doc_profile
+    from coin_for_rich_spark.sources import load_table
+
+    plan = (
+        doc_profile(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_media_pipeline_is_exchange_free(spark, sf_dir):
+    """generate → decode → stats is map-only: media bytes must never be
+    shuffled (one scan, chained mapInPandas, zero Exchanges)."""
+    from coin_for_rich_spark.llmdata import attach_real_media, decode_media_stats
+    from coin_for_rich_spark.sources import load_table
+
+    df = decode_media_stats(attach_real_media(load_table(spark, sf_dir, "documents")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
