@@ -351,6 +351,51 @@ def ivf_centroids(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` — 4× smaller than float32 (16× vs the
+    float64 compute form), the standard storage/bandwidth tier for
+    billion-vector corpora (IVF-int8 and friends). Reconstruction error is
+    bounded by scale/2 per component (pinned in tests).
+
+    Pure column algebra (transform / array_max / round) — no UDF, no
+    shuffle; quantization happens inside the scan stage and the int8 table
+    is what ships to disk. Zero vectors quantize to zeros via a clamped
+    scale.
+    """
+    v = _as_double(F.col(vec_col))
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(1e-30)
+    )
+    return embeddings.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")).alias(
+            "qvec"
+        ),
+    )
+
+
+def dequantize_embeddings(
+    quantized: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: x̂_i = q_i · scale (float array).
+    Downstream similarity operators take the reconstructed column unchanged
+    — the quantized tier is a drop-in corpus for cosine_knn / LSH / IVF at
+    ~1/4 the bytes, trading ≤ scale/2 per-component error."""
+    return quantized.select(
+        F.col(id_col),
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+
+
 def kmeans_refine(
     embeddings: DataFrame,
     centroids: list[list[float]],

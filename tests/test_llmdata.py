@@ -380,3 +380,31 @@ def test_cross_corpus_contamination(spark):
     assert exact_dup and shared >= 7
     assert (3, 100) in got and not got[(3, 100)][0]
     assert all(tid != 2 and eid != 101 for tid, eid in got)
+
+
+def test_quantize_round_trip_error_bound(spark, sf_dir):
+    """int8 quantize→dequantize reconstruction error is ≤ scale/2 per
+    component, and quantized-corpus kNN agrees with float kNN on top-1."""
+    import numpy as np
+
+    from coin_for_rich_spark.llmdata import (
+        cosine_knn,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb).cache()
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    for r in q.collect():
+        x = orig[r.vec_id]
+        xhat = np.array(r.qvec, dtype=float) * r.scale
+        assert np.all(np.abs(x - xhat) <= r.scale / 2 + 1e-12)
+        assert all(-127 <= int(v) <= 127 for v in r.qvec)
+    deq = dequantize_embeddings(q)
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    top_f = cosine_knn(emb, qv, k=3).collect()
+    top_q = cosine_knn(deq, qv, k=3).collect()
+    assert top_f[0].vec_id == top_q[0].vec_id
+    q.unpersist()

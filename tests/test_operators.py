@@ -172,3 +172,32 @@ def test_sessionize_splits_on_gap(spark):
         ).collect()
     )
     assert out == [(1, 1, 2, 600), (1, 2, 1, 0), (2, 1, 1, 0)]
+
+
+def test_cascade_multi_equals_per_resolution_cascades(spark, sf_dir):
+    """The fused single-shuffle multi-resolution cascade must equal the
+    per-resolution cascade_rollup it replaces, resolution by resolution."""
+    from coin_for_rich_spark.operators import (
+        cascade_rollup,
+        cascade_rollup_multi,
+        ohlcv_rollup,
+    )
+    from coin_for_rich_spark.sources import candles_view
+
+    base = ohlcv_rollup(candles_view(spark, sf_dir), "5m").cache()
+    base.count()
+    intervals = ["15m", "1h", "1D", "7D", "1M"]
+    fused = cascade_rollup_multi(base, intervals)
+    for iv in intervals:
+        one = {
+            tuple(r): None
+            for r in cascade_rollup(base, iv).collect()
+        }
+        got = {
+            tuple(r)[1:]: None  # drop leading resolution column
+            for r in fused.filter(fused.resolution == iv)
+            .select([c for c in fused.columns])
+            .collect()
+        }
+        assert set(got) == set(one), iv
+    base.unpersist()
