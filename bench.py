@@ -47,9 +47,14 @@ def main() -> int:
     # two measured passes, per-query MIN: wall-clock on a shared host is
     # noisy (co-tenant bursts inflate single runs 2-3×); the min of two runs
     # is a far better estimate of the plan's actual cost than one sample
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for _ in range(n_passes):
+        # memoized query RESULTS must not leak between passes — min-of-N
+        # should measure the plan, not a cache hit (staged infrastructure
+        # like stream chunks stays warm on purpose)
+        if hasattr(entry_mod, "_reset_bench_caches"):
+            entry_mod._reset_bench_caches()
         for name, fn in entry_mod.queries().items():
             if only and name not in only:
                 continue
