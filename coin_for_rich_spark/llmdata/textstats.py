@@ -153,6 +153,55 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def doc_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document repetition signals — the published pretraining quality
+    filters (Gopher/C4 family) that catch boilerplate and degenerate text:
+
+    - ``dup_ngram_frac``: 1 − distinct/total n-grams (n-gram repetition);
+    - ``top_token_frac``: occurrences of the most frequent token ÷ tokens
+      (single-token domination).
+
+    Pure higher-order column algebra (sequence/transform/filter/array_max):
+    per-row, no explode, no shuffle — the per-token count loop is O(d·n)
+    inside the row, the right trade below ~10⁴ tokens/doc where d is small;
+    an explode+groupBy twin would shuffle the corpus."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    total_ngrams = F.greatest(n_tokens - (n - 1), F.lit(0))
+    ngrams = F.when(
+        n_tokens >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_tokens - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    distinct_ngrams = F.size(F.array_distinct(ngrams))
+    dup_frac = F.when(
+        total_ngrams > 0,
+        1.0 - distinct_ngrams.cast("double") / total_ngrams,
+    ).otherwise(F.lit(0.0))
+    dtoks = F.array_distinct(toks)
+    counts = F.transform(
+        dtoks, lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    top_frac = F.when(
+        n_tokens > 0, F.array_max(counts).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        total_ngrams.alias("n_ngrams"),
+        distinct_ngrams.alias("n_distinct_ngrams"),
+        dup_frac.alias("dup_ngram_frac"),
+        top_frac.alias("top_token_frac"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive bag fingerprint: md5 over the sorted distinct token
     set. Two documents that are token-permutations of each other collide —

@@ -408,3 +408,26 @@ def test_quantize_round_trip_error_bound(spark, sf_dir):
     top_q = cosine_knn(deq, qv, k=3).collect()
     assert top_f[0].vec_id == top_q[0].vec_id
     q.unpersist()
+
+
+def test_doc_repetition_signals(spark):
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata import doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),
+            Row(doc_id=2, text="six completely different words here now"),
+            Row(doc_id=3, text="ab"),
+        ]
+    )
+    r = {x.doc_id: x for x in doc_repetition(docs).collect()}
+    # all 3-grams identical -> 4 total, 1 distinct
+    assert r[1].n_ngrams == 4 and r[1].n_distinct_ngrams == 1
+    assert abs(r[1].dup_ngram_frac - 0.75) < 1e-12
+    assert r[1].top_token_frac == 1.0
+    assert r[2].dup_ngram_frac == 0.0
+    assert abs(r[2].top_token_frac - 1 / 6) < 1e-12
+    # shorter than n -> zero ngrams, no division blowups
+    assert r[3].n_ngrams == 0 and r[3].dup_ngram_frac == 0.0

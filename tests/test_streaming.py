@@ -281,3 +281,47 @@ def test_stale_flush_force_emits_held_candle(spark, tmp_path):
         assert ("lonely" in got) == expect_lonely, (flag, got)
         # busy's first candle closes by later data in both modes
         assert "busy" in got
+
+
+def test_ingest_resumes_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Crash-recovery semantics (the reference's restart path,
+    updater.py:127-138): ingest half the replay, stop, then restart against
+    the SAME checkpoint and sink with the rest of the files present — the
+    final table must equal a single uninterrupted run: nothing lost, nothing
+    doubled. This is Spark's offset-log + idempotent-merge contract, pinned
+    end-to-end."""
+    import os
+    import shutil
+
+    from coin_for_rich_spark.sources import load_table
+    from coin_for_rich_spark.streaming import ParquetMergeSink, run_ingest
+    from coin_for_rich_spark.streaming.source import (
+        read_file_stream,
+        stage_stream_chunks,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = str(tmp_path / "staged")
+    schema = stage_stream_chunks(ev, staged, n_chunks=6)
+    parts = sorted(
+        f for f in os.listdir(staged)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetMergeSink(str(tmp_path / "tbl"), pk=("event_id",), mode="ignore")
+
+    for name in parts[:3]:
+        shutil.copy2(os.path.join(staged, name), os.path.join(src, name))
+    run_ingest(read_file_stream(spark, src, schema), sink, ckpt)
+    n_partial = sink.read(spark).count()
+    assert 0 < n_partial < ev.count()
+
+    for name in parts[3:]:
+        shutil.copy2(os.path.join(staged, name), os.path.join(src, name))
+    run_ingest(read_file_stream(spark, src, schema), sink, ckpt)
+
+    got = sink.read(spark)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
