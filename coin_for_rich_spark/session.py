@@ -46,6 +46,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-split granularity sized for LOCAL test data: the sf0.1 fact
+        # files are 2-11 MB, so the 128 MB default scans them as ONE
+        # partition and serializes every map-side stage onto one core
+        # (measured: candles_all 1.54 s → 0.86 s at 8 MB). At cluster scale
+        # a 100 TB table splits into ~10⁶ partitions under ANY sane value —
+        # this knob only matters when files are smaller than the default
+        # split, which is exactly the local case. Deployment overrides via
+        # extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
