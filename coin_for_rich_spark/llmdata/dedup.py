@@ -107,10 +107,15 @@ def ngram_jaccard_pairs(
       budget and the plan flips to prefix before the quadratic join ever
       runs.
     """
+    idx = None
     if method == "auto":
+        # the probe and the chosen plan both consume the shingle index —
+        # persist it so the corpus is tokenized/exploded ONCE per call (the
+        # probe's .first() materializes the cache the plan then reads);
+        # without this, auto mode pays the index twice.
+        idx = _shingle_index(docs, text_col, id_col, n).persist()
         probe = (
-            _shingle_index(docs, text_col, id_col, n)
-            .groupBy("shingle")
+            idx.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .agg(F.sum(F.col("df") * F.col("df")).alias("sum_df2"))
             .first()
@@ -118,8 +123,9 @@ def ngram_jaccard_pairs(
         sum_df2 = probe["sum_df2"] or 0
         method = "count" if sum_df2 <= pair_budget else "prefix"
     if method == "prefix":
-        return _jaccard_prefix(docs, text_col, id_col, n, threshold)
-    idx = _shingle_index(docs, text_col, id_col, n)
+        return _jaccard_prefix(docs, text_col, id_col, n, threshold, idx=idx)
+    if idx is None:
+        idx = _shingle_index(docs, text_col, id_col, n)
     # |shingles(d)| derived from the index (shingles are already distinct) —
     # the corpus is tokenized exactly once; docs with no shingles can't
     # appear in any pair, so their absence from `sizes` is harmless.
@@ -150,9 +156,15 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_prefix(
-    docs: DataFrame, text_col: str, id_col: str, n: int, threshold: float
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    idx: DataFrame | None = None,
 ) -> DataFrame:
-    idx = _shingle_index(docs, text_col, id_col, n)
+    if idx is None:
+        idx = _shingle_index(docs, text_col, id_col, n)
     # document frequency per shingle — the only corpus-global statistic
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # one pass per doc: shingles sorted rarest-first, size folded in
