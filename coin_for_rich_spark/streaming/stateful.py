@@ -101,30 +101,52 @@ def _flush_fn(
         rows = pd.concat(list(pdfs), ignore_index=True)
         if rows.empty and not open_buckets:
             return
+        import numpy as np
+
         # event-time order within the batch (replay order across batches is
         # the source's responsibility)
         rows = rows.sort_values("ts")
         # unit-safe epoch µs regardless of the Arrow datetime resolution
         ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        for t, price, vol in zip(ts_us, rows["price"], rows["volume"]):
-            m = int(t) // _MINUTE_US
+        price = rows["price"].to_numpy(dtype="float64")
+        # per-row half-even cent rounding, then integer sums — identical to
+        # the old per-row round(), exact and engine-independent
+        cents = np.rint(rows["volume"].to_numpy(dtype="float64") * 100).astype(
+            "int64"
+        )
+        # vectorized per-minute aggregation over the ts-sorted arrays: the
+        # minute column is non-decreasing, so each minute is one contiguous
+        # run — ufunc.reduceat aggregates every run in C (first/last on the
+        # sorted order reproduce the per-row strict-</>= open/close tie
+        # rules), and the Python merge loop runs over ~batch-minutes scalars
+        minute = ts_us // _MINUTE_US
+        starts = np.flatnonzero(np.r_[True, np.diff(minute) > 0])
+        ends = np.r_[starts[1:], len(minute)] - 1
+        merged = zip(
+            minute[starts].tolist(),
+            ts_us[starts].tolist(), price[starts].tolist(),
+            np.maximum.reduceat(price, starts).tolist(),
+            np.minimum.reduceat(price, starts).tolist(),
+            ts_us[ends].tolist(), price[ends].tolist(),
+            np.add.reduceat(cents, starts).tolist(),
+            (ends - starts + 1).tolist(),
+        )
+        for m, ot, ov, hi, lo, ct, cv, vc, cnt in merged:
             b = open_buckets.get(m)
-            cents = round(float(vol) * 100)
             if b is None:
                 open_buckets[m] = dict(
-                    open_ts=int(t), open_v=float(price), high=float(price),
-                    low=float(price), close_ts=int(t), close_v=float(price),
-                    vol_cents=cents, n=1,
+                    open_ts=ot, open_v=ov, high=hi, low=lo,
+                    close_ts=ct, close_v=cv, vol_cents=vc, n=cnt,
                 )
             else:
-                if int(t) < b["open_ts"]:
-                    b["open_ts"], b["open_v"] = int(t), float(price)
-                if int(t) >= b["close_ts"]:
-                    b["close_ts"], b["close_v"] = int(t), float(price)
-                b["high"] = max(b["high"], float(price))
-                b["low"] = min(b["low"], float(price))
-                b["vol_cents"] += cents
-                b["n"] += 1
+                if ot < b["open_ts"]:
+                    b["open_ts"], b["open_v"] = ot, ov
+                if ct >= b["close_ts"]:
+                    b["close_ts"], b["close_v"] = ct, cv
+                b["high"] = max(b["high"], hi)
+                b["low"] = min(b["low"], lo)
+                b["vol_cents"] += vc
+                b["n"] += cnt
         # the newest bucket stays open; everything older is closed by the
         # existence of later data for this key
         newest = max(open_buckets)
