@@ -256,8 +256,46 @@ def q_candles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # materialized rollup-family paths keyed on sf_dir (M4): materialize once
-# per session, serve every materialized-route read from the sink tables
+# per session, serve every materialized-route read from the sink tables.
+# Like the staged stream replay, the store also lives at a deterministic
+# disk path keyed on the source file's identity, built in a temp dir and
+# atomically renamed — the driver's per-process gate reuses it instead of
+# re-materializing all 8 resolutions every invocation, and a regenerated
+# testdata dir can never serve a stale store.
 _ROLLUP_STORE_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _rollup_store(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from coin_for_rich_spark.sources.store import materialize_rollups
+
+    if sf_dir not in _ROLLUP_STORE_CACHE:
+        try:
+            st = os.stat(os.path.join(sf_dir, "events.parquet"))
+            ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+        except OSError:
+            ident = sf_dir
+        key = hashlib.md5(ident.encode()).hexdigest()[:12]
+        final = os.path.join(tempfile.gettempdir(), f"cfr_rollups_{key}")
+        if not os.path.isdir(final):
+            tmp = tempfile.mkdtemp(prefix="cfr_rollups_stage_")
+            built = os.path.join(tmp, "store")
+            materialize_rollups(candles_view(spark, sf_dir), built)
+            try:
+                os.rename(built, final)
+            except OSError:
+                pass  # concurrent materialization won — its store is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+        _ROLLUP_STORE_CACHE[sf_dir] = {
+            name.removeprefix("candles_"): os.path.join(final, name)
+            for name in os.listdir(final)
+            if name.startswith("candles_")
+        }
+    return _ROLLUP_STORE_CACHE[sf_dir]
 
 
 def q_chart_read_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,18 +314,13 @@ def q_chart_read_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle emits the one correct answer under both tags, so a green row
     is exactly the route-equivalence contract the reference's
     REFRESH MATERIALIZED VIEW maintenance promises its readers."""
-    import tempfile
-
-    from coin_for_rich_spark.sources.store import load_rollups, materialize_rollups
+    from coin_for_rich_spark.sources.store import load_rollups
 
     cv = candles_view(spark, sf_dir)
     kwargs = dict(start="2024-01-03 00:00:00", end="2024-01-29 00:00:00",
                   limit=500)
     direct = read_ohlcvs(cv, "purchase", "1h", **kwargs)
-    if sf_dir not in _ROLLUP_STORE_CACHE:
-        base = tempfile.mkdtemp(prefix="cfr_rollups_")
-        _ROLLUP_STORE_CACHE[sf_dir] = materialize_rollups(cv, base)
-    rollups = load_rollups(spark, _ROLLUP_STORE_CACHE[sf_dir])
+    rollups = load_rollups(spark, _rollup_store(spark, sf_dir))
     mat = read_ohlcvs(cv, "purchase", "1h", **kwargs, rollups=rollups)
     return direct.withColumn("route", F.lit("direct")).unionByName(
         mat.withColumn("route", F.lit("materialized"))
