@@ -509,6 +509,141 @@ def ivf_ann_knn(
     return cosine_knn(cands, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _subvector(vec_col: str, j: int, sub_dim: int) -> Column:
+    """Contiguous subspace slice j of a vector column (1-based slice)."""
+    return F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector space splits into ``m``
+    contiguous subspaces and each gets its own ``k``-centroid codebook,
+    trained with the same distributed Lloyd machinery as IVF
+    (``ivf_centroids`` seeds + ``kmeans_refine``) on the sliced column.
+    Returns ``m`` codebooks of ``k`` centroids of ``dims/m`` floats.
+
+    PQ is the canonical billion-vector compression: a d-dim float vector
+    becomes ``m`` small codes (here one byte each at k ≤ 256), an
+    (m·log₂k)/32d compression of the scored representation, while distances
+    remain computable against the codes alone (``pq_ann_knn``). Training
+    cost is m independent k-means runs over one column slice each.
+    """
+    if dims is None:
+        dims = len(embeddings.select(vec_col).first()[0])
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
+    sub_dim = dims // m
+    books = []
+    for j in range(m):
+        sub = embeddings.select(
+            F.col(id_col), _subvector(vec_col, j, sub_dim).alias(vec_col)
+        )
+        seeds = ivf_centroids(sub, k, id_col=id_col, vec_col=vec_col)
+        books.append(kmeans_refine(sub, seeds, n_iter=n_iter,
+                                   id_col=id_col, vec_col=vec_col))
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices (array<int>, one nearest
+    centroid per subspace) — the stored representation of a PQ index. Pure
+    scan-stage work: per subspace the same nearest-centroid assignment the
+    IVF tier uses (codegen'd literals, Arrow past the budget)."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        sub_sql = f"slice({vec_col}, {j * sub_dim + 1}, {sub_dim})"
+        if len(book) * sub_dim > _MAX_SQL_LITERALS // m:
+            code = _nearest_centroid_udf(book)(
+                _subvector(vec_col, j, sub_dim)
+            )
+        else:
+            code = _nearest_centroid_expr(sub_sql, book)
+        code_cols.append(code)
+    return embeddings.select(
+        F.col(id_col), F.array(*code_cols).alias("pq_codes")
+    )
+
+
+def pq_ann_knn(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance (ADC) + exact re-rank.
+
+    The query stays unquantized: per subspace a k-entry lookup table of
+    ⟨q_j, centroid⟩ and ‖centroid‖² is computed driver-side (m·k doubles —
+    index metadata), and each corpus row's approximate cosine is m array
+    lookups over its stored codes:
+
+        cos(q, x̂) = Σ_j LUT_dot[j][code_j]
+                     / (‖q‖ · sqrt(Σ_j LUT_n2[j][code_j]))
+
+    exact for the reconstruction x̂ because subspaces are disjoint. The
+    ``rerank`` best ADC candidates are then re-scored with true cosine
+    against the original vectors (a semi-join on id — at scale, a fetch of
+    ``rerank`` full vectors next to a scan that touched only code bytes).
+    """
+    q = [float(x) for x in query_vec]
+    if codebooks is None:
+        codebooks = pq_train(embeddings, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    qnorm = math.sqrt(sum(x * x for x in q)) or 1e-150
+    lut_dot, lut_n2 = [], []
+    for j, book in enumerate(codebooks):
+        qj = q[j * sub_dim : (j + 1) * sub_dim]
+        dots, n2s = [], []
+        for c in book:
+            dots.append(sum(a * b for a, b in zip(qj, c)))
+            n2s.append(sum(x * x for x in c))
+        lut_dot.append(dots)
+        lut_n2.append(n2s)
+    dot_expr = None
+    n2_expr = None
+    for j in range(m):
+        d = F.element_at(
+            F.array(*[F.lit(x) for x in lut_dot[j]]), F.col("pq_codes")[j] + 1
+        )
+        n2 = F.element_at(
+            F.array(*[F.lit(x) for x in lut_n2[j]]), F.col("pq_codes")[j] + 1
+        )
+        dot_expr = d if dot_expr is None else dot_expr + d
+        n2_expr = n2 if n2_expr is None else n2_expr + n2
+    adc = dot_expr / (
+        F.lit(qnorm) * F.greatest(F.sqrt(n2_expr), F.lit(1e-150))
+    )
+    cand_ids = (
+        codes.select(F.col(id_col), adc.alias("_adc"))
+        .orderBy(F.col("_adc").desc(), F.col(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    cands = embeddings.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return cosine_knn(cands, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_ann_knn(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -431,3 +431,57 @@ def test_doc_repetition_signals(spark):
     assert abs(r[2].top_token_frac - 1 / 6) < 1e-12
     # shorter than n -> zero ngrams, no division blowups
     assert r[3].n_ngrams == 0 and r[3].dup_ngram_frac == 0.0
+
+
+def test_pq_recall_and_compression(spark, sf_dir):
+    """PQ codebooks + ADC scoring + exact re-rank: on the real embedding
+    corpus the re-ranked top-10 must recover most of the exact top-10, and
+    the stored representation is m small codes per vector."""
+    from coin_for_rich_spark.llmdata import (
+        cosine_knn,
+        pq_ann_knn,
+        pq_encode,
+        pq_train,
+    )
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    books = pq_train(emb, m=8, k=16, n_iter=3)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = pq_encode(emb, books).cache()
+    first = codes.first()
+    assert len(first.pq_codes) == 8
+    assert all(0 <= c < 16 for c in first.pq_codes)
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    exact = {r.vec_id for r in cosine_knn(emb, qv, k=10).collect()}
+    got = {
+        r.vec_id
+        for r in pq_ann_knn(
+            emb, qv, k=10, codebooks=books, codes=codes, rerank=100
+        ).collect()
+    }
+    # isotropic random corpus is ANN's worst case; rerank=100 of n≈1000
+    # must still recover at least half the true neighbors
+    assert len(exact & got) >= 5
+    codes.unpersist()
+    emb.unpersist()
+
+
+def test_pq_exact_when_rerank_covers_corpus(spark, sf_dir):
+    """With rerank >= corpus size the re-rank IS the exact scan — PQ must
+    return exactly the brute-force top-k."""
+    from coin_for_rich_spark.llmdata import cosine_knn, pq_ann_knn, pq_train
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    books = pq_train(emb, m=4, k=8, n_iter=2)
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    exact = [(r.vec_id, r.cosine) for r in cosine_knn(emb, qv, k=5).collect()]
+    got = [
+        (r.vec_id, r.cosine)
+        for r in pq_ann_knn(emb, qv, k=5, codebooks=books, rerank=n).collect()
+    ]
+    assert got == exact
+    emb.unpersist()
