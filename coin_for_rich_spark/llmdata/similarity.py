@@ -644,6 +644,60 @@ def pq_ann_knn(
     return cosine_knn(cands, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def materialize_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Write the IVF index as a CELL-PARTITIONED parquet table — the ingest-
+    time materialization the query-time ``ivf_ann_knn`` docstring promises:
+    centroids are trained once (hash seeds + Lloyd), every vector is stored
+    under its cell's partition directory, and a probe of ``n_probe`` cells
+    becomes a *partition-pruned scan* (cells never probed are never read —
+    the IO shape that makes IVF pay at 100 TB). Returns the trained
+    centroids; pair with ``ann_index_knn`` for queries."""
+    seeds = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = kmeans_refine(
+        embeddings, seeds, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    if len(cents) * len(cents[0]) > _MAX_SQL_LITERALS:
+        cell = _nearest_centroid_udf(cents)(F.col(vec_col))
+    else:
+        cell = _nearest_centroid_expr(vec_col, cents)
+    (
+        embeddings.withColumn("_cell", cell)
+        .repartition(F.col("_cell"))
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ann_index_knn(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a materialized IVF index: rank cells driver-side
+    (centroid metadata), read ONLY the probed cells' partitions (the
+    ``_cell`` filter is a partition predicate — pruning, not scanning), and
+    exact-rerank. Guarded in tests: the probe's plan must show the partition
+    filter, and n_probe = n_centroids reproduces brute force exactly."""
+    q = [float(x) for x in query_vec]
+    probes = _centroid_ranks_py(q, centroids)[:n_probe]
+    cands = spark.read.parquet(path).filter(F.col("_cell").isin(probes))
+    return cosine_knn(cands, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_ann_knn(
     embeddings: DataFrame,
     query_vec: list[float],

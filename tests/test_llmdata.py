@@ -485,3 +485,62 @@ def test_pq_exact_when_rerank_covers_corpus(spark, sf_dir):
     ]
     assert got == exact
     emb.unpersist()
+
+
+def test_materialized_ann_index_prunes_partitions_and_is_exact_at_full_probe(
+    spark, sf_dir, tmp_path
+):
+    """The cell-partitioned index turns a probe into partition pruning: the
+    scan's plan carries the _cell partition filter, probing all cells equals
+    brute force, and a 2-cell probe reads only those directories."""
+    from coin_for_rich_spark.llmdata import (
+        ann_index_knn,
+        cosine_knn,
+        materialize_ann_index,
+    )
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    path = str(tmp_path / "ann_index")
+    cents = materialize_ann_index(emb, path, n_centroids=8, n_iter=2)
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+
+    full = ann_index_knn(spark, path, cents, qv, k=5, n_probe=8)
+    exact = [(r.vec_id, r.cosine) for r in cosine_knn(emb, qv, k=5).collect()]
+    assert [(r.vec_id, r.cosine) for r in full.collect()] == exact
+
+    probe = ann_index_knn(spark, path, cents, qv, k=5, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "_cell" in plan  # partition filter present in the scan
+    probe.collect()
+    emb.unpersist()
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    """IVF cell restriction composes with PQ scoring: run PQ ANN over only
+    the probed cells' vectors — the IVF-PQ shape — and still recover the
+    query's true nearest neighbor."""
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.llmdata import pq_ann_knn, pq_train
+    from coin_for_rich_spark.llmdata.similarity import (
+        _centroid_ranks_py,
+        _nearest_centroid_expr,
+        ivf_centroids,
+    )
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    cents = ivf_centroids(emb, 8)
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    probes = _centroid_ranks_py([float(x) for x in qv], cents)[:4]
+    cell = _nearest_centroid_expr("embedding", cents)
+    cands = emb.withColumn("_cell", cell).filter(
+        F.col("_cell").isin(probes)
+    ).drop("_cell")
+    books = pq_train(emb, m=4, k=8, n_iter=2)
+    got = pq_ann_knn(cands, qv, k=5, codebooks=books, rerank=50).collect()
+    assert got[0].vec_id == 0  # the query's own vector survives the funnel
+    emb.unpersist()

@@ -201,3 +201,21 @@ def test_cascade_multi_equals_per_resolution_cascades(spark, sf_dir):
         }
         assert set(got) == set(one), iv
     base.unpersist()
+
+
+def test_scoped_shuffle_partitions_restores_on_success_and_error(spark):
+    import pytest
+
+    from coin_for_rich_spark.functions.partitioning import (
+        scoped_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with scoped_shuffle_partitions(spark, 5):
+        assert spark.conf.get(key) == "5"
+    assert spark.conf.get(key) == prev
+    with pytest.raises(RuntimeError):
+        with scoped_shuffle_partitions(spark, 7):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prev
