@@ -651,6 +651,7 @@ def materialize_ann_index(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> list[list[float]]:
     """Write the IVF index as a CELL-PARTITIONED parquet table — the ingest-
     time materialization the query-time ``ivf_ann_knn`` docstring promises:
@@ -658,7 +659,13 @@ def materialize_ann_index(
     under its cell's partition directory, and a probe of ``n_probe`` cells
     becomes a *partition-pruned scan* (cells never probed are never read —
     the IO shape that makes IVF pay at 100 TB). Returns the trained
-    centroids; pair with ``ann_index_knn`` for queries."""
+    centroids; pair with ``ann_index_knn`` for queries.
+
+    With ``pq_codebooks`` the row also stores its PQ codes — the full
+    IVF-PQ layout: a probe then reads only the probed partitions AND can
+    score them from the code bytes (ADC), touching full vectors only for
+    the re-rank.
+    """
     seeds = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     cents = kmeans_refine(
         embeddings, seeds, n_iter=n_iter, id_col=id_col, vec_col=vec_col
@@ -667,9 +674,14 @@ def materialize_ann_index(
         cell = _nearest_centroid_udf(cents)(F.col(vec_col))
     else:
         cell = _nearest_centroid_expr(vec_col, cents)
+    indexed = embeddings.withColumn("_cell", cell)
+    if pq_codebooks is not None:
+        codes = pq_encode(
+            embeddings, pq_codebooks, id_col=id_col, vec_col=vec_col
+        )
+        indexed = indexed.join(codes, id_col)
     (
-        embeddings.withColumn("_cell", cell)
-        .repartition(F.col("_cell"))
+        indexed.repartition(F.col("_cell"))
         .write.mode("overwrite")
         .partitionBy("_cell")
         .parquet(path)
@@ -686,15 +698,28 @@ def ann_index_knn(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 100,
 ) -> DataFrame:
     """Top-k against a materialized IVF index: rank cells driver-side
     (centroid metadata), read ONLY the probed cells' partitions (the
     ``_cell`` filter is a partition predicate — pruning, not scanning), and
     exact-rerank. Guarded in tests: the probe's plan must show the partition
-    filter, and n_probe = n_centroids reproduces brute force exactly."""
+    filter, and n_probe = n_centroids reproduces brute force exactly.
+
+    With ``pq_codebooks`` (index written with codes) the probed partitions
+    are scored via ADC over the stored codes and only the ``rerank`` best
+    fetch their full vectors — the IVF-PQ query path.
+    """
     q = [float(x) for x in query_vec]
     probes = _centroid_ranks_py(q, centroids)[:n_probe]
     cands = spark.read.parquet(path).filter(F.col("_cell").isin(probes))
+    if pq_codebooks is not None:
+        return pq_ann_knn(
+            cands, q, k=k, codebooks=pq_codebooks,
+            codes=cands.select(id_col, "pq_codes"), rerank=rerank,
+            id_col=id_col, vec_col=vec_col,
+        )
     return cosine_knn(cands, q, k=k, id_col=id_col, vec_col=vec_col)
 
 

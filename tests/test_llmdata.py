@@ -544,3 +544,36 @@ def test_ivf_pq_composition(spark, sf_dir):
     got = pq_ann_knn(cands, qv, k=5, codebooks=books, rerank=50).collect()
     assert got[0].vec_id == 0  # the query's own vector survives the funnel
     emb.unpersist()
+
+
+def test_ivf_pq_index_end_to_end(spark, sf_dir, tmp_path):
+    """The full on-disk IVF-PQ index: codes stored with cell partitions, a
+    probe prunes partitions and ADC-scores the code bytes, full vectors are
+    touched only for the re-rank — and at full probe + full rerank it's
+    exact brute force."""
+    from coin_for_rich_spark.llmdata import (
+        ann_index_knn,
+        cosine_knn,
+        materialize_ann_index,
+        pq_train,
+    )
+    from coin_for_rich_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    books = pq_train(emb, m=4, k=8, n_iter=2)
+    path = str(tmp_path / "ivfpq")
+    cents = materialize_ann_index(
+        emb, path, n_centroids=8, n_iter=2, pq_codebooks=books
+    )
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    exact = [(r.vec_id, r.cosine) for r in cosine_knn(emb, qv, k=5).collect()]
+    full = ann_index_knn(
+        spark, path, cents, qv, k=5, n_probe=8, pq_codebooks=books, rerank=n
+    )
+    assert [(r.vec_id, r.cosine) for r in full.collect()] == exact
+    probed = ann_index_knn(
+        spark, path, cents, qv, k=5, n_probe=2, pq_codebooks=books, rerank=50
+    ).collect()
+    assert probed[0].vec_id == 0
+    emb.unpersist()
