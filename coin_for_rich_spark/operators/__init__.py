@@ -15,7 +15,7 @@ from .maintenance import (
     count_distinct_pairs,
 )
 from .gapfill import gap_fill_series
-from .windowed import moving_average, sessionize
+from .windowed import moving_average, sessionize, topn_per_key
 
 __all__ = [
     "cascade_rollup",
@@ -35,5 +35,6 @@ __all__ = [
     "gap_fill_series",
     "moving_average",
     "sessionize",
+    "topn_per_key",
     "asof_join",
 ]

@@ -109,3 +109,42 @@ def moving_average(
         F.sum(money(value_col)).over(w).cast("double")
         / F.count(F.lit(1)).over(w),
     )
+
+
+def topn_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    n: int,
+    salted: bool = False,
+) -> DataFrame:
+    """Top-``n`` rows per key by ``order_by`` (list of Column sort exprs —
+    include a tiebreak for determinism).
+
+    ``salted=False`` is the plain per-key ``row_number`` window: every row of
+    a key sorts in ONE task — correct, and the skew trap when one key holds
+    a large corpus fraction.
+
+    ``salted=True`` is the two-phase skew remedy the as-of/window docstrings
+    point at, made concrete: phase 1 takes a LOCAL top-n per
+    (key, input-partition) — ``spark_partition_id()`` is the salt, so a hot
+    key's rows sort in as many tasks as the scan gave it, each emitting ≤ n
+    survivors — and phase 2 runs the exact per-key window over ≤ n×P
+    survivors. Results are identical (top-n of a union is the top-n of
+    per-part top-n's); wall-clock on a skewed key drops from one giant sort
+    to P small ones + one tiny one.
+    """
+    final_w = Window.partitionBy(*keys).orderBy(*order_by)
+    if salted:
+        pre_w = Window.partitionBy(*keys, "_salt").orderBy(*order_by)
+        df = (
+            df.withColumn("_salt", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(pre_w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn", "_salt")
+        )
+    return (
+        df.withColumn("_rn", F.row_number().over(final_w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

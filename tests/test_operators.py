@@ -219,3 +219,26 @@ def test_scoped_shuffle_partitions_restores_on_success_and_error(spark):
         with scoped_shuffle_partitions(spark, 7):
             raise RuntimeError("boom")
     assert spark.conf.get(key) == prev
+
+
+def test_topn_per_key_salted_equals_plain(spark, sf_dir):
+    """The two-phase salted top-N must equal the single-window plan exactly
+    (deterministic order incl. tiebreak), on a deliberately skewed input."""
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.operators import topn_per_key
+    from coin_for_rich_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # skew: fold most keys into one hot key
+    skewed = ev.withColumn(
+        "user_id", F.when(F.col("user_id") % 7 != 0, 0).otherwise(F.col("user_id"))
+    ).repartition(8)
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    plain = sorted(
+        map(tuple, topn_per_key(skewed, ["user_id"], order, 5).collect())
+    )
+    salted = sorted(
+        map(tuple, topn_per_key(skewed, ["user_id"], order, 5, salted=True).collect())
+    )
+    assert plain == salted and len(plain) > 0
