@@ -365,6 +365,44 @@ def cross_corpus_contamination(
     )
 
 
+def pick_canonical(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefer: str = "longest",
+) -> DataFrame:
+    """The dedup ladder's last step: one kept document per near-dup cluster.
+
+    ``clusters`` is ``dedup_clusters`` output (doc_id, cluster_id, …);
+    returns (cluster_id, keep_id, cluster_size). Policy:
+
+    - ``prefer='longest'`` — keep the longest member (ties → lowest id):
+      the standard curation choice (the longest near-dup usually subsumes
+      the fragments);
+    - ``prefer='min_id'`` — keep the smallest id (pure determinism, no
+      content read).
+
+    One ``max_by`` hash aggregation per cluster — partial-combined,
+    skew-immune, same plan family as latest_per_key; documents outside any
+    cluster are singletons and simply keep themselves (no row needed here).
+    """
+    joined = clusters.select(F.col(id_col), "cluster_id").join(
+        docs.select(F.col(id_col), F.length(text_col).alias("_len")), id_col
+    )
+    if prefer == "longest":
+        # order by (length asc, id desc) so max_by picks longest-then-lowest-id
+        order = F.struct(F.col("_len"), -F.col(id_col))
+    elif prefer == "min_id":
+        order = -F.col(id_col)
+    else:
+        raise ValueError(f"unknown prefer={prefer!r}")
+    return joined.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), order).alias("keep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -12,7 +12,7 @@ from .dedupe import exactly_once_dedup
 from .latest import latest_value_serve
 from .rollup import CONAGG_POLICIES, streaming_ohlcv_rollup
 from .sink import ParquetMergeSink, run_ingest
-from .source import candle_stream, stage_stream_chunks
+from .source import candle_stream, stage_stream_chunks, parse_wire_candles
 
 __all__ = [
     "CONAGG_POLICIES",
@@ -22,5 +22,6 @@ __all__ = [
     "latest_value_serve",
     "run_ingest",
     "stage_stream_chunks",
+    "parse_wire_candles",
     "streaming_ohlcv_rollup",
 ]

@@ -75,3 +75,42 @@ def candle_stream(stream: DataFrame) -> DataFrame:
         F.col("value").alias("price"),
         F.col("value").alias("volume"),
     )
+
+
+WIRE_SEP = ";;"
+
+
+def parse_wire_candles(
+    df: DataFrame, wire_col: str = "wire", keep_cols: tuple[str, ...] = ("symbol",)
+):
+    """Parse the reference's Redis staging wire format —
+    ``"t;;o;;h;;l;;c;;v"`` strings (`fetchers/ws/bitfinex.py:176-201`,
+    key formats `fetchers/config/constants.py:29-44`) — into typed candle
+    columns, splitting malformed rows to a dead-letter relation instead of
+    failing the stream (the ohlcvs_errors pattern applied to the wire hop).
+
+    Returns ``(parsed, dead_letters)``: parsed has ``keep_cols`` + ts/open/
+    high/low/close/volume; dead_letters has ``keep_cols`` + the raw wire
+    string. All parsing is ``try_cast`` column algebra — ANSI-safe (a bad
+    field yields NULL, never an exception), streaming-safe (pure
+    projection), and the same expressions work on a batch backfill of a
+    dumped staging hash.
+    """
+    parts = F.split(F.col(wire_col), WIRE_SEP)
+    fields = {
+        "ts": F.timestamp_millis(F.element_at(parts, 1).try_cast("bigint")),
+        "open": F.element_at(parts, 2).try_cast("double"),
+        "high": F.element_at(parts, 3).try_cast("double"),
+        "low": F.element_at(parts, 4).try_cast("double"),
+        "close": F.element_at(parts, 5).try_cast("double"),
+        "volume": F.element_at(parts, 6).try_cast("double"),
+    }
+    ok = F.size(parts) == 6
+    for name in fields:
+        ok = ok & F.col(name).isNotNull()
+    shaped = df.select(
+        *keep_cols, F.col(wire_col), *[c.alias(n) for n, c in fields.items()]
+    ).withColumn("_ok", ok)
+    parsed = shaped.filter("_ok").drop("_ok", wire_col)
+    dead = shaped.filter(~F.col("_ok")).select(*keep_cols, wire_col)
+    return parsed, dead

@@ -577,3 +577,29 @@ def test_ivf_pq_index_end_to_end(spark, sf_dir, tmp_path):
     ).collect()
     assert probed[0].vec_id == 0
     emb.unpersist()
+
+
+def test_pick_canonical_policies(spark):
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata import pick_canonical
+
+    clusters = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=1 if i <= 3 else 10, cluster_size=0)
+         for i in [1, 2, 3, 10, 11]]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="short"),
+            Row(doc_id=2, text="the longest document of them all"),
+            Row(doc_id=3, text="mid length doc"),
+            Row(doc_id=10, text="same size"),
+            Row(doc_id=11, text="same size"),
+        ]
+    )
+    longest = {r.cluster_id: (r.keep_id, r.cluster_size)
+               for r in pick_canonical(clusters, docs).collect()}
+    assert longest == {1: (2, 3), 10: (10, 2)}  # equal length -> lowest id
+    min_id = {r.cluster_id: r.keep_id
+              for r in pick_canonical(clusters, docs, prefer="min_id").collect()}
+    assert min_id == {1: 1, 10: 10}

@@ -325,3 +325,40 @@ def test_ingest_resumes_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     got = sink.read(spark)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_parse_wire_candles_splits_dead_letters(spark):
+    """The Redis wire-format parser types well-formed rows and routes every
+    malformed shape (wrong arity, non-numeric field) to the dead-letter
+    relation — nothing raises, nothing is lost."""
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.streaming import parse_wire_candles
+
+    rows = [
+        Row(symbol="BTC-USD", wire="1704067200000;;1.5;;2.0;;1.0;;1.8;;42.5"),
+        Row(symbol="ETH-USD", wire="1704067260000;;3;;4;;2;;3.5;;7"),
+        Row(symbol="BAD1", wire="1704067200000;;1.5;;2.0"),          # arity
+        Row(symbol="BAD2", wire="notatime;;1;;2;;3;;4;;5"),          # bad ts
+        Row(symbol="BAD3", wire="1704067200000;;x;;2;;3;;4;;5"),     # bad num
+    ]
+    parsed, dead = parse_wire_candles(spark.createDataFrame(rows))
+    good = {r.symbol: r for r in parsed.collect()}
+    assert set(good) == {"BTC-USD", "ETH-USD"}
+    assert good["BTC-USD"].open == 1.5 and good["BTC-USD"].volume == 42.5
+    assert good["BTC-USD"].ts.year == 2024
+    assert {r.symbol for r in dead.collect()} == {"BAD1", "BAD2", "BAD3"}
+
+
+def test_parse_wire_round_trips_through_candle_stream_shape(spark):
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.streaming import parse_wire_candles
+
+    parsed, _ = parse_wire_candles(
+        spark.createDataFrame(
+            [Row(symbol="S", wire="1704067200000;;1;;2;;0.5;;1.5;;9")]
+        )
+    )
+    assert set(parsed.columns) == {"symbol", "ts", "open", "high", "low",
+                                   "close", "volume"}
