@@ -221,11 +221,91 @@ def _jaccard_prefix(
     )
 
 
+def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds regardless of component DIAMETER, where
+    min-label propagation needs O(diameter). The operations per round are
+    exactly the min-label shapes (per-node min + equi-join + distinct), so
+    cost per round is comparable; this is the right method when components
+    can be long chains (e.g. transitive near-dup threads).
+
+    ``edges`` is the symmetric (src, dst) relation; returns (id, label)
+    with label = component minimum.
+    """
+    # canonical form: every edge stored (hi, lo) with lo < hi — both star
+    # operations only ever emit toward a minimum, so the invariant holds
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            df.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        # large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+        sym = _sym(e)
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("u", "mv").alias("m"))
+        e1 = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star(u): N = smaller neighbors; m = min(N);
+        # emit (v, m) for v ∈ (N ∪ {u}) \ {m}
+        down = _sym(e1).filter(F.col("v") < F.col("u"))
+        m2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            down.join(m2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(
+                m2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same = (
+            e2.count() == e.count()
+            and e2.unionByName(e).distinct().count() == e.count()
+        )
+        e = e2
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"_cc_star did not converge within max_iter={max_iter} rounds"
+        )
+    # fixed point = disjoint stars centered on component minima
+    nodes = e.select(F.col("hi").alias("id"), F.col("lo").alias("label"))
+    roots = e.select(F.col("lo").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    return nodes.unionByName(roots).groupBy("id").agg(
+        F.min("label").alias("label")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id,
     cluster_size), cluster_id = the component's minimum doc id.
@@ -239,6 +319,11 @@ def dedup_clusters(
     shallow; typical corpora converge in ≤3). Each round is one shuffle keyed
     on node id; no all-pairs work, state is |nodes| rows.
 
+    ``method='star'`` switches to alternating large-star/small-star
+    contraction (``_cc_star``) — O(log n) rounds independent of component
+    diameter, the right choice when near-dup threads can chain arbitrarily
+    deep; equality with label propagation is pinned in tests.
+
     Iterative-plan hygiene: each round's label relation is
     ``localCheckpoint``ed — the label lineage references itself twice per
     round, so without truncation the logical plan doubles every iteration
@@ -250,6 +335,14 @@ def dedup_clusters(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     edges = edges.localCheckpoint()
+    if method == "star":
+        labels = _cc_star(edges, max_iter)
+        w = Window.partitionBy("label")
+        return labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -155,3 +155,38 @@ def test_asof_join_rejects_name_collisions(spark):
     right2 = spark.createDataFrame([Row(k=1, ts=t, price=2.0, qty=3.0)])
     with pytest.raises(ValueError, match="duplicate payload aliases"):
         asof_join(left, right2, on=["k"], payload={"price": "x", "qty": "x"})
+
+
+def test_cc_star_equals_label_propagation(spark):
+    """Large-star/small-star components must equal min-label propagation on
+    assorted graph shapes (chains, cliques, stars, random), including a
+    chain whose diameter far exceeds the star method's round count."""
+    import random
+
+    from coin_for_rich_spark.llmdata import dedup_clusters
+
+    shapes = []
+    # long chain (diameter 40)
+    shapes.append([(i, i + 1) for i in range(40)])
+    # two cliques + a bridge + isolated pair
+    clique = [(a, b) for a in range(100, 105) for b in range(100, 105) if a < b]
+    clique += [(a, b) for a in range(200, 204) for b in range(200, 204) if a < b]
+    clique += [(104, 200), (300, 301)]
+    shapes.append(clique)
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        shapes.append(
+            [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        )
+    for pairs_list in shapes:
+        pairs_list = [(a, b) for a, b in pairs_list if a != b]
+        pairs = spark.createDataFrame(pairs_list, "doc_a long, doc_b long")
+        label = {
+            r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(pairs).collect()
+        }
+        star = {
+            r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(pairs, method="star").collect()
+        }
+        assert star == label
