@@ -36,6 +36,34 @@ def hash_sample(
     return docs.filter(first_hex.isin(*hex_chars))
 
 
+def stratified_hash_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the language/domain-balancing
+    draw a training mix needs: a row survives iff the first 16 bits of
+    md5(id), as an integer in [0, 65536), fall below
+    65536 · fraction(stratum).
+
+    Same engine-independent determinism contract as ``hash_sample`` (stable
+    under re-runs, repartitioning, appends), generalized to a per-stratum
+    rate; nested draws compose (a row kept at fraction f is kept at every
+    f' ≥ f — the thresholds nest), so shrinking a stratum's rate yields a
+    subset of the previous sample. Pure column algebra; the predicate
+    evaluates in the scan stage.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    frac = F.lit(float(default_fraction))
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return docs.filter(h < frac * 65536)
+
+
 def normalize_text(
     docs: DataFrame,
     text_col: str = "text",

@@ -190,3 +190,38 @@ def test_cc_star_equals_label_propagation(spark):
             for r in dedup_clusters(pairs, method="star").collect()
         }
         assert star == label
+
+
+def test_stratified_hash_sample(spark, sf_dir):
+    """Per-stratum rates land near target, draws are deterministic, and
+    shrinking a rate yields a nested subset."""
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.llmdata import doc_langid, stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = docs.join(doc_langid(docs).select("doc_id", "pred_lang"), "doc_id")
+    fr = {"en": 0.5, "es": 0.25, "de": 0.0}
+    s1 = stratified_hash_sample(lang, "pred_lang", fr)
+    s2 = stratified_hash_sample(lang, "pred_lang", fr)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2
+    totals = {r.pred_lang: r["count"] for r in lang.groupBy("pred_lang").count().collect()}
+    got = {r.pred_lang: r["count"] for r in s1.groupBy("pred_lang").count().collect()}
+    assert "de" not in got
+    for lg, f in (("en", 0.5), ("es", 0.25)):
+        if totals.get(lg, 0) >= 20:
+            assert abs(got.get(lg, 0) / totals[lg] - f) < 0.2, lg
+    # nesting: halving a rate selects a subset of the fuller draw
+    smaller = {
+        r.doc_id
+        for r in stratified_hash_sample(lang, "pred_lang", {"en": 0.25})
+        .select("doc_id").collect()
+    }
+    fuller = {
+        r.doc_id
+        for r in stratified_hash_sample(lang, "pred_lang", {"en": 0.5})
+        .select("doc_id").collect()
+    }
+    assert smaller <= fuller
