@@ -32,25 +32,45 @@ TABLES = [
     "embeddings",
 ]
 
-# Columns written by the generator as nanosecond INT64 timestamps. Spark reads
-# them as LongType (spark.sql.legacy.parquet.nanosAsLong=true); we convert to
-# microsecond timestamps with *integer* division — `ts div 1000` — because a
-# double division loses sub-microsecond precision at 1.7e18 ns and would drift
-# from DuckDB's exact nanos→micros truncation.
-_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# Declared event-time columns, normalized to TimestampType regardless of the
+# physical parquet encoding. The generator has changed shape between rounds
+# (nanosecond INT64 → timestamp[us] with isAdjustedToUTC=false), so the loader
+# adapts by CONTRACT: whatever physical type arrives, downstream code sees
+# TIMESTAMP (with local tz) — the only type `withWatermark` accepts.
+#   - LongType (nanos via nanosAsLong): integer `div 1000` — a double division
+#     loses sub-microsecond precision at 1.7e18 ns and would drift from
+#     DuckDB's exact nanos→micros truncation.
+#   - TimestampNTZType (µs, no UTC flag): cast to "timestamp". The session tz
+#     is pinned to UTC (session.py), so the wall-clock values — and therefore
+#     every oracle hash — are unchanged.
+#   - TimestampType: already canonical.
+_TIME_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Self-sufficient on a vanilla SparkSession: the testdata's `events.parquet`
-    # stores INT64 TIMESTAMP(NANOS) columns, which Spark rejects at scan time
-    # unless nanosAsLong is on. The conf is runtime-settable, so set it here
-    # rather than relying on the session builder (session.py) having run.
+    # Self-sufficient on a vanilla SparkSession: nanos-INT64 testdata is
+    # rejected at scan time unless nanosAsLong is on. The conf is
+    # runtime-settable, so set it here rather than relying on the session
+    # builder (session.py) having run.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLS.get(name, []):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    for col in _TIME_COLS.get(name, []):
+        if col in df.columns:
+            df = df.withColumn(col, _to_event_time(df.schema[col].dataType, col))
     return df
+
+
+def _to_event_time(dt: T.DataType, col: str):
+    """Normalize one physical time encoding to TimestampType (see _TIME_COLS)."""
+    if isinstance(dt, T.LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col(col).cast("timestamp")
+    if isinstance(dt, T.TimestampType):
+        return F.col(col)
+    raise TypeError(
+        f"unsupported physical type for event-time column {col!r}: {dt}"
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
