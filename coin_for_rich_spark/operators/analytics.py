@@ -69,22 +69,30 @@ def top_k_with_other(
     (`create.sql:280-316`, ops A5/A6/W4 in SURVEY §2).
 
     Scale: the expensive part is the first aggregation (hash agg, one
-    shuffle on key). The ranking window is unpartitioned by design —
-    it ranks the *aggregated* per-key totals (≤ |distinct keys| rows), same
-    as the reference's view which ranks pairs, not candles. Deterministic
-    tie-break on key keeps the result stable across runs.
+    shuffle on key). The winner set is then found with the two-phase salted
+    top-N (``topn_per_key`` with no keys, ``salted=True``): each partition of
+    the aggregated relation emits its local top-K, and only ≤ K×P survivors
+    meet the global ranking — so no unpartitioned ``row_number`` ever sorts
+    the full key universe in one task (at 100 TB the distinct-key relation
+    can itself be large). Keys outside the winner set collapse into 'Other'
+    via a broadcast membership probe — identical results to the global-rank
+    formulation (top-K of a union is the top-K of per-partition top-Ks),
+    deterministic tie-break on key.
     """
+    from .windowed import topn_per_key
+
     measure = (
         F.col(measure_col)
         if isinstance(df.schema[measure_col].dataType, T.DecimalType)
         else money(measure_col)
     )
     per_key = df.groupBy(key_col).agg(F.sum(measure).alias("_vol_dec"))
-    w = Window.orderBy(F.col("_vol_dec").desc(), F.col(key_col))
-    ranked = per_key.withColumn("ranking", F.row_number().over(w))
-    labeled = ranked.withColumn(
+    winners = topn_per_key(
+        per_key, [], [F.col("_vol_dec").desc(), F.col(key_col)], n=k, salted=True
+    ).select(key_col, F.lit(True).alias("_top"))
+    labeled = per_key.join(F.broadcast(winners), key_col, "left").withColumn(
         "bucket_label",
-        F.when(F.col("ranking") > k, F.lit("Other")).otherwise(
+        F.when(F.col("_top").isNull(), F.lit("Other")).otherwise(
             F.concat(F.lit(label_prefix), F.col(key_col).cast("string"))
         ),
     )

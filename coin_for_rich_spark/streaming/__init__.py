@@ -12,7 +12,7 @@ from .dedupe import exactly_once_dedup
 from .latest import latest_value_serve
 from .rollup import CONAGG_POLICIES, streaming_ohlcv_rollup
 from .sink import ParquetMergeSink, run_ingest
-from .source import candle_stream, stage_stream_chunks, parse_wire_candles
+from .source import candle_stream, format_wire_candles, stage_stream_chunks, parse_wire_candles
 
 __all__ = [
     "CONAGG_POLICIES",
@@ -23,5 +23,6 @@ __all__ = [
     "run_ingest",
     "stage_stream_chunks",
     "parse_wire_candles",
+    "format_wire_candles",
     "streaming_ohlcv_rollup",
 ]

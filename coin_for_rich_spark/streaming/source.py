@@ -80,14 +80,42 @@ def candle_stream(stream: DataFrame) -> DataFrame:
 WIRE_SEP = ";;"
 
 
+def format_wire_candles(
+    df: DataFrame,
+    cols: tuple[str, ...] = ("ts", "open", "high", "low", "close", "volume"),
+    wire_col: str = "wire",
+    keep_cols: tuple[str, ...] = ("symbol",),
+    ts_unit: str = "ms",
+) -> DataFrame:
+    """Inverse of ``parse_wire_candles``: serialize candle columns to the
+    ``"t;;o;;h;;l;;c;;v"`` staging wire string (what the reference's WS
+    fetchers write to Redis before the updater drains it). Doubles go
+    through Spark's cast-to-string (shortest round-trip representation), so
+    ``parse(format(x)) == x`` exactly; with ``ts_unit="us"`` the event time
+    round-trips at full microsecond precision too. Pure projection —
+    batch- and streaming-safe."""
+    ts_of = {"ms": F.unix_millis, "us": F.unix_micros}[ts_unit]
+    pieces = [ts_of(F.col(cols[0])).cast("string")] + [
+        F.col(c).cast("string") for c in cols[1:]
+    ]
+    return df.select(*keep_cols, F.concat_ws(WIRE_SEP, *pieces).alias(wire_col))
+
+
 def parse_wire_candles(
-    df: DataFrame, wire_col: str = "wire", keep_cols: tuple[str, ...] = ("symbol",)
+    df: DataFrame,
+    wire_col: str = "wire",
+    keep_cols: tuple[str, ...] = ("symbol",),
+    ts_unit: str = "ms",
 ):
     """Parse the reference's Redis staging wire format —
     ``"t;;o;;h;;l;;c;;v"`` strings (`fetchers/ws/bitfinex.py:176-201`,
     key formats `fetchers/config/constants.py:29-44`) — into typed candle
     columns, splitting malformed rows to a dead-letter relation instead of
     failing the stream (the ohlcvs_errors pattern applied to the wire hop).
+
+    ``ts_unit`` selects the epoch resolution of field 1: ``"ms"`` (the
+    reference's exchange-candle stamps) or ``"us"`` (lossless for
+    microsecond-precision event time — a ms hop would silently truncate).
 
     Returns ``(parsed, dead_letters)``: parsed has ``keep_cols`` + ts/open/
     high/low/close/volume; dead_letters has ``keep_cols`` + the raw wire
@@ -96,9 +124,10 @@ def parse_wire_candles(
     projection), and the same expressions work on a batch backfill of a
     dumped staging hash.
     """
+    ts_of = {"ms": F.timestamp_millis, "us": F.timestamp_micros}[ts_unit]
     parts = F.split(F.col(wire_col), WIRE_SEP)
     fields = {
-        "ts": F.timestamp_millis(F.element_at(parts, 1).try_cast("bigint")),
+        "ts": ts_of(F.element_at(parts, 1).try_cast("bigint")),
         "open": F.element_at(parts, 2).try_cast("double"),
         "high": F.element_at(parts, 3).try_cast("double"),
         "low": F.element_at(parts, 4).try_cast("double"),

@@ -362,3 +362,101 @@ def test_parse_wire_round_trips_through_candle_stream_shape(spark):
     )
     assert set(parsed.columns) == {"symbol", "ts", "open", "high", "low",
                                    "close", "volume"}
+
+
+def test_format_wire_round_trip_is_lossless_at_us(spark, sf_dir):
+    """format -> parse at ts_unit='us' is the identity on real candle data:
+    microsecond event time and shortest-repr doubles both survive the wire
+    hop (the reference's ms stamps are covered by the default unit above)."""
+    from coin_for_rich_spark.streaming import format_wire_candles, parse_wire_candles
+
+    cv = candles_view(spark, sf_dir).limit(200).select(
+        "symbol", "ts",
+        F.col("price").alias("open"), F.col("price").alias("high"),
+        F.col("price").alias("low"), F.col("price").alias("close"),
+        "volume",
+    )
+    wire = format_wire_candles(cv, ts_unit="us")
+    parsed, dead = parse_wire_candles(wire, ts_unit="us")
+    assert dead.count() == 0
+    cols = ["symbol", "ts", "open", "high", "low", "close", "volume"]
+    assert _rows(parsed, cols) == _rows(cv, cols)
+
+
+def test_rollup_watermark_delay_revises_within_and_drops_beyond(spark, tmp_path):
+    """CONAGG policy parity (create.sql:345-381): with the declared 5m
+    policy's end_offset as the watermark delay ('5 minutes'), replaying late
+    rows shows all three lateness behaviors:
+
+    - a late row whose window is still open w.r.t. the watermark REVISES the
+      window before emission (start_offset re-scan semantics);
+    - a late row beyond the delay, arriving after its window's state was
+      evicted and the candle emitted, is DROPPED — the reference's conagg
+      also won't see it until the REST re-fetch/upsert correction path;
+    - the open candle is withheld (end_offset lag / updater hold-back).
+
+    Timing nuance (empirically pinned here): eviction happens at the END of
+    the first batch whose watermark passes the window end, AFTER that
+    batch's input was merged — so a beyond-delay row is only dropped from
+    the batch FOLLOWING the emission, which is why the 99.0 row replays in
+    its own later chunk.
+    """
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 1, 1, 0, 0, tzinfo=dt.timezone.utc)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    # batch 0 advances max event time to 00:22 => watermark 00:17 thereafter;
+    # batch 1 replays late rows against that watermark and triggers the
+    # eviction+emission of the [00:00,00:05) candle; batch 2's beyond-delay
+    # row then finds no state and is dropped; batch 3 closes everything
+    # except its own (open) window.
+    chunks = [
+        [("X", t(1), 10.0), ("X", t(22), 20.0)],
+        [("X", t(16), 30.0),   # window [00:15,00:20) end > wm  -> accepted
+         ("X", t(21), 40.0)],  # window [00:20,00:25) end > wm  -> revises
+        [("X", t(2), 99.0)],   # window [00:00,00:05) evicted   -> dropped
+        [("X", t(40), 50.0)],
+    ]
+    path = str(tmp_path / "events")
+    os.makedirs(path)
+    for i, rows in enumerate(chunks):
+        tbl = pa.table({
+            "symbol": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us", tz="UTC")),
+            "price": pa.array([r[2] for r in rows], type=pa.float64()),
+            "volume": pa.array([1.0 for _ in rows], type=pa.float64()),
+        })
+        f = os.path.join(path, f"chunk-{i:02d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+    schema = T.StructType([
+        T.StructField("symbol", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("volume", T.DoubleType()),
+    ])
+    stream = read_file_stream(spark, path, schema)
+    rolled = streaming_ohlcv_rollup(stream, "5m")  # policy watermark: 5 minutes
+    got = run_rollup_to_memory(rolled, "t_rollup_wm_delay")
+    out = {
+        r["bucket"].minute + 60 * r["bucket"].hour:
+            (r["open"], r["close"], r["n_trades"])
+        for r in got.collect()
+    }
+    # beyond-delay late row dropped: the 00:00 candle still holds ONLY 00:01
+    # accepted late row materialized its own window at 00:15
+    # within-delay late row revised 00:20 before emission (open from 00:21)
+    # open candle at 00:40 withheld (watermark 00:35 < window end 00:45)
+    assert out == {
+        0: (10.0, 10.0, 1),
+        15: (30.0, 30.0, 1),
+        20: (40.0, 20.0, 2),
+    }
