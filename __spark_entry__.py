@@ -1695,14 +1695,36 @@ def oracle_sql() -> dict[str, str]:
                        len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
                            AS n_distinct_tokens
                 FROM documents
+            ),
+            rep AS (
+                SELECT doc_id,
+                       CAST(greatest(len(toks) - 2, 0) AS INT) AS n_ngrams,
+                       len(list_distinct(CASE WHEN len(toks) >= 3
+                           THEN [array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks) - 1)]
+                           ELSE []::VARCHAR[] END)) AS n_distinct_ngrams,
+                       CASE WHEN len(toks) > 0 THEN
+                           CAST(list_max(list_transform(list_distinct(toks),
+                               t -> len(list_filter(toks, x -> x = t))))
+                               AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS top_token_frac
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+') AS toks
+                      FROM documents)
             )
             SELECT stats.*, tok.bpe_tokens,
                    lang.score_en, lang.score_es, lang.score_de, lang.pred_lang,
-                   fp.bag_fingerprint, fp.n_distinct_tokens
+                   fp.bag_fingerprint, fp.n_distinct_tokens,
+                   rep.n_ngrams, rep.n_distinct_ngrams,
+                   CASE WHEN rep.n_ngrams > 0 THEN
+                       1.0 - CAST(rep.n_distinct_ngrams AS DOUBLE) / rep.n_ngrams
+                   ELSE 0.0 END AS dup_ngram_frac,
+                   rep.top_token_frac
             FROM stats
             JOIN tok USING (doc_id)
             JOIN lang USING (doc_id)
             JOIN fp USING (doc_id)
+            JOIN rep USING (doc_id)
         """,
         "corpus_curation": f"""
             WITH stats AS ({DOC_STATS_SQL}),

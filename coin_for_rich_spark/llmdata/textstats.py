@@ -104,15 +104,16 @@ def doc_langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """The full per-document text-analysis profile — quality stats, token
-    counts (whitespace + BPE-ish), language ID, bag fingerprint — in ONE
-    projection.
+    counts (whitespace + BPE-ish), language ID, bag fingerprint, and the
+    repetition quality filters (dup-n-gram fraction + top-token domination,
+    the Gopher/C4-family signals of ``doc_repetition``) — in ONE projection.
 
     This is the shape a 100 TB curation scan should take: every column is
     independent per-row algebra, so computing them together costs one pass
-    over the text with zero joins and zero shuffles, where joining the four
-    single-purpose operators on doc_id would shuffle the corpus four times
-    for no semantic gain. The single-purpose operators remain the composable
-    API; this is their fused scan.
+    over the text with zero joins and zero shuffles, where joining the
+    single-purpose operators on doc_id would shuffle the corpus once per
+    operator for no semantic gain. The single-purpose operators remain the
+    composable API; this is their fused scan.
     """
     toks = tokenize(text_col)
     n_chars = F.length(F.col(text_col))
@@ -131,6 +132,26 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .otherwise("de")
     )
     bag = F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))
+    total_ngrams = F.greatest(n_tokens - 2, F.lit(0))
+    ngrams = F.when(
+        n_tokens >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n_tokens - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    distinct_ngrams = F.size(F.array_distinct(ngrams))
+    dup_frac = F.when(
+        total_ngrams > 0,
+        1.0 - distinct_ngrams.cast("double") / total_ngrams,
+    ).otherwise(F.lit(0.0))
+    dtoks = F.array_distinct(toks)
+    tok_counts = F.transform(
+        dtoks, lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    top_frac = F.when(
+        n_tokens > 0, F.array_max(tok_counts).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -150,6 +171,10 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         pred.alias("pred_lang"),
         F.md5(bag).alias("bag_fingerprint"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        total_ngrams.alias("n_ngrams"),
+        distinct_ngrams.alias("n_distinct_ngrams"),
+        dup_frac.alias("dup_ngram_frac"),
+        top_frac.alias("top_token_frac"),
     )
 
 
