@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_parallelism
-from .textstats import tokenize
+from .textstats import token_ngrams, tokenize
 
 
 def exact_dedup(
@@ -55,15 +55,13 @@ def exact_dedup(
 
 
 def ngram_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct token n-gram shingles of a text column (empty if < n tokens)."""
-    toks = tokenize(text)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, ngrams).otherwise(F.array().cast("array<string>"))
-    )
+    """Distinct token n-gram shingles of a text column (empty if < n tokens).
+
+    Built via :func:`token_ngrams` (zip_with over shifted token arrays) so
+    shingling stays O(n·len) per row even on 10⁴-token documents — see the
+    quadratic-capture pitfall documented there.
+    """
+    return F.array_distinct(token_ngrams(tokenize(text), n))
 
 
 def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

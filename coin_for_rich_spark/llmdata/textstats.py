@@ -41,6 +41,56 @@ def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Token n-gram strings (space-joined), one per window start — built by
+    zipping the token array with its own shifted copies, O(n·len) per row.
+
+    The obvious ``transform(sequence(0, len-n), i -> slice(toks, i+1, n))``
+    build is quadratic: the lambda body captures the outer ``toks``
+    EXPRESSION, so the full tokenization re-evaluates for every window
+    index — O(len²) on a long document. ``zip_with``'s array arguments are
+    direct children evaluated once per row, so n-1 shifts + zips stay
+    linear. Trailing partial windows (null-padded by zip_with, null-skipped
+    by concat_ws) are sliced off at the end.
+    """
+    n_tokens = F.size(toks)
+    arr = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(n_tokens - j, F.lit(1)))
+        arr = F.zip_with(arr, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n_tokens >= n, F.slice(arr, 1, n_tokens - (n - 1))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_multiplicity(tokens: Column) -> Column:
+    """Occurrences of the most frequent element: sort the array, then ONE
+    aggregate pass tracking the longest adjacent-equal run — O(n log n) per
+    row, still pure column algebra, still zero shuffle. (The naive
+    per-distinct-token `filter` scan is O(distinct × total) per row: ~10⁸
+    comparisons for a 10⁴-token document — a scale-killer for exactly the
+    long documents a 100 TB curation scan must handle.)"""
+
+    def _step(acc: Column, t: Column) -> Column:
+        run = F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.sort_array(tokens),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
+    )
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality stats: token count, char count, punctuation
     ratio, stopword ratio, mean word length, and a coarse quality bucket.
@@ -133,24 +183,13 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     bag = F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))
     total_ngrams = F.greatest(n_tokens - 2, F.lit(0))
-    ngrams = F.when(
-        n_tokens >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n_tokens - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    distinct_ngrams = F.size(F.array_distinct(ngrams))
+    distinct_ngrams = F.size(F.array_distinct(token_ngrams(toks, 3)))
     dup_frac = F.when(
         total_ngrams > 0,
         1.0 - distinct_ngrams.cast("double") / total_ngrams,
     ).otherwise(F.lit(0.0))
-    dtoks = F.array_distinct(toks)
-    tok_counts = F.transform(
-        dtoks, lambda t: F.size(F.filter(toks, lambda x: x == t))
-    )
     top_frac = F.when(
-        n_tokens > 0, F.array_max(tok_counts).cast("double") / n_tokens
+        n_tokens > 0, _max_multiplicity(toks).cast("double") / n_tokens
     ).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
@@ -191,31 +230,21 @@ def doc_repetition(
     - ``top_token_frac``: occurrences of the most frequent token ÷ tokens
       (single-token domination).
 
-    Pure higher-order column algebra (sequence/transform/filter/array_max):
-    per-row, no explode, no shuffle — the per-token count loop is O(d·n)
-    inside the row, the right trade below ~10⁴ tokens/doc where d is small;
-    an explode+groupBy twin would shuffle the corpus."""
+    Pure higher-order column algebra (sequence/transform/sort_array/
+    aggregate): per-row, no explode, no shuffle. The top-token count is a
+    single run-length pass over the sorted token array — O(n log n) per row
+    regardless of document length; an explode+groupBy twin would shuffle the
+    corpus."""
     toks = tokenize(text_col)
     n_tokens = F.size(toks)
     total_ngrams = F.greatest(n_tokens - (n - 1), F.lit(0))
-    ngrams = F.when(
-        n_tokens >= n,
-        F.transform(
-            F.sequence(F.lit(0), n_tokens - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    distinct_ngrams = F.size(F.array_distinct(ngrams))
+    distinct_ngrams = F.size(F.array_distinct(token_ngrams(toks, n)))
     dup_frac = F.when(
         total_ngrams > 0,
         1.0 - distinct_ngrams.cast("double") / total_ngrams,
     ).otherwise(F.lit(0.0))
-    dtoks = F.array_distinct(toks)
-    counts = F.transform(
-        dtoks, lambda t: F.size(F.filter(toks, lambda x: x == t))
-    )
     top_frac = F.when(
-        n_tokens > 0, F.array_max(counts).cast("double") / n_tokens
+        n_tokens > 0, _max_multiplicity(toks).cast("double") / n_tokens
     ).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),

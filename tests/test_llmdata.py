@@ -433,6 +433,38 @@ def test_doc_repetition_signals(spark):
     assert r[3].n_ngrams == 0 and r[3].dup_ngram_frac == 0.0
 
 
+def test_doc_profile_long_document_scaling(spark):
+    """Long-document guard: top_token_frac must stay near-linear per row.
+
+    A 2×10⁴-token document with ~all-distinct tokens costs ~4×10⁸ array
+    comparisons per row under a naive O(distinct × total) per-token filter
+    loop (minutes for this corpus) vs ~10⁵ operations for the run-length
+    pass over the sorted array. The wall-clock budget is deliberately loose
+    — it only fails if someone reintroduces a quadratic per-row loop."""
+    import time
+
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata import doc_profile, doc_repetition
+
+    n = 20_000
+    # all-distinct tokens except one tripled token -> known max multiplicity
+    toks = [f"t{i}" for i in range(n - 2)] + ["t0", "t0"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i in range(8)]
+    ).repartition(8)
+    t0 = time.monotonic()
+    rows = doc_profile(docs).select("doc_id", "n_tokens", "top_token_frac").collect()
+    rep = {r.doc_id: r for r in doc_repetition(docs).collect()}
+    elapsed = time.monotonic() - t0
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_tokens == n
+        assert abs(r.top_token_frac - 3 / n) < 1e-12
+        assert abs(rep[r.doc_id].top_token_frac - 3 / n) < 1e-12
+    assert elapsed < 60, f"doc_profile took {elapsed:.1f}s on long docs"
+
+
 def test_pq_recall_and_compression(spark, sf_dir):
     """PQ codebooks + ADC scoring + exact re-rank: on the real embedding
     corpus the re-ranked top-10 must recover most of the exact top-10, and
