@@ -639,29 +639,32 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     treats the deterministic 1/16 hash-sampled holdout as the "eval set" and
     flags every remaining training doc that shares ≥ 5 distinct 3-gram
     shingles with it or duplicates it exactly — surfaced as the verified
-    ``n_contaminated`` column. At 100 TB the eval side broadcasts and the
-    train corpus takes one scan with two broadcast hash probes; the corpus
-    is never self-joined."""
+    ``n_contaminated`` column. Every relation in this plan (keep set, eval
+    holdout, contaminated set) is corpus-proportional, so NO broadcast is
+    hard-hinted anywhere — a forced broadcast of a 1/16 corpus fraction is
+    a driver OOM at 100 TB. AQE broadcasts any side that turns out small at
+    runtime; ``broadcast_eval=False`` opts the contamination operator out
+    of its bounded-eval-set broadcast contract for the same reason."""
     docs = load_table(spark, sf_dir, "documents")
     profile = doc_profile(docs).select(
         "doc_id", "n_tokens", "quality_bucket", "pred_lang"
     )
     keep_ids = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     evalset = hash_sample(docs)
-    train = docs.join(
-        F.broadcast(evalset.select("doc_id")), "doc_id", "left_anti"
-    )
+    train = docs.join(evalset.select("doc_id"), "doc_id", "left_anti")
     contaminated = (
-        cross_corpus_contamination(train, evalset, min_overlap=5)
+        cross_corpus_contamination(
+            train, evalset, min_overlap=5, broadcast_eval=False
+        )
         .filter(F.col("exact_dup") | (F.col("n_shared_shingles") >= 5))
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
         .withColumn("_contam", F.lit(True))
     )
     kept = (
-        profile.join(F.broadcast(keep_ids), "doc_id", "left_semi")
+        profile.join(keep_ids, "doc_id", "left_semi")
         .filter(F.col("quality_bucket") != "too_short")
-        .join(F.broadcast(contaminated), "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
     )
     return (
         kept.groupBy("pred_lang", "quality_bucket")

@@ -400,6 +400,7 @@ def cross_corpus_contamination(
     n: int = 3,
     min_overlap: int = 1,
     exact: bool = True,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark-decontamination sweep: which TRAIN documents share content
     with an EVAL set — exact duplicates and/or n-gram shingle overlap.
@@ -411,14 +412,21 @@ def cross_corpus_contamination(
     corpus) expressed as pure relational algebra:
 
     - shingle overlap is the same inverted-index equi-join as
-      ``ngram_jaccard_pairs``, but ACROSS corpora — the eval side is tiny
-      relative to training data, so its shingle index broadcasts and the
-      100 TB train scan never shuffles;
+      ``ngram_jaccard_pairs``, but ACROSS corpora — a genuine eval set is
+      tiny relative to training data, so its shingle index broadcasts and
+      the 100 TB train scan never shuffles;
     - exact duplication is a broadcast semi-join on md5(normalized text).
 
     At scale this is one pass over the training corpus with two broadcast
     hash probes — no train-side self-join ever happens.
+
+    ``broadcast_eval`` hard-hints the two eval-side broadcasts; it is the
+    right default ONLY because real eval sets are bounded by construction.
+    Pass ``False`` when the eval relation's size is corpus-proportional
+    (e.g. a hash-sampled holdout) — the joins stay the same and AQE picks
+    broadcast at runtime if the side is actually small.
     """
+    maybe_bcast = F.broadcast if broadcast_eval else (lambda df: df)
     t_idx = _shingle_index(train, text_col, id_col, n).withColumnRenamed(
         "doc", "train_id"
     )
@@ -426,7 +434,7 @@ def cross_corpus_contamination(
         "doc", "eval_id"
     )
     shingle_hits = (
-        t_idx.join(F.broadcast(e_idx), "shingle")
+        t_idx.join(maybe_bcast(e_idx), "shingle")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= min_overlap)
@@ -440,7 +448,7 @@ def cross_corpus_contamination(
     e_hash = evalset.select(
         F.col(id_col).alias("eval_id"), norm(text_col).alias("_h")
     )
-    exact_pairs = t_hash.join(F.broadcast(e_hash), "_h").select(
+    exact_pairs = t_hash.join(maybe_bcast(e_hash), "_h").select(
         "train_id", "eval_id", F.lit(True).alias("exact_dup")
     )
     return (
