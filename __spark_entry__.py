@@ -44,7 +44,6 @@ from coin_for_rich_spark.llmdata import (
     attach_real_media,
     cross_corpus_contamination,
     decode_media_stats,
-    dequantize_embeddings,
     resample_media,
     cosine_knn,
     dedup_clusters,
@@ -973,15 +972,21 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the embedding tier of the dedup
     ladder) over the INT8 STORAGE TIER: the corpus is symmetric-per-vector
     int8 quantized (scale = max|x|/127 — 4× smaller, the billion-vector
-    storage format) and dequantized on read, then the exact distributed
-    blocked-GEMM grid runs on the reconstruction — no driver collect, and
-    the quantize→dequantize column algebra is what the oracle now replicates
-    value-exactly (DuckDB mirrors the same round/cast/scale arithmetic).
+    storage format) and BOTH the blocked-GEMM candidate grid and the exact
+    verify fold run directly on the int8 codes. Cosine is invariant to
+    per-vector scaling, so cos(q_a, q_b) ≡ cos(x̂_a, x̂_b) — same pairs,
+    while the shuffle carries 1-byte elements instead of reconstructed
+    doubles and the dequantize transform drops out of the plan entirely.
+    Code dot products are integer-valued (exact in double), making the
+    cross-engine comparison sturdier than the reconstructed-double fold;
+    the oracle replicates the same quantize arithmetic and cosine-on-codes.
     The LSH-blocked variant trades recall for fewer flops (subset property
     tested in pytest)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    tier = dequantize_embeddings(quantize_embeddings(emb))
-    return embedding_neardup_pairs(tier, threshold=0.4, method="exact")
+    codes = quantize_embeddings(emb).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    return embedding_neardup_pairs(codes, threshold=0.4, method="exact")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1920,8 +1925,8 @@ def oracle_sql() -> dict[str, str]:
             e AS (
                 SELECT vec_id,
                        list_transform(v0, x ->
-                           CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE)
-                           * scale) AS v
+                           CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE))
+                           AS v
                 FROM q
             ),
             n AS (
