@@ -249,6 +249,7 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
         )
 
     converged = False
+    n_prev = e.count()
     for _ in range(max_iter):
         # large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
         sym = _sym(e)
@@ -276,10 +277,13 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        same = (
-            e2.count() == e.count()
-            and e2.unionByName(e).distinct().count() == e.count()
-        )
+        # fixed-point test: both relations are distinct, so |e2| = |e| plus
+        # e2 ⊆ e implies set equality — one count over checkpointed data
+        # (the previous round's count is carried, not recomputed) and one
+        # anti-join emptiness probe, instead of three full-relation jobs
+        n_cur = e2.count()
+        same = n_cur == n_prev and e2.exceptAll(e).isEmpty()
+        n_prev = n_cur
         e = e2
         if same:
             converged = True
