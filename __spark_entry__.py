@@ -263,6 +263,30 @@ def q_candles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_rollup_multi(base, list(_ALL_RESOLUTIONS))
 
 
+def _promote_staged_dir(built: str, final: str, expect: str) -> None:
+    """Atomically promote a staged build directory to its final path.
+
+    The rename's OSError is swallowed ONLY when it means a concurrent build
+    already promoted a complete copy (EEXIST / ENOTEMPTY on the target);
+    any other failure — permissions, a cross-device TMPDIR, a partial
+    target — re-raises at the root cause instead of surfacing later as an
+    unrelated FileNotFoundError. ``expect`` (a path inside ``final``) must
+    exist afterwards either way, else we fail loud with context."""
+    import errno
+    import os
+
+    try:
+        os.rename(built, final)
+    except OSError as exc:
+        if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+            raise
+    if not os.path.exists(expect):
+        raise RuntimeError(
+            f"staged promotion to {final!r} completed without error but "
+            f"{expect!r} is absent — the index/store on disk is incomplete"
+        )
+
+
 # materialized rollup-family paths keyed on sf_dir (M4): materialize once
 # per session, serve every materialized-route read from the sink tables.
 # Like the staged stream replay, the store also lives at a deterministic
@@ -296,10 +320,7 @@ def _rollup_store(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             tmp = tempfile.mkdtemp(prefix="cfr_rollups_stage_")
             built = os.path.join(tmp, "store")
             materialize_rollups(cv, built)
-            try:
-                os.rename(built, final)
-            except OSError:
-                pass  # concurrent materialization won — its store is complete
+            _promote_staged_dir(built, final, expect=final)
             shutil.rmtree(tmp, ignore_errors=True)
         _ROLLUP_STORE_CACHE[sf_dir] = {
             name.removeprefix("candles_"): os.path.join(final, name)
@@ -931,10 +952,7 @@ def _ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]:
             )
             with open(os.path.join(built, "_meta.json"), "w") as fh:
                 json.dump({"centroids": cents, "codebooks": books}, fh)
-            try:
-                os.rename(built, final)
-            except OSError:
-                pass  # a concurrent build won the rename — its index is complete
+            _promote_staged_dir(built, final, expect=meta_path)
             shutil.rmtree(tmp, ignore_errors=True)
         with open(meta_path) as fh:
             meta = json.load(fh)
@@ -1128,10 +1146,7 @@ def _staged_stream(spark: SparkSession, sf_dir: str):
             tmp = os.path.join(tmp_parent, "events")
             stage_stream_chunks(ev, tmp, n_chunks=_STREAM_N_CHUNKS)
             os.makedirs(os.path.dirname(final), exist_ok=True)
-            try:
-                os.rename(tmp, final)
-            except OSError:
-                pass  # a concurrent staging won the rename — its dir is complete
+            _promote_staged_dir(tmp, final, expect=final)
             shutil.rmtree(tmp_parent, ignore_errors=True)
         _STREAM_STAGE_CACHE[sf_dir] = (final, ev.schema)
     path, schema = _STREAM_STAGE_CACHE[sf_dir]
@@ -1166,7 +1181,12 @@ def q_stream_latest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``"t;;o;;h;;l;;c;;v"`` string and re-parsed with ``parse_wire_candles``
     (µs epoch so microsecond event time survives; doubles round-trip via
     shortest-repr cast) — so the wire parser + dead-letter split executes
-    inside this oracle-checked row, not just in unit tests."""
+    inside this oracle-checked row, not just in unit tests. The dead-letter
+    leg is structurally empty here: format_wire_candles serializes NULL
+    fields as explicit empty tokens (arity always 6), so a hypothetical
+    null-field candle would land in dead letters with its full wire string
+    — it cannot shift columns or silently vanish from the serve aggregate
+    (arity + null contract pinned in tests/test_streaming.py)."""
     import uuid
 
     from coin_for_rich_spark.streaming.latest import run_latest_to_memory

@@ -40,19 +40,24 @@ TABLES = [
 #   - LongType (nanos via nanosAsLong): integer `div 1000` — a double division
 #     loses sub-microsecond precision at 1.7e18 ns and would drift from
 #     DuckDB's exact nanos→micros truncation.
-#   - TimestampNTZType (µs, no UTC flag): cast to "timestamp". The session tz
-#     is pinned to UTC (session.py), so the wall-clock values — and therefore
-#     every oracle hash — are unchanged.
+#   - TimestampNTZType (µs, no UTC flag): cast to "timestamp". load_table
+#     pins the session tz to UTC itself, so the wall-clock values — and
+#     therefore every oracle hash — are unchanged on any caller's session.
 #   - TimestampType: already canonical.
 _TIME_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Self-sufficient on a vanilla SparkSession: nanos-INT64 testdata is
-    # rejected at scan time unless nanosAsLong is on. The conf is
-    # runtime-settable, so set it here rather than relying on the session
+    # rejected at scan time unless nanosAsLong is on, and the µs-NTZ
+    # normalization below (cast to "timestamp") reads the session timezone —
+    # on a non-UTC session it would shift NTZ instants by the local offset
+    # relative to the epoch-based nanos-long path, silently breaking the
+    # cross-encoding "identical wall-clock values" contract. Both confs are
+    # runtime-settable, so pin them here rather than relying on the session
     # builder (session.py) having run.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TIME_COLS.get(name, []):
         if col in df.columns:

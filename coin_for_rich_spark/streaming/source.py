@@ -93,10 +93,17 @@ def format_wire_candles(
     through Spark's cast-to-string (shortest round-trip representation), so
     ``parse(format(x)) == x`` exactly; with ``ts_unit="us"`` the event time
     round-trips at full microsecond precision too. Pure projection —
-    batch- and streaming-safe."""
+    batch- and streaming-safe.
+
+    NULL fields serialize as an explicit empty token (``concat_ws`` would
+    otherwise silently SKIP them, emitting a short-arity string that parses
+    as the wrong fields): arity is always ``len(cols)``, and the parse side
+    dead-letters the row — a null-field candle surfaces in the dead-letter
+    relation with its full wire string instead of vanishing or shifting
+    columns."""
     ts_of = {"ms": F.unix_millis, "us": F.unix_micros}[ts_unit]
-    pieces = [ts_of(F.col(cols[0])).cast("string")] + [
-        F.col(c).cast("string") for c in cols[1:]
+    pieces = [F.coalesce(ts_of(F.col(cols[0])).cast("string"), F.lit(""))] + [
+        F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols[1:]
     ]
     return df.select(*keep_cols, F.concat_ws(WIRE_SEP, *pieces).alias(wire_col))
 

@@ -383,6 +383,39 @@ def test_format_wire_round_trip_is_lossless_at_us(spark, sf_dir):
     assert _rows(parsed, cols) == _rows(cv, cols)
 
 
+def test_format_wire_null_fields_keep_arity_and_dead_letter(spark):
+    """A candle with a NULL column must serialize to a full-arity wire
+    string (concat_ws would silently skip the null, shifting every later
+    field) and come back on the DEAD-LETTER leg with the raw string intact
+    — never as a mis-parsed row, never silently dropped."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.streaming import format_wire_candles, parse_wire_candles
+
+    ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(symbol="ok", ts=ts, open=1.0, high=2.0, low=0.5, close=1.5,
+            volume=9.0),
+        Row(symbol="null-mid", ts=ts, open=1.0, high=None, low=0.5,
+            close=1.5, volume=9.0),
+        Row(symbol="null-ts", ts=None, open=1.0, high=2.0, low=0.5,
+            close=1.5, volume=9.0),
+    ]
+    wire = format_wire_candles(spark.createDataFrame(rows), ts_unit="us")
+    by_sym = {r["symbol"]: r["wire"] for r in wire.collect()}
+    # arity is preserved: every wire string has exactly 6 fields
+    assert all(w.count(";;") == 5 for w in by_sym.values())
+    assert ";;;;" in by_sym["null-mid"]  # explicit empty token, not a skip
+    assert by_sym["null-ts"].startswith(";;")
+    parsed, dead = parse_wire_candles(wire, ts_unit="us")
+    assert [r["symbol"] for r in parsed.collect()] == ["ok"]
+    dead_rows = {r["symbol"]: r["wire"] for r in dead.collect()}
+    assert set(dead_rows) == {"null-mid", "null-ts"}
+    assert dead_rows["null-mid"] == by_sym["null-mid"]
+
+
 def test_rollup_watermark_delay_revises_within_and_drops_beyond(spark, tmp_path):
     """CONAGG policy parity (create.sql:345-381): with the declared 5m
     policy's end_offset as the watermark delay ('5 minutes'), replaying late

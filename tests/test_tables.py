@@ -55,6 +55,24 @@ def test_load_table_normalizes_every_physical_ts_variant(
     assert [r["ts"] for r in rows] == _EXPECT
 
 
+@pytest.mark.parametrize(
+    "arrow_type",
+    [pa.timestamp("ns"), pa.timestamp("us"), pa.timestamp("us", tz="UTC")],
+    ids=["nanos-long", "us-ntz", "us-ltz"],
+)
+def test_load_table_is_session_timezone_independent(spark, tmp_path, arrow_type):
+    # a vanilla session need not run in UTC; load_table must pin the tz
+    # itself or the NTZ cast shifts instants by the local offset relative to
+    # the epoch-based nanos path
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = load_table(spark, _write_events(tmp_path, arrow_type), "events")
+        rows = df.orderBy("event_id").collect()
+        assert [r["ts"] for r in rows] == _EXPECT
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_load_table_unsupported_ts_type_fails_loud():
     with pytest.raises(TypeError, match="event-time"):
         _to_event_time(T.StringType(), "ts")
