@@ -9,6 +9,7 @@ Reference parity map (SURVEY §2.9):
 """
 
 from .dedupe import exactly_once_dedup
+from .jdbc import JdbcMergeSink, PsqlCopyMergeSink, upsert_sql
 from .latest import latest_value_serve
 from .rollup import CONAGG_POLICIES, streaming_ohlcv_rollup
 from .sink import ParquetMergeSink, run_ingest
@@ -17,7 +18,10 @@ from .source import candle_stream, format_wire_candles, stage_stream_chunks, par
 __all__ = [
     "CONAGG_POLICIES",
     "exactly_once_dedup",
+    "JdbcMergeSink",
     "ParquetMergeSink",
+    "PsqlCopyMergeSink",
+    "upsert_sql",
     "candle_stream",
     "latest_value_serve",
     "run_ingest",

@@ -16,12 +16,23 @@ Mechanics per micro-batch (the standard scale-out JDBC upsert shape):
    is the only place it can be transactional for an external store;
 3. staging is truncated for the next batch.
 
-This container ships no Postgres driver jar and no database, so the class
-raises a clear error on use unless a JDBC URL + driver are actually
-available; its SQL-building logic is pure and unit-tested.
+Two concrete sinks share the merge statement:
+
+- ``JdbcMergeSink`` — the scale-out twin: executors stage the batch over
+  parallel JDBC connections, the driver issues the set-based merge. Needs
+  the PostgreSQL driver jar on the Spark classpath, which this container
+  does not ship, so it stays unit-tested at the SQL layer.
+- ``PsqlCopyMergeSink`` — the reference's own mechanics (CSV COPY + ON
+  CONFLICT, `dbhelpers.py:34-132`) through the ``psql`` client in one
+  transaction per micro-batch. The container ships psql and the server
+  binaries, so THIS twin is integration-tested against a real PostgreSQL
+  end-to-end (tests/test_postgres_sink.py), closing the north-star-sink
+  execution gap at the semantics level.
 """
 
 from __future__ import annotations
+
+import subprocess
 
 from pyspark.sql import DataFrame
 
@@ -32,22 +43,34 @@ def upsert_sql(
     columns: list[str],
     pk: list[str],
     mode: str = "ignore",
+    dedup_order: list[str] | None = None,
 ) -> str:
     """The set-based merge statement (`queries.py:4,12-15` templates).
 
     mode='ignore' → ON CONFLICT DO NOTHING (idempotent ingest, S6);
     mode='upsert' → ON CONFLICT DO UPDATE SET every non-PK column (late
     correction, S7).
+
+    ``dedup_order`` (a list of ``"col ASC|DESC"`` terms, possibly empty)
+    switches the staging SELECT to PostgreSQL ``DISTINCT ON (pk)`` ordered
+    by ``pk, *dedup_order`` — required when one staged batch can hold the
+    same PK twice: ``DO UPDATE`` raises "cannot affect row a second time"
+    on such input, and ``DO NOTHING`` would keep an arbitrary copy. With it
+    the kept row per PK is deterministic. ``None`` keeps the plain SELECT
+    (the caller guarantees PK-unique staging).
     """
     if mode not in ("ignore", "upsert"):
         raise ValueError(f"mode must be 'ignore' or 'upsert', got {mode!r}")
     cols = ", ".join(columns)
     conflict = ", ".join(pk)
-    base = (
-        f"INSERT INTO {target} ({cols}) "
-        f"SELECT {cols} FROM {staging} "
-        f"ON CONFLICT ({conflict}) "
-    )
+    select = f"SELECT {cols} FROM {staging}"
+    if dedup_order is not None:
+        order = ", ".join([conflict, *dedup_order]) if dedup_order else conflict
+        select = (
+            f"SELECT DISTINCT ON ({conflict}) {cols} FROM {staging} "
+            f"ORDER BY {order}"
+        )
+    base = f"INSERT INTO {target} ({cols}) {select} ON CONFLICT ({conflict}) "
     if mode == "ignore":
         return base + "DO NOTHING"
     updates = ", ".join(
@@ -109,3 +132,109 @@ class JdbcMergeSink:
         self._execute(
             spark, upsert_sql(self.table, self.staging, batch.columns, self.pk, self.mode)
         )
+
+
+class PsqlCopyMergeSink:
+    """PK-merge sink into a real PostgreSQL/TimescaleDB via the ``psql``
+    client — the reference's exact ingest mechanics (CSV COPY into the
+    table with an ``ON CONFLICT`` fallback, `fetchers/helpers/dbhelpers.py:
+    34-132`) with the same ``merge(batch, batch_id)`` contract as
+    ``ParquetMergeSink`` / ``JdbcMergeSink`` (pluggable into
+    ``run_ingest``).
+
+    Per micro-batch, ONE psql invocation runs ONE transaction::
+
+        BEGIN;
+        CREATE TEMP TABLE <stg> (LIKE <target> INCLUDING DEFAULTS)
+            ON COMMIT DROP;
+        COPY <stg> (cols) FROM STDIN (FORMAT csv, NULL '\\N');
+        ...batch rows...
+        \\.
+        INSERT INTO <target> SELECT DISTINCT ON (pk) ...
+            ON CONFLICT (pk) DO NOTHING | DO UPDATE SET ...;
+        COMMIT;
+
+    A failed batch leaves nothing behind (temp staging drops with its
+    transaction); a replayed batch is a no-op ('ignore') or a same-value
+    overwrite ('upsert') — the parquet twin's exactly-once posture, now
+    transactional because the merge runs inside the database. Within-batch
+    duplicate PKs resolve deterministically via ``DISTINCT ON`` ordered by
+    the tiebreak column (lowest wins for 'ignore' — earliest-insert ctid
+    semantics — highest for 'upsert') then the remaining columns, exactly
+    ``ParquetMergeSink._order``.
+
+    The batch ships through the driver (``toPandas`` → CSV on stdin): a
+    single-writer COPY is the reference writer's own shape and the right
+    one for an external single-endpoint database; ``JdbcMergeSink`` remains
+    the distributed-staging alternative when a driver jar is available.
+    Micro-batches are bounded by the trigger interval, so the driver hop is
+    O(batch), never O(table).
+    """
+
+    def __init__(
+        self,
+        conninfo: list[str],
+        table: str,
+        pk: tuple[str, ...],
+        mode: str = "ignore",
+        tiebreak_col: str | None = None,
+        psql: str = "psql",
+    ) -> None:
+        upsert_sql(table, "_probe_stg", ["_probe"], list(pk), mode)  # validate
+        self.conninfo = list(conninfo)
+        self.table = table
+        self.pk = list(pk)
+        self.mode = mode
+        self.tiebreak_col = tiebreak_col
+        self.psql = psql
+        self.staging = f"_cfr_stage_{table.rsplit('.', 1)[-1]}"
+
+    def _dedup_order(self, columns: list[str]) -> list[str]:
+        asc = self.mode == "ignore"
+        order = []
+        if self.tiebreak_col is not None:
+            order.append(f"{self.tiebreak_col} {'ASC' if asc else 'DESC'}")
+        order.extend(
+            f"{c} ASC"
+            for c in sorted(
+                c
+                for c in columns
+                if c not in self.pk and c != self.tiebreak_col
+            )
+        )
+        return order
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        pdf = batch.toPandas()
+        cols = ", ".join(pdf.columns)
+        csv = pdf.to_csv(index=False, header=False, na_rep="\\N")
+        merge_stmt = upsert_sql(
+            self.table,
+            self.staging,
+            list(pdf.columns),
+            self.pk,
+            self.mode,
+            dedup_order=self._dedup_order(list(pdf.columns)),
+        )
+        script = (
+            "BEGIN;\n"
+            f"CREATE TEMP TABLE {self.staging} "
+            f"(LIKE {self.table} INCLUDING DEFAULTS) ON COMMIT DROP;\n"
+            f"COPY {self.staging} ({cols}) FROM STDIN "
+            "(FORMAT csv, NULL '\\N');\n"
+            f"{csv}\\.\n"
+            f"{merge_stmt};\n"
+            "COMMIT;\n"
+        )
+        proc = subprocess.run(
+            [self.psql, "-X", "-q", "-v", "ON_ERROR_STOP=1", *self.conninfo],
+            input=script.encode(),
+            capture_output=True,
+            cwd="/",
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"psql merge of batch {batch_id} into {self.table} failed "
+                f"(rc={proc.returncode}): "
+                + proc.stderr.decode(errors="replace").strip()
+            )

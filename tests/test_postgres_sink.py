@@ -1,0 +1,247 @@
+"""End-to-end integration of the psql COPY + ON CONFLICT merge sink against
+a REAL PostgreSQL server — the north-star sink semantics
+(`fetchers/helpers/dbhelpers.py:34-132`, `fetchers/config/queries.py:4,12-15`)
+executed inside the actual target engine, not just asserted as SQL strings.
+
+The module boots a throwaway cluster (initdb + pg_ctl under the `postgres`
+user, unix socket only, trust auth) and tears it down afterwards; it skips
+cleanly when the environment has no runnable server. The capstone test
+drives the SAME staged micro-batch stream through ``ParquetMergeSink`` and
+``PsqlCopyMergeSink`` and requires the resolved states to be value-identical
+— the two backends are twins by construction, so this pins that the psql
+COPY/DISTINCT ON/ON CONFLICT path implements exactly the merge semantics the
+oracle-checked `stream_upsert_ingest` query verifies for the parquet twin.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import pwd
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+PGBIN = "/usr/local/bin"
+
+
+def _pg_runnable() -> bool:
+    if os.geteuid() != 0:
+        return False
+    if not (shutil.which("runuser") and shutil.which("psql")):
+        return False
+    if not all(
+        os.path.exists(os.path.join(PGBIN, b))
+        for b in ("initdb", "pg_ctl", "postgres")
+    ):
+        return False
+    try:
+        pwd.getpwnam("postgres")
+    except KeyError:
+        return False
+    return True
+
+
+pytestmark = pytest.mark.skipif(
+    not _pg_runnable(), reason="no runnable PostgreSQL server in this environment"
+)
+
+
+def _as_pg(*argv: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["runuser", "-u", "postgres", "--", *argv],
+        capture_output=True,
+        cwd="/",
+    )
+
+
+@pytest.fixture(scope="module")
+def pg():
+    """Scratch single-node cluster on a unix socket; yields psql conninfo
+    args. Not under pytest's tmp_path: those live below a 0700 root-owned
+    dir the postgres user cannot traverse."""
+    base = tempfile.mkdtemp(prefix="cfr_pg_")
+    data = os.path.join(base, "data")
+    sock = os.path.join(base, "sock")
+    os.makedirs(data)
+    os.makedirs(sock)
+    subprocess.run(["chown", "-R", "postgres", base], check=True)
+    try:
+        p = _as_pg(f"{PGBIN}/initdb", "-D", data, "-A", "trust")
+        assert p.returncode == 0, p.stderr.decode()
+        p = _as_pg(
+            f"{PGBIN}/pg_ctl",
+            "-D",
+            data,
+            "-o",
+            f"-c listen_addresses='' -c unix_socket_directories={sock}",
+            "-w",
+            "-l",
+            os.path.join(base, "log"),
+            "start",
+        )
+        assert p.returncode == 0, p.stderr.decode()
+        yield ["-h", sock, "-U", "postgres", "-d", "postgres"]
+        _as_pg(f"{PGBIN}/pg_ctl", "-D", data, "-w", "-m", "fast", "stop")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _sql(conninfo: list[str], sql: str) -> str:
+    p = subprocess.run(
+        ["psql", "-X", "-q", "-v", "ON_ERROR_STOP=1", *conninfo, "-c", sql],
+        capture_output=True,
+        cwd="/",
+    )
+    assert p.returncode == 0, p.stderr.decode()
+    return p.stdout.decode()
+
+
+def _fetch(conninfo: list[str], query: str) -> list[list[str]]:
+    p = subprocess.run(
+        ["psql", "-X", "-A", "-t", "-F", "\t", *conninfo, "-c", query],
+        capture_output=True,
+        cwd="/",
+    )
+    assert p.returncode == 0, p.stderr.decode()
+    return [
+        line.split("\t")
+        for line in p.stdout.decode().splitlines()
+        if line.strip()
+    ]
+
+
+def test_psql_merge_ignore_first_writer_wins_and_replay_is_noop(spark, pg):
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_ign;"
+             "CREATE TABLE t_ign (k text PRIMARY KEY, seq int, v double precision)")
+    sink = PsqlCopyMergeSink(pg, "t_ign", pk=("k",), mode="ignore",
+                             tiebreak_col="seq")
+    b1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 11.0), ("b", 3, 20.0)],
+        "k string, seq int, v double",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 4, 99.0), ("c", 5, 30.0)], "k string, seq int, v double"
+    )
+    sink.merge(b1, 0)
+    sink.merge(b2, 1)
+    sink.merge(b2, 1)  # replay — must be a no-op
+    got = [
+        (r[0], int(r[1]), float(r[2]))
+        for r in _fetch(pg, "SELECT k, seq, v FROM t_ign ORDER BY k")
+    ]
+    # the ParquetMergeSink twin's exact expectation (within-batch dedup keeps
+    # the LOWEST tiebreak for 'ignore'; PK 'a' keeps its batch-0 row)
+    assert got == [("a", 1, 10.0), ("b", 3, 20.0), ("c", 5, 30.0)]
+
+
+def test_psql_merge_upsert_newest_wins(spark, pg):
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_ups;"
+             "CREATE TABLE t_ups (k text PRIMARY KEY, seq int, v double precision)")
+    sink = PsqlCopyMergeSink(pg, "t_ups", pk=("k",), mode="upsert",
+                             tiebreak_col="seq")
+    b1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0)], "k string, seq int, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3, 10.5), ("a", 4, 10.9), ("c", 5, 30.0)],
+        "k string, seq int, v double",
+    )
+    sink.merge(b1, 0)
+    sink.merge(b2, 1)
+    got = [
+        (r[0], int(r[1]), float(r[2]))
+        for r in _fetch(pg, "SELECT k, seq, v FROM t_ups ORDER BY k")
+    ]
+    # 'a' corrected by batch 2 (HIGHEST tiebreak within the batch wins)
+    assert got == [("a", 4, 10.9), ("b", 2, 20.0), ("c", 5, 30.0)]
+
+
+def test_psql_merge_null_round_trip(spark, pg):
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_null;"
+             "CREATE TABLE t_null (k text PRIMARY KEY, v double precision)")
+    sink = PsqlCopyMergeSink(pg, "t_null", pk=("k",), mode="ignore")
+    sink.merge(
+        spark.createDataFrame([("a", None), ("b", 1.5)], "k string, v double"), 0
+    )
+    got = {r[0]: r[1] for r in _fetch(pg, "SELECT k, coalesce(v::text, 'NULL') FROM t_null")}
+    assert got == {"a": "NULL", "b": "1.5"}
+
+
+def test_psql_sink_matches_parquet_twin_on_a_real_stream(spark, sf_dir, tmp_path, pg):
+    """Capstone: the same staged micro-batch replay (the q_stream_upsert_ingest
+    shape — upsert on (user_id, event_type), ts tiebreak) driven through both
+    sink backends; the Postgres table must equal the parquet twin's resolved
+    read row-for-row."""
+    from coin_for_rich_spark.sources import load_table
+    from coin_for_rich_spark.streaming import (
+        ParquetMergeSink,
+        PsqlCopyMergeSink,
+        run_ingest,
+    )
+    from coin_for_rich_spark.streaming.source import (
+        read_file_stream,
+        stage_stream_chunks,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    staged = str(tmp_path / "staged")
+    schema = stage_stream_chunks(ev, staged, n_chunks=4)
+
+    pq_sink = ParquetMergeSink(
+        str(tmp_path / "tbl"), pk=("user_id", "event_type"), mode="upsert",
+        tiebreak_col="ts",
+    )
+    _sql(pg, "DROP TABLE IF EXISTS events_ing;"
+             "CREATE TABLE events_ing (event_id bigint, ts timestamp,"
+             " event_type text, user_id bigint, value double precision,"
+             " PRIMARY KEY (user_id, event_type))")
+    ps_sink = PsqlCopyMergeSink(
+        pg, "events_ing", pk=("user_id", "event_type"), mode="upsert",
+        tiebreak_col="ts",
+    )
+    run_ingest(read_file_stream(spark, staged, schema), pq_sink,
+               str(tmp_path / "ckpt_pq"))
+    run_ingest(read_file_stream(spark, staged, schema), ps_sink,
+               str(tmp_path / "ckpt_ps"))
+
+    def key(t):
+        return (t[3], t[2])
+
+    expect = sorted(
+        (
+            (r["event_id"], r["ts"], r["event_type"], r["user_id"], r["value"])
+            for r in pq_sink.read(spark).collect()
+        ),
+        key=key,
+    )
+    got = sorted(
+        (
+            (
+                int(r[0]),
+                dt.datetime.strptime(
+                    r[1] + ("" if "." in r[1] else ".0"), "%Y-%m-%d %H:%M:%S.%f"
+                ),
+                r[2],
+                int(r[3]),
+                float(r[4]),
+            )
+            for r in _fetch(
+                pg,
+                "SELECT event_id, ts, event_type, user_id, value FROM events_ing",
+            )
+        ),
+        key=key,
+    )
+    assert len(got) == len(expect) > 0
+    assert got == expect

@@ -170,6 +170,15 @@ def test_jdbc_upsert_sql_shapes():
     up = upsert_sql("ohlcvs", "s", ["exchange", "time", "open", "close"],
                     ["exchange", "time"], mode="upsert")
     assert up.endswith("DO UPDATE SET open = excluded.open, close = excluded.close")
+    # within-batch dedup branch: DISTINCT ON over the PK, tiebreak order
+    dd = upsert_sql("ohlcvs", "s", ["exchange", "time", "open"],
+                    ["exchange", "time"], mode="upsert",
+                    dedup_order=["open DESC"])
+    assert "SELECT DISTINCT ON (exchange, time) exchange, time, open FROM s" in dd
+    assert "ORDER BY exchange, time, open DESC" in dd
+    # empty dedup_order still dedups (exact-duplicate PK rows in one batch)
+    dd0 = upsert_sql("t", "s", ["a"], ["a"], dedup_order=[])
+    assert "SELECT DISTINCT ON (a) a FROM s ORDER BY a" in dd0
 
 
 def test_merge_sink_compact_preserves_state_and_semantics(spark, tmp_path):
