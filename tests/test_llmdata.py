@@ -433,6 +433,49 @@ def test_doc_repetition_signals(spark):
     assert r[3].n_ngrams == 0 and r[3].dup_ngram_frac == 0.0
 
 
+def test_token_ngrams_and_max_multiplicity_match_python_reference(spark):
+    """The zip_with n-gram builder and the run-length max-multiplicity pass
+    must agree with the obvious Python reference on a seeded fuzz corpus
+    (repetition-heavy vocab, unicode, empty/short/boundary-length docs) —
+    the algebra is tricky (null padding, trailing-window slice, run reset),
+    the contract is simple."""
+    import random
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.llmdata.textstats import (
+        _max_multiplicity,
+        token_ngrams,
+        tokenize,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "ab", "x1", ".", "longertoken", "ñé"]
+    texts = {i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+             for i in range(200)}
+    texts.update({200: "", 201: "one", 202: "one two", 203: "one two three",
+                  204: "  padded   whitespace  "})
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    toks = tokenize("text")
+    got = df.select(
+        "doc_id",
+        token_ngrams(toks, 2).alias("g2"),
+        token_ngrams(toks, 3).alias("g3"),
+        _max_multiplicity(toks).alias("m"),
+    ).collect()
+    assert len(got) == len(texts)
+    for r in got:
+        # mirror Spark's split(trim(text), '\\s+') exactly: "" -> [""]
+        t = re.split(r"\s+", texts[r.doc_id].strip())
+        for n, col in ((2, r.g2), (3, r.g3)):
+            ref = [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)] \
+                if len(t) >= n else []
+            assert col == ref, (r.doc_id, n, col, ref)
+        assert r.m == max(Counter(t).values()), (r.doc_id, t, r.m)
+
+
 def test_doc_profile_long_document_scaling(spark):
     """Long-document guard: top_token_frac must stay near-linear per row.
 

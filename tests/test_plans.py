@@ -137,6 +137,22 @@ def test_doc_profile_is_exchange_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_corpus_curation_plan_carries_no_broadcast_hints(spark, sf_dir):
+    """Every relation q_corpus_curation joins (keep set, eval holdout,
+    contaminated ids) is corpus-proportional — a hard broadcast hint on any
+    of them is a driver OOM at 100 TB. The optimized plan must carry no
+    hint; AQE may still CHOOSE broadcast at runtime for actually-small
+    sides, which is exactly the point."""
+    import __spark_entry__ as entry_mod
+
+    opt = (
+        entry_mod.queries()["corpus_curation"](spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "ResolvedHint" not in opt
+    assert "broadcast" not in opt.lower()
+
+
 def test_media_pipeline_is_exchange_free(spark, sf_dir):
     """generate → decode → stats is map-only: media bytes must never be
     shuffled (one scan, chained mapInPandas, zero Exchanges)."""
