@@ -1298,7 +1298,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """48 declared queries — deliberately ≤ the driver gate's 50-row window
+    """50 declared queries — exactly the driver gate's 50-row window
     so EVERY entry gets a correctness row, ordered highest-risk-first
     (streaming semantics, then ANN/embedding, then fetch/media/sketch tiers,
     then the batch relational families) as insurance: if the list ever grows

@@ -243,12 +243,31 @@ def embedding_neardup_pairs(
     )
 
 
+def _gemm_grid_size(
+    n: int, d: int, parallelism: int, block_budget_bytes: int
+) -> int:
+    """Pure sizing rule for the blocked-GEMM grid (see _gemm_candidates):
+    B = max(memory bound, min(parallelism floor, overhead cap)).
+
+    - memory bound: smallest B with ``2·(n/B)·d·8 ≤ budget`` — hard.
+    - parallelism floor: smallest B with ``B(B+1)/2 ≥ parallelism`` (≤64).
+    - overhead cap ``n // 2048``: blocks under ~2k rows make per-group
+      Arrow/worker overhead dominate the BLAS call; never binds at scale.
+    """
+    b_mem = max(1, math.ceil(2 * n * d * 8 / block_budget_bytes))
+    b_par = 1
+    while b_par * (b_par + 1) // 2 < parallelism and b_par < 64:
+        b_par += 1
+    return max(b_mem, min(b_par, max(1, n // 2048)))
+
+
 def _gemm_candidates(
     embeddings: DataFrame,
     threshold: float,
     id_col: str,
     vec_col: str,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
+    block_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Exact-recall candidate pairs via blocked BLAS matrix products — fully
     distributed, nothing collected to the driver.
@@ -263,13 +282,36 @@ def _gemm_candidates(
     Scale shape: each vector is replicated ``n_blocks`` times (shuffle is
     n·B rows — linear, tunable), each group holds ≤ 2n/B vectors, and no
     all-pairs rows ever materialize: the n² work happens inside BLAS, which
-    is ~100× an interpreted per-pair fold. Pick B so a block matrix fits an
-    executor: B ≈ n·d·8 bytes / (executor working set) — e.g. 10⁸×768 at
-    4 GB per task → B ≈ 150, a 150× replication of a table that is 0.1% of
-    the corpus bytes. Zero-norm vectors are guarded (norm→1 ⇒ cosine 0 ⇒
-    never a candidate) instead of silently yielding NaN rows.
+    is ~100× an interpreted per-pair fold. Zero-norm vectors are guarded
+    (norm→1 ⇒ cosine 0 ⇒ never a candidate) instead of silently yielding
+    NaN rows.
+
+    ``n_blocks=None`` (default) SIZES THE GRID FROM THE DATA instead of
+    trusting a constant that only works at one scale: one tiny aggregate
+    reads (row count, dims) and picks the smallest B whose per-group
+    working set ``2·(n/B)·d·8`` fits ``block_budget_bytes`` (the hard
+    memory bound — a fixed B=4 is a ~300 GB block pair on a 10⁸×768
+    corpus), then raises B toward ``B(B+1)/2 ≥ defaultParallelism`` so a
+    large cluster stays occupied — but never past ``n // 2048``: blocks
+    below ~2k rows make per-group Arrow/worker overhead dominate the BLAS
+    call, and on a corpus that small the grid isn't the parallelism that
+    matters anyway. At real scale the overhead cap never binds (10⁸ rows
+    → cap ≈ 48k ≫ any sane B). Auto-sizing yields the same exact result
+    set at every scale because B only partitions the computation, never
+    the semantics.
     """
     eps = 1e-9
+    if n_blocks is None:
+        stats = embeddings.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size(F.col(vec_col))).alias("d"),
+        ).first()
+        n_blocks = _gemm_grid_size(
+            stats["n"] or 0,
+            stats["d"] or 0,
+            embeddings.sparkSession.sparkContext.defaultParallelism,
+            block_budget_bytes,
+        )
     grid = F.array(
         *[
             F.struct(

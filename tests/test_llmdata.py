@@ -433,6 +433,27 @@ def test_doc_repetition_signals(spark):
     assert r[3].n_ngrams == 0 and r[3].dup_ngram_frac == 0.0
 
 
+def test_gemm_grid_sizing_rule():
+    """The auto grid must scale with the data: memory-bound at corpus scale
+    (a fixed B would OOM), parallelism-floored on big clusters, and capped
+    on tiny corpora where per-group overhead would dominate."""
+    from coin_for_rich_spark.llmdata.similarity import _gemm_grid_size
+
+    mb = 256 << 20
+    # 10^8 x 768 float64: memory bound dominates everything
+    b = _gemm_grid_size(100_000_000, 768, 1000, mb)
+    assert 2 * (100_000_000 / b) * 768 * 8 <= mb
+    assert b >= 4000
+    # small corpus: overhead cap binds (5k rows -> at most 2 blocks),
+    # regardless of a huge cluster
+    assert _gemm_grid_size(5_000, 32, 1000, mb) == 2
+    # mid corpus on a big cluster: parallelism floor binds (B(B+1)/2 >= 256)
+    b = _gemm_grid_size(10_000_000, 32, 256, mb)
+    assert b * (b + 1) // 2 >= 256
+    # degenerate inputs never produce B < 1
+    assert _gemm_grid_size(0, 0, 1, mb) == 1
+
+
 def test_token_ngrams_and_max_multiplicity_match_python_reference(spark):
     """The zip_with n-gram builder and the run-length max-multiplicity pass
     must agree with the obvious Python reference on a seeded fuzz corpus
