@@ -176,6 +176,28 @@ def test_psql_merge_null_round_trip(spark, pg):
     assert got == {"a": "NULL", "b": "1.5"}
 
 
+def test_psql_merge_failed_batch_leaves_nothing_behind(spark, pg):
+    """Atomicity claim from the docstring: COPY + merge run in ONE
+    transaction, so a batch that fails mid-merge (here: a NOT NULL
+    violation) must leave the target untouched and raise with the database
+    error attached — no partial rows, no leftover staging."""
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_atomic;"
+             "CREATE TABLE t_atomic (k text PRIMARY KEY,"
+             " v double precision NOT NULL)")
+    sink = PsqlCopyMergeSink(pg, "t_atomic", pk=("k",), mode="ignore")
+    sink.merge(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    bad = spark.createDataFrame([("b", 2.0), ("c", None)], "k string, v double")
+    with pytest.raises(RuntimeError, match="t_atomic"):
+        sink.merge(bad, 1)
+    got = _fetch(pg, "SELECT k, v FROM t_atomic ORDER BY k")
+    assert got == [["a", "1"]]
+    # the temp staging table died with its transaction
+    assert _fetch(pg, "SELECT count(*) FROM pg_tables"
+                      " WHERE tablename LIKE '_cfr_stage%'") == [["0"]]
+
+
 def test_psql_sink_matches_parquet_twin_on_a_real_stream(spark, sf_dir, tmp_path, pg):
     """Capstone: the same staged micro-batch replay (the q_stream_upsert_ingest
     shape — upsert on (user_id, event_type), ts tiebreak) driven through both
