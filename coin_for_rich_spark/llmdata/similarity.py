@@ -267,7 +267,7 @@ def _gemm_candidates(
     id_col: str,
     vec_col: str,
     n_blocks: int | None = None,
-    block_budget_bytes: int = 256 << 20,
+    block_budget_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Exact-recall candidate pairs via blocked BLAS matrix products — fully
     distributed, nothing collected to the driver.
@@ -287,28 +287,32 @@ def _gemm_candidates(
     NaN rows.
 
     ``n_blocks=None`` (default) SIZES THE GRID FROM THE DATA instead of
-    trusting a constant that only works at one scale: one tiny aggregate
-    reads (row count, dims) and picks the smallest B whose per-group
+    trusting a constant that only works at one scale: a column-pruned count
+    plus a one-row dims probe pick the smallest B whose per-group input
     working set ``2·(n/B)·d·8`` fits ``block_budget_bytes`` (the hard
     memory bound — a fixed B=4 is a ~300 GB block pair on a 10⁸×768
-    corpus), then raises B toward ``B(B+1)/2 ≥ defaultParallelism`` so a
+    corpus), then raise B toward ``B(B+1)/2 ≥ defaultParallelism`` so a
     large cluster stays occupied — but never past ``n // 2048``: blocks
     below ~2k rows make per-group Arrow/worker overhead dominate the BLAS
     call, and on a corpus that small the grid isn't the parallelism that
     matters anyway. At real scale the overhead cap never binds (10⁸ rows
-    → cap ≈ 48k ≫ any sane B). Auto-sizing yields the same exact result
-    set at every scale because B only partitions the computation, never
-    the semantics.
+    → cap ≈ 48k ≫ any sane B). The GEMM OUTPUT — (n/B)² doubles, far
+    larger than the inputs — is tiled inside the kernel (A-side strips),
+    so the budget genuinely bounds the group footprint. Auto-sizing yields
+    the same exact result set at every scale because B and the strip size
+    only partition the computation, never the semantics.
     """
     eps = 1e-9
     if n_blocks is None:
-        stats = embeddings.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max(F.size(F.col(vec_col))).alias("d"),
-        ).first()
+        # (count, dims) only: the count prunes every column (an upstream
+        # computed vector — e.g. the int8 quantize transform — must NOT be
+        # evaluated corpus-wide just to size the grid), and dims comes from
+        # a single row
+        n = embeddings.count()
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
         n_blocks = _gemm_grid_size(
-            stats["n"] or 0,
-            stats["d"] or 0,
+            n,
+            (first["d"] if first is not None else 0) or 0,
             embeddings.sparkSession.sparkContext.defaultParallelism,
             block_budget_bytes,
         )
@@ -358,14 +362,28 @@ def _gemm_candidates(
             if len(b) == 0:
                 return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
             b_ids, Bn = _norm_rows(b)
-        G = An @ Bn.T
-        ai, bi = np.nonzero(G >= threshold - eps)
-        x, y = a_ids[ai], b_ids[bi]
-        if diagonal:
-            keep = x < y
-            x, y = x[keep], y[keep]
+        # the GEMM output G is rows_a × rows_b doubles — (n/B)² per group,
+        # which dwarfs the input blocks for any realistic B. TILE the A side
+        # so only a chunk×rows_b strip of G is ever live: peak memory is
+        # blocks + one strip, so block_budget_bytes really does govern the
+        # group's footprint. BLAS throughput is unaffected (each strip is
+        # still one big matmul).
+        chunk = 4096
+        outs_x, outs_y = [], []
+        for s in range(0, An.shape[0], chunk):
+            G = An[s : s + chunk] @ Bn.T
+            ai, bi = np.nonzero(G >= threshold - eps)
+            x, y = a_ids[s : s + chunk][ai], b_ids[bi]
+            if diagonal:
+                keep = x < y
+                x, y = x[keep], y[keep]
+            outs_x.append(np.minimum(x, y))
+            outs_y.append(np.maximum(x, y))
         return pd.DataFrame(
-            {"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)}
+            {
+                "id_a": np.concatenate(outs_x) if outs_x else np.array([], dtype="int64"),
+                "id_b": np.concatenate(outs_y) if outs_y else np.array([], dtype="int64"),
+            }
         )
 
     return exploded.groupBy("bi", "bj").applyInPandas(

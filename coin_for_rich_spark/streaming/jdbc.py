@@ -32,6 +32,8 @@ Two concrete sinks share the merge statement:
 
 from __future__ import annotations
 
+import datetime
+import math
 import subprocess
 
 from pyspark.sql import DataFrame
@@ -134,9 +136,44 @@ class JdbcMergeSink:
         )
 
 
+_PG_TEXT_ESCAPES = str.maketrans(
+    {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+)
+
+
+def pg_text_value(v) -> str:
+    """One value in PostgreSQL COPY *text* format: ``\\N`` for NULL,
+    backslash escapes for delimiter/newline/backslash in strings.
+
+    Text format (not CSV) is deliberate — it is collision-free by
+    construction where the CSV form has three lurking bugs: a string value
+    equal to the NULL token reads back as NULL, a quoted value containing a
+    ``\\.`` line ends psql's inline COPY early, and pandas' ``to_csv``
+    coerces nullable int columns to float ('5.0' fails integer COPY).
+    Escaping makes all of those representable: a literal backslash-dot
+    ships as ``\\\\.``, a literal ``\\N`` as ``\\\\N``."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return repr(v)  # shortest exact round-trip
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "\\\\x" + bytes(v).hex()
+    return str(v).translate(_PG_TEXT_ESCAPES)
+
+
 class PsqlCopyMergeSink:
     """PK-merge sink into a real PostgreSQL/TimescaleDB via the ``psql``
-    client — the reference's exact ingest mechanics (CSV COPY into the
+    client — the reference's exact ingest mechanics (COPY into the
     table with an ``ON CONFLICT`` fallback, `fetchers/helpers/dbhelpers.py:
     34-132`) with the same ``merge(batch, batch_id)`` contract as
     ``ParquetMergeSink`` / ``JdbcMergeSink`` (pluggable into
@@ -147,7 +184,7 @@ class PsqlCopyMergeSink:
         BEGIN;
         CREATE TEMP TABLE <stg> (LIKE <target> INCLUDING DEFAULTS)
             ON COMMIT DROP;
-        COPY <stg> (cols) FROM STDIN (FORMAT csv, NULL '\\N');
+        COPY <stg> (cols) FROM STDIN;   -- text format, see pg_text_value
         ...batch rows...
         \\.
         INSERT INTO <target> SELECT DISTINCT ON (pk) ...
@@ -158,17 +195,17 @@ class PsqlCopyMergeSink:
     transaction); a replayed batch is a no-op ('ignore') or a same-value
     overwrite ('upsert') — the parquet twin's exactly-once posture, now
     transactional because the merge runs inside the database. Within-batch
-    duplicate PKs resolve deterministically via ``DISTINCT ON`` ordered by
-    the tiebreak column (lowest wins for 'ignore' — earliest-insert ctid
-    semantics — highest for 'upsert') then the remaining columns, exactly
-    ``ParquetMergeSink._order``.
+    duplicate PKs resolve deterministically via ``DISTINCT ON`` over the
+    shared ``within_batch_order`` rule (streaming.sink) — byte-for-byte
+    the ordering ``ParquetMergeSink`` resolves with, pinned by the
+    twin-parity capstone test.
 
-    The batch ships through the driver (``toPandas`` → CSV on stdin): a
-    single-writer COPY is the reference writer's own shape and the right
-    one for an external single-endpoint database; ``JdbcMergeSink`` remains
-    the distributed-staging alternative when a driver jar is available.
-    Micro-batches are bounded by the trigger interval, so the driver hop is
-    O(batch), never O(table).
+    The batch ships through the driver (collected Rows → COPY text on
+    stdin): a single-writer COPY is the reference writer's own shape and
+    the right one for an external single-endpoint database;
+    ``JdbcMergeSink`` remains the distributed-staging alternative when a
+    driver jar is available. Micro-batches are bounded by the trigger
+    interval, so the driver hop is O(batch), never O(table).
     """
 
     def __init__(
@@ -190,39 +227,37 @@ class PsqlCopyMergeSink:
         self.staging = f"_cfr_stage_{table.rsplit('.', 1)[-1]}"
 
     def _dedup_order(self, columns: list[str]) -> list[str]:
-        asc = self.mode == "ignore"
-        order = []
-        if self.tiebreak_col is not None:
-            order.append(f"{self.tiebreak_col} {'ASC' if asc else 'DESC'}")
-        order.extend(
-            f"{c} ASC"
-            for c in sorted(
-                c
-                for c in columns
-                if c not in self.pk and c != self.tiebreak_col
+        from .sink import within_batch_order
+
+        return [
+            f"{c} {'ASC' if ascending else 'DESC'}"
+            for c, ascending in within_batch_order(
+                self.mode, self.pk, self.tiebreak_col, columns
             )
-        )
-        return order
+        ]
 
     def merge(self, batch: DataFrame, batch_id: int) -> None:
-        pdf = batch.toPandas()
-        cols = ", ".join(pdf.columns)
-        csv = pdf.to_csv(index=False, header=False, na_rep="\\N")
+        columns = batch.columns
+        # collected Rows, not toPandas: pandas coerces nullable int columns
+        # to float64 ('5.0' fails integer COPY); Rows keep exact types
+        data = "".join(
+            "\t".join(pg_text_value(v) for v in row) + "\n"
+            for row in batch.collect()
+        )
         merge_stmt = upsert_sql(
             self.table,
             self.staging,
-            list(pdf.columns),
+            columns,
             self.pk,
             self.mode,
-            dedup_order=self._dedup_order(list(pdf.columns)),
+            dedup_order=self._dedup_order(columns),
         )
         script = (
             "BEGIN;\n"
             f"CREATE TEMP TABLE {self.staging} "
             f"(LIKE {self.table} INCLUDING DEFAULTS) ON COMMIT DROP;\n"
-            f"COPY {self.staging} ({cols}) FROM STDIN "
-            "(FORMAT csv, NULL '\\N');\n"
-            f"{csv}\\.\n"
+            f"COPY {self.staging} ({', '.join(columns)}) FROM STDIN;\n"
+            f"{data}\\.\n"
             f"{merge_stmt};\n"
             "COMMIT;\n"
         )

@@ -34,6 +34,36 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def within_batch_order(
+    mode: str,
+    pk: list[str],
+    tiebreak_col: str | None,
+    columns: list[str],
+) -> list[tuple[str, bool]]:
+    """The deterministic WITHIN-batch winner order shared by every merge
+    backend — (column, ascending) pairs: the tiebreak column first
+    (ascending for 'ignore' = earliest-insert ctid semantics,
+    `insert_queries.sql:8-15`; descending for 'upsert' = newest correction
+    wins), then the remaining non-PK columns ascending by name, so rows
+    tied on the tiebreak resolve identically on every backend and every
+    read. ONE definition on purpose: ParquetMergeSink's merge-on-read
+    window and PsqlCopyMergeSink's DISTINCT ON must stay twins, and two
+    hand-kept copies of this rule would silently diverge."""
+    asc = mode == "ignore"
+    order: list[tuple[str, bool]] = []
+    if tiebreak_col is not None:
+        order.append((tiebreak_col, asc))
+    order.extend(
+        (c, True)
+        for c in sorted(
+            c
+            for c in columns
+            if c not in pk and c != tiebreak_col and c != "_batch"
+        )
+    )
+    return order
+
+
 class ParquetMergeSink:
     """PK-merge sink over a parquet directory, merge-on-read (LSM-style).
 
@@ -74,18 +104,15 @@ class ParquetMergeSink:
     def _order(self, data_cols: list[str]) -> list:
         asc = self.mode == "ignore"  # first batch wins vs newest batch wins
         cols = [F.col("_batch").asc() if asc else F.col("_batch").desc()]
-        if self.tiebreak_col is not None:
-            cols.append(
-                F.col(self.tiebreak_col).asc() if asc else F.col(self.tiebreak_col).desc()
-            )
         # total order: rows sharing (batch, tiebreak) on one PK must resolve
         # identically on EVERY read — merge-on-read re-evaluates the window
         # per read, so any ambiguity would make reads unstable over time
-        tail = [
-            c for c in data_cols
-            if c not in self.pk and c != self.tiebreak_col and c != "_batch"
-        ]
-        cols.extend(F.col(c).asc() for c in sorted(tail))
+        cols.extend(
+            F.col(c).asc() if ascending else F.col(c).desc()
+            for c, ascending in within_batch_order(
+                self.mode, self.pk, self.tiebreak_col, data_cols
+            )
+        )
         return cols
 
     def read(self, spark: SparkSession) -> DataFrame | None:

@@ -176,6 +176,44 @@ def test_psql_merge_null_round_trip(spark, pg):
     assert got == {"a": "NULL", "b": "1.5"}
 
 
+def test_psql_merge_text_format_survives_adversarial_values(spark, pg):
+    """The COPY hop must be collision-free: a literal '\\N' string, a line
+    consisting of '\\.', embedded tabs/newlines/backslashes, and a NULL in a
+    BIGINT column (which coerces every other value in that column to float
+    under pandas) all have to round-trip exactly — each of these corrupted
+    or aborted the naive CSV encoding."""
+    import hashlib
+
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_esc;"
+             "CREATE TABLE t_esc (k text PRIMARY KEY, s text, n bigint)")
+    rows = [
+        ("nullmark", "\\N", None),          # literal backslash-N string
+        ("dotline", "a\n\\.\nb", 1),        # inline-COPY terminator line
+        ("tabs", "x\ty\\z\rw", 2),          # delimiter + backslash + CR
+        ("snull", None, 9_007_199_254_740_993),  # NULL text, 2^53+1 bigint
+    ]
+    sink = PsqlCopyMergeSink(pg, "t_esc", pk=("k",), mode="ignore")
+    sink.merge(spark.createDataFrame(rows, "k string, s string, n long"), 0)
+    got = {
+        r[0]: (r[1], r[2])
+        for r in _fetch(
+            pg,
+            "SELECT k, coalesce(md5(s), 'NULL'), coalesce(n::text, 'NULL')"
+            " FROM t_esc",
+        )
+    }
+    expect = {
+        k: (
+            hashlib.md5(s.encode()).hexdigest() if s is not None else "NULL",
+            str(n) if n is not None else "NULL",
+        )
+        for k, s, n in rows
+    }
+    assert got == expect
+
+
 def test_psql_merge_failed_batch_leaves_nothing_behind(spark, pg):
     """Atomicity claim from the docstring: COPY + merge run in ONE
     transaction, so a batch that fails mid-merge (here: a NOT NULL
