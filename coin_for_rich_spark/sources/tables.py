@@ -48,6 +48,18 @@ _TIME_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with the engine's loader contract applied.
+
+    CONTRACT NOTE — session side effect, deliberate: this call pins
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+    ``spark.sql.session.timeZone=UTC`` on the caller's session, and the tz
+    pin is persistent BY DESIGN (the normalization casts evaluate lazily,
+    at job time, so a restore-after-load would re-break them). UTC is the
+    engine-wide semantic: every oracle hash, serve payload, and bucket
+    boundary assumes it. A caller that needs a non-UTC session for its own
+    data should use a separate SparkSession rather than re-pointing this
+    one after loading engine tables.
+    """
     # Self-sufficient on a vanilla SparkSession: nanos-INT64 testdata is
     # rejected at scan time unless nanosAsLong is on, and the µs-NTZ
     # normalization below (cast to "timestamp") reads the session timezone —
