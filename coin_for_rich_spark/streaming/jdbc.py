@@ -244,6 +244,8 @@ class PsqlCopyMergeSink:
             "\t".join(pg_text_value(v) for v in row) + "\n"
             for row in batch.collect()
         )
+        if not data:
+            return  # foreachBatch delivers empty batches; nothing to merge
         merge_stmt = upsert_sql(
             self.table,
             self.staging,

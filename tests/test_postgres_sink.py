@@ -214,6 +214,19 @@ def test_psql_merge_text_format_survives_adversarial_values(spark, pg):
     assert got == expect
 
 
+def test_psql_merge_empty_batch_is_a_cheap_noop(spark, pg):
+    """foreachBatch delivers empty micro-batches (idle trigger fires); the
+    sink must no-op without touching the database."""
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_empty;"
+             "CREATE TABLE t_empty (k text PRIMARY KEY, v double precision)")
+    sink = PsqlCopyMergeSink(pg, "t_empty", pk=("k",), mode="upsert",
+                             psql="/nonexistent/psql")  # proves no subprocess
+    sink.merge(spark.createDataFrame([], "k string, v double"), 0)
+    assert _fetch(pg, "SELECT count(*) FROM t_empty") == [["0"]]
+
+
 def test_psql_merge_failed_batch_leaves_nothing_behind(spark, pg):
     """Atomicity claim from the docstring: COPY + merge run in ONE
     transaction, so a batch that fails mid-merge (here: a NOT NULL
