@@ -1303,8 +1303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (streaming semantics, then ANN/embedding, then fetch/media/sketch tiers,
     then the batch relational families) as insurance: if the list ever grows
     past a cap again, the components hardest to verify any other way are the
-    last to fall out, not the first."""
-    return {
+    last to fall out, not the first. The trailing assertion makes growth
+    past the window FAIL LOUDLY instead of silently shedding a row."""
+    out = {
         # streaming semantics (S3-S8) — the ingest path's north star
         "stream_rollup_1h": q_stream_rollup_1h,
         "stream_latest_serve": q_stream_latest_serve,
@@ -1369,6 +1370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "serve_payload": q_serve_payload,
     }
+    assert len(out) <= 50, (
+        f"{len(out)} queries declared but the driver correctness gate checks "
+        "only the first 50 — swap a query out (documenting the old→new "
+        "mapping in COVERAGE.md) instead of silently losing a row"
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -364,11 +364,14 @@ def _gemm_candidates(
             b_ids, Bn = _norm_rows(b)
         # the GEMM output G is rows_a × rows_b doubles — (n/B)² per group,
         # which dwarfs the input blocks for any realistic B. TILE the A side
-        # so only a chunk×rows_b strip of G is ever live: peak memory is
-        # blocks + one strip, so block_budget_bytes really does govern the
-        # group's footprint. BLAS throughput is unaffected (each strip is
-        # still one big matmul).
-        chunk = 4096
+        # so only a chunk×rows_b strip of G is ever live. The strip height is
+        # DERIVED from the budget, not fixed: a strip costs chunk·rows_b·8
+        # bytes for G plus a chunk·rows_b boolean mask for nonzero, so the
+        # 8·2 divisor keeps strip+mask inside block_budget_bytes at every
+        # dims (a fixed 4096-row strip alone was ~2.7× the budget at d=768,
+        # where rows_b is large precisely because vectors are narrow). BLAS
+        # throughput is unaffected (each strip is still one big matmul).
+        chunk = max(1, int(block_budget_bytes // (max(1, Bn.shape[0]) * 8 * 2)))
         outs_x, outs_y = [], []
         for s in range(0, An.shape[0], chunk):
             G = An[s : s + chunk] @ Bn.T

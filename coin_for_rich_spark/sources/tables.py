@@ -15,6 +15,8 @@ the returned DataFrame, so Catalyst pushes them into the parquet scan
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -69,6 +71,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-settable, so pin them here rather than relying on the session
     # builder (session.py) having run.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:  # noqa: BLE001 — conf introspection is best-effort
+        prev_tz = None
+    if prev_tz is not None and prev_tz not in ("UTC", "Etc/UTC", "GMT", "Z"):
+        # the pin below is a documented contract, but a caller mixing
+        # non-engine workloads into this session should DISCOVER the
+        # contract, not silently inherit UTC semantics
+        warnings.warn(
+            "load_table pins spark.sql.session.timeZone=UTC on this session "
+            f"(was {prev_tz!r}); use a separate SparkSession for workloads "
+            "that need a non-UTC session timezone",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TIME_COLS.get(name, []):

@@ -168,6 +168,16 @@ def pg_text_value(v) -> str:
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return "\\\\x" + bytes(v).hex()
+    if isinstance(v, (list, tuple, set, frozenset, dict)):
+        # array/map/struct columns (Row is a tuple subclass) have no COPY
+        # text encoding here — str(v) would ship Python repr, which either
+        # fails opaquely inside the transaction or silently stores garbage
+        # in a text column. Fail loud at the sink boundary instead.
+        raise TypeError(
+            "array/map/struct values are not supported by the psql COPY "
+            f"sink (got {type(v).__name__}); serialize the column to a "
+            "scalar (e.g. to_json) before the sink"
+        )
     return str(v).translate(_PG_TEXT_ESCAPES)
 
 

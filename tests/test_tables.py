@@ -73,6 +73,27 @@ def test_load_table_is_session_timezone_independent(spark, tmp_path, arrow_type)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def test_load_table_warns_when_repointing_a_non_utc_session(spark, tmp_path):
+    # the UTC pin is a documented contract; a caller whose session was
+    # deliberately non-UTC must get a warning, not a silent semantic change
+    import warnings as _warnings
+
+    sf = _write_events(tmp_path, pa.timestamp("us", tz="UTC"))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            load_table(spark, sf, "events")
+        assert any("timeZone" in str(w.message) for w in caught)
+        # already-UTC sessions stay silent
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            load_table(spark, sf, "events")
+        assert not any("timeZone" in str(w.message) for w in caught)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_load_table_unsupported_ts_type_fails_loud():
     with pytest.raises(TypeError, match="event-time"):
         _to_event_time(T.StringType(), "ts")
