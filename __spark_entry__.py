@@ -51,6 +51,8 @@ from coin_for_rich_spark.llmdata import (
     doc_profile,
     chunk_documents,
     exact_dedup,
+    explode_token_segments,
+    line_dedup,
     extract_media_features,
     hash_sample,
     materialize_ann_index,
@@ -707,9 +709,18 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_profile(load_table(spark, sf_dir, "documents"))
 
 
-def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups: md5(normalized text) → keep-id + copy count."""
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document line-level exact dedup with ordered reassembly — the
+    C4/Gopher boilerplate pass (llmdata.dedup.line_dedup): 12-token spans
+    (the corpus has no physical newlines, so the deterministic token
+    segmentation stands in for lines) hashed corpus-wide; any span present
+    in ≥2 DISTINCT documents is dropped from all of them and every document
+    is rebuilt from its surviving spans in original order. Replaces the
+    former ``doc_exact_dedup`` row (r5→r6 surface swap, COVERAGE.md):
+    document-level exact dedup stays gate-certified inside
+    ``corpus_curation``'s n_exact_dups stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(explode_token_segments(docs, k=12), min_dup_docs=2)
 
 
 # the exact-Jaccard pair relation is both a declared query and the truth set
@@ -1337,7 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "seq_packing": q_seq_packing,
         # document pipeline
-        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_line_dedup": q_doc_line_dedup,
         "doc_profile": q_doc_profile,
         "doc_normalize_sample": q_doc_normalize_sample,
         "doc_scrub": q_doc_scrub,
@@ -1825,12 +1836,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY 1, 2
         """,
-        "doc_exact_dedup": """
-            SELECT md5(lower(trim(text))) AS content_hash,
-                   min(doc_id) AS keep_id,
-                   count(*) AS n_copies
-            FROM documents
-            GROUP BY 1
+        "doc_line_dedup": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, l,
+                       unnest(range(CAST(ceil(len(l)/12.0) AS BIGINT))) AS i
+                FROM base
+            ),
+            segs AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(l[(i*12+1):((i+1)*12)], ' ') AS line
+                FROM idx
+            ),
+            boiler AS (
+                SELECT lower(trim(line)) AS k
+                FROM segs
+                WHERE trim(line) <> ''
+                GROUP BY 1
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            marked AS (
+                SELECT s.doc_id, s.pos, s.line, (b.k IS NOT NULL) AS dropped
+                FROM segs s LEFT JOIN boiler b ON lower(trim(s.line)) = b.k
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT dropped), '') AS clean_text,
+                   count(*) AS n_lines,
+                   count(*) FILTER (WHERE dropped) AS n_lines_dropped
+            FROM marked
+            GROUP BY doc_id
         """,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "minhash_pairs": f"""

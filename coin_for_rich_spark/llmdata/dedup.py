@@ -54,6 +54,126 @@ def exact_dedup(
     )
 
 
+def explode_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """One row per physical line: ``(id_col, pos, line)`` with ``pos`` the
+    0-based line index — the input relation :func:`line_dedup` consumes.
+    Pure posexplode(split) in the scan stage."""
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    return narrow.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias(
+            "pos", "line"
+        ),
+    )
+
+
+def explode_token_segments(
+    docs: DataFrame,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per fixed ``k``-token span: ``(id_col, pos, line)`` — the
+    deterministic segmentation used when a corpus has no physical line
+    structure (the C4 pass operates on ~sentence-sized spans either way).
+    Segment ``i`` covers tokens ``[i·k, (i+1)·k)`` of the single-space
+    token split; the final span is truncated.
+
+    The token array is MATERIALIZED as a column before the per-span slice:
+    a lambda over ``sequence`` that captured the split EXPRESSION would
+    re-tokenize once per span — O(len²/k) on long documents (the same
+    quadratic-capture pitfall documented at textstats.token_ngrams).
+    """
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    toks = narrow.select(
+        F.col(id_col), F.split(F.col(text_col), " ", -1).alias("_toks")
+    )
+    nseg = F.ceil(F.size("_toks") / F.lit(float(k))).cast("int")
+    return toks.select(
+        F.col(id_col),
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(nseg - 1, F.lit(0)))
+        ).alias("pos"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.array_join(F.slice("_toks", F.col("pos") * k + 1, k), " ").alias(
+            "line"
+        ),
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    min_dup_docs: int = 2,
+    id_col: str = "doc_id",
+    out_delimiter: str = "\n",
+) -> DataFrame:
+    """Inter-document line/paragraph-level exact dedup with document
+    reassembly — the C4/Gopher boilerplate pass (nav bars, cookie banners,
+    license headers) that every pretraining pipeline runs BEFORE document-
+    level near-dup: a line appearing in ``min_dup_docs`` or more DISTINCT
+    documents is boilerplate and is dropped from all of them; each document
+    is then rebuilt from its surviving lines in original order.
+
+    Input is the exploded ``(id_col, pos, line)`` relation from
+    :func:`explode_lines` or :func:`explode_token_segments`; output is one
+    row per document: ``(id_col, clean_text, n_lines, n_lines_dropped)``
+    (documents whose every line was boilerplate rebuild to '').
+
+    Semantics pinned deliberately:
+    - line identity is ``lower(trim(line))`` — the same normalization as
+      :func:`exact_dedup`'s content hash;
+    - the count is DISTINCT documents, so a line repeated only WITHIN one
+      document is never dropped (intra-doc repetition is a quality signal,
+      handled by textstats.repetition filters, not boilerplate);
+    - blank lines (trim = '') are exempt — they carry paragraph structure,
+      and dropping them would be a corpus-wide reformat.
+
+    Scale shape (100 TB): two shuffles plus one join — (1) hash-agg of
+    distinct-doc counts keyed on the 16-byte md5 of the normalized line,
+    (2) the boilerplate-hash relation joined back onto the lines (it holds
+    ONLY hashes clearing ``min_dup_docs`` — a tiny fraction of the corpus,
+    so AQE broadcasts it and the lines relation is not reshuffled), and
+    (3) the per-document rebuild groupBy. No window over the corpus, no
+    all-pairs anything; per-document state is bounded by document length.
+    """
+    norm = F.lower(F.trim(F.col("line")))
+    marked = lines.withColumn(
+        "_h", F.when(F.trim(F.col("line")) != "", F.md5(norm))
+    )
+    boiler = (
+        marked.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_dup_docs))
+        .select("_h")
+        .withColumn("_drop", F.lit(True))
+    )
+    flagged = marked.join(boiler, "_h", "left").withColumn(
+        "_dropped", F.coalesce(F.col("_drop"), F.lit(False))
+    )
+    kept = F.when(
+        ~F.col("_dropped"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+            ),
+            out_delimiter,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_dropped").cast("long")).alias("n_lines_dropped"),
+    )
+
+
 def ngram_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct token n-gram shingles of a text column (empty if < n tokens).
 

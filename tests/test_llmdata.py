@@ -43,6 +43,64 @@ def test_exact_dedup_finds_planted_duplicate(spark):
     assert out[3]["n_copies"] == 1
 
 
+def test_line_dedup_drops_cross_doc_boilerplate_and_rebuilds_in_order(spark):
+    from coin_for_rich_spark.llmdata import explode_lines, line_dedup
+
+    df = spark.createDataFrame(
+        [
+            # "footer" appears in 3 distinct docs -> boilerplate, dropped
+            Row(doc_id=1, text="alpha\nfooter\nbeta"),
+            Row(doc_id=2, text="Footer \ngamma"),  # normalized identity
+            Row(doc_id=3, text="delta\nfooter"),
+            # intra-doc repetition only -> NEVER dropped (distinct-doc rule)
+            Row(doc_id=4, text="echo\necho\necho"),
+            # blank lines are exempt even though every doc could share them
+            Row(doc_id=5, text="zeta\n\neta"),
+            Row(doc_id=6, text="theta\n\niota"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(explode_lines(df), min_dup_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "alpha\nbeta"  # order preserved
+    assert out[1]["n_lines"] == 3 and out[1]["n_lines_dropped"] == 1
+    assert out[2]["clean_text"] == "gamma"
+    assert out[3]["clean_text"] == "delta"
+    assert out[4]["clean_text"] == "echo\necho\necho"
+    assert out[4]["n_lines_dropped"] == 0
+    assert out[5]["clean_text"] == "zeta\n\neta"
+    assert out[6]["clean_text"] == "theta\n\niota"
+
+
+def test_line_dedup_all_boilerplate_doc_rebuilds_empty(spark):
+    from coin_for_rich_spark.llmdata import explode_lines, line_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="same")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(explode_lines(df), min_dup_docs=2).collect()
+    }
+    # every doc still yields a row; its text is empty, counts are honest
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "" and out[1]["n_lines_dropped"] == 1
+
+
+def test_explode_token_segments_covers_text_exactly(spark):
+    from coin_for_rich_spark.llmdata import explode_token_segments
+
+    text = " ".join(f"w{i}" for i in range(29))  # 2 full spans + 5-token tail
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    segs = explode_token_segments(df, k=12).orderBy("pos").collect()
+    assert [r["pos"] for r in segs] == [0, 1, 2]
+    assert segs[0]["line"] == " ".join(f"w{i}" for i in range(12))
+    assert segs[2]["line"] == " ".join(f"w{i}" for i in range(24, 29))
+    # concatenating the spans reconstructs the original text
+    assert " ".join(r["line"] for r in segs) == text
+
+
 def test_ngram_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="one two")])
     row = df.select(ngram_shingles("text", 3).alias("s")).first()
