@@ -68,7 +68,7 @@ from coin_for_rich_spark.llmdata import (
     resize_plan,
     sample_frames,
     simhash_pairs,
-    stratified_hash_sample,
+    domain_mix_sample,
     token_quantiles,
 )
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
@@ -862,28 +862,33 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=2048)
 
 
-# per-language training-mix fractions for the declared stratified draw:
-# down-weight the over-represented language, keep the rest at distinct
-# rates so every CASE branch of the predicate is exercised
-_STRATA_FRACTIONS = {"en": 0.25, "es": 0.125, "de": 0.125, "fr": 0.0625}
-_STRATA_DEFAULT = 0.5  # any unlisted language (zh in the testdata)
+# target training mix for the declared domain-mixing draw: five weighted
+# domains at distinct shares (sum 1.0) so every derived fraction differs,
+# the rest excluded — the "curate a mix from a multi-source corpus" shape
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1}
+_MIX_TARGET = 0.1  # the sample is 10% of the corpus, split per the weights
+# the oracle's VALUES list is GENERATED from the same dict so the IEEE
+# double literals can never drift between engines
+_MIX_WEIGHTS_SQL = ", ".join(
+    f"('{d}', CAST({w!r} AS DOUBLE))" for d, w in _MIX_WEIGHTS.items()
+)
 
 
-def q_doc_normalize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic STRATIFIED hash sampling (llmdata.pipeline.
-    stratified_hash_sample): per-language keep rates — the training-mix
-    balancing draw — decided by whether the first 16 bits of md5(doc_id)
-    fall under 65536·fraction(lang); reproducible across engines/runs/
-    appends, unlike Bernoulli sample(), and nested (shrinking a rate yields
-    a subset). Composed with canonical text normalization (control-char
-    strip, whitespace collapse, trim, lowercase) + the chars-removed noise
-    signal. The per-stratum predicate is pure column algebra evaluated in
-    the scan stage."""
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weighted sampling (llmdata.pipeline.domain_mix_sample):
+    per-domain keep rates DERIVED from target mix weights and actual domain
+    counts (rate = total·target·weight/count, clamped at 1), then the same
+    deterministic md5-threshold draw as stratified_hash_sample — engine-
+    independent, append-stable, and nested (growing the target keeps every
+    previously-drawn row). Composed with canonical text normalization, as
+    the former ``doc_normalize_sample`` row was (r5→r6 surface swap,
+    COVERAGE.md): that row's normalize + stratified-hash-draw components
+    are both still exercised here, now with data-derived fractions. The
+    oracle re-derives the fractions from the same counts with the same
+    IEEE-double expression shape, so the match is bit-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    sampled = stratified_hash_sample(
-        docs, "lang", _STRATA_FRACTIONS, default_fraction=_STRATA_DEFAULT
-    )
-    return normalize_text(sampled).withColumn(
+    sampled = domain_mix_sample(docs, "source", _MIX_WEIGHTS, _MIX_TARGET)
+    return normalize_text(sampled, keep_cols=("source",)).withColumn(
         "n_chars", F.length("norm_text") + F.col("n_chars_removed")
     )
 
@@ -1350,7 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document pipeline
         "doc_line_dedup": q_doc_line_dedup,
         "doc_profile": q_doc_profile,
-        "doc_normalize_sample": q_doc_normalize_sample,
+        "domain_mix_sample": q_domain_mix_sample,
         "doc_scrub": q_doc_scrub,
         "doc_chunks": q_doc_chunks,
         "corpus_curation": q_corpus_curation,
@@ -1938,27 +1943,34 @@ def oracle_sql() -> dict[str, str]:
                    cum_before % 2048 AS seq_offset
             FROM c
         """,
-        "doc_normalize_sample": """
-            WITH n AS (
-                SELECT doc_id, text,
+        "domain_mix_sample": f"""
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1
+            ),
+            t AS (SELECT count(*) AS total FROM documents),
+            w AS (SELECT * FROM (VALUES {_MIX_WEIGHTS_SQL}) AS v(source, wt)),
+            f AS (
+                SELECT c.source,
+                       least(CAST(1.0 AS DOUBLE),
+                             t.total * CAST({_MIX_TARGET!r} AS DOUBLE)
+                                 * w.wt / c.n) AS frac
+                FROM c JOIN w USING (source) CROSS JOIN t
+            ),
+            s AS (
+                SELECT d.doc_id, d.source, d.text,
                        lower(trim(regexp_replace(regexp_replace(
-                           text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                           d.text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
                            '\\s+', ' ', 'g'))) AS norm_text
-                FROM documents
+                FROM documents d JOIN f USING (source)
                 WHERE CAST(concat('0x',
-                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
                            AS BIGINT)
-                      < 65536 * (CASE lang
-                                 WHEN 'en' THEN 0.25
-                                 WHEN 'es' THEN 0.125
-                                 WHEN 'de' THEN 0.125
-                                 WHEN 'fr' THEN 0.0625
-                                 ELSE 0.5 END)
+                      < 65536 * f.frac
             )
-            SELECT doc_id, norm_text,
+            SELECT doc_id, source, norm_text,
                    length(text) - length(norm_text) AS n_chars_removed,
                    length(text) AS n_chars
-            FROM n
+            FROM s
         """,
         "token_quantiles": """
             WITH t AS (

@@ -64,14 +64,76 @@ def stratified_hash_sample(
     return docs.filter(h < frac * 65536)
 
 
+def domain_mix_fractions(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    target_fraction: float,
+) -> dict[str, float]:
+    """Per-domain keep fractions realizing a target training mix: domain d
+    should contribute ``weights[d]`` of a sample that is ``target_fraction``
+    of the whole corpus, so its keep rate is
+    ``total · target_fraction · weights[d] / counts[d]``, clamped at 1.0
+    (an under-represented domain can at most be kept whole — the standard
+    without-upsampling mixing rule; repeat-epoch upsampling is a training-
+    loader concern, not a corpus operator).
+
+    Pure arithmetic on IEEE doubles, separated from the DataFrame plumbing
+    so the DuckDB oracle can re-derive bit-identical fractions from the
+    same counts with the same expression shape. Domains absent from
+    ``counts`` (or with zero rows) are dropped, not division-by-zero'd.
+    """
+    total = sum(counts.values())
+    return {
+        d: min(1.0, total * target_fraction * w / counts[d])
+        for d, w in weights.items()
+        if counts.get(d)
+    }
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    target_fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixing draw — the training-mix-balancing
+    operator layered on :func:`stratified_hash_sample`: given target mix
+    ``weights`` (domain → share of the final sample) and an overall
+    ``target_fraction``, derive each domain's keep rate from its actual
+    row count and apply the md5-threshold predicate. Domains not in
+    ``weights`` are excluded (fraction 0).
+
+    Inherits every determinism property of the hash draw: reproducible
+    across engines/runs/appends, and nested — raising ``target_fraction``
+    keeps every previously-sampled row (thresholds scale monotonically),
+    so curriculum-style growing mixes are supersets by construction.
+
+    Scale shape: the per-domain counts are ONE tiny hash aggregate
+    (|domains| rows collected — scalars, not data); the draw itself stays
+    pure scan-stage column algebra, so at 100 TB this is a count pass plus
+    a filter pushed to the parquet scan, no shuffle of the sampled data.
+    """
+    counts = {
+        r[0]: r[1] for r in docs.groupBy(strata_col).count().collect()
+    }
+    fractions = domain_mix_fractions(counts, weights, target_fraction)
+    return stratified_hash_sample(
+        docs, strata_col, fractions, id_col=id_col, default_fraction=0.0
+    )
+
+
 def normalize_text(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Canonical text form: strip control characters, collapse whitespace
     runs to single spaces, trim, lowercase. Emits the normalized text plus
-    how many characters normalization removed (a cheap corpus-noise signal).
+    how many characters normalization removed (a cheap corpus-noise signal);
+    ``keep_cols`` pass through unchanged (e.g. the stratum column of an
+    upstream sampling step).
 
     Pure regexp/column algebra — per-row, no shuffle, identical semantics in
     any RE2-compatible engine (the oracle runs the same patterns in DuckDB).
@@ -82,6 +144,7 @@ def normalize_text(
     norm = F.lower(collapsed)
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         norm.alias("norm_text"),
         (F.length(t) - F.length(norm)).alias("n_chars_removed"),
     )

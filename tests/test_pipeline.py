@@ -225,3 +225,43 @@ def test_stratified_hash_sample(spark, sf_dir):
         .select("doc_id").collect()
     }
     assert smaller <= fuller
+
+
+def test_domain_mix_fractions_arithmetic():
+    from coin_for_rich_spark.llmdata import domain_mix_fractions
+
+    counts = {"a": 100, "b": 10, "c": 50}
+    # total=160, target 0.25 -> 40 sampled rows; a: 40*0.5/100=0.2,
+    # b: 40*0.4/10=1.6 -> clamped to 1.0 (no upsampling), d: absent -> dropped
+    fr = domain_mix_fractions(
+        counts, {"a": 0.5, "b": 0.4, "d": 0.1}, 0.25
+    )
+    assert fr["a"] == 160 * 0.25 * 0.5 / 100
+    assert fr["b"] == 1.0
+    assert "c" not in fr and "d" not in fr
+
+
+def test_domain_mix_sample_hits_targets_and_nests(spark, sf_dir):
+    import math
+
+    from coin_for_rich_spark.llmdata import domain_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1}
+    total = docs.count()
+    counts = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    s = domain_mix_sample(docs, "source", weights, 0.1)
+    got = {r[0]: r[1] for r in s.groupBy("source").count().collect()}
+    assert set(got) <= set(weights)  # unweighted domains excluded
+    for d, w in weights.items():
+        if d not in counts:
+            continue
+        expect = min(counts[d], total * 0.1 * w)
+        # md5 draw ~ binomial(n_d, frac): allow 4 sigma + 1
+        tol = 4 * math.sqrt(max(expect, 1.0)) + 1
+        assert abs(got.get(d, 0) - expect) <= tol, (d, got.get(d, 0), expect)
+    # nesting: a smaller overall target draws a subset of the fuller mix
+    smaller = {r[0] for r in domain_mix_sample(docs, "source", weights, 0.05)
+               .select("doc_id").collect()}
+    fuller = {r[0] for r in s.select("doc_id").collect()}
+    assert smaller <= fuller
