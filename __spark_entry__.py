@@ -1280,12 +1280,74 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _psql_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live-PostgreSQL leg of ``q_stream_upsert_ingest``: the staged
+    stream runs through ``PsqlCopyMergeSink`` (COPY text + DISTINCT ON +
+    ON CONFLICT DO UPDATE in one transaction per micro-batch — the
+    reference's own ingest mechanics, `fetchers/helpers/dbhelpers.py:34-132`)
+    into an ephemeral server, and the returned relation is the resolved
+    state read back FROM Postgres via COPY TO — so the correctness row
+    certifies what the database holds, not what Spark sent."""
+    import hashlib
+    import tempfile
+
+    from coin_for_rich_spark.streaming.jdbc import PsqlCopyMergeSink
+    from coin_for_rich_spark.streaming.pgserver import ephemeral_pg
+
+    conninfo = ephemeral_pg()
+    if conninfo is None:
+        raise RuntimeError("no runnable PostgreSQL server in this environment")
+    stream = _staged_stream(spark, sf_dir)
+    schema = stream.schema
+    table = f"cfr_upsert_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    sink = PsqlCopyMergeSink(
+        conninfo,
+        table,
+        pk=("user_id", "event_type"),
+        mode="upsert",
+        tiebreak_col="ts",
+    )
+    sink.create_table(schema, drop=True)
+    run_ingest(
+        stream,
+        sink,
+        tempfile.mkdtemp(prefix="cfr_ckpt_"),
+        state_partitions=_STREAM_STATE_PARTITIONS,
+    )
+    return sink.read(spark, schema)
+
+
 def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S7 — foreachBatch merge-upsert ingest (ON CONFLICT DO UPDATE,
     queries.py:12-15): time-ordered replay means the kept row per
-    (user_id, event_type) is the globally latest by ts."""
-    import tempfile
+    (user_id, event_type) is the globally latest by ts.
 
+    Backend selection via SPARK_GRAFT_PSQL: 'auto' (default) runs the
+    north-star PostgreSQL sink when a server can boot in this environment
+    and falls back to the parquet twin otherwise; '1' REQUIRES the
+    Postgres leg (fail loud); '0' forces the parquet twin. Both legs
+    resolve winners through the shared ``within_batch_order`` rule and are
+    pinned value-identical by the twin-parity capstone
+    (tests/test_postgres_sink.py), so the oracle row is backend-invariant
+    BY CONSTRUCTION — and since r6 it certifies the Postgres readback
+    wherever the server runs, closing the last gap between the declared
+    gate and the reference's production ingest path."""
+    import os
+    import tempfile
+    import warnings
+
+    flag = os.environ.get("SPARK_GRAFT_PSQL", "auto")
+    if flag != "0":
+        try:
+            return _psql_upsert_ingest(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — degrade to the pinned twin
+            if flag == "1":
+                raise
+            warnings.warn(
+                f"PostgreSQL leg unavailable ({exc}); stream_upsert_ingest "
+                "falling back to the parquet merge twin",
+                stacklevel=2,
+            )
     sink = ParquetMergeSink(
         tempfile.mkdtemp(prefix="cfr_sink_") + "/tbl",
         pk=("user_id", "event_type"),

@@ -36,7 +36,83 @@ import datetime
 import math
 import subprocess
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Spark type -> PostgreSQL column type, for creating a target table from a
+# stream's schema. Deliberately scalar-only: composite Spark types must be
+# serialized upstream (pg_text_value fails loud on them anyway).
+_PG_TYPES: dict[type, str] = {
+    T.LongType: "bigint",
+    T.IntegerType: "integer",
+    T.ShortType: "smallint",
+    T.DoubleType: "double precision",
+    T.FloatType: "real",
+    T.StringType: "text",
+    T.BooleanType: "boolean",
+    T.TimestampType: "timestamp",
+    T.DateType: "date",
+    T.BinaryType: "bytea",
+}
+
+
+def pg_ddl(table: str, schema: T.StructType, pk: list[str]) -> str:
+    """CREATE TABLE statement for ``schema`` with a composite PRIMARY KEY —
+    the unique index ``ON CONFLICT (pk)`` requires. TimescaleDB would add
+    ``SELECT create_hypertable(...)`` after this; the merge semantics are
+    identical either way (`scripts/database/init/create.sql:12-22`)."""
+    cols = []
+    for f in schema.fields:
+        pg_type = _PG_TYPES.get(type(f.dataType))
+        if pg_type is None:
+            raise TypeError(
+                f"column {f.name!r}: no PostgreSQL mapping for Spark type "
+                f"{f.dataType.simpleString()}; serialize it to a scalar first"
+            )
+        cols.append(f"{f.name} {pg_type}")
+    return (
+        f"CREATE TABLE {table} ({', '.join(cols)}, "
+        f"PRIMARY KEY ({', '.join(pk)}))"
+    )
+
+
+def pg_text_parse(tok: str, dtype: T.DataType):
+    """Inverse of :func:`pg_text_value` for one COPY-text token: ``\\N`` →
+    None, backslash escapes undone, then the lexical form parsed per the
+    Spark type. Round-trip fidelity is exact by construction: floats ship
+    shortest-exact both ways (``extra_float_digits=3`` on read), timestamps
+    are µs-precision ISO text in both directions."""
+    if tok == "\\N":
+        return None
+    if isinstance(dtype, (T.StringType,)):
+        # left-to-right scan, NOT chained str.replace: encoded "\\t" is a
+        # literal backslash + t, and a naive replace("\\t", TAB) first
+        # would corrupt it into a tab
+        out: list[str] = []
+        i = 0
+        while i < len(tok):
+            c = tok[i]
+            if c == "\\" and i + 1 < len(tok):
+                nxt = tok[i + 1]
+                out.append({"t": "\t", "n": "\n", "r": "\r"}.get(nxt, nxt))
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+        return int(tok)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(tok)
+    if isinstance(dtype, T.BooleanType):
+        return tok == "t"
+    if isinstance(dtype, T.TimestampType):
+        return datetime.datetime.fromisoformat(tok)
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(tok)
+    if isinstance(dtype, T.BinaryType):
+        return bytes.fromhex(tok.replace("\\\\x", "", 1))
+    raise TypeError(f"no COPY-text parser for Spark type {dtype.simpleString()}")
 
 
 def upsert_sql(
@@ -285,3 +361,53 @@ class PsqlCopyMergeSink:
                 f"(rc={proc.returncode}): "
                 + proc.stderr.decode(errors="replace").strip()
             )
+
+    def _run_psql(self, script: str) -> bytes:
+        proc = subprocess.run(
+            [self.psql, "-X", "-q", "-v", "ON_ERROR_STOP=1", *self.conninfo],
+            input=script.encode(),
+            capture_output=True,
+            cwd="/",
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"psql against {self.table} failed (rc={proc.returncode}): "
+                + proc.stderr.decode(errors="replace").strip()
+            )
+        return proc.stdout
+
+    def create_table(self, schema, drop: bool = False) -> None:
+        """Create the target table from a Spark schema with the sink's PK
+        (composite PRIMARY KEY backs ON CONFLICT); ``drop=True`` first
+        drops any previous incarnation — the reset a re-run query wants."""
+        ddl = pg_ddl(self.table, schema, self.pk)
+        pre = f"DROP TABLE IF EXISTS {self.table};\n" if drop else ""
+        self._run_psql(f"{pre}{ddl};\n")
+
+    def read(self, spark: SparkSession, schema) -> DataFrame:
+        """Resolved table state read back FROM PostgreSQL as a DataFrame —
+        the twin of ``ParquetMergeSink.read``, so a correctness gate can
+        certify what the database actually holds, not what was sent to it.
+
+        Transport is ``COPY ... TO STDOUT`` (text format): the exact
+        inverse of the write path, with ``\\N`` NULLs and backslash
+        escapes, so values round-trip losslessly where psql's tabular
+        output would be ambiguous. ``extra_float_digits = 3`` pins
+        shortest-exact float output; timestamps are µs ISO text both ways.
+        Driver-side O(result) by design: one external single-endpoint
+        database is read by one client, same as the write side.
+        """
+        cols = ", ".join(f.name for f in schema.fields)
+        out = self._run_psql(
+            "SET extra_float_digits = 3;\n"
+            f"COPY (SELECT {cols} FROM {self.table}) TO STDOUT;\n"
+        )
+        rows = [
+            tuple(
+                pg_text_parse(tok, f.dataType)
+                for tok, f in zip(line.split("\t"), schema.fields)
+            )
+            for line in out.decode().split("\n")
+            if line
+        ]
+        return spark.createDataFrame(rows, schema)

@@ -16,77 +16,29 @@ oracle-checked `stream_upsert_ingest` query verifies for the parquet twin.
 from __future__ import annotations
 
 import datetime as dt
-import os
-import pwd
-import shutil
 import subprocess
 import tempfile
 
 import pytest
 
-PGBIN = "/usr/local/bin"
-
-
-def _pg_runnable() -> bool:
-    if os.geteuid() != 0:
-        return False
-    if not (shutil.which("runuser") and shutil.which("psql")):
-        return False
-    if not all(
-        os.path.exists(os.path.join(PGBIN, b))
-        for b in ("initdb", "pg_ctl", "postgres")
-    ):
-        return False
-    try:
-        pwd.getpwnam("postgres")
-    except KeyError:
-        return False
-    return True
-
+from coin_for_rich_spark.streaming.pgserver import pg_runnable, start_cluster
 
 pytestmark = pytest.mark.skipif(
-    not _pg_runnable(), reason="no runnable PostgreSQL server in this environment"
+    not pg_runnable(), reason="no runnable PostgreSQL server in this environment"
 )
-
-
-def _as_pg(*argv: str) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        ["runuser", "-u", "postgres", "--", *argv],
-        capture_output=True,
-        cwd="/",
-    )
 
 
 @pytest.fixture(scope="module")
 def pg():
-    """Scratch single-node cluster on a unix socket; yields psql conninfo
-    args. Not under pytest's tmp_path: those live below a 0700 root-owned
-    dir the postgres user cannot traverse."""
-    base = tempfile.mkdtemp(prefix="cfr_pg_")
-    data = os.path.join(base, "data")
-    sock = os.path.join(base, "sock")
-    os.makedirs(data)
-    os.makedirs(sock)
-    subprocess.run(["chown", "-R", "postgres", base], check=True)
+    """Scratch single-node cluster on a unix socket (via the engine's own
+    pgserver lifecycle — the same code path the declared query boots);
+    yields psql conninfo args. Not under pytest's tmp_path: those live
+    below a 0700 root-owned dir the postgres user cannot traverse."""
+    conninfo, stop = start_cluster(tempfile.mkdtemp(prefix="cfr_pg_"))
     try:
-        p = _as_pg(f"{PGBIN}/initdb", "-D", data, "-A", "trust")
-        assert p.returncode == 0, p.stderr.decode()
-        p = _as_pg(
-            f"{PGBIN}/pg_ctl",
-            "-D",
-            data,
-            "-o",
-            f"-c listen_addresses='' -c unix_socket_directories={sock}",
-            "-w",
-            "-l",
-            os.path.join(base, "log"),
-            "start",
-        )
-        assert p.returncode == 0, p.stderr.decode()
-        yield ["-h", sock, "-U", "postgres", "-d", "postgres"]
-        _as_pg(f"{PGBIN}/pg_ctl", "-D", data, "-w", "-m", "fast", "stop")
+        yield conninfo
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        stop()
 
 
 def _sql(conninfo: list[str], sql: str) -> str:
@@ -318,3 +270,85 @@ def test_psql_sink_matches_parquet_twin_on_a_real_stream(spark, sf_dir, tmp_path
     )
     assert len(got) == len(expect) > 0
     assert got == expect
+
+
+def test_pg_ddl_maps_schema_and_rejects_composites():
+    from pyspark.sql import types as T
+
+    from coin_for_rich_spark.streaming.jdbc import pg_ddl
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    ddl = pg_ddl("t", schema, ["k", "ts"])
+    assert ddl == (
+        "CREATE TABLE t (k text, ts timestamp, n bigint, "
+        "v double precision, PRIMARY KEY (k, ts))"
+    )
+    bad = T.StructType([T.StructField("a", T.ArrayType(T.LongType()))])
+    with pytest.raises(TypeError, match="scalar"):
+        pg_ddl("t", bad, ["a"])
+
+
+def test_pg_text_parse_inverts_pg_text_value():
+    """Escape→unescape must be the identity on adversarial strings — in
+    particular a literal backslash-t must NOT come back as a tab (the
+    chained-str.replace bug this parser exists to avoid)."""
+    from pyspark.sql import types as T
+
+    from coin_for_rich_spark.streaming.jdbc import pg_text_parse, pg_text_value
+
+    for s in ["a\\tb", "x\ty", "nl\nnl", "\\N", "\\.", "plain", "\r", "\\\\"]:
+        assert pg_text_parse(pg_text_value(s), T.StringType()) == s, repr(s)
+    assert pg_text_parse("\\N", T.StringType()) is None
+    assert pg_text_parse(pg_text_value(2**53 + 1), T.LongType()) == 2**53 + 1
+    assert pg_text_parse(pg_text_value(0.1), T.DoubleType()) == 0.1
+    t = dt.datetime(2024, 1, 2, 3, 4, 5, 678901)
+    assert pg_text_parse(pg_text_value(t), T.TimestampType()) == t
+
+
+def test_psql_read_back_matches_merged_state(spark, pg):
+    """sink.read must return EXACTLY the resolved rows the database holds —
+    NULLs, adversarial strings, large ints, and µs timestamps included —
+    as typed Spark rows (this is the transport the declared
+    stream_upsert_ingest row certifies)."""
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_rb;"
+             "CREATE TABLE t_rb (k text PRIMARY KEY, s text, n bigint,"
+             " v double precision, ts timestamp)")
+    rows = [
+        ("a", "x\ty\\z\n\\.", 2**53 + 1, 0.1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ("b", None, None, None, None),
+        ("c", "\\N", -7, 6.55, dt.datetime(2024, 6, 30, 23, 59, 59, 999999)),
+    ]
+    schema = "k string, s string, n long, v double, ts timestamp"
+    sink = PsqlCopyMergeSink(pg, "t_rb", pk=("k",), mode="ignore")
+    batch = spark.createDataFrame(rows, schema)
+    sink.merge(batch, 0)
+    got = sorted(tuple(r) for r in sink.read(spark, batch.schema).collect())
+    assert got == sorted(rows)
+
+
+def test_declared_query_psql_leg_matches_parquet_twin(spark, sf_dir, monkeypatch):
+    """Gate-level capstone for the r6 wiring: q_stream_upsert_ingest with
+    SPARK_GRAFT_PSQL=1 (resolved state read back FROM a live Postgres) must
+    equal the parquet twin (=0) row-for-row — the two legs of the declared
+    query are interchangeable, so the correctness row is backend-invariant."""
+    import __spark_entry__ as entry_mod
+
+    monkeypatch.setenv("SPARK_GRAFT_PSQL", "1")
+    via_pg = sorted(
+        tuple(r) for r in entry_mod.q_stream_upsert_ingest(spark, sf_dir).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PSQL", "0")
+    via_parquet = sorted(
+        tuple(r) for r in entry_mod.q_stream_upsert_ingest(spark, sf_dir).collect()
+    )
+    assert len(via_pg) == len(via_parquet) > 0
+    assert via_pg == via_parquet
