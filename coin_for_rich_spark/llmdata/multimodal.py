@@ -5,14 +5,18 @@ The Spark-side architecture is real and tested: schema, partition-preserving
 ``mapInPandas`` plumbing, batch shapes, deterministic outputs. The codec
 boundary is split honestly in two:
 
-- REAL: 8-bit grayscale PNG and PCM16 mono WAV encode/decode in pure
-  stdlib+numpy (llmdata.codecs — zlib inflate + PNG filter reconstruction,
-  RIFF chunk walk). ``attach_real_media``/``decode_media_stats`` run a
-  genuine bytes→pixels/samples round trip whose integer statistics are
-  oracle-checked (`media_decode` query).
-- STUBBED: everything needing a codec library (JPEG, MP4, compressed
-  audio — PIL/ffmpeg/librosa are not in this container) raises a
-  clearly-marked ``NotImplementedError``; ``decode_media(fake=True)`` is the
+- REAL: 8-bit grayscale PNG, PCM16 mono WAV, and (since r6) baseline
+  sequential grayscale JPEG encode/decode in pure stdlib+numpy
+  (llmdata.codecs — zlib inflate + PNG filter reconstruction, RIFF chunk
+  walk, DCT + canonical Huffman). ``attach_real_media``/
+  ``decode_media_stats`` run a genuine bytes→pixels/samples round trip
+  whose integer statistics are oracle-checked (`media_decode` query);
+  ``decode_media_stats`` also decodes ``image/jpeg`` payloads (pytest-
+  checked — JPEG is lossy, so its stats have no closed-form SQL oracle and
+  the declared generation stays PNG/WAV).
+- STUBBED: everything needing a codec library (MP4, compressed audio —
+  ffmpeg/librosa are not in this container) raises a clearly-marked
+  ``NotImplementedError``; ``decode_media(fake=True)`` is the
   deterministic fake for plumbing tests.
 
 Scale posture: media bytes stay in the executor's Arrow batches end-to-end —
@@ -202,7 +206,7 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
     """
     import numpy as np
 
-    from .codecs import png_decode_gray, wav_decode_pcm16
+    from .codecs import jpeg_decode_gray, png_decode_gray, wav_decode_pcm16
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -215,6 +219,12 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     v = px.astype(np.int64)
                     h, w = px.shape
                     rows.append((int(media_id), "png", w, h, v.size,
+                                 int(v.sum()), int(v.min()), int(v.max())))
+                elif mime == "image/jpeg":
+                    px = jpeg_decode_gray(bytes(payload))
+                    v = px.astype(np.int64)
+                    h, w = px.shape
+                    rows.append((int(media_id), "jpeg", w, h, v.size,
                                  int(v.sum()), int(v.min()), int(v.max())))
                 elif mime == "audio/wav":
                     s, _rate = wav_decode_pcm16(bytes(payload))

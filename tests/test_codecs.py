@@ -163,3 +163,119 @@ try:
         assert rate == 44100 and np.array_equal(got, s)
 except ImportError:  # pragma: no cover
     pass
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (grayscale): lossy round-trip bounds + subset boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_images_round_trip_within_one():
+    """DC-only path: a constant image quantizes to round(c/2)·2 (Annex-K
+    Q[0,0]=16 against the 8c DC of an orthonormal DCT), so every decoded
+    pixel must be within 1 of the source value — exactly."""
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode_gray, jpeg_encode_gray
+
+    for v in range(0, 256, 7):
+        img = np.full((24, 24), v, dtype=np.uint8)
+        out = jpeg_decode_gray(jpeg_encode_gray(img))
+        assert out.shape == img.shape
+        u = np.unique(out)
+        assert len(u) == 1 and abs(int(u[0]) - v) <= 1, (v, u)
+
+
+def test_jpeg_smooth_image_round_trip_bound_and_dims():
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode_gray, jpeg_encode_gray
+
+    x, y = np.arange(61)[None, :], np.arange(43)[:, None]
+    img = np.clip(
+        128 + 60 * np.sin(x / 9.0) + 40 * np.cos(y / 7.0), 0, 255
+    ).astype(np.uint8)
+    out = jpeg_decode_gray(jpeg_encode_gray(img))
+    assert out.shape == img.shape  # padding cropped, odd dims preserved
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_entropy_stream_byte_stuffing_round_trips():
+    """Noise images reliably produce 0xFF entropy bytes; the stuffed
+    0xFF00 sequences must decode transparently."""
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode_gray, jpeg_encode_gray
+
+    stuffed = 0
+    for seed in range(12):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(40, 56)).astype(np.uint8)
+        enc = jpeg_encode_gray(img)
+        sos = enc.find(b"\xff\xda")
+        stuffed += b"\xff\x00" in enc[sos:-2]
+        out = jpeg_decode_gray(enc)
+        assert out.shape == img.shape
+        # lossy but bounded: Q50 error stays far below full range
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 128
+    assert stuffed > 0  # stuffing genuinely exercised across the seeds
+
+
+def test_jpeg_unsupported_subset_raises():
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode_gray, jpeg_encode_gray
+
+    enc = jpeg_encode_gray(np.full((8, 8), 9, dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        jpeg_decode_gray(enc.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_gray(b"\x89PNG" + enc)
+    # 3-component SOF body: patch ncomp byte and length to match
+    sof_at = enc.find(b"\xff\xc0")
+    bad = bytearray(enc)
+    bad[sof_at + 9] = 3
+    with pytest.raises(NotImplementedError, match="component"):
+        jpeg_decode_gray(bytes(bad))
+
+
+def test_jpeg_decode_media_stats_path(spark):
+    """decode_media_stats handles image/jpeg rows through the same Arrow
+    batch pass as PNG/WAV — integer stats of the REAL decoded pixels."""
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode_gray, jpeg_encode_gray
+    from coin_for_rich_spark.llmdata.multimodal import decode_media_stats
+
+    imgs = {
+        1: np.full((9, 5), 77, dtype=np.uint8),
+        2: ((np.arange(16)[:, None] * 11 + np.arange(24)[None, :] * 5) % 200)
+        .astype(np.uint8),
+    }
+    media = spark.createDataFrame(
+        [(i, "image/jpeg", bytearray(jpeg_encode_gray(px))) for i, px in imgs.items()],
+        "media_id long, mime string, payload binary",
+    )
+    got = {r["media_id"]: r for r in decode_media_stats(media).collect()}
+    for i, px in imgs.items():
+        want = jpeg_decode_gray(jpeg_encode_gray(px)).astype(np.int64)
+        r = got[i]
+        assert (r["kind"], r["width"], r["height"]) == ("jpeg", px.shape[1], px.shape[0])
+        assert (r["n_values"], r["value_sum"]) == (want.size, int(want.sum()))
+        assert (r["value_min"], r["value_max"]) == (int(want.min()), int(want.max()))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_round_trip_property(w, h, seed):
+        from coin_for_rich_spark.llmdata.codecs import (
+            jpeg_decode_gray,
+            jpeg_encode_gray,
+        )
+
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        out = jpeg_decode_gray(jpeg_encode_gray(img))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 160
+
+except ImportError:  # pragma: no cover — hypothesis ships in this container
+    pass
