@@ -322,13 +322,34 @@ class PsqlCopyMergeSink:
             )
         ]
 
+    @staticmethod
+    def _exact_rows(batch: DataFrame):
+        """Exact-typed row iterator for COPY encoding — collected Rows, NOT
+        toPandas (pandas coerces nullable int columns to float64; '5.0'
+        fails integer COPY) and NOT toArrow().to_pylist() (measured ~2×
+        slower warm: materializing 10⁵ session-tz-aware datetime objects
+        costs more than Row pickling saves).
+
+        Timestamps are normalized to the naive UTC wall clock before
+        encoding (Rows carry naive system-local datetimes), so the
+        PostgreSQL ``timestamp`` column stores UTC regardless of the driver
+        host's timezone — the same session contract the rest of the engine
+        pins; ``read`` reverses it."""
+        utc = datetime.timezone.utc
+
+        def fix(v):
+            if isinstance(v, datetime.datetime):
+                aware = v if v.tzinfo is not None else v.astimezone()
+                return aware.astimezone(utc).replace(tzinfo=None)
+            return v
+
+        return (tuple(fix(v) for v in row) for row in batch.collect())
+
     def merge(self, batch: DataFrame, batch_id: int) -> None:
         columns = batch.columns
-        # collected Rows, not toPandas: pandas coerces nullable int columns
-        # to float64 ('5.0' fails integer COPY); Rows keep exact types
         data = "".join(
             "\t".join(pg_text_value(v) for v in row) + "\n"
-            for row in batch.collect()
+            for row in self._exact_rows(batch)
         )
         if not data:
             return  # foreachBatch delivers empty batches; nothing to merge
@@ -402,9 +423,22 @@ class PsqlCopyMergeSink:
             "SET extra_float_digits = 3;\n"
             f"COPY (SELECT {cols} FROM {self.table}) TO STDOUT;\n"
         )
+        utc = datetime.timezone.utc
+
+        def parse(tok: str, dtype):
+            v = pg_text_parse(tok, dtype)
+            # the table stores the UTC wall clock (see _exact_rows); attach
+            # UTC so createDataFrame's interpretation is system-tz
+            # independent, mirroring the write-side normalization
+            if isinstance(v, datetime.datetime) and isinstance(
+                dtype, T.TimestampType
+            ):
+                return v.replace(tzinfo=utc)
+            return v
+
         rows = [
             tuple(
-                pg_text_parse(tok, f.dataType)
+                parse(tok, f.dataType)
                 for tok, f in zip(line.split("\t"), schema.fields)
             )
             for line in out.decode().split("\n")
