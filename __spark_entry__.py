@@ -59,6 +59,7 @@ from coin_for_rich_spark.llmdata import (
     pick_canonical,
     pq_train,
     quantize_embeddings,
+    release_intermediate_caches,
     scrub_text,
     lsh_ann_knn,
     minhash_pairs,
@@ -749,6 +750,9 @@ def _reset_bench_caches() -> None:
         except Exception:  # noqa: BLE001 — best-effort cache drop
             pass
     _NGRAM_PAIRS_CACHE.clear()
+    # drain intermediates persisted INSIDE operators (the Jaccard count
+    # plan's inverted index) — without this each pass leaks a cached relation
+    release_intermediate_caches()
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 from ..functions.partitioning import ensure_parallelism
 from .textstats import token_ngrams, tokenize
 
+# Intermediate relations persisted inside ngram_jaccard_pairs (the inverted
+# shingle→doc-list index of the count plan). Persist lifetime can't end
+# inside the call — the returned (lazy) DataFrame still reads the cache — so
+# callers that loop (bench passes, long sessions) drain this registry via
+# :func:`release_intermediate_caches` once the results are materialized.
+_INTERMEDIATE_CACHES: list[DataFrame] = []
+
+
+def release_intermediate_caches() -> None:
+    """Unpersist every intermediate relation cached by dedup operators since
+    the last call. Safe to call any time AFTER the DataFrames returned by
+    those operators have been fully materialized (and before they are
+    re-executed)."""
+    while _INTERMEDIATE_CACHES:
+        df = _INTERMEDIATE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — best-effort cache drop
+            pass
+
 
 def exact_dedup(
     docs: DataFrame,
@@ -217,23 +237,33 @@ def ngram_jaccard_pairs(
       must share one), plus a length filter, then exact array-intersect
       verification on candidates. More fixed shuffles, but the plan that
       survives a Zipfian corpus where hot shingles make Σ df(s)² quadratic.
-    - ``method='auto'`` — probe Σ df(s)² with one aggregation over the
-      shingle index (a map + tiny shuffle — negligible next to the pair
-      join it sizes) and take the count plan only when the intermediate
-      stays under ``pair_budget`` rows. The probe is what makes the fast
-      plan safe: on a Zipfian corpus one hot shingle pushes Σ df² past any
-      budget and the plan flips to prefix before the quadratic join ever
-      runs.
+    - ``method='auto'`` — probe Σ df(s)² with one STREAMED aggregation pass
+      (tokenize → per-shingle count → sum; map-side combine makes the
+      shuffle carry only distinct shingles per partition) and take the
+      count plan only when the intermediate stays under ``pair_budget``
+      rows. The probe is what makes the fast plan safe: on a Zipfian
+      corpus one hot shingle pushes Σ df² past any budget and the plan
+      flips to prefix before the quadratic join ever runs. The probe pass
+      is deliberately NOT persisted: caching a corpus-sized shingle index
+      to feed later stages means a memory/disk footprint proportional to
+      the corpus (the one thing a 100 TB run cannot afford) — one extra
+      map-only pass over the scan is strictly cheaper than a spilled cache,
+      and measurably faster even at bench scale.
+
+    Count-plan shape: ONE wide shuffle builds the inverted index
+    ``shingle → sorted doc list`` (persisted — it is only materialized
+    after the probe has certified ``Σ df² ≤ pair_budget``, so every doc
+    list is ≤ √budget elements and the whole relation is distinct-shingle
+    sized, tiny next to the corpus); |A∩B| then falls out of a nested
+    explode of ordered pairs per doc list + one count agg, and |shingles(d)|
+    from a doc-keyed count over the exploded lists — neither re-reads the
+    corpus, and the old plan's inverted-index self-join (two more full-index
+    shuffles) is gone entirely.
     """
-    idx = None
     if method == "auto":
-        # the probe and the chosen plan both consume the shingle index —
-        # persist it so the corpus is tokenized/exploded ONCE per call (the
-        # probe's .first() materializes the cache the plan then reads);
-        # without this, auto mode pays the index twice.
-        idx = _shingle_index(docs, text_col, id_col, n).persist()
         probe = (
-            idx.groupBy("shingle")
+            _shingle_index(docs, text_col, id_col, n)
+            .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .agg(F.sum(F.col("df") * F.col("df")).alias("sum_df2"))
             .first()
@@ -241,21 +271,39 @@ def ngram_jaccard_pairs(
         sum_df2 = probe["sum_df2"] or 0
         method = "count" if sum_df2 <= pair_budget else "prefix"
     if method == "prefix":
-        return _jaccard_prefix(docs, text_col, id_col, n, threshold, idx=idx)
-    if idx is None:
-        idx = _shingle_index(docs, text_col, id_col, n)
-    # |shingles(d)| derived from the index (shingles are already distinct) —
-    # the corpus is tokenized exactly once; docs with no shingles can't
-    # appear in any pair, so their absence from `sizes` is harmless.
-    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = idx.alias("a"), idx.alias("b")
+        return _jaccard_prefix(docs, text_col, id_col, n, threshold)
+    # inverted index, one row per distinct shingle. The doc list is sorted
+    # so ordered (doc_a < doc_b) pairs come from index-ordered slices; it is
+    # bounded at √pair_budget elements by the probe (or the caller's explicit
+    # method='count' assertion that the corpus is benign).
+    grouped = (
+        _shingle_index(docs, text_col, id_col, n)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .select("docs", F.size("docs").alias("df"))
+        .persist()
+    )
+    _INTERMEDIATE_CACHES.append(grouped)
+    # |shingles(d)| derived from the index (shingles are already distinct);
+    # docs with no shingles can't appear in any pair, so their absence from
+    # `sizes` is harmless. This shuffle carries bare doc ids — no strings.
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    # ordered co-occurrence pairs: two chained explodes so no row ever holds
+    # the O(df²) pair set — memory per row stays O(df) ≤ O(√budget)
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        grouped.filter(F.col("df") >= 2)
+        .select("docs", F.posexplode("docs").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("docs", F.col("i") + 2, F.lit(2_147_483_647))
+            ).alias("doc_b"),
         )
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
