@@ -217,6 +217,26 @@ def test_jaccard_prefix_equals_count(docs):
     assert count_rows == prefix_rows and len(count_rows) > 0
 
 
+def test_jaccard_count_plan_cache_registry_drains(docs):
+    """The count plan's inverted doc-list index is the only persist inside
+    ngram_jaccard_pairs; it must register for cleanup and actually unpersist
+    when the registry is drained (bench passes / long sessions rely on it)."""
+    from coin_for_rich_spark.llmdata import dedup as D
+
+    D.release_intermediate_caches()  # start clean
+    out = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    assert len(out.collect()) > 0
+    assert len(D._INTERMEDIATE_CACHES) == 1
+    cached = D._INTERMEDIATE_CACHES[0]
+    assert cached.storageLevel.useMemory
+    D.release_intermediate_caches()
+    assert not D._INTERMEDIATE_CACHES
+    assert not cached.storageLevel.useMemory
+    # the prefix plan persists nothing
+    D.ngram_jaccard_pairs(docs, threshold=0.2, method="prefix").collect()
+    assert not D._INTERMEDIATE_CACHES
+
+
 def test_jaccard_auto_probe_picks_plan_by_skew(docs):
     from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
 
