@@ -42,6 +42,9 @@ from coin_for_rich_spark.llmdata import (
     ann_index_knn,
     attach_fake_media,
     attach_real_media,
+    attach_real_video,
+    demux_video_frames,
+    sample_real_frames,
     cross_corpus_contamination,
     decode_media_stats,
     resample_media,
@@ -1037,9 +1040,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan: sequence+explode of sample timestamps."""
-    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
-    return sample_frames(media, every_ms=1000)
+    """Video frame sampling through REAL MP4 containers (upgraded in r6 from
+    the metadata-arithmetic plan, which stays unit-tested as the fake tier):
+    generate a valid ISO-BMFF file per video row (llmdata.mp4.mp4_mux_gray,
+    closed-form grayscale frames), demux it — box walk + stts/stsc/stsz/stco
+    sample resolution, frame slices decoded to integer stats inside the same
+    Arrow batch — then tick-sample at 400 ms with zero-shuffle per-row
+    column algebra (each frame row emits exactly the ticks its [ts, ts+dur)
+    interval covers). The oracle predicts every demuxed frame's statistics
+    straight from the generation formulas — the Spark side must arrive at
+    the same integers THROUGH the container bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_real_frames(
+        demux_video_frames(attach_real_video(docs)), every_ms=400
+    )
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,11 +2102,48 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
         """,
+        # predicts each demuxed frame's integer stats and tick set from the
+        # attach_real_video formulas (w = i%13+1, h = i%11+1, n = i%7+2,
+        # 250 ms/frame, pixel = (5x+11y+29f+i) % 256) without parsing MP4:
+        # frame f covers [250f, 250f+250), so its ticks are the multiples of
+        # 400 in [250f, 250f+249]
         "frame_sample": """
-            SELECT doc_id AS media_id,
-                   unnest(generate_series(0, doc_id * 40 + 1000, 1000)) AS frame_ts_ms
-            FROM documents
-            WHERE doc_id % 3 = 2
+            WITH vids AS (
+                SELECT doc_id AS i, doc_id % 13 + 1 AS w,
+                       doc_id % 11 + 1 AS h, doc_id % 7 + 2 AS n
+                FROM documents WHERE doc_id % 3 = 2
+            ),
+            frames AS (
+                SELECT i, w, h, unnest(generate_series(0, n - 1)) AS f
+                FROM vids
+            ),
+            ticks AS (
+                SELECT i, f,
+                       unnest(generate_series(
+                           ((250 * f + 399) // 400) * 400,
+                           250 * f + 249, 400)) AS frame_ts_ms
+                FROM frames
+            ),
+            vals AS (
+                SELECT i, w, h, f,
+                       ((k % w) * 5 + (k // w) * 11 + 29 * f + i) % 256 AS v
+                FROM frames,
+                     LATERAL unnest(generate_series(0, w * h - 1)) AS u(k)
+            ),
+            stats AS (
+                SELECT i, f,
+                       CAST(min(w) AS INT) AS width,
+                       CAST(min(h) AS INT) AS height,
+                       count(*) AS n_values,
+                       CAST(sum(v) AS BIGINT) AS value_sum,
+                       CAST(min(v) AS BIGINT) AS value_min,
+                       CAST(max(v) AS BIGINT) AS value_max
+                FROM vals GROUP BY i, f
+            )
+            SELECT t.i AS media_id, t.frame_ts_ms, CAST(t.f AS INT) AS sample_idx,
+                   s.width, s.height, s.n_values, s.value_sum,
+                   s.value_min, s.value_max
+            FROM ticks t JOIN stats s ON t.i = s.i AND t.f = s.f
         """,
         "media_resize": """
             WITH imgs AS (

@@ -1,0 +1,314 @@
+"""Minimal ISO base-media (MP4) container muxer/demuxer — pure stdlib+numpy.
+
+Scope, honestly stated: this is CONTAINER-level support (ISO/IEC 14496-12
+box structure and sample tables), not a video codec. Frames are stored as
+uncompressed 8-bit grayscale samples under a private ``gry8`` sample entry;
+compressed-codec decode (H.264/H.265/AV1) stays behind the documented
+``NotImplementedError`` boundary in ``multimodal.decode_media`` because no
+media library ships in this environment. What IS real here — and what the
+tests and the declared ``frame_sample`` query exercise end-to-end — is the
+part a 100 TB video-curation pipeline spends its time in besides codec work:
+walking box trees, resolving per-sample byte ranges from stts/stsc/stsz/stco,
+and slicing frames out of ``mdat`` without decoding anything it doesn't need.
+
+The muxer writes ``ftyp | mdat | moov`` with a single video track:
+
+    moov
+      mvhd                      movie header (timescale, duration)
+      trak
+        tkhd                    track header (id 1, visual dimensions)
+        mdia
+          mdhd                  media timescale/duration
+          hdlr('vide')
+          minf
+            vmhd, dinf/dref
+            stbl
+              stsd('gry8')      visual sample entry, width/height
+              stts              sample durations (one run)
+              stsc              chunk map (one chunk, all samples)
+              stsz              per-sample byte sizes
+              stco              chunk offset into mdat
+
+The demuxer is deliberately more general than the muxer: it resolves sample
+offsets through the full stsc run-length chunk map and multi-run stts, so it
+reads any single-video-track file that uses 32-bit offsets, not just its own
+output (round-trip plus table-shape tests pin this).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+_U32 = struct.Struct(">I")
+_U16 = struct.Struct(">H")
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return _U32.pack(8 + len(payload)) + typ + payload
+
+
+def _full_box(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_IDENTITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def mp4_mux_gray(
+    frames: list[np.ndarray],
+    frame_duration_ms: int = 250,
+    timescale: int = 1000,
+) -> bytes:
+    """Mux uncompressed 8-bit grayscale frames (equal dims) into an MP4.
+
+    ``frame_duration_ms`` is in movie-timescale units when ``timescale`` is
+    1000 (the default — 1 unit = 1 ms, the contract the sampling algebra in
+    ``multimodal.sample_real_frames`` relies on).
+    """
+    if not frames:
+        raise ValueError("mp4_mux_gray needs at least one frame")
+    h, w = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w) or f.dtype != np.uint8:
+            raise ValueError("all frames must be uint8 with identical shape")
+    n = len(frames)
+    duration = n * frame_duration_ms
+
+    ftyp = _box(b"ftyp", b"isom" + _U32.pack(0) + b"isom")
+    samples = b"".join(f.tobytes() for f in frames)
+    mdat = _box(b"mdat", samples)
+    first_sample_off = len(ftyp) + 8  # mdat header is 8 bytes
+
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        _U32.pack(0) * 2  # creation/modification
+        + _U32.pack(timescale)
+        + _U32.pack(duration)
+        + _U32.pack(0x00010000)  # rate 1.0
+        + _U16.pack(0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + _IDENTITY_MATRIX
+        + b"\x00" * 24
+        + _U32.pack(2),  # next track id
+    )
+    tkhd = _full_box(
+        b"tkhd",
+        0,
+        7,  # enabled | in_movie | in_preview
+        _U32.pack(0) * 2
+        + _U32.pack(1)  # track id
+        + _U32.pack(0)
+        + _U32.pack(duration)
+        + b"\x00" * 8
+        + _U16.pack(0) * 2  # layer, alternate_group
+        + _U16.pack(0)  # volume (video)
+        + _U16.pack(0)
+        + _IDENTITY_MATRIX
+        + _U32.pack(w << 16)
+        + _U32.pack(h << 16),
+    )
+    mdhd = _full_box(
+        b"mdhd",
+        0,
+        0,
+        _U32.pack(0) * 2
+        + _U32.pack(timescale)
+        + _U32.pack(duration)
+        + _U16.pack(0x55C4)  # language 'und'
+        + _U16.pack(0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0, _U32.pack(0) + b"vide" + b"\x00" * 12 + b"gray\x00"
+    )
+    vmhd = _full_box(b"vmhd", 0, 1, _U16.pack(0) * 4)
+    dref = _full_box(b"dref", 0, 0, _U32.pack(1) + _full_box(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+
+    sample_entry = _box(
+        b"gry8",
+        b"\x00" * 6
+        + _U16.pack(1)  # data_reference_index
+        + b"\x00" * 16  # predefined/reserved
+        + _U16.pack(w)
+        + _U16.pack(h)
+        + _U32.pack(0x00480000) * 2  # 72 dpi
+        + _U32.pack(0)
+        + _U16.pack(1)  # frame count per sample
+        + b"\x00" * 32  # compressor name
+        + _U16.pack(0x0008)  # depth: 8-bit grayscale
+        + struct.pack(">h", -1),
+    )
+    stsd = _full_box(b"stsd", 0, 0, _U32.pack(1) + sample_entry)
+    stts = _full_box(
+        b"stts", 0, 0, _U32.pack(1) + _U32.pack(n) + _U32.pack(frame_duration_ms)
+    )
+    stsc = _full_box(
+        b"stsc", 0, 0, _U32.pack(1) + _U32.pack(1) + _U32.pack(n) + _U32.pack(1)
+    )
+    stsz = _full_box(
+        b"stsz",
+        0,
+        0,
+        _U32.pack(0) + _U32.pack(n) + b"".join(_U32.pack(w * h) for _ in frames),
+    )
+    stco = _full_box(b"stco", 0, 0, _U32.pack(1) + _U32.pack(first_sample_off))
+
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+@dataclass
+class Mp4Video:
+    """Demuxed single-track video: per-sample timestamps and byte ranges."""
+
+    width: int
+    height: int
+    timescale: int
+    sample_format: str
+    sample_ts: list[int]  # start time of each sample, timescale units
+    sample_dur: list[int]
+    sample_offsets: list[int]  # absolute byte offsets into the file
+    sample_sizes: list[int]
+
+    def frame_gray(self, data: bytes, idx: int) -> np.ndarray:
+        """Slice sample ``idx`` out of the file bytes and view it as the
+        uncompressed grayscale frame the ``gry8`` entry declares."""
+        if self.sample_format != "gry8":
+            raise NotImplementedError(
+                f"decode of {self.sample_format!r} samples requires a video "
+                "codec library not in this environment"
+            )
+        off, sz = self.sample_offsets[idx], self.sample_sizes[idx]
+        px = np.frombuffer(data[off : off + sz], dtype=np.uint8)
+        return px.reshape(self.height, self.width)
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size = _U32.unpack_from(data, pos)[0]
+        typ = data[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed box {typ!r} at {pos}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, *path: bytes) -> tuple[int, int]:
+    for part in path:
+        for typ, body, box_end in _iter_boxes(data, start, end):
+            if typ == part:
+                start, end = body, box_end
+                break
+        else:
+            raise ValueError(f"missing {part!r} box")
+    return start, end
+
+
+def mp4_demux(data: bytes) -> Mp4Video:
+    """Parse a single-video-track MP4 and resolve every sample's timestamp
+    and byte range from the stbl tables. General over run-length stts and
+    the stsc chunk map (not just the shapes :func:`mp4_mux_gray` writes)."""
+    moov_s, moov_e = _find(data, 0, len(data), b"moov")
+    trak_s, trak_e = _find(data, moov_s, moov_e, b"trak")
+    mdhd_s, _ = _find(data, trak_s, trak_e, b"mdia", b"mdhd")
+    version = data[mdhd_s]
+    timescale = _U32.unpack_from(
+        data, mdhd_s + (4 + 16 if version == 1 else 4 + 8)
+    )[0]
+    stbl_s, stbl_e = _find(data, trak_s, trak_e, b"mdia", b"minf", b"stbl")
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for typ, body, box_end in _iter_boxes(data, stbl_s, stbl_e):
+        tables[typ] = (body, box_end)
+    for req in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+        if req not in tables:
+            raise ValueError(f"missing {req!r} table")
+
+    # stsd → sample format + visual dimensions
+    p = tables[b"stsd"][0] + 4  # fullbox header
+    n_entries = _U32.unpack_from(data, p)[0]
+    if n_entries < 1:
+        raise ValueError("empty stsd")
+    entry_fmt = data[p + 8 : p + 12].decode("latin1")
+    width = _U16.unpack_from(data, p + 4 + 8 + 8 + 16)[0]
+    height = _U16.unpack_from(data, p + 4 + 8 + 8 + 18)[0]
+
+    # stts → per-sample durations and cumulative timestamps
+    p = tables[b"stts"][0] + 4
+    n_runs = _U32.unpack_from(data, p)[0]
+    durations: list[int] = []
+    for i in range(n_runs):
+        cnt, dur = struct.unpack_from(">II", data, p + 4 + 8 * i)
+        durations.extend([dur] * cnt)
+    ts, acc = [], 0
+    for d in durations:
+        ts.append(acc)
+        acc += d
+
+    # stsz → per-sample sizes
+    p = tables[b"stsz"][0] + 4
+    fixed, n_samples = struct.unpack_from(">II", data, p)
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", data, p + 8))
+    if n_samples != len(durations):
+        raise ValueError("stsz/stts sample-count mismatch")
+
+    # stco → chunk offsets; stsc → samples-per-chunk runs
+    p = tables[b"stco"][0] + 4
+    n_chunks = _U32.unpack_from(data, p)[0]
+    chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", data, p + 4))
+    p = tables[b"stsc"][0] + 4
+    n_sc = _U32.unpack_from(data, p)[0]
+    sc_runs = [
+        struct.unpack_from(">III", data, p + 4 + 12 * i) for i in range(n_sc)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+
+    offsets: list[int] = []
+    sample_i = 0
+    for run_i, (first_chunk, per_chunk, _desc) in enumerate(sc_runs):
+        last_chunk = (
+            sc_runs[run_i + 1][0] - 1 if run_i + 1 < len(sc_runs) else n_chunks
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            off = chunk_offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if sample_i >= n_samples:
+                    break
+                offsets.append(off)
+                off += sizes[sample_i]
+                sample_i += 1
+    if sample_i != n_samples:
+        raise ValueError("stsc chunk map does not cover every sample")
+
+    return Mp4Video(
+        width=width,
+        height=height,
+        timescale=timescale,
+        sample_format=entry_fmt,
+        sample_ts=ts,
+        sample_dur=durations,
+        sample_offsets=offsets,
+        sample_sizes=sizes,
+    )

@@ -347,3 +347,155 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real MP4 container path (llmdata.mp4): generate → demux → sample.
+# ---------------------------------------------------------------------------
+
+_FRAME_DUR_MS = 250
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_idx", T.IntegerType(), False),
+        T.StructField("sample_ts_ms", T.LongType(), False),
+        T.StructField("sample_dur_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_values", T.LongType(), False),
+        T.StructField("value_sum", T.LongType(), False),
+        T.StructField("value_min", T.LongType(), False),
+        T.StructField("value_max", T.LongType(), False),
+    ]
+)
+
+
+def attach_real_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate a REAL MP4 container per video-assigned document (the same
+    ``id % 3 == 2`` rows ``attach_fake_media`` marks as video) with
+    closed-form frame content, muxed by ``llmdata.mp4.mp4_mux_gray``:
+
+    - id i: ``i % 7 + 2`` frames of ``(i % 13 + 1) × (i % 11 + 1)`` 8-bit
+      grayscale, 250 ms per frame;
+    - frame f, pixel (x, y): ``(5x + 11y + 29f + i) % 256``.
+
+    As with ``attach_real_media``, the formulas are the contract — an oracle
+    predicts every statistic of every demuxed frame without parsing a byte.
+    Bytes are born in executor Arrow batches and never visit the driver.
+    """
+    import numpy as np
+
+    from .mp4 import mp4_mux_gray
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h, n = i % 13 + 1, i % 11 + 1, i % 7 + 2
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    ((5 * x + 11 * y + 29 * f + i) % 256).astype(np.uint8)
+                    for f in range(n)
+                ]
+                ids.append(i)
+                payloads.append(
+                    mp4_mux_gray(frames, frame_duration_ms=_FRAME_DUR_MS)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mime": ["video/mp4"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    src = docs.filter(F.col(id_col) % 3 == 2).select(
+        F.col(id_col).alias("media_id")
+    )
+    return src.mapInPandas(gen, schema=schema)
+
+
+def demux_video_frames(media: DataFrame) -> DataFrame:
+    """REAL MP4 demux (llmdata.mp4 — box walk + stts/stsc/stsz/stco sample
+    resolution, no media libraries): one row per container sample with its
+    timestamp, duration, and the integer value statistics of the decoded
+    grayscale frame. Integer stats make the whole container layer
+    oracle-checkable, exactly like ``decode_media_stats``.
+
+    Map-only ``mapInPandas``; payload bytes stay inside the executor batch —
+    only per-frame scalars come out, which is the 100 TB posture (a frame is
+    never shuffled, only its features are).
+    """
+    import numpy as np
+
+    from .mp4 import mp4_demux
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                vid = mp4_demux(data)
+                scale = 1000.0 / vid.timescale
+                for idx in range(len(vid.sample_ts)):
+                    px = vid.frame_gray(data, idx).astype(np.int64)
+                    rows.append(
+                        (
+                            int(media_id),
+                            idx,
+                            int(vid.sample_ts[idx] * scale),
+                            int(vid.sample_dur[idx] * scale),
+                            vid.width,
+                            vid.height,
+                            px.size,
+                            int(px.sum()),
+                            int(px.min()),
+                            int(px.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
+
+    return media.mapInPandas(work, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def sample_real_frames(frames: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Tick-sample demuxed frames: one output row per (media, tick) where
+    ticks run 0, every_ms, 2·every_ms, … and each tick selects the sample
+    whose [ts, ts+dur) interval covers it.
+
+    Zero shuffles: each frame row generates exactly the ticks that land in
+    ITS OWN interval (first tick = ceil(ts / every)·every, last < ts + dur),
+    so the sampling policy is pure per-row column algebra over the demux
+    output — no corpus-wide join against a tick relation, no window. A
+    policy change re-runs only this cheap projection, never the demux.
+    """
+    first = (
+        F.ceil(F.col("sample_ts_ms") / F.lit(float(every_ms))).cast("long")
+        * every_ms
+    )
+    last = F.col("sample_ts_ms") + F.col("sample_dur_ms") - 1
+    ticks = F.when(
+        first <= last, F.sequence(first, last, F.lit(int(every_ms)))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return frames.select(
+        "media_id",
+        F.explode(ticks).alias("frame_ts_ms"),
+        "sample_idx",
+        "width",
+        "height",
+        "n_values",
+        "value_sum",
+        "value_min",
+        "value_max",
+    )
