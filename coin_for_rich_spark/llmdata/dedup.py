@@ -237,18 +237,24 @@ def ngram_jaccard_pairs(
       must share one), plus a length filter, then exact array-intersect
       verification on candidates. More fixed shuffles, but the plan that
       survives a Zipfian corpus where hot shingles make Σ df(s)² quadratic.
-    - ``method='auto'`` — probe Σ df(s)² with one STREAMED aggregation pass
-      (tokenize → per-shingle count → sum; map-side combine makes the
-      shuffle carry only distinct shingles per partition) and take the
-      count plan only when the intermediate stays under ``pair_budget``
-      rows. The probe is what makes the fast plan safe: on a Zipfian
-      corpus one hot shingle pushes Σ df² past any budget and the plan
-      flips to prefix before the quadratic join ever runs. The probe pass
-      is deliberately NOT persisted: caching a corpus-sized shingle index
-      to feed later stages means a memory/disk footprint proportional to
-      the corpus (the one thing a 100 TB run cannot afford) — one extra
-      map-only pass over the scan is strictly cheaper than a spilled cache,
-      and measurably faster even at bench scale.
+    - ``method='auto'`` — ESTIMATE Σ df(s)² from a deterministic 1/8 doc
+      sample (md5-prefix, the same content-free draw as
+      ``pipeline.hash_sample``) and take the count plan only when the
+      estimate stays under ``pair_budget`` rows. With sampling rate p,
+      E[df_sample²] = p²·df² + p(1−p)·df, so the unbiased estimator is
+      ``(Σ df_s² − (1−p)·Σ df_s) / p²``; its relative error concentrates
+      as 1/√(distinct shingles), and a hot shingle (the case the probe
+      exists to catch — df ~ corpus size) appears in the sample at ~p·df,
+      impossible to miss. The probe is what makes the fast plan safe: on a
+      Zipfian corpus one hot shingle pushes the estimate past any budget
+      and the plan flips to prefix before the quadratic explode ever runs.
+      The probe pass is deliberately NOT persisted and runs on the sample
+      only: caching a corpus-sized shingle index to feed later stages means
+      a memory/disk footprint proportional to the corpus (the one thing a
+      100 TB run cannot afford), and a planning heuristic does not need to
+      tokenize the other 7/8 of the corpus. An empty sample estimates 0 —
+      correct behavior, since a corpus with ≲8 documents is benign for
+      either plan.
 
     Count-plan shape: ONE wide shuffle builds the inverted index
     ``shingle → sorted doc list`` (persisted — it is only materialized
@@ -261,15 +267,26 @@ def ngram_jaccard_pairs(
     shuffles) is gone entirely.
     """
     if method == "auto":
+        from .pipeline import hash_sample
+
+        p = 2.0 / 16.0
         probe = (
-            _shingle_index(docs, text_col, id_col, n)
+            _shingle_index(
+                hash_sample(docs, id_col=id_col, hex_chars=("0", "1")),
+                text_col,
+                id_col,
+                n,
+            )
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .agg(F.sum(F.col("df") * F.col("df")).alias("sum_df2"))
+            .agg(
+                F.sum(F.col("df") * F.col("df")).alias("s2"),
+                F.sum(F.col("df")).alias("s1"),
+            )
             .first()
         )
-        sum_df2 = probe["sum_df2"] or 0
-        method = "count" if sum_df2 <= pair_budget else "prefix"
+        est_df2 = ((probe["s2"] or 0) - (1.0 - p) * (probe["s1"] or 0)) / (p * p)
+        method = "count" if est_df2 <= pair_budget else "prefix"
     if method == "prefix":
         return _jaccard_prefix(docs, text_col, id_col, n, threshold)
     # inverted index, one row per distinct shingle. The doc list is sorted
