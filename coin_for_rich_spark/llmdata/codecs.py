@@ -199,16 +199,17 @@ def wav_decode_pcm16(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG, 8-bit grayscale — pure numpy DCT + Huffman, no libraries.
+# Baseline JPEG — pure numpy DCT + Huffman, no libraries.
 #
 # Scope mirrors the PNG/WAV subset philosophy: a complete, spec-faithful
-# implementation of baseline sequential JFIF for ONE 8-bit grayscale
-# component (SOF0, standard Annex-K luminance quantization + Huffman
-# tables, byte-stuffed entropy stream). Progressive (SOF2), color,
-# arithmetic coding, and restart markers are outside the subset and raise
+# implementation of baseline sequential JFIF for 8-bit grayscale (one
+# component) AND 4:4:4 YCbCr color (three components, interleaved scan),
+# with the standard Annex-K quantization + Huffman tables and byte-stuffed
+# entropy streams. Progressive (SOF2), chroma subsampling, arithmetic
+# coding, and restart markers are outside the subset and raise
 # NotImplementedError naming the capability. The decoder reads DQT/DHT
-# from the stream (not hardcoded), so externally produced baseline
-# grayscale JPEGs of this subset decode too.
+# from the stream (not hardcoded), so externally produced baseline JPEGs
+# of this subset decode too.
 # ---------------------------------------------------------------------------
 
 # Annex K.1 luminance quantization table (quality 50), row-major
@@ -222,6 +223,21 @@ _JPEG_Q = np.array(
         [24, 35, 55, 64, 81, 104, 113, 92],
         [49, 64, 78, 87, 103, 121, 120, 101],
         [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.2 chrominance quantization table (quality 50), row-major
+_JPEG_QC = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
     ],
     dtype=np.int64,
 )
@@ -254,6 +270,30 @@ _AC_VALS = tuple(
      0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
 )
+
+
+# Annex K.3 standard chrominance Huffman tables
+_DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_VALS_C = tuple(range(12))
+_AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_VALS_C = tuple(
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+)
+assert len(_AC_VALS_C) == sum(_AC_BITS_C) == 162
 
 
 def _huffman_codes(bits, vals) -> dict[int, tuple[int, int]]:
@@ -313,6 +353,53 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _plane_qcoef(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Edge-replicate a (h, w) float plane to the 8×8 grid, run the batched
+    forward DCT, and quantize: returns (nbi, nbj, 8, 8) int64 coefficients."""
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = padded[h - 1 : h, :w]
+    padded[:, w:] = padded[:, w - 1 : w]
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    coef = np.einsum("ux,bcxy,vy->bcuv", _DCT_M, blocks, _DCT_M)
+    return np.round(coef / qtable).astype(np.int64)
+
+
+def _encode_block(bw: "_BitWriter", zz, prev_dc: int, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzag-ordered 64-coefficient block (JPEG F.1.2);
+    returns the block's DC value as the next predictor."""
+    dc = int(zz[0])
+    size, extra = _magnitude(dc - prev_dc)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(extra, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, extra = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(extra, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
 def jpeg_encode_gray(pixels: np.ndarray) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential grayscale JFIF
     JPEG (SOF0, Annex-K Q50 quantization + standard Huffman tables).
@@ -325,16 +412,7 @@ def jpeg_encode_gray(pixels: np.ndarray) -> bytes:
     if px.ndim != 2:
         raise ValueError("jpeg_encode_gray expects a 2-D (h, w) array")
     h, w = px.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = px
-    padded[h:, :w] = px[-1:, :]
-    padded[:, w:] = padded[:, w - 1 : w]
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
-    )
-    coef = np.einsum("ux,bcxy,vy->bcuv", _DCT_M, blocks, _DCT_M)
-    q = np.round(coef / _JPEG_Q).astype(np.int64)
+    q = _plane_qcoef(px.astype(np.float64), _JPEG_Q)
 
     dc_codes = _huffman_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huffman_codes(_AC_BITS, _AC_VALS)
@@ -344,60 +422,124 @@ def jpeg_encode_gray(pixels: np.ndarray) -> bytes:
     zz_c = [rc[1] for rc in _ZIGZAG]
     for bi in range(q.shape[0]):
         for bj in range(q.shape[1]):
-            zz = q[bi, bj][zz_r, zz_c]
-            size, extra = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, length = dc_codes[size]
-            bw.write(code, length)
-            if size:
-                bw.write(extra, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size, extra = _magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(extra, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+            prev_dc = _encode_block(
+                bw, q[bi, bj][zz_r, zz_c], prev_dc, dc_codes, ac_codes
+            )
     entropy = bw.flush()
 
-    qzz = bytes(int(_JPEG_Q[r, c]) for r, c in _ZIGZAG)
-    dqt = b"\xff\xdb" + struct.pack(">B", 0x00).join([b""]) + struct.pack(
-        ">HB", 2 + 1 + 64, 0x00
-    ) + qzz
+    dqt = _dqt_segment(0x00, _JPEG_Q)
     sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3, 8, h, w, 1) + bytes(
         [1, 0x11, 0]
     )
-    dht_dc = (
-        b"\xff\xc4"
-        + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00)
-        + bytes(_DC_BITS)
-        + bytes(_DC_VALS)
-    )
-    dht_ac = (
-        b"\xff\xc4"
-        + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10)
-        + bytes(_AC_BITS)
-        + bytes(_AC_VALS)
+    dht = _dht_segment(0x00, _DC_BITS, _DC_VALS) + _dht_segment(
+        0x10, _AC_BITS, _AC_VALS
     )
     sos = b"\xff\xda" + struct.pack(">HB", 6 + 2, 1) + bytes([1, 0x00, 0, 63, 0])
-    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HHBB", 1, 1, 0, 0
-    )
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+        b"\xff\xd8" + _APP0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
     )
+
+
+_APP0 = (
+    b"\xff\xe0"
+    + struct.pack(">H", 16)
+    + b"JFIF\x00\x01\x01\x00"
+    + struct.pack(">HHBB", 1, 1, 0, 0)
+)
+
+
+def _dqt_segment(tid: int, qtable: np.ndarray) -> bytes:
+    qzz = bytes(int(qtable[r, c]) for r, c in _ZIGZAG)
+    return b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tid) + qzz
+
+
+def _dht_segment(cls_tid: int, bits, vals) -> bytes:
+    return (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(vals), cls_tid)
+        + bytes(bits)
+        + bytes(vals)
+    )
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF RGB → YCbCr (ITU-R BT.601 full range), float planes."""
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def jpeg_encode_rgb(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a baseline sequential 4:4:4
+    YCbCr JFIF JPEG (SOF0, Annex-K luminance + chrominance quantization and
+    Huffman tables, interleaved three-component scan).
+
+    Per-plane DCTs run as batched einsums; the interleaved entropy coding
+    (Y, Cb, Cr block per MCU, independent DC predictors) is the per-block
+    loop. No chroma subsampling — 4:2:0 stays outside the subset on both
+    encode and decode, honestly."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("jpeg_encode_rgb expects a (h, w, 3) array")
+    h, w = px.shape[:2]
+    y, cb, cr = _rgb_to_ycbcr(px)
+    planes = [
+        _plane_qcoef(y, _JPEG_Q),
+        _plane_qcoef(cb, _JPEG_QC),
+        _plane_qcoef(cr, _JPEG_QC),
+    ]
+    luma = (_huffman_codes(_DC_BITS, _DC_VALS), _huffman_codes(_AC_BITS, _AC_VALS))
+    chroma = (
+        _huffman_codes(_DC_BITS_C, _DC_VALS_C),
+        _huffman_codes(_AC_BITS_C, _AC_VALS_C),
+    )
+    tables = [luma, chroma, chroma]
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    zz_r = [rc[0] for rc in _ZIGZAG]
+    zz_c = [rc[1] for rc in _ZIGZAG]
+    nbi, nbj = planes[0].shape[:2]
+    for bi in range(nbi):
+        for bj in range(nbj):
+            for ci in range(3):
+                dc_codes, ac_codes = tables[ci]
+                prev[ci] = _encode_block(
+                    bw, planes[ci][bi, bj][zz_r, zz_c], prev[ci],
+                    dc_codes, ac_codes,
+                )
+    entropy = bw.flush()
+
+    dqt = _dqt_segment(0x00, _JPEG_Q) + _dqt_segment(0x01, _JPEG_QC)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    dht = (
+        _dht_segment(0x00, _DC_BITS, _DC_VALS)
+        + _dht_segment(0x10, _AC_BITS, _AC_VALS)
+        + _dht_segment(0x01, _DC_BITS_C, _DC_VALS_C)
+        + _dht_segment(0x11, _AC_BITS_C, _AC_VALS_C)
+    )
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">HB", 6 + 2 * 3, 3)
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    return b"\xff\xd8" + _APP0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
 
 
 class _BitReader:
@@ -455,14 +597,44 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def jpeg_decode_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential grayscale JPEG to a (h, w) uint8 array.
+def _decode_block(br: "_BitReader", blk: np.ndarray, prev_dc: int,
+                  dc_table, ac_table) -> int:
+    """Entropy-decode one 8×8 block in place (JPEG F.2.2); returns the new
+    DC predictor."""
+    size = _read_symbol(br, dc_table)
+    prev_dc += _extend(br.read_bits(size), size)
+    blk[0, 0] = prev_dc
+    k = 1
+    while k <= 63:
+        sym = _read_symbol(br, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("invalid JPEG AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index overflow")
+        r, c = _ZIGZAG[k]
+        blk[r, c] = _extend(br.read_bits(size), size)
+        k += 1
+    return prev_dc
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG: grayscale streams return a (h, w)
+    uint8 array, 4:4:4 YCbCr color streams a (h, w, 3) uint8 RGB array.
 
     Reads DQT/DHT from the stream (canonical Huffman rebuild), entropy-
-    decodes the single-component scan with byte unstuffing, dequantizes,
-    applies the inverse DCT batched over all blocks, and crops the 8×8
-    padding. Progressive (SOF2), multi-component, 12-bit, arithmetic-coded,
-    and restart-marker streams are outside the supported subset and raise.
+    decodes the (interleaved, for color) scan with byte unstuffing,
+    dequantizes, applies the inverse DCT batched over all blocks per
+    component, converts YCbCr→RGB for three-component streams, and crops
+    the 8×8 padding. Progressive (SOF2), subsampled, 12-bit,
+    arithmetic-coded, and restart-marker streams are outside the supported
+    subset and raise.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
@@ -470,7 +642,8 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comp_q = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, dict, dict]] = []  # (comp index, dc table, ac table)
     entropy = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -506,14 +679,18 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG is outside the supported subset "
-                    "(8-bit grayscale)"
+                    "(8-bit grayscale / 4:4:4 YCbCr)"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
-            comp_q = body[8]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF segment")
+            for ci in range(ncomp):
+                cid, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError("subsampled JPEG unsupported")
+                comps.append((cid, qid))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "only baseline sequential JPEG (SOF0) is supported"
@@ -521,52 +698,55 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise NotImplementedError("JPEG restart markers unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
-            dc_tid = body[2] >> 4
-            ac_tid = body[2] & 0x0F
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan JPEG is outside the supported subset"
+                )
+            cids = [c[0] for c in comps]
+            for si in range(ns):
+                cs, tid = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append(
+                    (cids.index(cs), htables[(0, tid >> 4)], htables[(1, tid & 0x0F)])
+                )
             raw = data[pos : data.rfind(b"\xff\xd9")]
             entropy = raw.replace(b"\xff\x00", b"\xff")
-            dc_table = htables[(0, dc_tid)]
-            ac_table = htables[(1, ac_tid)]
             break
         # APPn / COM / others: skipped
     if h is None or entropy is None:
         raise ValueError("not a JPEG: missing SOF0/SOS")
-    q = qtables[comp_q]
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     nbi, nbj = ph // 8, pw // 8
-    coef = np.zeros((nbi, nbj, 8, 8), dtype=np.int64)
+    coef = [np.zeros((nbi, nbj, 8, 8), dtype=np.int64) for _ in comps]
     br = _BitReader(entropy)
-    prev_dc = 0
+    prev = [0] * len(comps)
     for bi in range(nbi):
         for bj in range(nbj):
-            size = _read_symbol(br, dc_table)
-            prev_dc += _extend(br.read_bits(size), size)
-            blk = coef[bi, bj]
-            blk[0, 0] = prev_dc
-            k = 1
-            while k <= 63:
-                sym = _read_symbol(br, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid JPEG AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient index overflow")
-                r, c = _ZIGZAG[k]
-                blk[r, c] = _extend(br.read_bits(size), size)
-                k += 1
-    deq = coef * q
-    blocks = np.einsum("xu,bcuv,yv->bcxy", _DCT_M.T, deq.astype(np.float64), _DCT_M.T)
-    px = np.round(blocks + 128.0)
-    img = (
-        np.clip(px, 0, 255)
-        .astype(np.uint8)
-        .transpose(0, 2, 1, 3)
-        .reshape(ph, pw)
-    )
-    return img[:h, :w]
+            for ci, dc_table, ac_table in scan:
+                prev[ci] = _decode_block(
+                    br, coef[ci][bi, bj], prev[ci], dc_table, ac_table
+                )
+    planes = []
+    for ci, (_cid, qid) in enumerate(comps):
+        deq = coef[ci] * qtables[qid]
+        blocks = np.einsum(
+            "xu,bcuv,yv->bcxy", _DCT_M.T, deq.astype(np.float64), _DCT_M.T
+        )
+        plane = (blocks + 128.0).transpose(0, 2, 1, 3).reshape(ph, pw)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(*planes)
+
+
+def jpeg_decode_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential GRAYSCALE JPEG to a (h, w) uint8 array
+    (the single-component subset of :func:`jpeg_decode`; a color stream
+    raises instead of silently returning luma)."""
+    sof = data.find(b"\xff\xc0")
+    if sof >= 0 and data[sof + 9] != 1:
+        raise NotImplementedError(
+            f"{data[sof + 9]}-component JPEG is outside the supported subset "
+            "(8-bit grayscale) — use jpeg_decode"
+        )
+    return jpeg_decode(data)

@@ -206,7 +206,7 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
     """
     import numpy as np
 
-    from .codecs import jpeg_decode_gray, png_decode_gray, wav_decode_pcm16
+    from .codecs import jpeg_decode, png_decode_gray, wav_decode_pcm16
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -221,10 +221,13 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     rows.append((int(media_id), "png", w, h, v.size,
                                  int(v.sum()), int(v.min()), int(v.max())))
                 elif mime == "image/jpeg":
-                    px = jpeg_decode_gray(bytes(payload))
+                    # gray or 4:4:4 color — stats over every decoded value
+                    # (all three RGB channels for color)
+                    px = jpeg_decode(bytes(payload))
                     v = px.astype(np.int64)
-                    h, w = px.shape
-                    rows.append((int(media_id), "jpeg", w, h, v.size,
+                    h, w = px.shape[:2]
+                    kind = "jpeg" if px.ndim == 2 else "jpeg_rgb"
+                    rows.append((int(media_id), kind, w, h, v.size,
                                  int(v.sum()), int(v.min()), int(v.max())))
                 elif mime == "audio/wav":
                     s, _rate = wav_decode_pcm16(bytes(payload))

@@ -231,6 +231,85 @@ def test_jpeg_unsupported_subset_raises():
         jpeg_decode_gray(bytes(bad))
 
 
+def test_jpeg_color_round_trip_bounds():
+    """4:4:4 YCbCr color: constants within ±1 after the RGB↔YCbCr legs,
+    smooth gradients tightly bounded, noise bounded below full range."""
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_rgb
+
+    for rgb in [(10, 200, 90), (255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 128)]:
+        c = np.full((24, 21, 3), rgb, dtype=np.uint8)
+        out = jpeg_decode(jpeg_encode_rgb(c))
+        assert out.shape == c.shape
+        assert np.abs(out.astype(int) - c.astype(int)).max() <= 1, rgb
+
+    x = np.arange(50, dtype=np.float64)[None, :] + np.zeros((38, 1))
+    y = np.arange(38, dtype=np.float64)[:, None] + np.zeros((1, 50))
+    img = np.stack(
+        [
+            np.clip(128 + 60 * np.sin(x / 9.0) + 40 * np.cos(y / 7.0), 0, 255),
+            np.clip(128 + 50 * np.cos(x / 11.0), 0, 255),
+            np.clip(128 + 45 * np.sin(y / 5.0), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode_rgb(img))
+    assert out.shape == img.shape  # odd dims preserved through padding
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+    rng = np.random.RandomState(3)
+    noisy = rng.randint(0, 256, size=(40, 56, 3)).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode_rgb(noisy))
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 230
+
+
+def test_jpeg_color_interleave_uses_chroma_tables():
+    """The color stream must carry two DQTs and four DHTs (luma + chroma
+    classes), and the gray decoder must reject it rather than return luma."""
+    from coin_for_rich_spark.llmdata.codecs import (
+        jpeg_decode,
+        jpeg_decode_gray,
+        jpeg_encode_rgb,
+    )
+
+    enc = jpeg_encode_rgb(np.full((8, 8, 3), (40, 90, 200), dtype=np.uint8))
+    assert enc.count(b"\xff\xdb") == 2
+    assert enc.count(b"\xff\xc4") == 4
+    with pytest.raises(NotImplementedError, match="component"):
+        jpeg_decode_gray(enc)
+    # gray streams decode identically through the general entry point
+    from coin_for_rich_spark.llmdata.codecs import jpeg_encode_gray
+
+    g = ((np.arange(16)[:, None] * 7 + np.arange(24)[None, :] * 3) % 251).astype(
+        np.uint8
+    )
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_gray(g)), jpeg_decode_gray(jpeg_encode_gray(g))
+    )
+
+
+def test_jpeg_color_media_stats_path(spark):
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_rgb
+    from coin_for_rich_spark.llmdata.multimodal import decode_media_stats
+
+    img = np.stack(
+        [
+            np.full((10, 7), 30, dtype=np.uint8),
+            np.full((10, 7), 130, dtype=np.uint8),
+            np.full((10, 7), 230, dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+    media = spark.createDataFrame(
+        [(9, "image/jpeg", bytearray(jpeg_encode_rgb(img)))],
+        "media_id long, mime string, payload binary",
+    )
+    r = decode_media_stats(media).collect()[0]
+    want = jpeg_decode(jpeg_encode_rgb(img)).astype(np.int64)
+    assert (r["kind"], r["width"], r["height"]) == ("jpeg_rgb", 7, 10)
+    assert (r["n_values"], r["value_sum"]) == (want.size, int(want.sum()))
+    assert (r["value_min"], r["value_max"]) == (int(want.min()), int(want.max()))
+
+
 def test_jpeg_decode_media_stats_path(spark):
     """decode_media_stats handles image/jpeg rows through the same Arrow
     batch pass as PNG/WAV — integer stats of the REAL decoded pixels."""
