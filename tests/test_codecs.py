@@ -161,6 +161,44 @@ try:
         s = rng.randint(-32768, 32768, size=n, dtype=np.int16)
         got, rate = wav_decode_pcm16(wav_encode_pcm16(s, 44100))
         assert rate == 44100 and np.array_equal(got, s)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 33),
+        h=st.integers(1, 25),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_color_round_trip_property(w, h, seed):
+        """Color JPEG is lossy but must preserve shape and stay bounded,
+        and the entropy stream must survive byte stuffing at any dims."""
+        from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_rgb
+
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = jpeg_decode(jpeg_encode_rgb(px))
+        assert out.shape == px.shape and out.dtype == np.uint8
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 12),
+        n=st.integers(1, 9),
+        dur=st.integers(1, 5000),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_mp4_round_trip_property(w, h, n, dur, seed):
+        from coin_for_rich_spark.llmdata.mp4 import mp4_demux, mp4_mux_gray
+
+        rng = np.random.RandomState(seed)
+        frames = [
+            rng.randint(0, 256, size=(h, w), dtype=np.uint8) for _ in range(n)
+        ]
+        data = mp4_mux_gray(frames, frame_duration_ms=dur)
+        vid = mp4_demux(data)
+        assert (vid.width, vid.height) == (w, h)
+        assert vid.sample_ts == [dur * f for f in range(n)]
+        for f in range(n):
+            assert np.array_equal(vid.frame_gray(data, f), frames[f])
 except ImportError:  # pragma: no cover
     pass
 
