@@ -76,15 +76,21 @@ def start_cluster(base: str) -> tuple[list[str], Callable[[], None]]:
     os.makedirs(sock, exist_ok=True)
     subprocess.run(["chown", "-R", "postgres", base], check=True)
     initdb, pg_ctl = _pg_binary("initdb"), _pg_binary("pg_ctl")
-    p = _as_pg(initdb, "-D", data, "-A", "trust")
+    p = _as_pg(initdb, "-D", data, "-A", "trust", "--no-sync")
     if p.returncode != 0:
         raise RuntimeError(f"initdb failed: {p.stderr.decode(errors='replace')}")
+    # fsync/synchronous_commit off: the cluster is throwaway by construction
+    # (deleted on stop, never restarted after a crash), so durability buys
+    # nothing — this is PostgreSQL's own documented configuration for test
+    # servers. Atomicity/visibility semantics are unchanged; the failure-
+    # atomicity test still passes against this configuration.
     p = _as_pg(
         pg_ctl,
         "-D",
         data,
         "-o",
-        f"-c listen_addresses='' -c unix_socket_directories={sock}",
+        f"-c listen_addresses='' -c unix_socket_directories={sock} "
+        "-c fsync=off -c synchronous_commit=off -c full_page_writes=off",
         "-w",
         "-l",
         os.path.join(base, "log"),
