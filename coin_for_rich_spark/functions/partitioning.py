@@ -33,6 +33,28 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
 
 @contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Temporarily set session confs (dots spelled as ``__`` in kwargs is
+    not supported — pass a dict via ``**{"a.b.c": v}``), restoring previous
+    values (or unsetting) afterwards."""
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            prev[k] = None
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+@contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily pin ``spark.sql.shuffle.partitions`` for the enclosed
     plan-and-start window, restoring the previous value after.

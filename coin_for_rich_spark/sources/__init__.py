@@ -5,6 +5,7 @@ from .fetchplan import (
     fetch_pages,
     synthetic_fetcher,
 )
+from .bucketing import exchanges_in_plan, is_bucketed, write_bucketed
 from .store import (
     load_rollups,
     materialize_rollups,
@@ -14,6 +15,9 @@ from .store import (
 )
 
 __all__ = [
+    "exchanges_in_plan",
+    "is_bucketed",
+    "write_bucketed",
     "TABLES",
     "load_table",
     "load_all",

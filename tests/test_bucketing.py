@@ -1,0 +1,110 @@
+"""Bucketed layout: co-bucketed joins and bucket-key aggregations must be
+exchange-free, and results must be identical to the unbucketed plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from coin_for_rich_spark.sources import load_table
+from coin_for_rich_spark.sources.bucketing import (
+    exchanges_in_plan,
+    is_bucketed,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    bli = write_bucketed(
+        li,
+        "bkt_lineitem",
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+        path=str(base / "lineitem"),
+    )
+    bord = write_bucketed(
+        orders,
+        "bkt_orders",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+        path=str(base / "orders"),
+    )
+    yield bli, bord
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_bucketed_tables_carry_metadata(spark, bucketed):
+    assert is_bucketed(spark, "bkt_lineitem")
+    assert is_bucketed(spark, "bkt_orders")
+
+
+def test_cobucketed_join_is_exchange_free(spark, sf_dir, bucketed):
+    from coin_for_rich_spark.functions.partitioning import scoped_conf
+
+    bli, bord = bucketed
+    # at test scale the dim side fits the broadcast threshold, which
+    # sidesteps distribution entirely; the 100 TB plan this layout exists
+    # for is the big×big sort-merge join, so pin that plan shape here
+    with scoped_conf(spark, **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        joined = bli.join(
+            bord, bli["l_orderkey"] == bord["o_orderkey"]
+        ).select("l_orderkey", "o_custkey", "l_quantity")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed on the join key with matching bucket counts: the
+        # sort-merge join consumes the scans' bucket distribution — zero
+        # shuffles, and the scans really run bucketed
+        assert "SortMergeJoin" in plan
+        assert exchanges_in_plan(joined) == 0
+        assert plan.count("Bucketed: true") == 2
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        plain = li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).select("l_orderkey", "o_custkey", "l_quantity")
+        assert exchanges_in_plan(plain) == 2  # the cost bucketing removed
+        a = sorted(map(tuple, joined.collect()))
+        b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_bucket_key_aggregation_is_exchange_free(spark, sf_dir, bucketed):
+    import pyspark.sql.functions as F
+
+    bli, _ = bucketed
+    agg = bli.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("qty")
+    )
+    assert exchanges_in_plan(agg) == 0
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("qty")
+    )
+    assert exchanges_in_plan(plain) > 0
+    got = {(r["l_orderkey"], str(r["qty"])) for r in agg.collect()}
+    want = {(r["l_orderkey"], str(r["qty"])) for r in plain.collect()}
+    assert got == want and got
+
+
+def test_bucketed_writer_emits_one_file_per_bucket(spark, bucketed, tmp_path):
+    import os
+
+    bli, _ = bucketed
+    loc = [
+        r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED bkt_lineitem").collect()
+        if r["col_name"] == "Location"
+    ][0]
+    files = [
+        f
+        for f in os.listdir(loc.removeprefix("file:"))
+        if f.endswith(".parquet")
+    ]
+    # the pre-write repartition keeps the layout at exactly one file per
+    # non-empty bucket — no small-file explosion
+    assert 0 < len(files) <= 8
