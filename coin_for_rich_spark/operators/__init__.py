@@ -6,6 +6,7 @@ from .analytics import (
     weekly_return,
     geo_daily_return,
 )
+from .sketches import sketch_merge, sketch_rollup
 from .maintenance import (
     latest_per_key,
     detect_gaps,
@@ -18,6 +19,8 @@ from .gapfill import gap_fill_series
 from .windowed import moving_average, sessionize, topn_per_key
 
 __all__ = [
+    "sketch_merge",
+    "sketch_rollup",
     "cascade_rollup",
     "cascade_rollup_multi",
     "ohlcv_rollup",

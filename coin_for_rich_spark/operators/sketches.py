@@ -1,0 +1,85 @@
+"""Mergeable distinct-count sketches — the rollup pattern COUNT(DISTINCT)
+cannot use.
+
+The candle cascade (`operators/candles.cascade_rollup`) works because OHLCV
+aggregates are mergeable: a 1h candle folds out of twelve 5m candles. A
+distinct count is NOT mergeable — distinct-per-day does not sum to
+distinct-per-week — so on a 100 TB fact table every ad-hoc range query
+re-shuffles raw rows, the single most expensive recurring aggregation shape.
+
+HLL sketches (Apache DataSketches, built into Spark as
+``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``) restore
+mergeability at a bounded error: materialize one tiny sketch blob per
+(key, time-bucket) ONCE, then answer any later range at any key subset by
+unioning |buckets| kilobyte-sized blobs — no fact-table rescan, no raw-row
+shuffle. Exactly the pattern the reference's continuous aggregates apply to
+OHLCV, extended to the one aggregate they cannot cover.
+
+Parity anchor: the exact tier lives in
+`operators/maintenance.count_distinct_pairs` (SURVEY A7,
+`select_queries.sql:215-218`); this module is its declared 100 TB fast
+path, with the accuracy contract pinned in tests rather than assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: log2 of the sketch's K parameter: 4096 registers ≈ 1.6%/√(K/…) relative
+#: standard error (~2.2% at three sigma for lgK=12), ~2 KB per sketch blob.
+DEFAULT_LGK = 12
+
+
+def sketch_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    time_col: str = "ts",
+    bucket: str = "1 day",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Materialize one HLL sketch of the distinct ``value_cols`` tuples per
+    (keys, time bucket): ``(*keys, bucket_start, sketch)``.
+
+    One shuffle on (keys, bucket) with map-side partial sketches — the same
+    cost profile as the candle rollup. The tuple is sketched via a
+    canonical ``concat_ws`` encoding (NULL-safe: nulls serialize as an
+    explicit token so (NULL, 'a') ≠ ('a', NULL), mirroring the exact tier's
+    tuple semantics).
+    """
+    tup = _tuple_key(value_cols)
+    return (
+        df.groupBy(
+            *keys,
+            F.window(F.col(time_col), bucket)["start"].alias("bucket_start"),
+        )
+        .agg(F.hll_sketch_agg(tup, F.lit(lgk)).alias("sketch"))
+    )
+
+
+def sketch_merge(
+    partials: DataFrame,
+    keys: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union per-bucket sketch blobs down to ``keys`` and estimate:
+    ``(*keys, n_distinct_est)``. Input is the (filtered) output of
+    :func:`sketch_rollup` — kilobytes per row, so this runs in milliseconds
+    at any corpus size the rollup could be materialized for."""
+    merged = partials.groupBy(*keys).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias("_u")
+    )
+    return merged.select(
+        *keys, F.hll_sketch_estimate(F.col("_u")).alias("n_distinct_est")
+    )
+
+
+def _tuple_key(value_cols: list[str]) -> Column:
+    parts: list[Column] = []
+    for c in value_cols:
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("\x00null"))
+            .otherwise(F.col(c).cast("string"))
+        )
+    return F.concat_ws("\x1f", *parts)
