@@ -483,10 +483,10 @@ def sample_real_frames(frames: DataFrame, every_ms: int = 500) -> DataFrame:
     output — no corpus-wide join against a tick relation, no window. A
     policy change re-runs only this cheap projection, never the demux.
     """
-    first = (
-        F.ceil(F.col("sample_ts_ms") / F.lit(float(every_ms))).cast("long")
-        * every_ms
-    )
+    # ceil(ts / every) · every in pure int64 — a double-division ceil loses
+    # integer exactness past 2^53, i.e. for epoch-scale timestamps
+    bumped = F.col("sample_ts_ms") + F.lit(int(every_ms) - 1)
+    first = bumped - (bumped % F.lit(int(every_ms)))
     last = F.col("sample_ts_ms") + F.col("sample_dur_ms") - 1
     ticks = F.when(
         first <= last, F.sequence(first, last, F.lit(int(every_ms)))
