@@ -9,7 +9,7 @@ Reference parity map (SURVEY §2.9):
 """
 
 from .dedupe import exactly_once_dedup
-from .jdbc import JdbcMergeSink, PsqlCopyMergeSink, upsert_sql
+from .jdbc import JdbcMergeSink, PgWireMergeSink, PsqlCopyMergeSink, upsert_sql
 from .latest import latest_value_serve
 from .rollup import CONAGG_POLICIES, streaming_ohlcv_rollup
 from .sink import ParquetMergeSink, run_ingest
@@ -19,6 +19,7 @@ __all__ = [
     "CONAGG_POLICIES",
     "exactly_once_dedup",
     "JdbcMergeSink",
+    "PgWireMergeSink",
     "ParquetMergeSink",
     "PsqlCopyMergeSink",
     "upsert_sql",

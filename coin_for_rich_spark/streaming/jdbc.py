@@ -16,18 +16,24 @@ Mechanics per micro-batch (the standard scale-out JDBC upsert shape):
    is the only place it can be transactional for an external store;
 3. staging is truncated for the next batch.
 
-Two concrete sinks share the merge statement:
+Three concrete sinks share the merge statement:
 
-- ``JdbcMergeSink`` — the scale-out twin: executors stage the batch over
-  parallel JDBC connections, the driver issues the set-based merge. Needs
-  the PostgreSQL driver jar on the Spark classpath, which this container
-  does not ship, so it stays unit-tested at the SQL layer.
+- ``JdbcMergeSink`` — executors stage the batch over parallel JDBC
+  connections, the driver issues the set-based merge. Needs the PostgreSQL
+  driver jar on the Spark classpath, which this container does not ship,
+  so it stays unit-tested at the SQL layer.
 - ``PsqlCopyMergeSink`` — the reference's own mechanics (CSV COPY + ON
   CONFLICT, `dbhelpers.py:34-132`) through the ``psql`` client in one
   transaction per micro-batch. The container ships psql and the server
   binaries, so THIS twin is integration-tested against a real PostgreSQL
   end-to-end (tests/test_postgres_sink.py), closing the north-star-sink
-  execution gap at the semantics level.
+  execution gap at the semantics level. Single-writer by construction.
+- ``PgWireMergeSink`` — the scale-out shape WITHOUT a driver jar: every
+  executor COPYs its own partition in parallel into an UNLOGGED staging
+  table over the raw v3 wire protocol (``streaming/pgwire.py``, pure
+  stdlib), then the driver runs one merge+cleanup transaction. Also
+  integration-tested against the live server, including parity with the
+  single-writer twin.
 """
 
 from __future__ import annotations
@@ -212,6 +218,17 @@ class JdbcMergeSink:
         )
 
 
+def _utc_wall_clock(v):
+    """Naive/aware datetime → naive UTC wall clock (identity on all other
+    values). Applied on whichever host encodes the row — driver or executor
+    — so the stored ``timestamp`` is UTC regardless of that host's local
+    timezone."""
+    if isinstance(v, datetime.datetime):
+        aware = v if v.tzinfo is not None else v.astimezone()
+        return aware.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 _PG_TEXT_ESCAPES = str.maketrans(
     {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
 )
@@ -335,15 +352,9 @@ class PsqlCopyMergeSink:
         PostgreSQL ``timestamp`` column stores UTC regardless of the driver
         host's timezone — the same session contract the rest of the engine
         pins; ``read`` reverses it."""
-        utc = datetime.timezone.utc
-
-        def fix(v):
-            if isinstance(v, datetime.datetime):
-                aware = v if v.tzinfo is not None else v.astimezone()
-                return aware.astimezone(utc).replace(tzinfo=None)
-            return v
-
-        return (tuple(fix(v) for v in row) for row in batch.collect())
+        return (
+            tuple(_utc_wall_clock(v) for v in row) for row in batch.collect()
+        )
 
     def merge(self, batch: DataFrame, batch_id: int) -> None:
         columns = batch.columns
@@ -445,3 +456,122 @@ class PsqlCopyMergeSink:
             if line
         ]
         return spark.createDataFrame(rows, schema)
+
+
+class PgWireMergeSink:
+    """Distributed-staging PK-merge into PostgreSQL over the raw wire
+    protocol (``streaming/pgwire.py``) — the scale-out twin of
+    ``PsqlCopyMergeSink`` with the same ``merge(batch, batch_id)`` contract
+    and the same within-batch winner rule.
+
+    Per micro-batch:
+
+    1. driver: recreate an UNLOGGED staging table ``(LIKE target)`` —
+       UNLOGGED skips WAL (the data is transient by design and a crash
+       truncates it, which is exactly the semantics staging wants);
+    2. executors: ``foreachPartition`` — each non-empty partition opens one
+       wire connection and COPYs its rows (text format, identical
+       ``pg_text_value`` encoding and UTC wall-clock normalization as the
+       psql twin). N partitions stage in parallel; the driver never sees a
+       row;
+    3. driver: ONE transaction — ``INSERT ... SELECT DISTINCT ON (pk) ...
+       ON CONFLICT`` + ``DROP`` of staging. The merge is atomic; a failure
+       anywhere leaves the target untouched and the next attempt recreates
+       staging from scratch.
+
+    Task-retry safety: a retried partition re-COPYs the same rows, so
+    staging may hold EXACT duplicates; ``DISTINCT ON`` collapses them (ties
+    between identical rows are indistinguishable), so the merged result is
+    retry-invariant. Batch replay is idempotent exactly as in the twins.
+    """
+
+    def __init__(
+        self,
+        conninfo: list[str],
+        table: str,
+        pk: tuple[str, ...],
+        mode: str = "ignore",
+        tiebreak_col: str | None = None,
+        copy_chunk_bytes: int = 1 << 20,
+    ) -> None:
+        from .pgwire import conninfo_params
+
+        upsert_sql(table, "_probe_stg", ["_probe"], list(pk), mode)  # validate
+        self.params = conninfo_params(conninfo)
+        self.table = table
+        self.pk = list(pk)
+        self.mode = mode
+        self.tiebreak_col = tiebreak_col
+        self.copy_chunk_bytes = int(copy_chunk_bytes)
+        self.staging = f"_cfr_wstage_{table.rsplit('.', 1)[-1]}"
+
+    def _dedup_order(self, columns: list[str]) -> list[str]:
+        from .sink import within_batch_order
+
+        return [
+            f"{c} {'ASC' if ascending else 'DESC'}"
+            for c, ascending in within_batch_order(
+                self.mode, self.pk, self.tiebreak_col, columns
+            )
+        ]
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        from .pgwire import PgWireClient
+
+        columns = batch.columns
+        params = dict(self.params)
+        staging = self.staging
+        chunk_bytes = self.copy_chunk_bytes
+        copy_sql = f"COPY {staging} ({', '.join(columns)}) FROM STDIN"
+
+        with PgWireClient(**params) as c:
+            c.query(
+                f"DROP TABLE IF EXISTS {staging}; "
+                f"CREATE UNLOGGED TABLE {staging} "
+                f"(LIKE {self.table} INCLUDING DEFAULTS)"
+            )
+
+        def copy_partition(rows) -> None:
+            it = iter(rows)
+            try:
+                first = next(it)
+            except StopIteration:
+                return  # empty partition: no connection at all
+
+            def chunks():
+                from itertools import chain
+
+                buf: list[str] = []
+                size = 0
+                for row in chain([first], it):
+                    line = (
+                        "\t".join(
+                            pg_text_value(_utc_wall_clock(v)) for v in row
+                        )
+                        + "\n"
+                    )
+                    buf.append(line)
+                    size += len(line)
+                    if size >= chunk_bytes:
+                        yield "".join(buf).encode()
+                        buf, size = [], 0
+                if buf:
+                    yield "".join(buf).encode()
+
+            with PgWireClient(**params) as conn:
+                conn.copy_in(copy_sql, chunks())
+
+        batch.foreachPartition(copy_partition)
+
+        merge_stmt = upsert_sql(
+            self.table,
+            staging,
+            columns,
+            self.pk,
+            self.mode,
+            dedup_order=self._dedup_order(columns),
+        )
+        with PgWireClient(**params) as c:
+            c.query(
+                f"BEGIN; {merge_stmt}; DROP TABLE {staging}; COMMIT;"
+            )

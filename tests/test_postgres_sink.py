@@ -352,3 +352,104 @@ def test_declared_query_psql_leg_matches_parquet_twin(spark, sf_dir, monkeypatch
     )
     assert len(via_pg) == len(via_parquet) > 0
     assert via_pg == via_parquet
+
+
+# ---------------------------------------------------------------------------
+# Wire-protocol client + distributed-staging sink (streaming/pgwire.py,
+# jdbc.PgWireMergeSink) — the scale-out twin, against the same live server.
+# ---------------------------------------------------------------------------
+
+
+def test_pgwire_client_query_copy_and_errors(pg):
+    from coin_for_rich_spark.streaming.pgwire import (
+        PgError,
+        PgWireClient,
+        conninfo_params,
+    )
+
+    with PgWireClient(**conninfo_params(pg)) as c:
+        rows, tags = c.query("SELECT 1, NULL")
+        assert rows == [["1", None]] and tags == ["SELECT 1"]
+        c.query("DROP TABLE IF EXISTS wt; CREATE TABLE wt (k text, v int)")
+        assert c.copy_in(
+            "COPY wt (k, v) FROM STDIN", [b"a\t1\n", b"b\t2\nc\t3\n"]
+        ) == "COPY 3"
+        with pytest.raises(PgError, match="does not exist"):
+            c.query("SELECT no_such_col FROM wt")
+        # connection stays usable after an error cycle
+        assert c.query("SELECT count(*) FROM wt")[0] == [["3"]]
+        with pytest.raises(PgError, match="invalid input"):
+            c.copy_in("COPY wt (k, v) FROM STDIN", [b"z\tnope\n"])
+        assert c.query("SELECT count(*) FROM wt")[0] == [["3"]]
+
+
+def test_pgwire_distributed_sink_stages_partitions_in_parallel(spark, pg):
+    """A multi-partition batch lands complete and correctly merged: every
+    executor partition COPYs over its own wire connection, and the merge
+    resolves within-batch duplicates by the shared winner rule."""
+    from coin_for_rich_spark.streaming.jdbc import PgWireMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_w;"
+             "CREATE TABLE t_w (k text PRIMARY KEY, seq int, v double precision)")
+    sink = PgWireMergeSink(pg, "t_w", pk=("k",), mode="upsert",
+                           tiebreak_col="seq")
+    rows = [(f"k{i % 40}", i, float(i)) for i in range(400)]
+    batch = spark.createDataFrame(
+        rows, "k string, seq int, v double"
+    ).repartition(8)
+    sink.merge(batch, 0)
+    got = {r[0]: (int(r[1]), float(r[2])) for r in _fetch(pg, "SELECT * FROM t_w")}
+    # upsert: highest seq per key wins (within_batch_order newest-first)
+    want = {}
+    for k, seq, v in rows:
+        if k not in want or seq > want[k][0]:
+            want[k] = (seq, v)
+    assert got == want and len(got) == 40
+    # staging cleaned up inside the merge transaction
+    assert _fetch(pg, "SELECT count(*) FROM pg_tables WHERE tablename LIKE '_cfr_wstage%'")[0][0] == "0"
+
+
+def test_pgwire_sink_matches_psql_twin(spark, pg):
+    """Parity capstone: the distributed-staging sink and the single-writer
+    psql sink must resolve the SAME batches to value-identical states."""
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+    from coin_for_rich_spark.streaming.jdbc import PgWireMergeSink
+
+    for t in ("t_tw_a", "t_tw_b"):
+        _sql(pg, f"DROP TABLE IF EXISTS {t};"
+                 f"CREATE TABLE {t} (k text PRIMARY KEY, seq int,"
+                 " v double precision, ts timestamp)")
+    a = PsqlCopyMergeSink(pg, "t_tw_a", pk=("k",), mode="upsert", tiebreak_col="seq")
+    b = PgWireMergeSink(pg, "t_tw_b", pk=("k",), mode="upsert", tiebreak_col="seq")
+    batches = [
+        [("a", 1, 1.5, dt.datetime(2024, 1, 1)), ("b", 2, None, None),
+         ("a", 3, 9.25, dt.datetime(2024, 3, 1))],
+        [("c", 4, 0.1, dt.datetime(2024, 2, 2, 3, 4, 5, 678901)),
+         ("b", 5, -2.0, dt.datetime(2024, 5, 5))],
+    ]
+    schema = "k string, seq int, v double, ts timestamp"
+    for i, data in enumerate(batches):
+        df = spark.createDataFrame(data, schema).repartition(4)
+        a.merge(df, i)
+        b.merge(df, i)
+    qa = _fetch(pg, "SELECT * FROM t_tw_a ORDER BY k")
+    qb = _fetch(pg, "SELECT * FROM t_tw_b ORDER BY k")
+    assert qa == qb and len(qa) == 3
+
+
+def test_pgwire_sink_failed_merge_leaves_target_untouched(spark, pg):
+    from coin_for_rich_spark.streaming.pgwire import PgError
+    from coin_for_rich_spark.streaming.jdbc import PgWireMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_wf;"
+             "CREATE TABLE t_wf (k text PRIMARY KEY, n int)")
+    sink = PgWireMergeSink(pg, "t_wf", pk=("k",), mode="ignore")
+    ok = spark.createDataFrame([("a", 1)], "k string, n int")
+    sink.merge(ok, 0)
+    # a batch whose value cannot COPY into the target's column type fails
+    # inside the executors' COPY — the Spark action raises and the target
+    # keeps its previous state
+    bad = spark.createDataFrame([("b", 2**40)], "k string, n long")
+    with pytest.raises(Exception):
+        sink.merge(bad, 1)
+    assert _fetch(pg, "SELECT k, n FROM t_wf") == [["a", "1"]]
