@@ -7,6 +7,7 @@ from .analytics import (
     geo_daily_return,
 )
 from .sketches import sketch_merge, sketch_rollup
+from .maintenance import skew_report
 from .maintenance import (
     latest_per_key,
     detect_gaps,
@@ -20,6 +21,7 @@ from .windowed import moving_average, sessionize, topn_per_key
 
 __all__ = [
     "sketch_merge",
+    "skew_report",
     "sketch_rollup",
     "cascade_rollup",
     "cascade_rollup_multi",

@@ -173,3 +173,64 @@ def count_distinct_pairs(df: DataFrame, cols: list[str], group_by: list[str] | N
     if group_by:
         return df.groupBy(*group_by).agg(agg).orderBy(*group_by)
     return df.select(agg)
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostic for a prospective join/aggregation key: ONE row
+    summarizing the key distribution plus the ``top_n`` heaviest keys.
+
+    Output columns: ``n_rows, n_keys, p50, p99, max_rows, max_key,
+    skew_ratio`` (max/p50 — the number AQE's skew-join threshold and manual
+    salt factors are sized against) and ``heavy_hitters`` (array of
+    ``{key, rows}`` structs, heaviest first).
+
+    Cost: the hash-agg shuffle on ``keys`` (the same shuffle the join being
+    diagnosed would pay; map-side combine makes it cheap), then two tiny
+    passes over the one-row-per-key relation — a percentile aggregate and
+    a TakeOrdered for the hitters (never a collect_list over ALL keys,
+    which would put the whole keyspace in one aggregation buffer). Safe to
+    run on the full 100 TB relation. The point of making this a
+    first-class operator: choosing between a plain shuffle join, AQE skew
+    splitting, broadcast, or the salted two-phase plans
+    (`windowed.topn_per_key(salted=True)`, `analytics.top_k_other`) is a
+    DATA question; this is the one cheap query that answers it.
+    """
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("rows"))
+    key_struct = F.struct(
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("key"),
+        F.col("rows"),
+    )
+    summary = per_key.agg(
+        F.sum("rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.expr("percentile_approx(rows, 0.5)").alias("p50"),
+        F.expr("percentile_approx(rows, 0.99)").alias("p99"),
+        F.max("rows").alias("max_rows"),
+        F.max_by(key_struct, F.col("rows")).getField("key").alias("max_key"),
+        (
+            F.max("rows").cast("double")
+            / F.expr("percentile_approx(rows, 0.5)")
+        ).alias("skew_ratio"),
+    )
+    # bounded BEFORE the collect: orderBy+limit plans as TakeOrdered, so at
+    # most top_n structs ever sit in one buffer
+    # sort key = (rows, key) so the array orders by weight; re-project to
+    # the friendly (key, rows) field order afterwards
+    by_rows = F.struct(F.col("rows"), key_struct.getField("key").alias("key"))
+    heavy = (
+        per_key.orderBy(F.col("rows").desc(), *keys)
+        .limit(int(top_n))
+        .agg(
+            F.transform(
+                F.reverse(F.array_sort(F.collect_list(by_rows))),
+                lambda s: F.struct(
+                    s["key"].alias("key"), s["rows"].alias("rows")
+                ),
+            ).alias("heavy_hitters")
+        )
+    )
+    return summary.crossJoin(heavy)

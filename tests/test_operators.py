@@ -242,3 +242,36 @@ def test_topn_per_key_salted_equals_plain(spark, sf_dir):
         map(tuple, topn_per_key(skewed, ["user_id"], order, 5, salted=True).collect())
     )
     assert plain == salted and len(plain) > 0
+
+
+def test_skew_report_identifies_heavy_hitters(spark):
+    from coin_for_rich_spark.operators.maintenance import skew_report
+
+    rows = (
+        [("hot", i) for i in range(90)]
+        + [("warm", i) for i in range(8)]
+        + [(f"k{i}", 0) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "k string, x int")
+    r = skew_report(df, ["k"], top_n=3).collect()[0]
+    assert r["n_rows"] == 118 and r["n_keys"] == 22
+    assert r["max_rows"] == 90 and r["max_key"] == "hot"
+    assert r["p50"] == 1
+    assert r["skew_ratio"] == 90.0
+    hh = [(h["key"], h["rows"]) for h in r["heavy_hitters"]]
+    assert hh[0] == ("hot", 90) and hh[1] == ("warm", 8) and len(hh) == 3
+
+
+def test_skew_report_composite_key_and_plan(spark, sf_dir):
+    from coin_for_rich_spark.operators.maintenance import skew_report
+    from coin_for_rich_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = skew_report(li, ["l_returnflag", "l_linestatus"], top_n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the hitters come from TakeOrdered, never a full-keyspace collect
+    assert "TakeOrdered" in plan
+    r = out.collect()[0]
+    assert r["n_rows"] == li.count()
+    assert len(r["heavy_hitters"]) <= 5
+    assert r["heavy_hitters"][0]["rows"] == r["max_rows"]
