@@ -483,6 +483,14 @@ class PgWireMergeSink:
     staging may hold EXACT duplicates; ``DISTINCT ON`` collapses them (ties
     between identical rows are indistinguishable), so the merged result is
     retry-invariant. Batch replay is idempotent exactly as in the twins.
+
+    Concurrency contract: ONE writer per target table at a time — the
+    staging name is derived from the target, so two queries merging into
+    the same table concurrently would trample each other's staging
+    (foreachBatch serializes batches within a query, which is the intended
+    deployment; the psql twin's TEMP staging is session-scoped and immune).
+    Crash leftovers are handled by the ``DROP TABLE IF EXISTS`` that opens
+    every merge.
     """
 
     def __init__(

@@ -65,11 +65,18 @@ def _as_pg(*argv: str) -> subprocess.CompletedProcess:
     )
 
 
-def start_cluster(base: str) -> tuple[list[str], Callable[[], None]]:
+def start_cluster(
+    base: str, tcp_port: int | None = None
+) -> tuple[list[str], Callable[[], None]]:
     """initdb + start one cluster under ``base`` (created, chowned to
     ``postgres``); returns (psql conninfo args, stop callable). The stop
     callable is idempotent and also removes ``base``. Raises RuntimeError
-    with the server's stderr if any lifecycle step fails."""
+    with the server's stderr if any lifecycle step fails.
+
+    Default posture is unix-socket-only (listen_addresses=''); pass
+    ``tcp_port`` to ALSO listen on localhost:<port> — the conninfo then
+    points at the TCP endpoint, which is what exercises the wire client's
+    production transport."""
     data = os.path.join(base, "data")
     sock = os.path.join(base, "sock")
     os.makedirs(data, exist_ok=True)
@@ -84,13 +91,16 @@ def start_cluster(base: str) -> tuple[list[str], Callable[[], None]]:
     # nothing — this is PostgreSQL's own documented configuration for test
     # servers. Atomicity/visibility semantics are unchanged; the failure-
     # atomicity test still passes against this configuration.
+    listen = "''" if tcp_port is None else "localhost"
+    port_opt = "" if tcp_port is None else f" -c port={int(tcp_port)}"
     p = _as_pg(
         pg_ctl,
         "-D",
         data,
         "-o",
-        f"-c listen_addresses='' -c unix_socket_directories={sock} "
-        "-c fsync=off -c synchronous_commit=off -c full_page_writes=off",
+        f"-c listen_addresses={listen} -c unix_socket_directories={sock} "
+        "-c fsync=off -c synchronous_commit=off -c full_page_writes=off"
+        + port_opt,
         "-w",
         "-l",
         os.path.join(base, "log"),
@@ -108,6 +118,11 @@ def start_cluster(base: str) -> tuple[list[str], Callable[[], None]]:
         _as_pg(pg_ctl, "-D", data, "-w", "-m", "fast", "stop")
         shutil.rmtree(base, ignore_errors=True)
 
+    if tcp_port is not None:
+        return [
+            "-h", "localhost", "-p", str(int(tcp_port)),
+            "-U", "postgres", "-d", "postgres",
+        ], stop
     return ["-h", sock, "-U", "postgres", "-d", "postgres"], stop
 
 

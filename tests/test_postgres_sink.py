@@ -453,3 +453,39 @@ def test_pgwire_sink_failed_merge_leaves_target_untouched(spark, pg):
     with pytest.raises(Exception):
         sink.merge(bad, 1)
     assert _fetch(pg, "SELECT k, n FROM t_wf") == [["a", "1"]]
+
+
+def test_pgwire_client_over_tcp(spark):
+    """The production transport: the same client + distributed sink over
+    localhost TCP instead of the unix socket."""
+    import socket as pysocket
+    import tempfile
+
+    from coin_for_rich_spark.streaming.jdbc import PgWireMergeSink
+    from coin_for_rich_spark.streaming.pgwire import PgWireClient, conninfo_params
+
+    with pysocket.socket() as s:  # grab a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    conninfo, stop = start_cluster(
+        tempfile.mkdtemp(prefix="cfr_pg_tcp_"), tcp_port=port
+    )
+    try:
+        params = conninfo_params(conninfo)
+        assert params["host"] == "localhost" and int(params["port"]) == port
+        with PgWireClient(**params) as c:
+            assert c.query("SELECT 42")[0] == [["42"]]
+            c.query("CREATE TABLE t_tcp (k text PRIMARY KEY, v int)")
+        sink = PgWireMergeSink(conninfo, "t_tcp", pk=("k",), mode="ignore")
+        sink.merge(
+            spark.createDataFrame(
+                [("a", 1), ("b", 2)], "k string, v int"
+            ).repartition(2),
+            0,
+        )
+        assert _fetch(conninfo, "SELECT k, v FROM t_tcp ORDER BY k") == [
+            ["a", "1"],
+            ["b", "2"],
+        ]
+    finally:
+        stop()
