@@ -489,3 +489,38 @@ def test_pgwire_client_over_tcp(spark):
         ]
     finally:
         stop()
+
+
+def test_pgwire_sink_adversarial_values_round_trip(spark, pg):
+    """The wire COPY path must survive the same adversarial payloads the
+    psql twin is pinned on: embedded tabs/newlines/backslashes, the literal
+    NULL token, end-of-copy marker lookalikes, NaN/inf floats, and µs
+    timestamps — staged from executors, read back typed."""
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+    from coin_for_rich_spark.streaming.jdbc import PgWireMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_wa;"
+             "CREATE TABLE t_wa (k text PRIMARY KEY, s text,"
+             " v double precision, ts timestamp)")
+    rows = [
+        ("tabs", "a\tb\tc", 1.5, dt.datetime(2024, 1, 1)),
+        ("nl", "x\ny\rz", float("nan"), None),
+        ("bs", "back\\slash \\N \\.", float("inf"), dt.datetime(2024, 2, 2)),
+        ("nul", None, -0.0, dt.datetime(2024, 3, 3, 4, 5, 6, 789012)),
+    ]
+    schema = "k string, s string, v double, ts timestamp"
+    sink = PgWireMergeSink(pg, "t_wa", pk=("k",), mode="ignore")
+    sink.merge(spark.createDataFrame(rows, schema).repartition(3), 0)
+    reader = PsqlCopyMergeSink(pg, "t_wa", pk=("k",), mode="ignore")
+    batch = spark.createDataFrame(rows, schema)
+    got = {r["k"]: tuple(r) for r in reader.read(spark, batch.schema).collect()}
+    import math
+
+    for k, s, v, ts in rows:
+        gk, gs, gv, gts = got[k]
+        assert gs == s
+        if v is not None and math.isnan(v):
+            assert math.isnan(gv)
+        else:
+            assert gv == v
+        assert gts == ts
