@@ -69,10 +69,5 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
     scale the same knob goes UP for hot wide keyspaces — the point is that
     it's sized, not defaulted.
     """
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": str(n)}):
         yield
-    finally:
-        spark.conf.set(key, prev)

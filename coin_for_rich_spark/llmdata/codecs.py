@@ -709,7 +709,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 scan.append(
                     (cids.index(cs), htables[(0, tid >> 4)], htables[(1, tid & 0x0F)])
                 )
-            raw = data[pos : data.rfind(b"\xff\xd9")]
+            eoi = data.rfind(b"\xff\xd9")
+            if eoi < 0:
+                raise ValueError("not a JPEG: missing EOI (truncated stream)")
+            raw = data[pos:eoi]
             entropy = raw.replace(b"\xff\x00", b"\xff")
             break
         # APPn / COM / others: skipped
@@ -739,14 +742,32 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     return _ycbcr_to_rgb(*planes)
 
 
+def _jpeg_sof_ncomp(data: bytes) -> int | None:
+    """Component count from the SOF0 segment, found by WALKING the marker
+    stream (a raw byte find would match FF C0 inside APPn/COM payloads —
+    e.g. an EXIF thumbnail, itself a JPEG with its own SOF)."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
+            return None
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xC0:
+            return data[pos + 2 + 7] if pos + 2 + 7 < len(data) else None
+        pos += 2 + seglen
+    return None
+
+
 def jpeg_decode_gray(data: bytes) -> np.ndarray:
     """Decode a baseline sequential GRAYSCALE JPEG to a (h, w) uint8 array
     (the single-component subset of :func:`jpeg_decode`; a color stream
     raises instead of silently returning luma)."""
-    sof = data.find(b"\xff\xc0")
-    if sof >= 0 and data[sof + 9] != 1:
+    ncomp = _jpeg_sof_ncomp(data)
+    if ncomp is not None and ncomp != 1:
         raise NotImplementedError(
-            f"{data[sof + 9]}-component JPEG is outside the supported subset "
+            f"{ncomp}-component JPEG is outside the supported subset "
             "(8-bit grayscale) — use jpeg_decode"
         )
     return jpeg_decode(data)

@@ -311,13 +311,19 @@ def ngram_jaccard_pairs(
     )
     # ordered co-occurrence pairs: two chained explodes so no row ever holds
     # the O(df²) pair set — memory per row stays O(df) ≤ O(√budget)
+    # suffix length is computed exactly (df - i - 1), NOT passed as an
+    # INT_MAX sentinel: Spark's interpreted Slice.eval adds start + length
+    # in 32-bit ints, so a huge literal length overflows negative and
+    # silently returns [] whenever codegen falls back to interpretation
     inter = (
         grouped.filter(F.col("df") >= 2)
-        .select("docs", F.posexplode("docs").alias("i", "doc_a"))
+        .select("docs", "df", F.posexplode("docs").alias("i", "doc_a"))
         .select(
             "doc_a",
             F.explode(
-                F.slice("docs", F.col("i") + 2, F.lit(2_147_483_647))
+                F.slice(
+                    "docs", F.col("i") + 2, F.col("df") - F.col("i") - 1
+                )
             ).alias("doc_b"),
         )
         .groupBy("doc_a", "doc_b")

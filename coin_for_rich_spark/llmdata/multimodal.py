@@ -450,15 +450,18 @@ def demux_video_frames(media: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
                 vid = mp4_demux(data)
-                scale = 1000.0 / vid.timescale
+                # integer ms conversion (ts·1000 // timescale): a float
+                # scale truncates 3·(1000/6)=499.999… to 499 — the same
+                # class of bug the tick algebra avoids with int64 math
+                ts = vid.timescale
                 for idx in range(len(vid.sample_ts)):
                     px = vid.frame_gray(data, idx).astype(np.int64)
                     rows.append(
                         (
                             int(media_id),
                             idx,
-                            int(vid.sample_ts[idx] * scale),
-                            int(vid.sample_dur[idx] * scale),
+                            vid.sample_ts[idx] * 1000 // ts,
+                            vid.sample_dur[idx] * 1000 // ts,
                             vid.width,
                             vid.height,
                             px.size,

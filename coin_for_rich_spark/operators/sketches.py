@@ -44,9 +44,10 @@ def sketch_rollup(
 
     One shuffle on (keys, bucket) with map-side partial sketches — the same
     cost profile as the candle rollup. The tuple is sketched via a
-    canonical ``concat_ws`` encoding (NULL-safe: nulls serialize as an
-    explicit token so (NULL, 'a') ≠ ('a', NULL), mirroring the exact tier's
-    tuple semantics).
+    length-prefixed encoding (see :func:`_tuple_key`) that is INJECTIVE:
+    distinct tuples always sketch as distinct items, exactly mirroring the
+    exact tier's tuple semantics — including nulls vs literal tokens and
+    values containing the join delimiter.
     """
     tup = _tuple_key(value_cols)
     return (
@@ -76,10 +77,17 @@ def sketch_merge(
 
 
 def _tuple_key(value_cols: list[str]) -> Column:
+    """Injective (uniquely decodable) tuple encoding: each non-null part is
+    length-prefixed (``len:value``), NULL is the bare token ``n`` (which no
+    length-prefixed value can collide with). Plain ``concat_ws`` would NOT
+    be injective — ('a\\x1fb',) and ('a','b') would sketch as one item, and
+    a value equal to the null sentinel would alias NULL."""
     parts: list[Column] = []
     for c in value_cols:
+        s = F.col(c).cast("string")
         parts.append(
-            F.when(F.col(c).isNull(), F.lit("\x00null"))
-            .otherwise(F.col(c).cast("string"))
+            F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
         )
     return F.concat_ws("\x1f", *parts)

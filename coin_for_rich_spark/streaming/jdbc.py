@@ -93,14 +93,20 @@ def pg_text_parse(tok: str, dtype: T.DataType):
     if isinstance(dtype, (T.StringType,)):
         # left-to-right scan, NOT chained str.replace: encoded "\\t" is a
         # literal backslash + t, and a naive replace("\\t", TAB) first
-        # would corrupt it into a tab
+        # would corrupt it into a tab. The map covers EVERY escape COPY TO
+        # text emits (\b \f \v included — the server escapes more control
+        # chars than the write side ever produces).
+        unescape = {
+            "t": "\t", "n": "\n", "r": "\r",
+            "b": "\b", "f": "\f", "v": "\v",
+        }
         out: list[str] = []
         i = 0
         while i < len(tok):
             c = tok[i]
             if c == "\\" and i + 1 < len(tok):
                 nxt = tok[i + 1]
-                out.append({"t": "\t", "n": "\n", "r": "\r"}.get(nxt, nxt))
+                out.append(unescape.get(nxt, nxt))
                 i += 2
             else:
                 out.append(c)
@@ -161,6 +167,28 @@ def upsert_sql(
         f"{c} = excluded.{c}" for c in columns if c not in set(pk)
     )
     return base + f"DO UPDATE SET {updates}"
+
+
+def pg_dedup_order(
+    mode: str, pk: list[str], tiebreak_col: str | None, columns: list[str]
+) -> list[str]:
+    """The shared ``within_batch_order`` winner rule rendered as PostgreSQL
+    ORDER BY terms — ONE rendering for every Postgres-backed sink (the
+    sink-module docstring's warning about hand-kept copies applies to this
+    rendering too).
+
+    NULLS placement is explicit because the engines' defaults diverge:
+    Spark's ``asc()`` is nulls-FIRST and ``desc()`` nulls-LAST, while
+    PostgreSQL defaults to the opposite (NULLS LAST on ASC, NULLS FIRST on
+    DESC) — without the explicit terms, a NULL tiebreak value would make
+    the database legs keep a different winner than the parquet twin and
+    break the backend-invariance the oracle row relies on."""
+    from .sink import within_batch_order
+
+    return [
+        f"{c} {'ASC NULLS FIRST' if ascending else 'DESC NULLS LAST'}"
+        for c, ascending in within_batch_order(mode, pk, tiebreak_col, columns)
+    ]
 
 
 class JdbcMergeSink:
@@ -330,14 +358,7 @@ class PsqlCopyMergeSink:
         self.staging = f"_cfr_stage_{table.rsplit('.', 1)[-1]}"
 
     def _dedup_order(self, columns: list[str]) -> list[str]:
-        from .sink import within_batch_order
-
-        return [
-            f"{c} {'ASC' if ascending else 'DESC'}"
-            for c, ascending in within_batch_order(
-                self.mode, self.pk, self.tiebreak_col, columns
-            )
-        ]
+        return pg_dedup_order(self.mode, self.pk, self.tiebreak_col, columns)
 
     @staticmethod
     def _exact_rows(batch: DataFrame):
@@ -514,18 +535,13 @@ class PgWireMergeSink:
         self.staging = f"_cfr_wstage_{table.rsplit('.', 1)[-1]}"
 
     def _dedup_order(self, columns: list[str]) -> list[str]:
-        from .sink import within_batch_order
-
-        return [
-            f"{c} {'ASC' if ascending else 'DESC'}"
-            for c, ascending in within_batch_order(
-                self.mode, self.pk, self.tiebreak_col, columns
-            )
-        ]
+        return pg_dedup_order(self.mode, self.pk, self.tiebreak_col, columns)
 
     def merge(self, batch: DataFrame, batch_id: int) -> None:
         from .pgwire import PgWireClient
 
+        if batch.isEmpty():
+            return  # idle-trigger batches: skip DDL + connections entirely
         columns = batch.columns
         params = dict(self.params)
         staging = self.staging

@@ -396,3 +396,27 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis ships in this container
     pass
+
+
+def test_jpeg_gray_guard_ignores_ffc0_inside_app_segments():
+    """An APPn payload containing FF C0 bytes (EXIF thumbnails do this)
+    must not be mistaken for the frame header by jpeg_decode_gray's
+    component guard."""
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode_gray, jpeg_encode_gray
+
+    img = np.full((8, 8), 55, dtype=np.uint8)
+    enc = jpeg_encode_gray(img)
+    # splice a fake APP1 right after SOI whose payload embeds FF C0 FF C4
+    payload = b"Exif\x00\x00" + b"\xff\xc0\x00\x11\x08\x00\x10\x00\x10\x03" + b"\xff\xc4"
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    spliced = enc[:2] + app1 + enc[2:]
+    out = jpeg_decode_gray(spliced)
+    assert np.array_equal(out, jpeg_decode_gray(enc))
+
+
+def test_jpeg_truncated_missing_eoi_raises():
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_gray
+
+    enc = jpeg_encode_gray(np.full((8, 8), 9, dtype=np.uint8))
+    with pytest.raises(ValueError, match="EOI"):
+        jpeg_decode(enc[:-2])

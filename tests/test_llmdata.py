@@ -777,3 +777,35 @@ def test_pick_canonical_policies(spark):
     min_id = {r.cluster_id: r.keep_id
               for r in pick_canonical(clusters, docs, prefer="min_id").collect()}
     assert min_id == {1: 1, 10: 10}
+
+
+def test_jaccard_count_plan_survives_interpreted_eval(docs):
+    """Spark's interpreted Slice.eval overflows 32-bit on huge length
+    literals (codegen silently falls back to interpretation on wide plans,
+    e.g. >64KB generated methods) — the count plan must produce identical
+    pairs with codegen disabled entirely."""
+    from coin_for_rich_spark.functions.partitioning import scoped_conf
+    from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    cols = ["doc_a", "doc_b", "n_inter"]
+    expected = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, method="prefix")
+        .select(*cols)
+        .collect()
+    )
+    assert expected
+    with scoped_conf(
+        docs.sparkSession,
+        **{
+            "spark.sql.codegen.wholeStage": "false",
+            "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        },
+    ):
+        got = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(docs, threshold=0.2, method="count")
+            .select(*cols)
+            .collect()
+        )
+    assert got == expected

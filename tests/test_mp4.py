@@ -198,3 +198,25 @@ def test_spark_demux_and_tick_sampling(spark, sf_dir):
         n = i % 7 + 2
         expect_ticks = set(range(0, 250 * n, 400))
         assert seen[i] == expect_ticks, (i, seen[i], expect_ticks)
+
+
+def test_mp4_ms_conversion_is_integer_exact(spark):
+    """A timescale that does not divide 1000 must not lose a millisecond to
+    float truncation: ts=3 at timescale 6 is exactly 500 ms."""
+    import numpy as np
+
+    from coin_for_rich_spark.llmdata.multimodal import demux_video_frames
+    from coin_for_rich_spark.llmdata.mp4 import mp4_mux_gray
+
+    frames = [np.zeros((2, 2), dtype=np.uint8) for _ in range(4)]
+    data = mp4_mux_gray(frames, frame_duration_ms=1, timescale=6)
+    media = spark.createDataFrame(
+        [(1, "video/mp4", bytearray(data))],
+        "media_id long, mime string, payload binary",
+    )
+    got = {
+        r["sample_idx"]: r["sample_ts_ms"]
+        for r in demux_video_frames(media).collect()
+    }
+    # sample ts in timescale-6 units: 0,1,2,3 → ms: 0,166,333,500
+    assert got == {0: 0, 1: 166, 2: 333, 3: 500}

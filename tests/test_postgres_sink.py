@@ -524,3 +524,48 @@ def test_pgwire_sink_adversarial_values_round_trip(spark, pg):
         else:
             assert gv == v
         assert gts == ts
+
+
+def test_pg_readback_unescapes_server_control_chars(spark, pg):
+    """COPY TO escapes \\b \\f \\v (beyond the \\t \\n \\r the write side
+    produces); the readback parser must undo all of them — a stored
+    vertical tab must not come back as the letter 'v'."""
+    from coin_for_rich_spark.streaming import PsqlCopyMergeSink
+
+    _sql(pg, "DROP TABLE IF EXISTS t_ctl;"
+             "CREATE TABLE t_ctl (k text PRIMARY KEY, s text)")
+    rows = [("vt", "a\x0bb"), ("bsp", "x\x08y"), ("ff", "p\x0cq")]
+    schema = "k string, s string"
+    sink = PsqlCopyMergeSink(pg, "t_ctl", pk=("k",), mode="ignore")
+    batch = spark.createDataFrame(rows, schema)
+    sink.merge(batch, 0)
+    got = {r["k"]: r["s"] for r in sink.read(spark, batch.schema).collect()}
+    assert got == dict(rows)
+
+
+def test_null_tiebreak_parity_with_parquet_twin(spark, pg, tmp_path):
+    """A NULL tiebreak value must resolve to the SAME winner in the
+    database legs as in the parquet twin: Spark desc() is nulls-LAST,
+    PostgreSQL's bare DESC is nulls-FIRST, so the rendered ORDER BY pins
+    NULLS LAST explicitly."""
+    from coin_for_rich_spark.streaming import ParquetMergeSink, PsqlCopyMergeSink
+    from coin_for_rich_spark.streaming.jdbc import PgWireMergeSink
+
+    rows = [("k1", None, 1.0), ("k1", dt.datetime(2024, 1, 1), 2.0)]
+    schema = "k string, ts timestamp, v double"
+    batch = spark.createDataFrame(rows, schema)
+
+    pq = ParquetMergeSink(
+        str(tmp_path / "tbl"), pk=("k",), mode="upsert", tiebreak_col="ts"
+    )
+    pq.merge(batch, 0)
+    pq_v = pq.read(spark).collect()[0]["v"]
+
+    for name, cls in (("t_nt_a", PsqlCopyMergeSink), ("t_nt_b", PgWireMergeSink)):
+        _sql(pg, f"DROP TABLE IF EXISTS {name};"
+                 f"CREATE TABLE {name} (k text PRIMARY KEY, ts timestamp,"
+                 " v double precision)")
+        sink = cls(pg, name, pk=("k",), mode="upsert", tiebreak_col="ts")
+        sink.merge(batch, 0)
+        got = _fetch(pg, f"SELECT v FROM {name}")[0][0]
+        assert float(got) == pq_v, (name, got, pq_v)

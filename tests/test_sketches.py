@@ -88,9 +88,17 @@ def test_range_query_over_partial_buckets(events):
         assert abs(r["n_distinct_est"] - n) <= max(3, 0.05 * n)
 
 
-def test_tuple_encoding_is_null_safe(spark):
+def test_tuple_encoding_is_injective(spark):
     df = spark.createDataFrame(
-        [("k", "a", None), ("k", None, "a"), ("k", "a", "b"), ("k", "a", "b")],
+        [
+            ("k", "a", None),  # null position matters
+            ("k", None, "a"),
+            ("k", "a", "b"),
+            ("k", "a", "b"),  # true duplicate
+            ("k", "a\x1fb", None),  # delimiter inside a value ≠ two values
+            ("k", "n", None),  # literal 'n' ≠ NULL
+            ("k", None, None),
+        ],
         "g string, x string, y string",
     )
     partials = sketch_rollup(
@@ -99,5 +107,5 @@ def test_tuple_encoding_is_null_safe(spark):
         ["x", "y"],
     )
     est = sketch_merge(partials, ["g"]).collect()[0]["n_distinct_est"]
-    # ('a', NULL), (NULL, 'a'), ('a', 'b') — three distinct tuples
-    assert est == 3
+    # six distinct tuples — every would-be collision must stay distinct
+    assert est == 6
