@@ -760,10 +760,12 @@ def _reset_bench_caches() -> None:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs. method='auto' (the default)
-    probes Σ df(shingle)² and picks the inverted-index count plan only while
-    the pair intermediate is bounded, else the PPJoin-style prefix-filter
-    plan — the skew-safe behavior a 100 TB corpus needs, without paying the
-    prefix plan's fixed cost on benign corpora."""
+    estimates Σ df(shingle)² from a deterministic 1/8 doc sample (unbiased
+    estimator — see llmdata.dedup.ngram_jaccard_pairs) and picks the
+    inverted doc-list count plan only while the pair intermediate is
+    bounded, else the PPJoin-style prefix-filter plan — the skew-safe
+    behavior a 100 TB corpus needs, with a planning pass that costs 1/8 of
+    a corpus scan and no corpus-sized persist anywhere."""
     return _exact_jaccard_pairs(spark, sf_dir)
 
 
