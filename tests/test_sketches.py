@@ -109,3 +109,25 @@ def test_tuple_encoding_is_injective(spark):
     est = sketch_merge(partials, ["g"]).collect()[0]["n_distinct_est"]
     # six distinct tuples — every would-be collision must stay distinct
     assert est == 6
+
+
+def test_sketch_partials_survive_parquet_materialization(spark, events, tmp_path):
+    """The operating model is materialize-once-query-many: sketch blobs
+    written to parquet and read back must merge to the same estimates as
+    the in-memory partials."""
+    partials = sketch_rollup(
+        events, ["event_type"], ["user_id"], time_col="ts", bucket="1 day"
+    )
+    live = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in sketch_merge(partials, ["event_type"]).collect()
+    }
+    path = str(tmp_path / "sketches")
+    partials.write.mode("overwrite").parquet(path)
+    stored = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in sketch_merge(
+            spark.read.parquet(path), ["event_type"]
+        ).collect()
+    }
+    assert stored == live
