@@ -108,3 +108,26 @@ def test_bucketed_writer_emits_one_file_per_bucket(spark, bucketed, tmp_path):
     # the pre-write repartition keeps the layout at exactly one file per
     # non-empty bucket — no small-file explosion
     assert 0 < len(files) <= 8
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, sf_dir, bucketed):
+    """An equality predicate on the bucket key must read 1/N of the files:
+    the scan reports SelectedBucketsCount 1 out of 8. (autoBucketedScan is
+    pinned off for the check — with it on, the planner may deliberately
+    trade the bucketed scan for small-partition coalescing on filter-only
+    queries; at 100 TB the bucketed read IS the win, which is what this
+    pins.)"""
+    import pyspark.sql.functions as F
+
+    from coin_for_rich_spark.functions.partitioning import scoped_conf
+
+    bli, _ = bucketed
+    key = bli.select("l_orderkey").first()[0]
+    with scoped_conf(
+        spark,
+        **{"spark.sql.sources.bucketing.autoBucketedScan.enabled": "false"},
+    ):
+        q = bli.filter(F.col("l_orderkey") == key)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert q.count() > 0
