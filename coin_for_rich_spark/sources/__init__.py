@@ -5,7 +5,13 @@ from .fetchplan import (
     fetch_pages,
     synthetic_fetcher,
 )
-from .bucketing import exchanges_in_plan, is_bucketed, write_bucketed
+from .bucketing import (
+    exchanges_in_plan,
+    is_bucketed,
+    write_bucketed,
+    write_zordered,
+    zorder_key,
+)
 from .store import (
     load_rollups,
     materialize_rollups,
@@ -18,6 +24,8 @@ __all__ = [
     "exchanges_in_plan",
     "is_bucketed",
     "write_bucketed",
+    "write_zordered",
+    "zorder_key",
     "TABLES",
     "load_table",
     "load_all",

@@ -78,3 +78,64 @@ def exchanges_in_plan(df: DataFrame) -> int:
         line.strip().lstrip("+-:* ").startswith("Exchange")
         for line in plan.splitlines()
     )
+
+
+def zorder_key(a, b) -> "Column":
+    """64-bit Morton (Z-order) key interleaving two NON-NEGATIVE 31-bit
+    integer columns — bit i of ``a`` lands at position 2i, of ``b`` at
+    2i+1, so sorting by the key clusters rows that are close in BOTH
+    dimensions (every 2^k-aligned square tile is one contiguous key range).
+
+    Hash bucketing (above) co-locates exact keys for equi-joins; Z-order
+    is the layout for two-dimensional RANGE locality — e.g. (symbol_id,
+    time_bucket) scans where queries slice both dimensions. Sorting a
+    partition's rows by this key before writing makes parquet row-group
+    min/max stats tight on BOTH columns, so either predicate skips
+    row groups; a row-major sort gives that for the leading column only.
+
+    Pure column algebra: the classic magic-number bit-spread (5 shift-or-
+    mask steps per operand), no UDF. Inputs are masked to 31 bits so the
+    interleaved key stays positive in Spark's signed LongType and orders
+    correctly; wider dimensions should be bucketed/quantized first.
+    """
+    from pyspark.sql import functions as F
+
+    def spread(c) -> "Column":
+        x = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        x = x.bitwiseAND(F.lit(0x7FFFFFFF))
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+        return x
+
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of (col_a, col_b):
+    a range-partitioned global sort on the Morton key (one shuffle, the
+    same cost class as any repartitionByRange write), key dropped from the
+    stored schema. Each output file then covers a compact tile in BOTH
+    dimensions — predicate pushdown on either column skips whole files/row
+    groups instead of only the leading sort column."""
+    out = df.withColumn("_zkey", zorder_key(col_a, col_b))
+    writer = (
+        out.repartitionByRange("_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

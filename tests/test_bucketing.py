@@ -131,3 +131,88 @@ def test_point_lookup_prunes_to_one_bucket(spark, sf_dir, bucketed):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "SelectedBucketsCount: 1 out of 8" in plan
         assert q.count() > 0
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from coin_for_rich_spark.sources.bucketing import zorder_key
+
+    def py_morton(a, b):
+        out = 0
+        for i in range(31):
+            out |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(2**31), rng.randrange(2**31)) for _ in range(200)]
+    rows += [(0, 0), (2**31 - 1, 2**31 - 1), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", zorder_key("a", "b").alias("z")).collect()
+    for r in got:
+        expect = py_morton(r["a"], r["b"])
+        assert r["z"] == expect and r["z"] >= 0, (r["a"], r["b"])
+
+
+def test_zorder_tile_is_contiguous_key_range(spark):
+    """The defining property: every 2^k-aligned square tile maps to one
+    contiguous key range (the key's high bits ARE the tile id)."""
+    from coin_for_rich_spark.sources.bucketing import zorder_key
+
+    grid = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    rows = df.select("x", "y", zorder_key("x", "y").alias("z")).collect()
+    # keys within each 8×8 tile form exactly the aligned range
+    # [tile_base, tile_base + 63] — the high bits ARE the tile id
+    by_tile = {}
+    for r in rows:
+        by_tile.setdefault((r["x"] // 8, r["y"] // 8), []).append(r["z"])
+    for ks in by_tile.values():
+        ks.sort()
+        assert ks == list(range(ks[0], ks[0] + 64))
+        assert ks[0] % 64 == 0
+
+
+def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
+    """Per-file bounding boxes: a Z-ordered layout keeps BOTH dimensions
+    bounded per file, where a row-major sort leaves the trailing dimension
+    spanning its full range — the reason either predicate can skip files."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from coin_for_rich_spark.sources.bucketing import write_zordered
+
+    grid = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(grid, "x long, y long, v long")
+
+    zpath = str(tmp_path / "zord")
+    write_zordered(df, zpath, "x", "y", max_records_per_file=256)
+    rpath = str(tmp_path / "rowmajor")
+    (
+        df.repartition(1)
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", "256")
+        .parquet(rpath)
+    )
+
+    def file_boxes(path):
+        boxes = []
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                pdf = spark.read.parquet(os.path.join(path, f)).agg(
+                    F.min("x"), F.max("x"), F.min("y"), F.max("y")
+                ).collect()[0]
+                boxes.append(
+                    (pdf[1] - pdf[0], pdf[3] - pdf[2])  # (x_range, y_range)
+                )
+        return boxes
+
+    zboxes = file_boxes(zpath)
+    rboxes = file_boxes(rpath)
+    assert len(zboxes) >= 8 and len(rboxes) >= 8
+    # z-order: both dims bounded well below the full 0..63 extent
+    assert max(max(bx, by) for bx, by in zboxes) <= 32
+    # row-major: the trailing dim spans (nearly) everything in most files
+    assert max(by for _, by in rboxes) == 63
