@@ -709,7 +709,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 scan.append(
                     (cids.index(cs), htables[(0, tid >> 4)], htables[(1, tid & 0x0F)])
                 )
-            eoi = data.rfind(b"\xff\xd9")
+            # byte stuffing guarantees FF D9 cannot occur inside the
+            # entropy stream, so the FIRST occurrence after SOS is the
+            # terminator — rfind over the whole stream would be defeated
+            # by an EOI inside an earlier APPn payload (EXIF thumbnails)
+            eoi = data.find(b"\xff\xd9", pos)
             if eoi < 0:
                 raise ValueError("not a JPEG: missing EOI (truncated stream)")
             raw = data[pos:eoi]

@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 #: standard error (~2.2% at three sigma for lgK=12), ~2 KB per sketch blob.
 DEFAULT_LGK = 12
 
+#: Version of the tuple-item encoding baked into every materialized sketch
+#: row. Sketch blobs outlive code: partials written under one encoding and
+#: merged alongside partials from another would double-count tuples
+#: SILENTLY (the hashes differ, the estimate just inflates) — so the
+#: rollup stamps the version and the merge refuses mixed inputs.
+ENCODING_VERSION = 1
+
 
 def sketch_rollup(
     df: DataFrame,
@@ -56,6 +63,7 @@ def sketch_rollup(
             F.window(F.col(time_col), bucket)["start"].alias("bucket_start"),
         )
         .agg(F.hll_sketch_agg(tup, F.lit(lgk)).alias("sketch"))
+        .withColumn("enc_ver", F.lit(ENCODING_VERSION))
     )
 
 
@@ -67,7 +75,21 @@ def sketch_merge(
     """Union per-bucket sketch blobs down to ``keys`` and estimate:
     ``(*keys, n_distinct_est)``. Input is the (filtered) output of
     :func:`sketch_rollup` — kilobytes per row, so this runs in milliseconds
-    at any corpus size the rollup could be materialized for."""
+    at any corpus size the rollup could be materialized for.
+
+    Refuses partials whose ``enc_ver`` differs from this build's
+    :data:`ENCODING_VERSION` (tuple items hash differently across encoding
+    versions, so mixing them would inflate estimates silently)."""
+    if "enc_ver" in partials.columns:
+        stale = partials.filter(
+            F.col("enc_ver") != F.lit(ENCODING_VERSION)
+        ).limit(1)
+        if stale.count() > 0:
+            raise ValueError(
+                "sketch partials carry a different tuple-encoding version "
+                f"than this build ({ENCODING_VERSION}); re-materialize them "
+                "— merging across encodings inflates estimates silently"
+            )
     merged = partials.groupBy(*keys).agg(
         F.hll_union_agg(F.col(sketch_col)).alias("_u")
     )

@@ -94,15 +94,26 @@ def zorder_key(a, b) -> "Column":
     row groups; a row-major sort gives that for the leading column only.
 
     Pure column algebra: the classic magic-number bit-spread (5 shift-or-
-    mask steps per operand), no UDF. Inputs are masked to 31 bits so the
-    interleaved key stays positive in Spark's signed LongType and orders
-    correctly; wider dimensions should be bucketed/quantized first.
+    mask steps per operand), no UDF. Inputs outside [0, 2^31) FAIL LOUD
+    (``raise_error``) rather than silently wrapping — a masked -1 sentinel
+    or raw epoch-millis would quietly destroy the tiling the layout exists
+    for; quantize/bucket wider dimensions first. The 31-bit bound keeps
+    the interleaved key positive in Spark's signed LongType so it orders
+    correctly.
     """
     from pyspark.sql import functions as F
 
     def spread(c) -> "Column":
         x = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
-        x = x.bitwiseAND(F.lit(0x7FFFFFFF))
+        x = F.when(
+            (x < 0) | (x > 0x7FFFFFFF),
+            F.raise_error(
+                F.concat(
+                    F.lit("zorder_key input out of [0, 2^31): "),
+                    x.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(x)
         for shift, mask in (
             (16, 0x0000FFFF0000FFFF),
             (8, 0x00FF00FF00FF00FF),
@@ -129,6 +140,12 @@ def write_zordered(
     stored schema. Each output file then covers a compact tile in BOTH
     dimensions — predicate pushdown on either column skips whole files/row
     groups instead of only the leading sort column."""
+    if "_zkey" in df.columns:
+        raise ValueError(
+            "df already has a column named '_zkey' (the writer's internal "
+            "sort key) — rename it before write_zordered or its data would "
+            "be silently dropped"
+        )
     out = df.withColumn("_zkey", zorder_key(col_a, col_b))
     writer = (
         out.repartitionByRange("_zkey")

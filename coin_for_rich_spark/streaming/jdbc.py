@@ -82,6 +82,14 @@ def pg_ddl(table: str, schema: T.StructType, pk: list[str]) -> str:
     )
 
 
+# Every escape COPY TO text emits (\b \f \v included — the server escapes
+# more control chars than pg_text_value ever produces on the write side).
+_PG_TEXT_UNESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r",
+    "b": "\b", "f": "\f", "v": "\v",
+}
+
+
 def pg_text_parse(tok: str, dtype: T.DataType):
     """Inverse of :func:`pg_text_value` for one COPY-text token: ``\\N`` →
     None, backslash escapes undone, then the lexical form parsed per the
@@ -93,13 +101,8 @@ def pg_text_parse(tok: str, dtype: T.DataType):
     if isinstance(dtype, (T.StringType,)):
         # left-to-right scan, NOT chained str.replace: encoded "\\t" is a
         # literal backslash + t, and a naive replace("\\t", TAB) first
-        # would corrupt it into a tab. The map covers EVERY escape COPY TO
-        # text emits (\b \f \v included — the server escapes more control
-        # chars than the write side ever produces).
-        unescape = {
-            "t": "\t", "n": "\n", "r": "\r",
-            "b": "\b", "f": "\f", "v": "\v",
-        }
+        # would corrupt it into a tab
+        unescape = _PG_TEXT_UNESCAPES
         out: list[str] = []
         i = 0
         while i < len(tok):

@@ -216,3 +216,19 @@ def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
     assert max(max(bx, by) for bx, by in zboxes) <= 32
     # row-major: the trailing dim spans (nearly) everything in most files
     assert max(by for _, by in rboxes) == 63
+
+
+def test_zorder_rejects_out_of_range_and_column_collision(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from coin_for_rich_spark.sources.bucketing import write_zordered, zorder_key
+
+    bad = spark.createDataFrame([(-1, 4)], "a long, b long")
+    with pytest.raises(Exception, match="zorder_key input"):
+        bad.select(zorder_key("a", "b")).collect()
+    wide = spark.createDataFrame([(2**31, 0)], "a long, b long")
+    with pytest.raises(Exception, match="zorder_key input"):
+        wide.select(zorder_key("a", "b")).collect()
+    clash = spark.createDataFrame([(1, 2, 3)], "x long, y long, _zkey long")
+    with pytest.raises(ValueError, match="_zkey"):
+        write_zordered(clash, str(tmp_path / "z"), "x", "y")

@@ -131,3 +131,15 @@ def test_sketch_partials_survive_parquet_materialization(spark, events, tmp_path
         ).collect()
     }
     assert stored == live
+
+
+def test_sketch_merge_refuses_mixed_encoding_versions(spark, events):
+    import pyspark.sql.functions as F
+
+    partials = sketch_rollup(
+        events, ["event_type"], ["user_id"], time_col="ts", bucket="1 day"
+    )
+    assert partials.select("enc_ver").distinct().collect()[0][0] == 1
+    stale = partials.withColumn("enc_ver", F.lit(0))
+    with pytest.raises(ValueError, match="encoding version"):
+        sketch_merge(stale, ["event_type"])
