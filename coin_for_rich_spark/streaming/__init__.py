@@ -12,6 +12,7 @@ from .dedupe import exactly_once_dedup
 from .jdbc import JdbcMergeSink, PgWireMergeSink, PsqlCopyMergeSink, upsert_sql
 from .latest import latest_value_serve
 from .rollup import CONAGG_POLICIES, streaming_ohlcv_rollup
+from .sessions import streaming_sessionize
 from .sink import ParquetMergeSink, run_ingest
 from .source import candle_stream, format_wire_candles, stage_stream_chunks, parse_wire_candles
 
@@ -30,4 +31,5 @@ __all__ = [
     "parse_wire_candles",
     "format_wire_candles",
     "streaming_ohlcv_rollup",
+    "streaming_sessionize",
 ]

@@ -518,3 +518,55 @@ def test_rollup_watermark_delay_revises_within_and_drops_beyond(spark, tmp_path)
         15: (30.0, 30.0, 1),
         20: (40.0, 20.0, 2),
     }
+
+
+def test_streaming_sessionize_matches_batch_on_closed_sessions(
+    spark, sf_dir, staged_events
+):
+    """The session_window twin must produce exactly the batch operator's
+    sessions for every session the watermark has closed, and hold back
+    every still-open one — the same discipline as the rollup twin."""
+    from coin_for_rich_spark.operators.windowed import sessionize
+    from coin_for_rich_spark.streaming.rollup import run_rollup_to_memory
+    from coin_for_rich_spark.streaming.sessions import streaming_sessionize
+
+    gap = 1800
+    path, schema = staged_events
+    stream = candle_stream(read_file_stream(spark, path, schema))
+    sessions = streaming_sessionize(
+        stream, ["symbol"], gap_seconds=gap, watermark="0 seconds"
+    )
+    got = run_rollup_to_memory(sessions, "t_stream_sessions")
+
+    ev = candles_view(spark, sf_dir)
+    max_ts = ev.select(F.max("ts")).first()[0]
+    batch = sessionize(ev, ["symbol"], gap_seconds=gap)
+
+    # precondition for twin equality: the corpus must not contain an
+    # exact-gap delta (the one boundary where the twins legitimately
+    # diverge — see streaming/sessions.py). If testdata ever does, this
+    # fails loudly instead of the equivalence passing by luck.
+    from pyspark.sql import Window as W
+
+    deltas = ev.select(
+        "symbol",
+        (
+            F.to_unix_timestamp("ts")
+            - F.to_unix_timestamp(
+                F.lag("ts").over(W.partitionBy("symbol").orderBy("ts"))
+            )
+        ).alias("d"),
+    )
+    assert deltas.filter(F.col("d") == gap).count() == 0
+
+    closed = batch.filter(
+        F.col("session_end") + F.expr(f"INTERVAL {gap} SECONDS")
+        <= F.lit(max_ts)
+    )
+    cols = ["symbol", "session_start", "session_end", "n_events", "duration_seconds"]
+    assert _rows(got, cols) == _rows(closed, cols)
+    assert closed.count() > 0
+    # still-open sessions (end + gap past the final watermark) held back
+    assert got.filter(
+        F.col("session_end") + F.expr(f"INTERVAL {gap} SECONDS") > F.lit(max_ts)
+    ).count() == 0
