@@ -78,21 +78,26 @@ def sketch_merge(
     at any corpus size the rollup could be materialized for.
 
     Refuses partials whose ``enc_ver`` differs from this build's
-    :data:`ENCODING_VERSION` (tuple items hash differently across encoding
-    versions, so mixing them would inflate estimates silently)."""
+    :data:`ENCODING_VERSION` — including NULL (schema-merged pre-versioning
+    rows) — because tuple items hash differently across encodings, so
+    mixing them would inflate estimates silently. The check rides INSIDE
+    the merge job (a ``raise_error`` projection over the sketch column):
+    no extra scan on the milliseconds-fast query path."""
+    sk = F.col(sketch_col)
     if "enc_ver" in partials.columns:
-        stale = partials.filter(
-            F.col("enc_ver") != F.lit(ENCODING_VERSION)
-        ).limit(1)
-        if stale.count() > 0:
-            raise ValueError(
-                "sketch partials carry a different tuple-encoding version "
-                f"than this build ({ENCODING_VERSION}); re-materialize them "
-                "— merging across encodings inflates estimates silently"
-            )
-    merged = partials.groupBy(*keys).agg(
-        F.hll_union_agg(F.col(sketch_col)).alias("_u")
-    )
+        sk = F.when(
+            F.col("enc_ver").eqNullSafe(F.lit(ENCODING_VERSION)), sk
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "sketch partials carry a different (or missing) tuple-"
+                    f"encoding version than this build ({ENCODING_VERSION});"
+                    " re-materialize them — merging across encodings "
+                    "inflates estimates silently"
+                )
+            ).cast("binary")
+        )
+    merged = partials.groupBy(*keys).agg(F.hll_union_agg(sk).alias("_u"))
     return merged.select(
         *keys, F.hll_sketch_estimate(F.col("_u")).alias("n_distinct_est")
     )

@@ -68,18 +68,23 @@ def sessionize(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("session_id"),
     )
-    return (
-        numbered.groupBy(*keys, "session_id")
-        .agg(
-            F.min(time_col).alias("session_start"),
-            F.max(time_col).alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            (
-                F.to_unix_timestamp(F.max(time_col))
-                - F.to_unix_timestamp(F.min(time_col))
-            ).alias("duration_seconds"),
-        )
-    )
+    return numbered.groupBy(*keys, "session_id").agg(*session_aggs(time_col))
+
+
+def session_aggs(time_col: str) -> list:
+    """THE per-session summary aggregates — one definition shared by the
+    batch LAG-based ``sessionize`` and the streaming ``session_window``
+    twin (`streaming/sessions.py`), same discipline as ``ohlcv_aggs``:
+    imported, not copied, so the two modes can never silently diverge."""
+    return [
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.to_unix_timestamp(F.max(time_col))
+            - F.to_unix_timestamp(F.min(time_col))
+        ).alias("duration_seconds"),
+    ]
 
 
 def moving_average(

@@ -105,12 +105,15 @@ def zorder_key(a, b) -> "Column":
 
     def spread(c) -> "Column":
         x = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        # NULL must fail too: a when-condition that is NULL would silently
+        # fall to otherwise and emit a NULL key into the NULLs-first range
+        # partition, quietly destroying the tiling
         x = F.when(
-            (x < 0) | (x > 0x7FFFFFFF),
+            x.isNull() | (x < 0) | (x > 0x7FFFFFFF),
             F.raise_error(
                 F.concat(
-                    F.lit("zorder_key input out of [0, 2^31): "),
-                    x.cast("string"),
+                    F.lit("zorder_key input NULL or out of [0, 2^31): "),
+                    F.coalesce(x.cast("string"), F.lit("NULL")),
                 )
             ).cast("long"),
         ).otherwise(x)

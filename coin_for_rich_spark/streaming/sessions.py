@@ -42,18 +42,12 @@ def streaming_sessionize(
     n_events, duration_seconds)`` over a streaming relation — column-
     compatible with the batch ``sessionize`` minus its ``session_id``
     ordinal (an artifact of the batch numbering, not of the sessions)."""
+    from ..operators.windowed import session_aggs
+
     sw = F.session_window(F.col(time_col), f"{int(gap_seconds)} seconds")
     return (
         stream.withWatermark(time_col, watermark)
         .groupBy(*keys, sw)
-        .agg(
-            F.min(time_col).alias("session_start"),
-            F.max(time_col).alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            (
-                F.to_unix_timestamp(F.max(time_col))
-                - F.to_unix_timestamp(F.min(time_col))
-            ).alias("duration_seconds"),
-        )
+        .agg(*session_aggs(time_col))
         .drop("session_window")
     )

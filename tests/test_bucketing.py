@@ -232,3 +232,11 @@ def test_zorder_rejects_out_of_range_and_column_collision(spark, tmp_path):
     clash = spark.createDataFrame([(1, 2, 3)], "x long, y long, _zkey long")
     with pytest.raises(ValueError, match="_zkey"):
         write_zordered(clash, str(tmp_path / "z"), "x", "y")
+
+
+def test_zorder_rejects_null_input(spark):
+    from coin_for_rich_spark.sources.bucketing import zorder_key
+
+    df = spark.createDataFrame([(None, 4)], "a long, b long")
+    with pytest.raises(Exception, match="zorder_key input"):
+        df.select(zorder_key("a", "b")).collect()

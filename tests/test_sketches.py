@@ -141,5 +141,21 @@ def test_sketch_merge_refuses_mixed_encoding_versions(spark, events):
     )
     assert partials.select("enc_ver").distinct().collect()[0][0] == 1
     stale = partials.withColumn("enc_ver", F.lit(0))
-    with pytest.raises(ValueError, match="encoding version"):
-        sketch_merge(stale, ["event_type"])
+    # the guard rides inside the merge job (no extra scan) — it surfaces
+    # at action time as a raise_error from the executors
+    with pytest.raises(Exception, match="encoding version"):
+        sketch_merge(stale, ["event_type"]).collect()
+
+
+def test_sketch_merge_refuses_null_encoding_version(spark, events):
+    """Schema-merged pre-versioning partials read back with enc_ver=NULL —
+    the guard must catch NULL, not just mismatched integers (a plain !=
+    filter would silently pass NULL rows)."""
+    partials = sketch_rollup(
+        events, ["event_type"], ["user_id"], time_col="ts", bucket="1 day"
+    )
+    nulled = partials.withColumn(
+        "enc_ver", F.lit(None).cast("int")
+    )
+    with pytest.raises(Exception, match="encoding version"):
+        sketch_merge(nulled, ["event_type"]).collect()
