@@ -482,51 +482,92 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def jpeg_encode_rgb(pixels: np.ndarray) -> bytes:
-    """Encode a (h, w, 3) uint8 RGB array as a baseline sequential 4:4:4
-    YCbCr JFIF JPEG (SOF0, Annex-K luminance + chrominance quantization and
+def jpeg_encode_rgb(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a baseline sequential YCbCr
+    JFIF JPEG (SOF0, Annex-K luminance + chrominance quantization and
     Huffman tables, interleaved three-component scan).
 
-    Per-plane DCTs run as batched einsums; the interleaved entropy coding
-    (Y, Cb, Cr block per MCU, independent DC predictors) is the per-block
-    loop. No chroma subsampling — 4:2:0 stays outside the subset on both
-    encode and decode, honestly."""
+    ``subsampling``: '4:4:4' (one block per component per MCU) or '4:2:0'
+    (the dominant real-world layout — each 16×16 MCU carries four luma
+    blocks and one 2×2 box-averaged block per chroma component). Per-plane
+    DCTs run as batched einsums; the interleaved entropy coding with
+    independent per-component DC predictors is the per-block loop."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("jpeg_encode_rgb expects a (h, w, 3) array")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise NotImplementedError(
+            f"subsampling {subsampling!r} unsupported (4:4:4 or 4:2:0)"
+        )
     h, w = px.shape[:2]
     y, cb, cr = _rgb_to_ycbcr(px)
-    planes = [
-        _plane_qcoef(y, _JPEG_Q),
-        _plane_qcoef(cb, _JPEG_QC),
-        _plane_qcoef(cr, _JPEG_QC),
-    ]
     luma = (_huffman_codes(_DC_BITS, _DC_VALS), _huffman_codes(_AC_BITS, _AC_VALS))
     chroma = (
         _huffman_codes(_DC_BITS_C, _DC_VALS_C),
         _huffman_codes(_AC_BITS_C, _AC_VALS_C),
     )
-    tables = [luma, chroma, chroma]
     bw = _BitWriter()
     prev = [0, 0, 0]
     zz_r = [rc[0] for rc in _ZIGZAG]
     zz_c = [rc[1] for rc in _ZIGZAG]
-    nbi, nbj = planes[0].shape[:2]
-    for bi in range(nbi):
-        for bj in range(nbj):
-            for ci in range(3):
-                dc_codes, ac_codes = tables[ci]
-                prev[ci] = _encode_block(
-                    bw, planes[ci][bi, bj][zz_r, zz_c], prev[ci],
-                    dc_codes, ac_codes,
-                )
+
+    if subsampling == "4:4:4":
+        y_sampling = 0x11
+        planes = [
+            _plane_qcoef(y, _JPEG_Q),
+            _plane_qcoef(cb, _JPEG_QC),
+            _plane_qcoef(cr, _JPEG_QC),
+        ]
+        tables = [luma, chroma, chroma]
+        nbi, nbj = planes[0].shape[:2]
+        for bi in range(nbi):
+            for bj in range(nbj):
+                for ci in range(3):
+                    dc_codes, ac_codes = tables[ci]
+                    prev[ci] = _encode_block(
+                        bw, planes[ci][bi, bj][zz_r, zz_c], prev[ci],
+                        dc_codes, ac_codes,
+                    )
+    else:  # 4:2:0 — MCU = 16×16 px: Y blocks (2i,2j)(2i,2j+1)(2i+1,2j)
+        # (2i+1,2j+1), then one Cb and one Cr block from the half-res planes
+        y_sampling = 0x22
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+
+        def pad16(plane: np.ndarray) -> np.ndarray:
+            out = np.empty((ph, pw), dtype=np.float64)
+            out[:h, :w] = plane
+            out[h:, :w] = out[h - 1 : h, :w]
+            out[:, w:] = out[:, w - 1 : w]
+            return out
+
+        yq = _plane_qcoef(pad16(y), _JPEG_Q)
+        half = [
+            _plane_qcoef(
+                p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)), _JPEG_QC
+            )
+            for p in (pad16(cb), pad16(cr))
+        ]
+        n_mcu_i, n_mcu_j = ph // 16, pw // 16
+        for mi in range(n_mcu_i):
+            for mj in range(n_mcu_j):
+                for di, dj in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    prev[0] = _encode_block(
+                        bw,
+                        yq[2 * mi + di, 2 * mj + dj][zz_r, zz_c],
+                        prev[0],
+                        *luma,
+                    )
+                for ci, plane in ((1, half[0]), (2, half[1])):
+                    prev[ci] = _encode_block(
+                        bw, plane[mi, mj][zz_r, zz_c], prev[ci], *chroma
+                    )
     entropy = bw.flush()
 
     dqt = _dqt_segment(0x00, _JPEG_Q) + _dqt_segment(0x01, _JPEG_QC)
     sof = (
         b"\xff\xc0"
         + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
     dht = (
         _dht_segment(0x00, _DC_BITS, _DC_VALS)
@@ -642,7 +683,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    # (component id, h sampling, v sampling, quant table id)
+    comps: list[tuple[int, int, int, int]] = []
     scan: list[tuple[int, dict, dict]] = []  # (comp index, dc table, ac table)
     entropy = None
     while pos + 4 <= len(data):
@@ -688,9 +730,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("truncated JPEG SOF segment")
             for ci in range(ncomp):
                 cid, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError("subsampled JPEG unsupported")
-                comps.append((cid, qid))
+                comps.append((cid, sampling >> 4, sampling & 0x0F, qid))
+            samplings = [(hs, vs) for _cid, hs, vs, _q in comps]
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (
+                    ncomp == 3
+                    and samplings[0] == (2, 2)
+                    and samplings[1] == samplings[2] == (1, 1)
+                )
+            ):
+                raise NotImplementedError(
+                    "only 4:4:4 (all 1×1) and 4:2:0 (luma 2×2) sampling "
+                    "is supported"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "only baseline sequential JPEG (SOF0) is supported"
@@ -722,24 +775,43 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         # APPn / COM / others: skipped
     if h is None or entropy is None:
         raise ValueError("not a JPEG: missing SOF0/SOS")
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    nbi, nbj = ph // 8, pw // 8
-    coef = [np.zeros((nbi, nbj, 8, 8), dtype=np.int64) for _ in comps]
+    max_h = max(hs for _c, hs, _v, _q in comps)
+    max_v = max(vs for _c, _h, vs, _q in comps)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    n_mcu_i = (h + mcu_h - 1) // mcu_h
+    n_mcu_j = (w + mcu_w - 1) // mcu_w
+    coef = [
+        np.zeros((n_mcu_i * vs, n_mcu_j * hs, 8, 8), dtype=np.int64)
+        for _cid, hs, vs, _q in comps
+    ]
     br = _BitReader(entropy)
     prev = [0] * len(comps)
-    for bi in range(nbi):
-        for bj in range(nbj):
+    for mi in range(n_mcu_i):
+        for mj in range(n_mcu_j):
             for ci, dc_table, ac_table in scan:
-                prev[ci] = _decode_block(
-                    br, coef[ci][bi, bj], prev[ci], dc_table, ac_table
-                )
+                _cid, hs, vs, _q = comps[ci]
+                for di in range(vs):
+                    for dj in range(hs):
+                        prev[ci] = _decode_block(
+                            br,
+                            coef[ci][mi * vs + di, mj * hs + dj],
+                            prev[ci],
+                            dc_table,
+                            ac_table,
+                        )
     planes = []
-    for ci, (_cid, qid) in enumerate(comps):
+    for ci, (_cid, hs, vs, qid) in enumerate(comps):
         deq = coef[ci] * qtables[qid]
         blocks = np.einsum(
             "xu,bcuv,yv->bcxy", _DCT_M.T, deq.astype(np.float64), _DCT_M.T
         )
-        plane = (blocks + 128.0).transpose(0, 2, 1, 3).reshape(ph, pw)
+        plane = (blocks + 128.0).transpose(0, 2, 1, 3).reshape(
+            n_mcu_i * vs * 8, n_mcu_j * hs * 8
+        )
+        if vs < max_v or hs < max_h:  # chroma upsample (sample-and-hold)
+            plane = np.repeat(
+                np.repeat(plane, max_v // vs, axis=0), max_h // hs, axis=1
+            )
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -325,6 +325,53 @@ def test_jpeg_color_interleave_uses_chroma_tables():
     )
 
 
+def test_jpeg_420_round_trip_bounds_and_stream_shape():
+    """4:2:0: constants within ±1 (box-averaged flat chroma is exact),
+    smooth gradients bounded, odd dims preserved through the 16×16 MCU
+    padding, and the stream is genuinely smaller than 4:4:4."""
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_rgb
+
+    for rgb in [(10, 200, 90), (255, 0, 0), (128, 128, 128)]:
+        c = np.full((24, 21, 3), rgb, dtype=np.uint8)
+        out = jpeg_decode(jpeg_encode_rgb(c, subsampling="4:2:0"))
+        assert out.shape == c.shape
+        assert np.abs(out.astype(int) - c.astype(int)).max() <= 1, rgb
+
+    x = np.arange(50, dtype=np.float64)[None, :] + np.zeros((38, 1))
+    y = np.arange(38, dtype=np.float64)[:, None] + np.zeros((1, 50))
+    img = np.stack(
+        [
+            np.clip(128 + 60 * np.sin(x / 9.0) + 40 * np.cos(y / 7.0), 0, 255),
+            np.clip(128 + 50 * np.cos(x / 11.0), 0, 255),
+            np.clip(128 + 45 * np.sin(y / 5.0), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    enc420 = jpeg_encode_rgb(img, subsampling="4:2:0")
+    out = jpeg_decode(enc420)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 20
+    assert len(enc420) < len(jpeg_encode_rgb(img))  # subsampling pays
+
+    odd = img[:17, :13]
+    assert jpeg_decode(jpeg_encode_rgb(odd, subsampling="4:2:0")).shape == odd.shape
+
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        jpeg_encode_rgb(img, subsampling="4:1:1")
+
+
+def test_jpeg_420_sof_declares_luma_2x2():
+    from coin_for_rich_spark.llmdata.codecs import jpeg_encode_rgb
+
+    enc = jpeg_encode_rgb(
+        np.full((16, 16, 3), (9, 99, 199), dtype=np.uint8), subsampling="4:2:0"
+    )
+    sof = enc.find(b"\xff\xc0")
+    # component 1 sampling byte: 0x22 (2×2 luma); components 2-3: 0x11
+    assert enc[sof + 11] == 0x22
+    assert enc[sof + 14] == 0x11 and enc[sof + 17] == 0x11
+
+
 def test_jpeg_color_media_stats_path(spark):
     from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_rgb
     from coin_for_rich_spark.llmdata.multimodal import decode_media_stats
