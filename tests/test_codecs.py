@@ -177,6 +177,8 @@ try:
         px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
         out = jpeg_decode(jpeg_encode_rgb(px))
         assert out.shape == px.shape and out.dtype == np.uint8
+        out420 = jpeg_decode(jpeg_encode_rgb(px, subsampling="4:2:0"))
+        assert out420.shape == px.shape and out420.dtype == np.uint8
 
     @settings(max_examples=15, deadline=None)
     @given(
