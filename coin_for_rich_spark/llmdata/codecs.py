@@ -203,13 +203,13 @@ def wav_decode_pcm16(data: bytes) -> tuple[np.ndarray, int]:
 #
 # Scope mirrors the PNG/WAV subset philosophy: a complete, spec-faithful
 # implementation of baseline sequential JFIF for 8-bit grayscale (one
-# component) AND 4:4:4 YCbCr color (three components, interleaved scan),
-# with the standard Annex-K quantization + Huffman tables and byte-stuffed
-# entropy streams. Progressive (SOF2), chroma subsampling, arithmetic
-# coding, and restart markers are outside the subset and raise
-# NotImplementedError naming the capability. The decoder reads DQT/DHT
-# from the stream (not hardcoded), so externally produced baseline JPEGs
-# of this subset decode too.
+# component) AND YCbCr color (three components, interleaved scan) at both
+# 4:4:4 and 4:2:0 chroma sampling, with the standard Annex-K quantization
+# + Huffman tables and byte-stuffed entropy streams. Progressive (SOF2),
+# other sampling layouts (4:1:1, 4:2:2), arithmetic coding, and restart
+# markers are outside the subset and raise NotImplementedError naming the
+# capability. The decoder reads DQT/DHT from the stream (not hardcoded),
+# so externally produced baseline JPEGs of this subset decode too.
 # ---------------------------------------------------------------------------
 
 # Annex K.1 luminance quantization table (quality 50), row-major
@@ -353,15 +353,26 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def _plane_qcoef(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
-    """Edge-replicate a (h, w) float plane to the 8×8 grid, run the batched
-    forward DCT, and quantize: returns (nbi, nbj, 8, 8) int64 coefficients."""
+def _pad_replicate(plane: np.ndarray, multiple: int) -> np.ndarray:
+    """Edge-replicate a (h, w) plane up to the next ``multiple`` grid (the
+    one padding rule every encode path shares); no-copy when aligned."""
     h, w = plane.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ph = (h + multiple - 1) // multiple * multiple
+    pw = (w + multiple - 1) // multiple * multiple
+    if (ph, pw) == (h, w) and plane.dtype == np.float64:
+        return plane
     padded = np.empty((ph, pw), dtype=np.float64)
     padded[:h, :w] = plane
     padded[h:, :w] = padded[h - 1 : h, :w]
     padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def _plane_qcoef(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Edge-replicate a (h, w) float plane to the 8×8 grid, run the batched
+    forward DCT, and quantize: returns (nbi, nbj, 8, 8) int64 coefficients."""
+    padded = _pad_replicate(plane, 8)
+    ph, pw = padded.shape
     blocks = (
         padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
     )
@@ -532,20 +543,15 @@ def jpeg_encode_rgb(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
         # (2i+1,2j+1), then one Cb and one Cr block from the half-res planes
         y_sampling = 0x22
         ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
-
-        def pad16(plane: np.ndarray) -> np.ndarray:
-            out = np.empty((ph, pw), dtype=np.float64)
-            out[:h, :w] = plane
-            out[h:, :w] = out[h - 1 : h, :w]
-            out[:, w:] = out[:, w - 1 : w]
-            return out
-
-        yq = _plane_qcoef(pad16(y), _JPEG_Q)
+        yq = _plane_qcoef(_pad_replicate(y, 16), _JPEG_Q)
         half = [
             _plane_qcoef(
-                p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)), _JPEG_QC
+                _pad_replicate(p, 16)
+                .reshape(ph // 2, 2, pw // 2, 2)
+                .mean(axis=(1, 3)),
+                _JPEG_QC,
             )
-            for p in (pad16(cb), pad16(cr))
+            for p in (cb, cr)
         ]
         n_mcu_i, n_mcu_j = ph // 16, pw // 16
         for mi in range(n_mcu_i):
@@ -672,10 +678,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     Reads DQT/DHT from the stream (canonical Huffman rebuild), entropy-
     decodes the (interleaved, for color) scan with byte unstuffing,
     dequantizes, applies the inverse DCT batched over all blocks per
-    component, converts YCbCr→RGB for three-component streams, and crops
-    the 8×8 padding. Progressive (SOF2), subsampled, 12-bit,
-    arithmetic-coded, and restart-marker streams are outside the supported
-    subset and raise.
+    component, upsamples subsampled chroma (sample-and-hold), converts
+    YCbCr→RGB for three-component streams, and crops the MCU padding.
+    Supported sampling: all components 1×1 (4:4:4 / grayscale) or 2×2
+    luma with 1×1 chroma (4:2:0). Progressive (SOF2), other sampling
+    layouts, 12-bit, arithmetic-coded, and restart-marker streams are
+    outside the supported subset and raise.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
