@@ -1067,15 +1067,19 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round trip, oracle-checked: per document, a valid 8-bit
-    grayscale PNG (even ids) or PCM16 mono WAV (odd ids) is ENCODED from
+    grayscale PNG (even ids), PCM16 mono WAV (ids ≡ 1 mod 4), or G.711
+    mu-law COMPRESSED WAV (ids ≡ 3 mod 4, fmt tag 7) is ENCODED from
     closed-form content, then DECODED back (pure stdlib+numpy: zlib inflate
-    + PNG filter reconstruction / RIFF walk — llmdata.codecs) and reduced to
-    integer-exact value statistics. The oracle never sees the bytes — it
-    recomputes count/sum/min/max of the decoded pixels/samples directly from
-    the generation formulas — so a green row certifies the whole
-    encode→bytes→decode pipeline, not just metadata plumbing. Bytes are
-    born and die inside executor Arrow batches (two chained mapInPandas);
-    library-dependent formats (JPEG/MP4/…) remain honestly stubbed."""
+    + PNG filter reconstruction / RIFF walk / mu-law integer expansion —
+    llmdata.codecs) and reduced to integer-exact value statistics. The
+    oracle never sees the bytes — it recomputes count/sum/min/max of the
+    decoded pixels/samples directly from the generation formulas (for the
+    mu-law leg it evaluates the spec's expansion
+    ``((u%16)*8+132) << ((u//16)%8)`` per codeword) — so a green row
+    certifies the whole encode→bytes→decode pipeline including a real
+    compressed-audio codec, not just metadata plumbing. Bytes are born and
+    die inside executor Arrow batches (two chained mapInPandas); compressed
+    VIDEO codecs remain the honest stub boundary."""
     media = attach_real_media(load_table(spark, sf_dir, "documents"))
     return decode_media_stats(media)
 
@@ -2194,7 +2198,7 @@ def oracle_sql() -> dict[str, str]:
             wav_s AS (
                 SELECT doc_id,
                        unnest(generate_series(0, doc_id % 977 + 99)) AS t
-                FROM documents WHERE doc_id % 2 = 1
+                FROM documents WHERE doc_id % 4 = 1
             ),
             wav_v AS (
                 SELECT doc_id, (t * 31 + doc_id * 17) % 65521 - 32760 AS v
@@ -2209,10 +2213,45 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min(v) AS BIGINT) AS value_min,
                        CAST(max(v) AS BIGINT) AS value_max
                 FROM wav_v GROUP BY doc_id
+            ),
+            -- mu-law leg: codeword c(t) = (13t + 17i) % 256, expanded by
+            -- the G.711 integer expansion (u = complement; t = biased
+            -- mantissa << exponent; sign from bit 7) — the same closed
+            -- form the Spark-side decoder implements in numpy.
+            ulaw_c AS (
+                SELECT doc_id,
+                       (t * 13 + doc_id * 17) % 256 AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(generate_series(0, doc_id % 977 + 99)) AS t
+                    FROM documents WHERE doc_id % 4 = 3
+                )
+            ),
+            ulaw_v AS (
+                SELECT doc_id,
+                       CASE WHEN (255 - c) >= 128
+                            THEN 132 - (((255 - c) % 16) * 8 + 132)
+                                       * (1 << (((255 - c) // 16) % 8))
+                            ELSE (((255 - c) % 16) * 8 + 132)
+                                 * (1 << (((255 - c) // 16) % 8)) - 132
+                       END AS v
+                FROM ulaw_c
+            ),
+            ulaw_feats AS (
+                SELECT doc_id AS media_id, 'wav_ulaw' AS kind,
+                       CAST(NULL AS INT) AS width,
+                       CAST(NULL AS INT) AS height,
+                       count(*) AS n_values,
+                       CAST(sum(v) AS BIGINT) AS value_sum,
+                       CAST(min(v) AS BIGINT) AS value_min,
+                       CAST(max(v) AS BIGINT) AS value_max
+                FROM ulaw_v GROUP BY doc_id
             )
             SELECT * FROM png_feats
             UNION ALL
             SELECT * FROM wav_feats
+            UNION ALL
+            SELECT * FROM ulaw_feats
         """,
         # output pixel (x, y) of the NN downscale is source pixel
         # ((x*w)//tw, (y*h)//th), and source pixel (sx, sy) of image i is

@@ -1,17 +1,18 @@
-"""Pure-stdlib media codecs: PNG (8-bit grayscale), WAV (PCM16 mono), and
-baseline JPEG (8-bit grayscale, DCT + Huffman).
+"""Pure-stdlib media codecs: PNG (8-bit grayscale), WAV (PCM16 mono plus
+G.711 mu-law and IMA ADPCM compressed audio), and baseline JPEG (grayscale
+and YCbCr color, DCT + Huffman).
 
 The container ships no media libraries (PIL/librosa/pyav), but these real
 formats need none: PNG's pixel stream is zlib (stdlib) behind a documented
-chunk layout + per-row filters, WAV is a RIFF header around raw PCM, and
-baseline JPEG is an 8×8 DCT (one numpy einsum over all blocks), Annex-K
-quantization, and canonical Huffman entropy coding — all reproducible from
-the public spec. These are complete, spec-faithful implementations for the
-supported subset — REAL decode, not a stub — and they draw the honest codec
-boundary tightly: anything outside 8-bit grayscale PNG / 16-bit mono PCM
-WAV / baseline sequential grayscale JPEG raises ``NotImplementedError``
-naming the missing capability (progressive JPEG, color, MP4, compressed
-audio remain outside).
+chunk layout + per-row filters, WAV is a RIFF header around PCM / mu-law
+codewords / ADPCM blocks, and baseline JPEG is an 8×8 DCT (one numpy
+einsum over all blocks), Annex-K quantization, and canonical Huffman
+entropy coding — all reproducible from the public spec. These are
+complete, spec-faithful implementations for the supported subset — REAL
+decode, not a stub — and they draw the honest codec boundary tightly:
+anything outside the subset raises ``NotImplementedError`` naming the
+missing capability (progressive JPEG, restart markers, and compressed
+video codecs remain outside).
 
 Encoders exist so the engine can *generate* valid media deterministically
 (test fixtures, synthetic corpora); decoders implement the full spec
@@ -168,34 +169,274 @@ def wav_encode_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 def wav_decode_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a mono PCM16 WAV to (int16 samples, sample_rate).
 
-    Walks the RIFF chunk list (so extra chunks like LIST/fact are skipped);
-    compressed, multi-channel, or non-16-bit audio is outside the supported
-    subset and raises.
+    Strict-subset entry point: non-PCM16 audio raises even when the general
+    ``wav_decode`` could expand it (callers asking for PCM16 want raw PCM16
+    semantics, not a transcode). Use ``wav_decode`` for format dispatch.
+    """
+    samples, rate, codec = wav_decode(data)
+    if codec != "pcm16":
+        raise NotImplementedError(
+            f"WAV codec {codec!r} is outside the strict PCM16 subset; "
+            "use wav_decode for format dispatch"
+        )
+    return samples, rate
+
+
+# WAVE format tags (RIFF spec / RFC 2361)
+_WAV_FMT_PCM = 0x0001
+_WAV_FMT_IMA_ADPCM = 0x0011
+_WAV_FMT_MULAW = 0x0007
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int, str]:
+    """Decode a mono WAV to (int16 samples, sample_rate, codec).
+
+    Walks the RIFF chunk list (extra chunks like LIST/fact are skipped) and
+    dispatches on the fmt tag: PCM 16-bit (tag 1, codec ``'pcm16'``),
+    G.711 mu-law (tag 7, 8-bit, codec ``'ulaw'``), and IMA/DVI ADPCM
+    (tag 0x11, 4-bit, codec ``'adpcm_ima'``) — the three mono layouts that
+    cover uncompressed, telephony-companded, and block-predictive WAV audio.
+    Compressed codecs expand to int16 PCM. Other tags, multi-channel, or
+    unexpected bit widths raise ``NotImplementedError``.
     """
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
     sample_rate = None
-    samples = None
+    audio_fmt = bits = block_align = None
+    raw = None
     while pos + 8 <= len(data):
         typ = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if typ == b"fmt ":
-            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
+            audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if (audio_fmt, channels, bits) != (1, 1, 16):
+            if channels != 1:
                 raise NotImplementedError(
-                    f"WAV format {audio_fmt}/{channels}ch/{bits}bit is outside "
-                    "the supported subset (PCM mono 16-bit)"
+                    f"WAV with {channels}ch audio is outside the supported "
+                    "subset (mono)"
                 )
         elif typ == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
-    if sample_rate is None or samples is None:
+            raw = body
+    if sample_rate is None or raw is None:
         raise ValueError("not a WAV: missing fmt/data chunk")
-    return samples, sample_rate
+    if audio_fmt == _WAV_FMT_PCM and bits == 16:
+        return np.frombuffer(raw, dtype="<i2"), sample_rate, "pcm16"
+    if audio_fmt == _WAV_FMT_MULAW and bits == 8:
+        codes = np.frombuffer(raw, dtype=np.uint8)
+        return ulaw_decode_u8(codes), sample_rate, "ulaw"
+    if audio_fmt == _WAV_FMT_IMA_ADPCM and bits == 4:
+        if not block_align or block_align < 5:
+            raise ValueError("IMA ADPCM WAV: bad block align")
+        return adpcm_ima_decode(raw, block_align), sample_rate, "adpcm_ima"
+    raise NotImplementedError(
+        f"WAV format tag {audio_fmt}/{bits}bit is outside the supported "
+        "subset (PCM16, G.711 mu-law, IMA ADPCM — mono)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law — the telephony companding codec (ITU-T G.711, also WAV fmt
+# tag 7). 8 bits/sample; segmented 14-bit log compression. Pure integer
+# column math, so both directions vectorize in numpy and the EXPANSION is a
+# closed-form expression an SQL oracle can evaluate per codeword:
+#   u = 255 - code; t = ((u % 16) * 8 + 132) << ((u // 16) % 8)
+#   sample = 132 - t if u >= 128 else t - 132
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode_u8(samples: np.ndarray) -> np.ndarray:
+    """Compress int16 linear samples to G.711 mu-law codewords (uint8).
+
+    Segmented approximation of the mu-law curve exactly as the spec's
+    encode table: bias the clipped magnitude by 0x84, find the segment
+    (exponent) from the leading bit, keep 4 mantissa bits, complement.
+    """
+    s = np.asarray(samples, dtype=np.int64)
+    sign = (s < 0).astype(np.int64)
+    mag = np.minimum(np.abs(s), _ULAW_CLIP) + _ULAW_BIAS
+    # segment = floor(log2(mag)) - 7 for mag in [0x100, ...): the spec's
+    # exponent is the position of the leading 1 above bit 7
+    exp = (np.floor(np.log2(mag)).astype(np.int64)) - 7
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = (sign << 7) | (exp << 4) | mant
+    return (~code & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode_u8(codes: np.ndarray) -> np.ndarray:
+    """Expand G.711 mu-law codewords (uint8) to int16 linear samples.
+
+    The closed-form expansion (see module comment) — integer-exact, so any
+    statistic over the decoded samples is reproducible by an oracle that
+    only knows the codeword values.
+    """
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int64) & 0xFF
+    t = ((u & 0x0F) << 3) + _ULAW_BIAS
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def wav_encode_ulaw(codes: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Wrap raw mu-law codewords (uint8) as a mono fmt-7 WAV.
+
+    Takes CODEWORDS, not linear samples (compress first with
+    ``ulaw_encode_u8``), so deterministic corpora can be generated directly
+    in codeword space. Writes the ``fact`` chunk required for non-PCM WAV.
+    """
+    c = np.asarray(codes, dtype=np.uint8)
+    if c.ndim != 1:
+        raise ValueError("wav_encode_ulaw expects a 1-D array")
+    payload = c.tobytes()
+    fmt = struct.pack("<HHIIHH", _WAV_FMT_MULAW, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(c))
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV fmt tag 0x11) — 4 bits/sample block-predictive coding.
+# Each block: 4-byte header (int16 predictor, uint8 step index, reserved)
+# followed by packed 4-bit codes, low nibble first. The decoder is the
+# spec's integer state machine (step/index tables); the encoder emits the
+# code whose RECONSTRUCTION it tracks, so encoder-internal state and
+# decoder output are bit-identical — that equality is the correctness pin
+# (the codec is lossy vs the input, exact vs its own reconstruction).
+# ---------------------------------------------------------------------------
+
+_ADPCM_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_ADPCM_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _adpcm_step_sample(code: int, pred: int, index: int) -> tuple[int, int]:
+    """One decoder step: (code, state) -> (new predictor, new index)."""
+    step = int(_ADPCM_STEPS[index])
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_ADPCM_INDEX_ADJ[code & 7])))
+    return pred, index
+
+
+def adpcm_ima_encode(
+    samples: np.ndarray, samples_per_block: int = 505
+) -> tuple[bytes, int]:
+    """Encode int16 mono samples as IMA ADPCM block data.
+
+    Returns (block payload bytes, block_align). Each block holds
+    ``samples_per_block`` samples (must be odd: 1 header sample + an even
+    number of packed nibbles); the final short block is padded by repeating
+    the last sample, the standard tail convention. The encoder quantizes
+    against its own reconstruction, so a decoder replaying the state
+    machine reproduces the encoder's tracked signal exactly.
+    """
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim != 1 or len(s) == 0:
+        raise ValueError("adpcm_ima_encode expects a non-empty 1-D array")
+    if samples_per_block < 3 or samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd and >= 3")
+    block_align = 4 + (samples_per_block - 1) // 2
+    out = bytearray()
+    index = 0
+    for start in range(0, len(s), samples_per_block):
+        blk = s[start : start + samples_per_block]
+        if len(blk) < samples_per_block:  # pad tail with the last sample
+            blk = np.concatenate(
+                [blk, np.full(samples_per_block - len(blk), blk[-1], np.int64)]
+            )
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for x in blk[1:]:
+            step = int(_ADPCM_STEPS[index])
+            delta = int(x) - pred
+            code = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            pred, index = _adpcm_step_sample(code, pred, index)
+            nibbles.append(code)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out), block_align
+
+
+def adpcm_ima_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Decode IMA ADPCM block data (mono) to int16 samples.
+
+    Pure spec state machine; accepts any encoder's blocks of this layout,
+    not just our own (per-block predictor/index header re-seeds state, so
+    truncated streams decode from any block boundary).
+    """
+    spb = (block_align - 4) * 2 + 1
+    chunks = []
+    for start in range(0, len(data) - 3, block_align):
+        blk = data[start : start + block_align]
+        pred, index, _ = struct.unpack("<hBB", blk[:4])
+        index = max(0, min(88, index))
+        vals = np.empty(spb, dtype=np.int64)
+        vals[0] = pred
+        k = 1
+        for byte in blk[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                pred, index = _adpcm_step_sample(code, pred, index)
+                vals[k] = pred
+                k += 1
+        chunks.append(vals[:k])
+    if not chunks:
+        raise ValueError("IMA ADPCM payload shorter than one block header")
+    return np.concatenate(chunks).astype(np.int16)
+
+
+def wav_encode_adpcm_ima(
+    samples: np.ndarray, sample_rate: int = 8000, samples_per_block: int = 505
+) -> bytes:
+    """Encode int16 mono samples as an IMA ADPCM (fmt 0x11) WAV."""
+    payload, block_align = adpcm_ima_encode(samples, samples_per_block)
+    n_blocks = len(payload) // block_align
+    total = n_blocks * samples_per_block
+    byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHH", _WAV_FMT_IMA_ADPCM, 1, sample_rate, byte_rate, block_align, 4
+    ) + struct.pack("<HH", 2, samples_per_block)  # cbSize + wSamplesPerBlock
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, total)
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------

@@ -5,17 +5,20 @@ The Spark-side architecture is real and tested: schema, partition-preserving
 ``mapInPandas`` plumbing, batch shapes, deterministic outputs. The codec
 boundary is split honestly in two:
 
-- REAL: 8-bit grayscale PNG, PCM16 mono WAV, and (since r6) baseline
-  sequential grayscale JPEG encode/decode in pure stdlib+numpy
-  (llmdata.codecs — zlib inflate + PNG filter reconstruction, RIFF chunk
-  walk, DCT + canonical Huffman). ``attach_real_media``/
+- REAL: 8-bit grayscale PNG, mono WAV in three codecs (PCM16, G.711
+  mu-law, IMA ADPCM), and (since r6) baseline sequential JPEG (grayscale +
+  YCbCr color) encode/decode in pure stdlib+numpy (llmdata.codecs — zlib
+  inflate + PNG filter reconstruction, RIFF chunk walk + companding/ADPCM
+  state machines, DCT + canonical Huffman). ``attach_real_media``/
   ``decode_media_stats`` run a genuine bytes→pixels/samples round trip
-  whose integer statistics are oracle-checked (`media_decode` query);
-  ``decode_media_stats`` also decodes ``image/jpeg`` payloads (pytest-
-  checked — JPEG is lossy, so its stats have no closed-form SQL oracle and
-  the declared generation stays PNG/WAV).
-- STUBBED: everything needing a codec library (MP4, compressed audio —
-  ffmpeg/librosa are not in this container) raises a clearly-marked
+  whose integer statistics are oracle-checked (`media_decode` query, incl.
+  the mu-law expansion leg — its closed-form integer expansion is
+  SQL-expressible); ``decode_media_stats`` also decodes ``image/jpeg`` and
+  IMA-ADPCM payloads (pytest-checked — JPEG is lossy and ADPCM is a
+  sequential state machine, so neither has a closed-form SQL oracle and
+  the declared generation stays PNG/PCM/mu-law).
+- STUBBED: compressed VIDEO codecs (H.264 inside MP4 — the container
+  layer itself is real, llmdata.mp4) raise a clearly-marked
   ``NotImplementedError``; ``decode_media(fake=True)`` is the
   deterministic fake for plumbing tests.
 
@@ -143,11 +146,15 @@ DECODE_STATS_SCHEMA = T.StructType(
 
 def attach_real_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Generate a REAL encoded media payload per document — a valid 8-bit
-    grayscale PNG for even ids, a valid PCM16 mono WAV for odd ids — from
+    grayscale PNG for even ids, a valid PCM16 mono WAV for ids ≡ 1 (mod 4),
+    a valid G.711 mu-law WAV (fmt tag 7) for ids ≡ 3 (mod 4) — from
     closed-form deterministic content (llmdata.codecs encoders):
 
     - PNG, id i: width i%31+1, height i%23+1, pixel(x,y) = (7x+13y+i) % 256
-    - WAV, id i: i%977+100 samples, sample(t) = (31t + 17i) % 65521 − 32760
+    - PCM WAV, id i: i%977+100 samples, sample(t) = (31t + 17i) % 65521 − 32760
+    - mu-law WAV, id i: i%977+100 CODEWORDS, code(t) = (13t + 17i) % 256
+      (generated in codeword space; the decoder expands them through the
+      spec's integer expansion, which an SQL oracle can also evaluate)
 
     The formulas are the contract: an oracle can predict every statistic of
     the DECODED values without being able to parse the bytes, which is what
@@ -157,7 +164,7 @@ def attach_real_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     import numpy as np
 
-    from .codecs import png_encode_gray, wav_encode_pcm16
+    from .codecs import png_encode_gray, wav_encode_pcm16, wav_encode_ulaw
 
     schema = T.StructType(
         [
@@ -179,12 +186,18 @@ def attach_real_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     px = ((7 * x + 13 * y + i) % 256).astype(np.uint8)
                     mimes.append("image/png")
                     payloads.append(png_encode_gray(px))
-                else:
+                elif i % 4 == 1:
                     n = i % 977 + 100
                     t = np.arange(n, dtype=np.int64)
                     s = ((31 * t + 17 * i) % 65521 - 32760).astype(np.int16)
                     mimes.append("audio/wav")
                     payloads.append(wav_encode_pcm16(s))
+                else:  # i % 4 == 3 — compressed (mu-law) leg
+                    n = i % 977 + 100
+                    t = np.arange(n, dtype=np.int64)
+                    c = ((13 * t + 17 * i) % 256).astype(np.uint8)
+                    mimes.append("audio/wav")
+                    payloads.append(wav_encode_ulaw(c))
                 ids.append(i)
             yield pd.DataFrame(
                 {"media_id": ids, "mime": mimes, "payload": payloads}
@@ -196,17 +209,22 @@ def attach_real_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def decode_media_stats(media: DataFrame) -> DataFrame:
     """REAL decode of PNG/WAV payloads (llmdata.codecs — zlib inflate +
-    filter reconstruction / RIFF walk, no media libraries) to integer-exact
-    value statistics: count, sum, min, max of the decoded pixels/samples.
+    filter reconstruction / RIFF walk + mu-law expansion / ADPCM state
+    machine, no media libraries) to integer-exact value statistics: count,
+    sum, min, max of the decoded pixels/samples. WAV rows dispatch on the
+    fmt tag (PCM16 / G.711 mu-law / IMA ADPCM → kinds ``wav`` /
+    ``wav_ulaw`` / ``wav_adpcm``), stats always over the EXPANDED int16
+    samples, so the compressed legs certify the codec, not the container.
 
     Integer stats make the decode itself oracle-checkable: uint8/int16
     values summed in int64 are bit-identical in any engine, so a mismatch
-    anywhere in chunk parsing, inflate, or unfiltering breaks the hash.
-    Map-only mapInPandas — bytes stay inside the executor's Arrow batches.
+    anywhere in chunk parsing, inflate, unfiltering, or companding breaks
+    the hash. Map-only mapInPandas — bytes stay inside the executor's
+    Arrow batches.
     """
     import numpy as np
 
-    from .codecs import jpeg_decode, png_decode_gray, wav_decode_pcm16
+    from .codecs import jpeg_decode, png_decode_gray, wav_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -230,9 +248,11 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     rows.append((int(media_id), kind, w, h, v.size,
                                  int(v.sum()), int(v.min()), int(v.max())))
                 elif mime == "audio/wav":
-                    s, _rate = wav_decode_pcm16(bytes(payload))
+                    s, _rate, codec = wav_decode(bytes(payload))
+                    kind = {"pcm16": "wav", "ulaw": "wav_ulaw",
+                            "adpcm_ima": "wav_adpcm"}[codec]
                     v = s.astype(np.int64)
-                    rows.append((int(media_id), "wav", None, None, v.size,
+                    rows.append((int(media_id), kind, None, None, v.size,
                                  int(v.sum()), int(v.min()), int(v.max())))
                 else:
                     raise NotImplementedError(

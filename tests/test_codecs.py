@@ -113,13 +113,19 @@ def test_attach_real_media_decodes_externally(spark, sf_dir):
     from coin_for_rich_spark.llmdata import attach_real_media
     from coin_for_rich_spark.sources import load_table
 
+    from coin_for_rich_spark.llmdata.codecs import wav_decode
+
     docs = load_table(spark, sf_dir, "documents").limit(20)
     for r in attach_real_media(docs).collect():
         if r.mime == "image/png":
             px = png_decode_gray(bytes(r.payload))
             assert px.shape == (r.media_id % 23 + 1, r.media_id % 31 + 1)
-        else:
+        elif r.media_id % 4 == 1:
             s, rate = wav_decode_pcm16(bytes(r.payload))
+            assert rate == 8000 and len(s) == r.media_id % 977 + 100
+        else:  # mu-law leg (ids ≡ 3 mod 4)
+            s, rate, codec = wav_decode(bytes(r.payload))
+            assert codec == "ulaw"
             assert rate == 8000 and len(s) == r.media_id % 977 + 100
 
 
@@ -469,3 +475,163 @@ def test_jpeg_truncated_missing_eoi_raises():
     enc = jpeg_encode_gray(np.full((8, 8), 9, dtype=np.uint8))
     with pytest.raises(ValueError, match="EOI"):
         jpeg_decode(enc[:-2])
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio: G.711 mu-law + IMA ADPCM
+# ---------------------------------------------------------------------------
+
+
+def test_ulaw_known_vectors_and_code_roundtrip():
+    """Spec vectors (0 → 0xFF, −1 → 0x7F, extremes → ±32124) and the
+    exact code→linear→code round trip for all 256 codewords — the single
+    exception is the standard −0 alias (0x7F decodes to 0, which re-encodes
+    as +0 = 0xFF)."""
+    from coin_for_rich_spark.llmdata.codecs import ulaw_decode_u8, ulaw_encode_u8
+
+    assert int(ulaw_encode_u8(np.array([0]))[0]) == 0xFF
+    assert int(ulaw_encode_u8(np.array([-1]))[0]) == 0x7F
+    assert int(ulaw_encode_u8(np.array([32767]))[0]) == 0x80
+    assert int(ulaw_encode_u8(np.array([-32768]))[0]) == 0x00
+    dec = ulaw_decode_u8(np.array([0xFF, 0x7F, 0x80, 0x00], np.uint8))
+    assert dec.tolist() == [0, 0, 32124, -32124]
+
+    codes = np.arange(256, dtype=np.uint8)
+    back = ulaw_encode_u8(ulaw_decode_u8(codes))
+    mism = np.nonzero(back != codes)[0]
+    assert mism.tolist() == [0x7F] and int(back[0x7F]) == 0xFF
+
+
+def test_ulaw_lossy_bound_and_monotone():
+    """decode(encode(s)) stays within half the top-segment step of the
+    clipped input, and the expansion is monotone in the signed code order."""
+    from coin_for_rich_spark.llmdata.codecs import ulaw_decode_u8, ulaw_encode_u8
+
+    rng = np.random.RandomState(17)
+    s = rng.randint(-32768, 32768, size=50000).astype(np.int16)
+    rt = ulaw_decode_u8(ulaw_encode_u8(s)).astype(np.int64)
+    clipped = np.clip(s.astype(np.int64), -32635, 32635)
+    assert np.abs(rt - clipped).max() <= 512
+    # monotone: positive codes 0xFF..0x80 decode increasing, mirror negative
+    pos = ulaw_decode_u8(np.arange(255, 127, -1, dtype=np.uint8))
+    assert np.all(np.diff(pos.astype(np.int64)) >= 0)
+
+
+def test_wav_ulaw_container_roundtrip_and_fact_chunk():
+    from coin_for_rich_spark.llmdata.codecs import (
+        ulaw_decode_u8,
+        wav_decode,
+        wav_decode_pcm16,
+        wav_encode_ulaw,
+    )
+
+    c = ((13 * np.arange(777) + 5) % 256).astype(np.uint8)
+    wav = wav_encode_ulaw(c, 8000)
+    assert b"fact" in wav  # required for non-PCM WAV
+    got, rate, codec = wav_decode(wav)
+    assert (codec, rate) == ("ulaw", 8000)
+    assert np.array_equal(got, ulaw_decode_u8(c))
+    # strict PCM16 entry point refuses to transcode
+    with pytest.raises(NotImplementedError, match="ulaw"):
+        wav_decode_pcm16(wav)
+
+
+def test_wav_decode_dispatches_pcm16():
+    from coin_for_rich_spark.llmdata.codecs import wav_decode
+
+    rng = np.random.RandomState(23)
+    s = rng.randint(-32768, 32768, size=501).astype(np.int16)
+    got, rate, codec = wav_decode(wav_encode_pcm16(s, 44100))
+    assert (codec, rate) == ("pcm16", 44100)
+    assert np.array_equal(got, s)
+
+
+def test_adpcm_decode_equals_encoder_reconstruction():
+    """The encoder quantizes against its own reconstruction; an independent
+    replay of the spec state machine must land on the SAME int16 samples —
+    the deterministic-parity pin for a lossy codec (no SQL oracle exists)."""
+    from coin_for_rich_spark.llmdata.codecs import (
+        _adpcm_step_sample,
+        adpcm_ima_decode,
+        adpcm_ima_encode,
+    )
+
+    t = np.arange(3000)
+    sig = (2500 * np.sin(t / 19) + 900 * np.sin(t / 3) + 40 * t % 7).astype(np.int16)
+    payload, ba = adpcm_ima_encode(sig, 505)
+    dec = adpcm_ima_decode(payload, ba)
+    # replay the state machine over the emitted nibbles independently
+    spb = (ba - 4) * 2 + 1
+    replay = []
+    for start in range(0, len(payload), ba):
+        blk = payload[start : start + ba]
+        pred, index, _ = struct.unpack("<hBB", blk[:4])
+        replay.append(pred)
+        for byte in blk[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                pred, index = _adpcm_step_sample(code, pred, index)
+                replay.append(pred)
+    assert np.array_equal(dec, np.array(replay, dtype=np.int16))
+    assert len(dec) % spb == 0
+
+
+def test_adpcm_tracks_signal_and_tail_padding():
+    from coin_for_rich_spark.llmdata.codecs import adpcm_ima_decode, adpcm_ima_encode
+
+    t = np.arange(1234)  # not a multiple of samples-per-block → padded tail
+    sig = (3000 * np.sin(t / 25)).astype(np.int16)
+    payload, ba = adpcm_ima_encode(sig, 505)
+    dec = adpcm_ima_decode(payload, ba).astype(np.int64)
+    err = np.abs(dec[: len(sig)] - sig.astype(np.int64))
+    # smooth signal inside the step table's reach: tight tracking
+    assert err.max() <= 2000 and err.mean() < 50
+    # padded tail repeats the final sample's neighborhood
+    assert np.abs(dec[len(sig) :] - int(sig[-1])).max() <= 2000
+
+
+def test_wav_adpcm_container_roundtrip():
+    from coin_for_rich_spark.llmdata.codecs import (
+        adpcm_ima_decode,
+        adpcm_ima_encode,
+        wav_decode,
+        wav_encode_adpcm_ima,
+    )
+
+    t = np.arange(2021)
+    sig = (1500 * np.sin(t / 11) + 300 * np.cos(t / 2)).astype(np.int16)
+    wav = wav_encode_adpcm_ima(sig, 22050, 505)
+    got, rate, codec = wav_decode(wav)
+    assert (codec, rate) == ("adpcm_ima", 22050)
+    payload, ba = adpcm_ima_encode(sig, 505)
+    assert np.array_equal(got, adpcm_ima_decode(payload, ba))
+
+
+def test_adpcm_decodes_foreign_block_layout():
+    """Decoder accepts blocks the encoder never writes: a hand-built block
+    with a non-zero initial step index seeds the state machine from the
+    header, proving decode follows the spec, not our encoder's habits."""
+    from coin_for_rich_spark.llmdata.codecs import _adpcm_step_sample, adpcm_ima_decode
+
+    pred0, index0 = -1200, 37
+    nibbles = [3, 9, 14, 0, 7, 12, 1, 8]
+    blk = struct.pack("<hBB", pred0, index0, 0)
+    for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+        blk += bytes([lo | (hi << 4)])
+    dec = adpcm_ima_decode(blk, len(blk))
+    expect = [pred0]
+    pred, index = pred0, index0
+    for code in nibbles:
+        pred, index = _adpcm_step_sample(code, pred, index)
+        expect.append(pred)
+    assert dec.tolist() == expect
+
+
+def test_wav_unknown_format_tag_raises():
+    from coin_for_rich_spark.llmdata.codecs import wav_decode
+
+    s = np.zeros(4, dtype=np.int16)
+    data = bytearray(wav_encode_pcm16(s))
+    pos = data.index(b"fmt ") + 8
+    data[pos : pos + 2] = struct.pack("<H", 0x0055)  # MP3 tag
+    with pytest.raises(NotImplementedError, match="85"):
+        wav_decode(bytes(data))
