@@ -11,8 +11,8 @@ entropy coding — all reproducible from the public spec. These are
 complete, spec-faithful implementations for the supported subset — REAL
 decode, not a stub — and they draw the honest codec boundary tightly:
 anything outside the subset raises ``NotImplementedError`` naming the
-missing capability (progressive JPEG, restart markers, and compressed
-video codecs remain outside).
+missing capability (progressive JPEG and compressed video codecs remain
+outside; DRI/RSTn restart markers are supported on both JPEG legs).
 
 Encoders exist so the engine can *generate* valid media deterministically
 (test fixtures, synthetic corpora); decoders implement the full spec
@@ -446,11 +446,13 @@ def wav_encode_adpcm_ima(
 # implementation of baseline sequential JFIF for 8-bit grayscale (one
 # component) AND YCbCr color (three components, interleaved scan) at both
 # 4:4:4 and 4:2:0 chroma sampling, with the standard Annex-K quantization
-# + Huffman tables and byte-stuffed entropy streams. Progressive (SOF2),
-# other sampling layouts (4:1:1, 4:2:2), arithmetic coding, and restart
-# markers are outside the subset and raise NotImplementedError naming the
-# capability. The decoder reads DQT/DHT from the stream (not hardcoded),
-# so externally produced baseline JPEGs of this subset decode too.
+# + Huffman tables, byte-stuffed entropy streams, and DRI/RSTn restart
+# markers on both legs (byte-aligned intervals, DC predictor resets,
+# verified D0-D7 modulo sequence). Progressive (SOF2), other sampling
+# layouts (4:1:1, 4:2:2), and arithmetic coding are outside the subset and
+# raise NotImplementedError naming the capability. The decoder reads
+# DQT/DHT from the stream (not hardcoded), so externally produced baseline
+# JPEGs of this subset decode too.
 # ---------------------------------------------------------------------------
 
 # Annex K.1 luminance quantization table (quality 50), row-major
@@ -585,6 +587,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits
         return bytes(self.out)
 
+    def restart(self, count: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTn, n = count mod 8 —
+        marker bytes go into the stream raw, never stuffed (E.1.2)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (count & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """JPEG magnitude coding: value -> (category, extra-bits payload)."""
@@ -652,9 +662,17 @@ def _encode_block(bw: "_BitWriter", zz, prev_dc: int, dc_codes, ac_codes) -> int
     return dc
 
 
-def jpeg_encode_gray(pixels: np.ndarray) -> bytes:
+def _dri_segment(interval: int) -> bytes:
+    return b"\xff\xdd" + struct.pack(">HH", 4, interval) if interval else b""
+
+
+def jpeg_encode_gray(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential grayscale JFIF
     JPEG (SOF0, Annex-K Q50 quantization + standard Huffman tables).
+
+    ``restart_interval`` > 0 writes a DRI segment and emits RSTn markers
+    every that many MCUs (byte-aligned, DC predictor reset) — the layout
+    cameras write for error resilience and parallel decoders key on.
 
     Blocks are edge-replicated to the 8×8 grid; the DCT runs as one
     batched einsum over all blocks (BLAS), only the entropy coding is a
@@ -672,11 +690,18 @@ def jpeg_encode_gray(pixels: np.ndarray) -> bytes:
     prev_dc = 0
     zz_r = [rc[0] for rc in _ZIGZAG]
     zz_c = [rc[1] for rc in _ZIGZAG]
+    mcu = 0
+    rst = 0
     for bi in range(q.shape[0]):
         for bj in range(q.shape[1]):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst += 1
+                prev_dc = 0
             prev_dc = _encode_block(
                 bw, q[bi, bj][zz_r, zz_c], prev_dc, dc_codes, ac_codes
             )
+            mcu += 1
     entropy = bw.flush()
 
     dqt = _dqt_segment(0x00, _JPEG_Q)
@@ -688,7 +713,8 @@ def jpeg_encode_gray(pixels: np.ndarray) -> bytes:
     )
     sos = b"\xff\xda" + struct.pack(">HB", 6 + 2, 1) + bytes([1, 0x00, 0, 63, 0])
     return (
-        b"\xff\xd8" + _APP0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+        b"\xff\xd8" + _APP0 + dqt + sof + dht
+        + _dri_segment(restart_interval) + sos + entropy + b"\xff\xd9"
     )
 
 
@@ -734,7 +760,9 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def jpeg_encode_rgb(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
+def jpeg_encode_rgb(
+    pixels: np.ndarray, subsampling: str = "4:4:4", restart_interval: int = 0
+) -> bytes:
     """Encode a (h, w, 3) uint8 RGB array as a baseline sequential YCbCr
     JFIF JPEG (SOF0, Annex-K luminance + chrominance quantization and
     Huffman tables, interleaved three-component scan).
@@ -743,7 +771,9 @@ def jpeg_encode_rgb(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
     (the dominant real-world layout — each 16×16 MCU carries four luma
     blocks and one 2×2 box-averaged block per chroma component). Per-plane
     DCTs run as batched einsums; the interleaved entropy coding with
-    independent per-component DC predictors is the per-block loop."""
+    independent per-component DC predictors is the per-block loop.
+    ``restart_interval`` > 0 writes DRI + RSTn markers every that many
+    MCUs (all three DC predictors reset)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("jpeg_encode_rgb expects a (h, w, 3) array")
@@ -763,6 +793,16 @@ def jpeg_encode_rgb(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
     zz_r = [rc[0] for rc in _ZIGZAG]
     zz_c = [rc[1] for rc in _ZIGZAG]
 
+    mcu = 0
+    rst = 0
+
+    def maybe_restart() -> None:
+        nonlocal rst
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.restart(rst)
+            rst += 1
+            prev[0] = prev[1] = prev[2] = 0
+
     if subsampling == "4:4:4":
         y_sampling = 0x11
         planes = [
@@ -774,6 +814,8 @@ def jpeg_encode_rgb(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
         nbi, nbj = planes[0].shape[:2]
         for bi in range(nbi):
             for bj in range(nbj):
+                maybe_restart()
+                mcu += 1
                 for ci in range(3):
                     dc_codes, ac_codes = tables[ci]
                     prev[ci] = _encode_block(
@@ -797,6 +839,8 @@ def jpeg_encode_rgb(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
         n_mcu_i, n_mcu_j = ph // 16, pw // 16
         for mi in range(n_mcu_i):
             for mj in range(n_mcu_j):
+                maybe_restart()
+                mcu += 1
                 for di, dj in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     prev[0] = _encode_block(
                         bw,
@@ -827,7 +871,10 @@ def jpeg_encode_rgb(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
         + struct.pack(">HB", 6 + 2 * 3, 3)
         + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     )
-    return b"\xff\xd8" + _APP0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + _APP0 + dqt + sof + dht
+        + _dri_segment(restart_interval) + sos + entropy + b"\xff\xd9"
+    )
 
 
 class _BitReader:
@@ -885,6 +932,41 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _split_entropy(raw: bytes) -> list[tuple[bytes, int | None]]:
+    """Split a scan's entropy bytes at RSTn markers, unstuffing each
+    segment: returns [(segment, following RST number or None for the
+    last)]. Byte stuffing guarantees the only FF-sequences inside entropy
+    data are FF 00 (stuffed FF), FF FF fill, and FF D0–D7 restarts."""
+    segments: list[tuple[bytes, int | None]] = []
+    seg = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        b = raw[i]
+        if b != 0xFF:
+            seg.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:  # trailing FF: fill byte before EOI
+            break
+        nxt = raw[i + 1]
+        if nxt == 0x00:  # stuffed data FF
+            seg.append(0xFF)
+            i += 2
+        elif nxt == 0xFF:  # fill byte
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append((bytes(seg), nxt - 0xD0))
+            seg = bytearray()
+            i += 2
+        else:
+            raise ValueError(
+                f"unexpected marker FF {nxt:02X} inside JPEG entropy data"
+            )
+    segments.append((bytes(seg), None))
+    return segments
+
+
 def _decode_block(br: "_BitReader", blk: np.ndarray, prev_dc: int,
                   dc_table, ac_table) -> int:
     """Entropy-decode one 8×8 block in place (JPEG F.2.2); returns the new
@@ -921,10 +1003,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     dequantizes, applies the inverse DCT batched over all blocks per
     component, upsamples subsampled chroma (sample-and-hold), converts
     YCbCr→RGB for three-component streams, and crops the MCU padding.
-    Supported sampling: all components 1×1 (4:4:4 / grayscale) or 2×2
-    luma with 1×1 chroma (4:2:0). Progressive (SOF2), other sampling
-    layouts, 12-bit, arithmetic-coded, and restart-marker streams are
-    outside the supported subset and raise.
+    Restart-marker streams (DRI + RSTn) decode: the entropy stream is
+    split at the markers, each interval starts byte-aligned with fresh DC
+    predictors, and the D0–D7 modulo sequence is verified. Supported
+    sampling: all components 1×1 (4:4:4 / grayscale) or 2×2 luma with 1×1
+    chroma (4:2:0). Progressive (SOF2), other sampling layouts, 12-bit,
+    and arithmetic-coded streams are outside the supported subset and
+    raise.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
@@ -936,6 +1021,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []
     scan: list[tuple[int, dict, dict]] = []  # (comp index, dc table, ac table)
     entropy = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -997,8 +1083,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "only baseline sequential JPEG (SOF0) is supported"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart markers unsupported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs (0 = none)
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
             ns = body[0]
             if ns != len(comps):
@@ -1018,12 +1104,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             eoi = data.find(b"\xff\xd9", pos)
             if eoi < 0:
                 raise ValueError("not a JPEG: missing EOI (truncated stream)")
-            raw = data[pos:eoi]
-            entropy = raw.replace(b"\xff\x00", b"\xff")
+            entropy = _split_entropy(data[pos:eoi])
             break
         # APPn / COM / others: skipped
     if h is None or entropy is None:
         raise ValueError("not a JPEG: missing SOF0/SOS")
+    if len(entropy) > 1 and restart_interval == 0:
+        raise ValueError("JPEG RST marker found but no DRI segment declared")
     max_h = max(hs for _c, hs, _v, _q in comps)
     max_v = max(vs for _c, _h, vs, _q in comps)
     mcu_w, mcu_h = 8 * max_h, 8 * max_v
@@ -1033,21 +1120,36 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         np.zeros((n_mcu_i * vs, n_mcu_j * hs, 8, 8), dtype=np.int64)
         for _cid, hs, vs, _q in comps
     ]
-    br = _BitReader(entropy)
+    seg_idx = 0
+    br = _BitReader(entropy[0][0])
     prev = [0] * len(comps)
-    for mi in range(n_mcu_i):
-        for mj in range(n_mcu_j):
-            for ci, dc_table, ac_table in scan:
-                _cid, hs, vs, _q = comps[ci]
-                for di in range(vs):
-                    for dj in range(hs):
-                        prev[ci] = _decode_block(
-                            br,
-                            coef[ci][mi * vs + di, mj * hs + dj],
-                            prev[ci],
-                            dc_table,
-                            ac_table,
-                        )
+    for idx in range(n_mcu_i * n_mcu_j):
+        if restart_interval and idx and idx % restart_interval == 0:
+            # cross a restart boundary: verify the D0–D7 modulo sequence,
+            # re-align on the next segment, reset every DC predictor
+            expected = (idx // restart_interval - 1) & 7
+            if seg_idx + 1 >= len(entropy):
+                raise ValueError("JPEG entropy stream missing RST marker")
+            if entropy[seg_idx][1] != expected:
+                raise ValueError(
+                    f"JPEG RST sequence error: expected RST{expected}, "
+                    f"found RST{entropy[seg_idx][1]}"
+                )
+            seg_idx += 1
+            br = _BitReader(entropy[seg_idx][0])
+            prev = [0] * len(comps)
+        mi, mj = divmod(idx, n_mcu_j)
+        for ci, dc_table, ac_table in scan:
+            _cid, hs, vs, _q = comps[ci]
+            for di in range(vs):
+                for dj in range(hs):
+                    prev[ci] = _decode_block(
+                        br,
+                        coef[ci][mi * vs + di, mj * hs + dj],
+                        prev[ci],
+                        dc_table,
+                        ac_table,
+                    )
     planes = []
     for ci, (_cid, hs, vs, qid) in enumerate(comps):
         deq = coef[ci] * qtables[qid]

@@ -635,3 +635,59 @@ def test_wav_unknown_format_tag_raises():
     data[pos : pos + 2] = struct.pack("<H", 0x0055)  # MP3 tag
     with pytest.raises(NotImplementedError, match="85"):
         wav_decode(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# JPEG restart markers (DRI + RSTn)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_restart_decodes_identical_to_plain():
+    """Restart markers change only the entropy-stream framing: the decoded
+    image must be bit-identical to the same image encoded without them —
+    gray and color, 4:4:4 and 4:2:0, intervals that wrap D0–D7."""
+    from coin_for_rich_spark.llmdata.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_rgb,
+    )
+
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 256, size=(40, 56), dtype=np.uint8)
+    plain = jpeg_decode(jpeg_encode_gray(px))
+    for ri in (1, 2, 5):
+        enc = jpeg_encode_gray(px, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert np.array_equal(jpeg_decode(enc), plain)
+    rgb = rng.randint(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        base = jpeg_decode(jpeg_encode_rgb(rgb, subsampling=sub))
+        enc = jpeg_encode_rgb(rgb, subsampling=sub, restart_interval=2)
+        assert np.array_equal(jpeg_decode(enc), base)
+
+
+def test_jpeg_restart_modulo_wrap_and_sequence_check():
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_gray
+
+    rng = np.random.RandomState(37)
+    px = rng.randint(0, 256, size=(80, 80), dtype=np.uint8)  # 100 MCUs
+    enc = jpeg_encode_gray(px, restart_interval=2)  # 49 RSTs → D0–D7 wrap
+    assert enc.count(b"\xff\xd0") >= 6  # wraps several times
+    assert np.array_equal(jpeg_decode(enc), jpeg_decode(jpeg_encode_gray(px)))
+    # corrupt the second marker's sequence number
+    bad = bytearray(enc)
+    i = bad.index(b"\xff\xd1")
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="RST sequence"):
+        jpeg_decode(bytes(bad))
+
+
+def test_jpeg_rst_without_dri_rejected():
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_gray
+
+    rng = np.random.RandomState(41)
+    px = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
+    enc = jpeg_encode_gray(px, restart_interval=2)
+    dri = enc.index(b"\xff\xdd")
+    with pytest.raises(ValueError, match="no DRI"):
+        jpeg_decode(enc[:dri] + enc[dri + 6 :])
