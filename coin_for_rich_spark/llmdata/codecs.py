@@ -1,6 +1,6 @@
 """Pure-stdlib media codecs: PNG (8-bit grayscale), WAV (PCM16 mono plus
-G.711 mu-law and IMA ADPCM compressed audio), and baseline JPEG (grayscale
-and YCbCr color, DCT + Huffman).
+G.711 mu-law and IMA ADPCM compressed audio), and JPEG (grayscale and
+YCbCr color, DCT + Huffman — baseline sequential AND progressive).
 
 The container ships no media libraries (PIL/librosa/pyav), but these real
 formats need none: PNG's pixel stream is zlib (stdlib) behind a documented
@@ -11,8 +11,9 @@ entropy coding — all reproducible from the public spec. These are
 complete, spec-faithful implementations for the supported subset — REAL
 decode, not a stub — and they draw the honest codec boundary tightly:
 anything outside the subset raises ``NotImplementedError`` naming the
-missing capability (progressive JPEG and compressed video codecs remain
-outside; DRI/RSTn restart markers are supported on both JPEG legs).
+missing capability (compressed video codecs, arithmetic-coded and 12-bit
+JPEG remain outside; progressive JPEG and DRI/RSTn restart markers are
+fully supported on both legs).
 
 Encoders exist so the engine can *generate* valid media deterministically
 (test fixtures, synthetic corpora); decoders implement the full spec
@@ -448,11 +449,15 @@ def wav_encode_adpcm_ima(
 # 4:4:4 and 4:2:0 chroma sampling, with the standard Annex-K quantization
 # + Huffman tables, byte-stuffed entropy streams, and DRI/RSTn restart
 # markers on both legs (byte-aligned intervals, DC predictor resets,
-# verified D0-D7 modulo sequence). Progressive (SOF2), other sampling
-# layouts (4:1:1, 4:2:2), and arithmetic coding are outside the subset and
-# raise NotImplementedError naming the capability. The decoder reads
-# DQT/DHT from the stream (not hardcoded), so externally produced baseline
-# JPEGs of this subset decode too.
+# verified D0-D7 modulo sequence). PROGRESSIVE (SOF2) is fully supported
+# on both legs too: spectral selection, successive approximation (DC and
+# AC, both directions), EOBn run lengths, and multi-scan table redefinition
+# — a full progressive decode is bit-identical to the baseline decode of
+# the same coefficients, and partial-scan prefixes still decode (coarse).
+# Other sampling layouts (4:1:1, 4:2:2), 12-bit precision, and arithmetic
+# coding are outside the subset and raise NotImplementedError naming the
+# capability. The decoder reads DQT/DHT from the stream (not hardcoded),
+# so externally produced JPEGs of this subset decode too.
 # ---------------------------------------------------------------------------
 
 # Annex K.1 luminance quantization table (quality 50), row-major
@@ -877,6 +882,295 @@ def jpeg_encode_rgb(
     )
 
 
+def _uniform_ac_huffman() -> tuple[list[int], list[int]]:
+    """AC Huffman table for progressive scans: the Annex-K baseline tables
+    lack the EOBn (n>0) run-length symbols progressive coding emits, so the
+    encoder registers this spec-legal table instead — every symbol the
+    progressive AC coder can produce (EOB0–EOB14, ZRL, all run/size pairs)
+    at a uniform 9-bit length (Kraft sum 176/512 < 1, canonical build)."""
+    syms = [0x00] + [n << 4 for n in range(1, 15)] + [0xF0]
+    syms += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    bits = [0] * 16
+    bits[8] = len(syms)
+    return bits, syms
+
+
+# progressive scan script: DC first (Al=1) + DC refine, then per component
+# two spectral AC bands at Al=2 and two full-band refinement passes — the
+# classic coarse-to-fine schedule covering every progressive code path
+# (spectral selection, EOB runs, successive approximation both directions).
+def _progressive_script(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
+    script: list[tuple[list[int], int, int, int, int]] = [
+        (list(range(ncomp)), 0, 0, 0, 1),
+        (list(range(ncomp)), 0, 0, 1, 0),
+    ]
+    for c in range(ncomp):
+        script.append(([c], 1, 5, 0, 2))
+        script.append(([c], 6, 63, 0, 2))
+    for c in range(ncomp):
+        script.append(([c], 1, 63, 2, 1))
+        script.append(([c], 1, 63, 1, 0))
+    return script
+
+
+def _emit_progressive_scans(
+    qzz: list[np.ndarray],
+    samplings: list[tuple[int, int]],
+    comp_ids: list[int],
+    dc_codes_per_comp: list[dict],
+    dc_tid_per_comp: list[int],
+    ac_codes: dict,
+    h: int,
+    w: int,
+    restart_interval: int,
+) -> bytes:
+    """Encode the full progressive scan sequence (SOS headers + entropy)
+    for zigzag-flat MCU-padded coefficient grids. Faithful G.2 coding: DC
+    diffs on the point-transformed values, AC first scans with EOB-run
+    accumulation, AC refinement with buffered correction bits; restart
+    markers flush the EOB run and reset predictors."""
+    max_h = max(hs for hs, _vs in samplings)
+    max_v = max(vs for _hs, vs in samplings)
+    n_mcu_i = (h + 8 * max_v - 1) // (8 * max_v)
+    n_mcu_j = (w + 8 * max_h - 1) // (8 * max_h)
+    comp_blocks = [
+        (
+            ((h * vs + max_v - 1) // max_v + 7) // 8,
+            ((w * hs + max_h - 1) // max_h + 7) // 8,
+        )
+        for hs, vs in samplings
+    ]
+    out = bytearray()
+
+    for comp_sel, ss, se, ah, al in _progressive_script(len(qzz)):
+        ns = len(comp_sel)
+        sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_sel:
+            sos += bytes([comp_ids[ci], (dc_tid_per_comp[ci] << 4) | 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += sos
+
+        bw = _BitWriter()
+        prev = [0] * len(qzz)
+        eobrun = 0
+        be_bits: list[int] = []
+        rst = 0
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun, be_bits
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_codes[nbits << 4]
+                bw.write(code, length)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+                for b in be_bits:
+                    bw.write(b, 1)
+                be_bits = []
+
+        interleaved = ns > 1
+        if interleaved:
+            n_units = n_mcu_i * n_mcu_j
+        else:
+            nbi, nbj = comp_blocks[comp_sel[0]]
+            n_units = nbi * nbj
+
+        def encode_dc(blk: np.ndarray, ci: int) -> None:
+            v = int(blk[0]) >> al
+            if ah == 0:
+                size, extra = _magnitude(v - prev[ci])
+                code, length = dc_codes_per_comp[ci][size]
+                bw.write(code, length)
+                if size:
+                    bw.write(extra, size)
+                prev[ci] = v
+            else:
+                bw.write(v & 1, 1)
+
+        for idx in range(n_units):
+            if restart_interval and idx and idx % restart_interval == 0:
+                emit_eobrun()
+                bw.restart(rst)
+                rst += 1
+                prev = [0] * len(qzz)
+            if interleaved:  # DC scan over MCUs
+                mi, mj = divmod(idx, n_mcu_j)
+                for ci in comp_sel:
+                    hs, vs = samplings[ci]
+                    for di in range(vs):
+                        for dj in range(hs):
+                            encode_dc(qzz[ci][mi * vs + di, mj * hs + dj], ci)
+                continue
+            ci = comp_sel[0]
+            bi, bj = divmod(idx, comp_blocks[ci][1])
+            blk = qzz[ci][bi, bj]
+            if ss == 0:
+                encode_dc(blk, ci)
+            elif ah == 0:  # AC first scan (G.1.2.2 run/size + EOBn)
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    if v < 0:
+                        mag = (-v) >> al
+                        payload = ~mag
+                    else:
+                        mag = v >> al
+                        payload = mag
+                    if mag == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                    nbits = mag.bit_length()
+                    code, length = ac_codes[(r << 4) | nbits]
+                    bw.write(code, length)
+                    bw.write(payload & ((1 << nbits) - 1), nbits)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+            else:  # AC refinement scan (G.1.2.3, buffered correction bits)
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = 0
+                for k in range(ss, se + 1):
+                    if absv[k - ss] == 1:
+                        eob = k
+                r = 0
+                br_bits: list[int] = []
+                for k in range(ss, se + 1):
+                    mag = absv[k - ss]
+                    if mag == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        emit_eobrun()
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                    if mag > 1:  # history-nonzero: correction bit only
+                        br_bits.append(mag & 1)
+                        continue
+                    emit_eobrun()
+                    code, length = ac_codes[(r << 4) | 1]
+                    bw.write(code, length)
+                    r = 0
+                    bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be_bits.extend(br_bits)
+                    if eobrun == 0x7FFF or len(be_bits) > 937:
+                        emit_eobrun()
+        emit_eobrun()
+        out += bw.flush()
+    return bytes(out)
+
+
+def jpeg_encode_gray_progressive(
+    pixels: np.ndarray, restart_interval: int = 0
+) -> bytes:
+    """Encode a (h, w) uint8 array as a PROGRESSIVE (SOF2) grayscale JFIF
+    JPEG: spectral selection + successive approximation over the same
+    quantized coefficients the baseline encoder produces, so a full decode
+    is bit-identical to decoding the baseline stream of the same image."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("jpeg_encode_gray_progressive expects a 2-D array")
+    h, w = px.shape
+    zz_r = [rc[0] for rc in _ZIGZAG]
+    zz_c = [rc[1] for rc in _ZIGZAG]
+    qzz = _plane_qcoef(px.astype(np.float64), _JPEG_Q)[:, :, zz_r, zz_c]
+    ac_bits, ac_vals = _uniform_ac_huffman()
+    scans = _emit_progressive_scans(
+        [qzz], [(1, 1)], [1], [_huffman_codes(_DC_BITS, _DC_VALS)], [0],
+        _huffman_codes(ac_bits, ac_vals), h, w, restart_interval,
+    )
+    sof = b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3, 8, h, w, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    dht = _dht_segment(0x00, _DC_BITS, _DC_VALS) + _dht_segment(
+        0x10, ac_bits, ac_vals
+    )
+    return (
+        b"\xff\xd8" + _APP0 + _dqt_segment(0x00, _JPEG_Q) + sof + dht
+        + _dri_segment(restart_interval) + scans + b"\xff\xd9"
+    )
+
+
+def jpeg_encode_rgb_progressive(
+    pixels: np.ndarray, subsampling: str = "4:4:4", restart_interval: int = 0
+) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a PROGRESSIVE (SOF2) YCbCr
+    JFIF JPEG at 4:4:4 or 4:2:0 sampling — interleaved DC scans, per-
+    component spectral AC bands, two successive-approximation refinement
+    passes; coefficients identical to the baseline encoder's."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("jpeg_encode_rgb_progressive expects (h, w, 3)")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise NotImplementedError(
+            f"subsampling {subsampling!r} unsupported (4:4:4 or 4:2:0)"
+        )
+    h, w = px.shape[:2]
+    y, cb, cr = _rgb_to_ycbcr(px)
+    zz_r = [rc[0] for rc in _ZIGZAG]
+    zz_c = [rc[1] for rc in _ZIGZAG]
+    if subsampling == "4:4:4":
+        samplings = [(1, 1)] * 3
+        y_sampling = 0x11
+        planes = [
+            _plane_qcoef(y, _JPEG_Q),
+            _plane_qcoef(cb, _JPEG_QC),
+            _plane_qcoef(cr, _JPEG_QC),
+        ]
+    else:
+        samplings = [(2, 2), (1, 1), (1, 1)]
+        y_sampling = 0x22
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        planes = [_plane_qcoef(_pad_replicate(y, 16), _JPEG_Q)] + [
+            _plane_qcoef(
+                _pad_replicate(p, 16)
+                .reshape(ph // 2, 2, pw // 2, 2)
+                .mean(axis=(1, 3)),
+                _JPEG_QC,
+            )
+            for p in (cb, cr)
+        ]
+    qzz = [p[:, :, zz_r, zz_c] for p in planes]
+    ac_bits, ac_vals = _uniform_ac_huffman()
+    dc_luma = _huffman_codes(_DC_BITS, _DC_VALS)
+    dc_chroma = _huffman_codes(_DC_BITS_C, _DC_VALS_C)
+    scans = _emit_progressive_scans(
+        qzz, samplings, [1, 2, 3], [dc_luma, dc_chroma, dc_chroma], [0, 1, 1],
+        _huffman_codes(ac_bits, ac_vals), h, w, restart_interval,
+    )
+    sof = (
+        b"\xff\xc2"
+        + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+        + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    dht = (
+        _dht_segment(0x00, _DC_BITS, _DC_VALS)
+        + _dht_segment(0x01, _DC_BITS_C, _DC_VALS_C)
+        + _dht_segment(0x10, ac_bits, ac_vals)
+    )
+    return (
+        b"\xff\xd8" + _APP0
+        + _dqt_segment(0x00, _JPEG_Q) + _dqt_segment(0x01, _JPEG_QC)
+        + sof + dht + _dri_segment(restart_interval) + scans + b"\xff\xd9"
+    )
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -967,13 +1261,32 @@ def _split_entropy(raw: bytes) -> list[tuple[bytes, int | None]]:
     return segments
 
 
-def _decode_block(br: "_BitReader", blk: np.ndarray, prev_dc: int,
+def _find_scan_end(data: bytes, pos: int) -> int:
+    """Position of the marker terminating the entropy data that starts at
+    ``pos``: the first FF followed by anything but 00 (stuffing), FF
+    (fill), or D0–D7 (restart). Raises if the stream ends first."""
+    i = pos
+    n = len(data)
+    while True:
+        f = data.find(b"\xff", i)
+        if f < 0 or f + 1 >= n:
+            raise ValueError("not a JPEG: missing EOI (truncated stream)")
+        nxt = data[f + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = f + 2
+        elif nxt == 0xFF:
+            i = f + 1
+        else:
+            return f
+
+
+def _decode_block(br: "_BitReader", zz: np.ndarray, prev_dc: int,
                   dc_table, ac_table) -> int:
-    """Entropy-decode one 8×8 block in place (JPEG F.2.2); returns the new
-    DC predictor."""
+    """Entropy-decode one zigzag-flat 64-coefficient block in place (JPEG
+    F.2.2, baseline DC+AC); returns the new DC predictor."""
     size = _read_symbol(br, dc_table)
     prev_dc += _extend(br.read_bits(size), size)
-    blk[0, 0] = prev_dc
+    zz[0] = prev_dc
     k = 1
     while k <= 63:
         sym = _read_symbol(br, ac_table)
@@ -988,15 +1301,110 @@ def _decode_block(br: "_BitReader", blk: np.ndarray, prev_dc: int,
         k += run
         if k > 63:
             raise ValueError("JPEG AC coefficient index overflow")
-        r, c = _ZIGZAG[k]
-        blk[r, c] = _extend(br.read_bits(size), size)
+        zz[k] = _extend(br.read_bits(size), size)
         k += 1
     return prev_dc
 
 
+# --- progressive scan primitives (JPEG G.2 / the classic jdphuff logic) ---
+
+
+def _decode_dc_first(br: "_BitReader", zz: np.ndarray, prev_dc: int,
+                     al: int, dc_table) -> int:
+    """DC first scan: magnitude-coded diff of the point-transformed DC;
+    stored shifted back up by the successive-approximation low bit."""
+    size = _read_symbol(br, dc_table)
+    prev_dc += _extend(br.read_bits(size), size)
+    zz[0] = prev_dc << al
+    return prev_dc
+
+
+def _decode_dc_refine(br: "_BitReader", zz: np.ndarray, al: int) -> None:
+    """DC refinement scan: one bit per block, ORed in at position al."""
+    if br.read_bit():
+        zz[0] |= 1 << al
+
+
+def _decode_ac_first(br: "_BitReader", zz: np.ndarray, ss: int, se: int,
+                     al: int, ac_table, eobrun: int) -> int:
+    """AC first scan for one block (spectral band ss..se): run/size coding
+    with EOBn run lengths; newly-seen coefficients enter at ``<< al``.
+    Returns the updated EOB run (blocks still to skip)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, ac_table)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient index overflow")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                return eobrun - 1  # this block is the first of the run
+            k += 16  # ZRL
+    return 0
+
+
+def _refine_nonzero(br: "_BitReader", zz: np.ndarray, k: int, p1: int) -> None:
+    """Append a correction bit to an already-nonzero coefficient."""
+    if br.read_bit():
+        if (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else -p1
+
+
+def _decode_ac_refine(br: "_BitReader", zz: np.ndarray, ss: int, se: int,
+                      al: int, ac_table, eobrun: int) -> int:
+    """AC refinement scan for one block: newly-significant coefficients
+    arrive as ±1<<al; every already-nonzero coefficient in the band gets a
+    correction bit. Returns the updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, ac_table)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s:
+                val = p1 if br.read_bit() else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            # advance over r zero-history coefficients, correcting the
+            # nonzero-history ones passed on the way (runs count zero
+            # history only)
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(br, zz, k, p1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB tail: correction bits keep flowing
+            if zz[k] != 0:
+                _refine_nonzero(br, zz, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG: grayscale streams return a (h, w)
-    uint8 array, 4:4:4 YCbCr color streams a (h, w, 3) uint8 RGB array.
+    """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG:
+    grayscale streams return a (h, w) uint8 array, YCbCr color streams a
+    (h, w, 3) uint8 RGB array.
 
     Reads DQT/DHT from the stream (canonical Huffman rebuild), entropy-
     decodes the (interleaved, for color) scan with byte unstuffing,
@@ -1007,9 +1415,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     split at the markers, each interval starts byte-aligned with fresh DC
     predictors, and the D0–D7 modulo sequence is verified. Supported
     sampling: all components 1×1 (4:4:4 / grayscale) or 2×2 luma with 1×1
-    chroma (4:2:0). Progressive (SOF2), other sampling layouts, 12-bit,
-    and arithmetic-coded streams are outside the supported subset and
-    raise.
+    chroma (4:2:0). Progressive (SOF2) streams decode through the G.2 scan
+    machinery: spectral-selection bands, successive-approximation first and
+    refinement passes (DC and AC), EOBn run lengths, per-scan Huffman
+    redefinition — and a truncated scan sequence still yields the coarse
+    image. Other sampling layouts, 12-bit, and arithmetic-coded streams
+    are outside the supported subset and raise.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
@@ -1019,15 +1430,21 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     h = w = None
     # (component id, h sampling, v sampling, quant table id)
     comps: list[tuple[int, int, int, int]] = []
-    scan: list[tuple[int, dict, dict]] = []  # (comp index, dc table, ac table)
-    entropy = None
+    # each scan: (comp entries [(ci, dc_table, ac_table)], ss, se, ah, al,
+    #             entropy segments, restart interval at SOS time)
+    scans: list[tuple] = []
+    progressive = False
     restart_interval = 0
-    while pos + 4 <= len(data):
+    saw_eoi = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
+        if pos + 4 > len(data):
+            break  # truncated segment header
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -1052,7 +1469,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = tuple(body[b + 17 : b + 17 + n])
                 htables[(cls, tid)] = _huffman_decoder(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
@@ -1079,80 +1497,144 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     "only 4:4:4 (all 1×1) and 4:2:0 (luma 2×2) sampling "
                     "is supported"
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) is supported"
+                "only baseline sequential (SOF0) and progressive (SOF2) "
+                "JPEG are supported"
             )
         elif marker == 0xDD:  # DRI — restart interval in MCUs (0 = none)
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows until EOI
+        elif marker == 0xDA:  # SOS — scan header + entropy data
             ns = body[0]
-            if ns != len(comps):
+            if not progressive and (ns != len(comps) or scans):
                 raise NotImplementedError(
-                    "multi-scan JPEG is outside the supported subset"
+                    "multi-scan JPEG is outside the supported subset "
+                    "(baseline must be one interleaved scan)"
                 )
             cids = [c[0] for c in comps]
+            entries = []
             for si in range(ns):
                 cs, tid = body[1 + 2 * si], body[2 + 2 * si]
-                scan.append(
-                    (cids.index(cs), htables[(0, tid >> 4)], htables[(1, tid & 0x0F)])
+                entries.append(
+                    (
+                        cids.index(cs),
+                        htables.get((0, tid >> 4)),
+                        htables.get((1, tid & 0x0F)),
+                    )
                 )
-            # byte stuffing guarantees FF D9 cannot occur inside the
-            # entropy stream, so the FIRST occurrence after SOS is the
-            # terminator — rfind over the whole stream would be defeated
-            # by an EOI inside an earlier APPn payload (EXIF thumbnails)
-            eoi = data.find(b"\xff\xd9", pos)
-            if eoi < 0:
-                raise ValueError("not a JPEG: missing EOI (truncated stream)")
-            entropy = _split_entropy(data[pos:eoi])
-            break
+            ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
+            end = _find_scan_end(data, pos)
+            scans.append(
+                (
+                    entries,
+                    ss,
+                    se,
+                    ahl >> 4,
+                    ahl & 0x0F,
+                    _split_entropy(data[pos:end]),
+                    restart_interval,
+                )
+            )
+            pos = end
         # APPn / COM / others: skipped
-    if h is None or entropy is None:
-        raise ValueError("not a JPEG: missing SOF0/SOS")
-    if len(entropy) > 1 and restart_interval == 0:
-        raise ValueError("JPEG RST marker found but no DRI segment declared")
+    if h is None or not scans:
+        raise ValueError("not a JPEG: missing SOF/SOS")
+    if not saw_eoi:
+        raise ValueError("not a JPEG: missing EOI (truncated stream)")
     max_h = max(hs for _c, hs, _v, _q in comps)
     max_v = max(vs for _c, _h, vs, _q in comps)
     mcu_w, mcu_h = 8 * max_h, 8 * max_v
     n_mcu_i = (h + mcu_h - 1) // mcu_h
     n_mcu_j = (w + mcu_w - 1) // mcu_w
+    # zigzag-flat coefficient planes, MCU-padded grids
     coef = [
-        np.zeros((n_mcu_i * vs, n_mcu_j * hs, 8, 8), dtype=np.int64)
+        np.zeros((n_mcu_i * vs, n_mcu_j * hs, 64), dtype=np.int64)
         for _cid, hs, vs, _q in comps
     ]
-    seg_idx = 0
-    br = _BitReader(entropy[0][0])
-    prev = [0] * len(comps)
-    for idx in range(n_mcu_i * n_mcu_j):
-        if restart_interval and idx and idx % restart_interval == 0:
-            # cross a restart boundary: verify the D0–D7 modulo sequence,
-            # re-align on the next segment, reset every DC predictor
-            expected = (idx // restart_interval - 1) & 7
-            if seg_idx + 1 >= len(entropy):
-                raise ValueError("JPEG entropy stream missing RST marker")
-            if entropy[seg_idx][1] != expected:
-                raise ValueError(
-                    f"JPEG RST sequence error: expected RST{expected}, "
-                    f"found RST{entropy[seg_idx][1]}"
-                )
-            seg_idx += 1
-            br = _BitReader(entropy[seg_idx][0])
-            prev = [0] * len(comps)
-        mi, mj = divmod(idx, n_mcu_j)
-        for ci, dc_table, ac_table in scan:
-            _cid, hs, vs, _q = comps[ci]
-            for di in range(vs):
-                for dj in range(hs):
-                    prev[ci] = _decode_block(
-                        br,
-                        coef[ci][mi * vs + di, mj * hs + dj],
-                        prev[ci],
-                        dc_table,
-                        ac_table,
+    # non-interleaved scans address each component's own unpadded block grid
+    comp_blocks = [
+        (
+            ((h * vs + max_v - 1) // max_v + 7) // 8,
+            ((w * hs + max_h - 1) // max_h + 7) // 8,
+        )
+        for _cid, hs, vs, _q in comps
+    ]
+
+    for entries, ss, se, ah, al, segments, interval in scans:
+        if len(segments) > 1 and interval == 0:
+            raise ValueError("JPEG RST marker found but no DRI segment declared")
+        interleaved = len(entries) > 1
+        if progressive and ss > 0 and interleaved:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        if interleaved or not progressive:
+            # MCU-ordered scan (baseline, or progressive DC with ns > 1)
+            n_units = n_mcu_i * n_mcu_j
+        else:
+            ci0 = entries[0][0]
+            nbi, nbj = comp_blocks[ci0]
+            n_units = nbi * nbj
+        seg_idx = 0
+        br = _BitReader(segments[0][0])
+        prev = [0] * len(comps)
+        eobrun = 0
+        for idx in range(n_units):
+            if interval and idx and idx % interval == 0:
+                # restart boundary: verify D0–D7 sequence, re-align,
+                # reset DC predictors and the EOB run
+                expected = (idx // interval - 1) & 7
+                if seg_idx + 1 >= len(segments):
+                    raise ValueError("JPEG entropy stream missing RST marker")
+                if segments[seg_idx][1] != expected:
+                    raise ValueError(
+                        f"JPEG RST sequence error: expected RST{expected}, "
+                        f"found RST{segments[seg_idx][1]}"
                     )
+                seg_idx += 1
+                br = _BitReader(segments[seg_idx][0])
+                prev = [0] * len(comps)
+                eobrun = 0
+            if interleaved or not progressive:
+                mi, mj = divmod(idx, n_mcu_j)
+                for ci, dc_table, ac_table in entries:
+                    _cid, hs, vs, _q = comps[ci]
+                    for di in range(vs):
+                        for dj in range(hs):
+                            blk = coef[ci][mi * vs + di, mj * hs + dj]
+                            if not progressive:
+                                prev[ci] = _decode_block(
+                                    br, blk, prev[ci], dc_table, ac_table
+                                )
+                            elif ah == 0:
+                                prev[ci] = _decode_dc_first(
+                                    br, blk, prev[ci], al, dc_table
+                                )
+                            else:
+                                _decode_dc_refine(br, blk, al)
+            else:
+                ci, dc_table, ac_table = entries[0]
+                bi, bj = divmod(idx, comp_blocks[ci][1])
+                blk = coef[ci][bi, bj]
+                if ss == 0:  # non-interleaved DC scan
+                    if ah == 0:
+                        prev[ci] = _decode_dc_first(br, blk, prev[ci], al, dc_table)
+                    else:
+                        _decode_dc_refine(br, blk, al)
+                elif ah == 0:
+                    eobrun = _decode_ac_first(
+                        br, blk, ss, se, al, ac_table, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        br, blk, ss, se, al, ac_table, eobrun
+                    )
+
+    zz_r = [rc[0] for rc in _ZIGZAG]
+    zz_c = [rc[1] for rc in _ZIGZAG]
     planes = []
     for ci, (_cid, hs, vs, qid) in enumerate(comps):
-        deq = coef[ci] * qtables[qid]
+        nbi, nbj = coef[ci].shape[:2]
+        deq = np.zeros((nbi, nbj, 8, 8), dtype=np.int64)
+        deq[:, :, zz_r, zz_c] = coef[ci] * qtables[qid][zz_r, zz_c]
         blocks = np.einsum(
             "xu,bcuv,yv->bcxy", _DCT_M.T, deq.astype(np.float64), _DCT_M.T
         )
@@ -1170,9 +1652,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
 
 def _jpeg_sof_ncomp(data: bytes) -> int | None:
-    """Component count from the SOF0 segment, found by WALKING the marker
-    stream (a raw byte find would match FF C0 inside APPn/COM payloads —
-    e.g. an EXIF thumbnail, itself a JPEG with its own SOF)."""
+    """Component count from the SOF0/SOF2 segment, found by WALKING the
+    marker stream (a raw byte find would match FF C0 inside APPn/COM
+    payloads — e.g. an EXIF thumbnail, itself a JPEG with its own SOF)."""
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1181,7 +1663,7 @@ def _jpeg_sof_ncomp(data: bytes) -> int | None:
         if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
             return None
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             return data[pos + 2 + 7] if pos + 2 + 7 < len(data) else None
         pos += 2 + seglen
     return None

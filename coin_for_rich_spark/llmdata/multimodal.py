@@ -6,8 +6,9 @@ The Spark-side architecture is real and tested: schema, partition-preserving
 boundary is split honestly in two:
 
 - REAL: 8-bit grayscale PNG, mono WAV in three codecs (PCM16, G.711
-  mu-law, IMA ADPCM), and (since r6) baseline sequential JPEG (grayscale +
-  YCbCr color) encode/decode in pure stdlib+numpy (llmdata.codecs — zlib
+  mu-law, IMA ADPCM), and (since r6) JPEG — baseline sequential AND
+  progressive SOF2, grayscale + YCbCr color, restart markers —
+  encode/decode in pure stdlib+numpy (llmdata.codecs — zlib
   inflate + PNG filter reconstruction, RIFF chunk walk + companding/ADPCM
   state machines, DCT + canonical Huffman). ``attach_real_media``/
   ``decode_media_stats`` run a genuine bytes→pixels/samples round trip

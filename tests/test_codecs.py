@@ -266,7 +266,8 @@ def test_jpeg_unsupported_subset_raises():
 
     enc = jpeg_encode_gray(np.full((8, 8), 9, dtype=np.uint8))
     with pytest.raises(NotImplementedError, match="SOF0"):
-        jpeg_decode_gray(enc.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+        # arithmetic-coded (SOF9) — progressive (SOF2) decodes since r6
+        jpeg_decode_gray(enc.replace(b"\xff\xc0", b"\xff\xc9", 1))
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode_gray(b"\x89PNG" + enc)
     # 3-component SOF body: patch ncomp byte and length to match
@@ -691,3 +692,112 @@ def test_jpeg_rst_without_dri_rejected():
     dri = enc.index(b"\xff\xdd")
     with pytest.raises(ValueError, match="no DRI"):
         jpeg_decode(enc[:dri] + enc[dri + 6 :])
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive coding re-frames the SAME quantized coefficients, so a
+    full progressive decode must be bit-identical to decoding the baseline
+    stream of the same image — gray, 4:4:4, 4:2:0."""
+    from coin_for_rich_spark.llmdata.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_gray_progressive,
+        jpeg_encode_rgb,
+        jpeg_encode_rgb_progressive,
+    )
+
+    rng = np.random.RandomState(53)
+    for h, w in [(8, 8), (24, 40), (17, 33), (5, 100)]:
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode_gray(px))
+        prog = jpeg_decode(jpeg_encode_gray_progressive(px))
+        assert np.array_equal(base, prog), (h, w)
+    for sub in ("4:4:4", "4:2:0"):
+        px = rng.randint(0, 256, size=(33, 47, 3), dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode_rgb(px, subsampling=sub))
+        prog = jpeg_decode(jpeg_encode_rgb_progressive(px, subsampling=sub))
+        assert np.array_equal(base, prog), sub
+
+
+def test_jpeg_progressive_eob_runs_and_refinement():
+    """Smooth and constant images drive the EOBn run-length paths (multi-
+    block skips with correction-bit tails); noise drives dense refinement."""
+    from coin_for_rich_spark.llmdata.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_gray_progressive,
+    )
+
+    x = np.arange(128)
+    smooth = np.clip(np.add.outer(x, x) // 2, 0, 255).astype(np.uint8)
+    const = np.full((48, 56), 200, dtype=np.uint8)
+    for img in (smooth, const):
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode_gray(img)),
+            jpeg_decode(jpeg_encode_gray_progressive(img)),
+        )
+    # the progressive stream actually contains EOBn (n>0) symbols: the
+    # constant image's AC scans are pure EOB runs, so its scans are tiny
+    enc = jpeg_encode_gray_progressive(const)
+    assert enc.count(b"\xff\xda") == 6  # DC first/refine + 2 AC bands + 2 refines
+
+
+def test_jpeg_progressive_with_restart_markers():
+    from coin_for_rich_spark.llmdata.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_gray_progressive,
+        jpeg_encode_rgb,
+        jpeg_encode_rgb_progressive,
+    )
+
+    rng = np.random.RandomState(59)
+    px = rng.randint(0, 256, size=(40, 56), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode_gray(px))
+    for ri in (1, 3):
+        assert np.array_equal(
+            base, jpeg_decode(jpeg_encode_gray_progressive(px, restart_interval=ri))
+        )
+    rgb = rng.randint(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode_rgb(rgb, subsampling=sub)),
+            jpeg_decode(
+                jpeg_encode_rgb_progressive(rgb, subsampling=sub, restart_interval=2)
+            ),
+        )
+
+
+def test_jpeg_progressive_partial_scan_is_coarse_but_valid():
+    """Dropping the refinement scans must still decode (that is the point
+    of progressive rendering) — coarser, but structurally valid and close
+    to the full image."""
+    from coin_for_rich_spark.llmdata.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray_progressive,
+    )
+
+    x = np.arange(64)
+    px = np.clip(np.add.outer(x * 2, x * 2) // 2, 0, 255).astype(np.uint8)
+    enc = jpeg_encode_gray_progressive(px)
+    # keep SOI..end of the 4th scan (DC both + both AC bands), then EOI:
+    # scan starts are the FF DA positions; truncate before the 5th
+    positions = []
+    start = 0
+    while True:
+        i = enc.find(b"\xff\xda", start)
+        if i < 0:
+            break
+        positions.append(i)
+        start = i + 2
+    assert len(positions) == 6
+    coarse = jpeg_decode(enc[: positions[4]] + b"\xff\xd9")
+    full = jpeg_decode(enc)
+    assert coarse.shape == full.shape
+    # smooth gradient at Al=2 truncation: small mean deviation
+    assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 8
