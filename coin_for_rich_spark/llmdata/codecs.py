@@ -923,6 +923,7 @@ def _emit_progressive_scans(
     h: int,
     w: int,
     restart_interval: int,
+    script: list[tuple[list[int], int, int, int, int]] | None = None,
 ) -> bytes:
     """Encode the full progressive scan sequence (SOS headers + entropy)
     for zigzag-flat MCU-padded coefficient grids. Faithful G.2 coding: DC
@@ -942,7 +943,7 @@ def _emit_progressive_scans(
     ]
     out = bytearray()
 
-    for comp_sel, ss, se, ah, al in _progressive_script(len(qzz)):
+    for comp_sel, ss, se, ah, al in (script or _progressive_script(len(qzz))):
         ns = len(comp_sel)
         sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
         for ci in comp_sel:
@@ -1210,6 +1211,8 @@ def _huffman_decoder(bits, vals) -> dict[tuple[int, int], int]:
 
 
 def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    if table is None:
+        raise ValueError("JPEG scan references an undefined Huffman table")
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read_bit()

@@ -801,3 +801,67 @@ def test_jpeg_progressive_partial_scan_is_coarse_but_valid():
     assert coarse.shape == full.shape
     # smooth gradient at Al=2 truncation: small mean deviation
     assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 8
+
+
+def test_jpeg_progressive_decodes_foreign_scan_scripts():
+    """The decoder follows ANY spec-legal scan schedule, not just our
+    encoder's default: no successive approximation, many narrow spectral
+    bands, deep approximation ladders, and out-of-order bands must all
+    reassemble to the exact baseline coefficients."""
+    from coin_for_rich_spark.llmdata.codecs import (
+        _APP0,
+        _DC_BITS,
+        _DC_VALS,
+        _JPEG_Q,
+        _ZIGZAG,
+        _dht_segment,
+        _dqt_segment,
+        _emit_progressive_scans,
+        _huffman_codes,
+        _plane_qcoef,
+        _uniform_ac_huffman,
+        jpeg_decode,
+        jpeg_encode_gray,
+    )
+
+    def encode_with_script(px, script):
+        h, w = px.shape
+        zz_r = [rc[0] for rc in _ZIGZAG]
+        zz_c = [rc[1] for rc in _ZIGZAG]
+        qzz = _plane_qcoef(px.astype(np.float64), _JPEG_Q)[:, :, zz_r, zz_c]
+        ac_bits, ac_vals = _uniform_ac_huffman()
+        scans = _emit_progressive_scans(
+            [qzz], [(1, 1)], [1], [_huffman_codes(_DC_BITS, _DC_VALS)], [0],
+            _huffman_codes(ac_bits, ac_vals), h, w, 0, script=script,
+        )
+        sof = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
+            [1, 0x11, 0]
+        )
+        dht = _dht_segment(0x00, _DC_BITS, _DC_VALS) + _dht_segment(
+            0x10, ac_bits, ac_vals
+        )
+        return (
+            b"\xff\xd8" + _APP0 + _dqt_segment(0x00, _JPEG_Q)
+            + sof + dht + scans + b"\xff\xd9"
+        )
+
+    rng = np.random.RandomState(91)
+    px = rng.randint(0, 256, size=(31, 45), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode_gray(px))
+    scripts = [
+        # no successive approximation at all
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+        # many narrow spectral bands
+        [([0], 0, 0, 0, 0)]
+        + [([0], k, min(k + 6, 63), 0, 0) for k in range(1, 64, 7)],
+        # deep approximation ladder
+        [([0], 0, 0, 0, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+         ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1),
+         ([0], 1, 63, 1, 0)],
+        # bands out of order
+        [([0], 0, 0, 0, 0), ([0], 32, 63, 0, 1), ([0], 1, 31, 0, 1),
+         ([0], 32, 63, 1, 0), ([0], 1, 31, 1, 0)],
+    ]
+    for script in scripts:
+        got = jpeg_decode(encode_with_script(px, script))
+        assert np.array_equal(got, base), script
