@@ -1,0 +1,285 @@
+"""Incremental dedup: a persisted fingerprint index so NEW batches dedup
+against the EXISTING corpus without re-mining it.
+
+At 100 TB you never re-run full-corpus dedup when a daily batch arrives —
+the full MinHash pass over the historical corpus costs more than the batch
+is worth. The standing structure is a fingerprint index:
+
+- ``exact/``   — (content_hash, doc): md5 of normalized text, one row per
+  indexed document. The exact leg of a batch probe is an equi-join on the
+  hash — the new batch (small side) shuffles/broadcasts, the index side
+  streams.
+- ``bands/``   — (bhash, doc), directory-partitioned by ``band``: the
+  MinHash LSH band buckets. A batch probe computes the new docs' buckets
+  and equi-joins on (band, bhash) — only colliding buckets produce rows,
+  the same no-all-pairs posture as :func:`~.dedup.minhash_pairs`.
+- ``sigs/``    — (doc, signature array<bigint>): the full MinHash
+  signatures, ~8·num_perm bytes per document. Candidate pairs are verified
+  with the signature-overlap Jaccard ESTIMATE (matching positions /
+  num_perm) rather than exact shingle intersection: storing shingle sets
+  would re-store the corpus, signatures are constant-size per doc. The
+  estimator's std error is ~sqrt(J(1-J)/num_perm) (≈0.09 at J=0.5,
+  num_perm=32) — tune num_perm to the precision the dedup policy needs.
+- ``meta.json`` — the shingle/permutation/band geometry. Probes and
+  appends MUST use the build-time geometry or band hashes would never
+  collide; every entry point re-reads it (and refuses a mismatched
+  explicit override) so the contract is structural, not conventional.
+
+Scale notes: all three relations are written repartitioned on their join
+key, so a probe's shuffle moves only the NEW batch; ``bands/`` is
+directory-partitioned by band, so probing a band subset (cheaper, lower
+recall) prunes partitions at the scan. Appending is strictly additive
+parquet (no rewrite of history), which makes the index maintainable by the
+same micro-batch loop that ingests the corpus. On a cluster with a
+persistent metastore, the exact/bands relations are natural candidates for
+:func:`~..sources.bucketing.write_bucketed` on their join keys, which
+removes even the batch-side shuffle.
+
+Within-batch duplicates are deliberately out of scope — this operator
+compares BATCH vs INDEX; run the in-batch ladder (``exact_dedup`` /
+``minhash_pairs``) first, then probe, then :func:`append_to_index` the
+survivors. (Reference parity: this is the content-identity analog of the
+reference's ON CONFLICT DO NOTHING ingest against a standing PK index,
+`schemas/insert_queries.sql:8-15`, lifted from key identity to near-dup
+content identity.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.partitioning import ensure_parallelism
+from .dedup import minhash_signatures
+
+_META_FILE = "meta.json"
+_DEFAULT_GEOMETRY = {"n": 3, "num_perm": 32, "bands": 8}
+
+
+def _norm_hash(text_col: str) -> F.Column:
+    """The exact-leg content identity: md5 of lowercased, trimmed text —
+    the same normalization family as :func:`~.dedup.exact_dedup`."""
+    return F.md5(F.lower(F.trim(F.col(text_col))))
+
+
+def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc, band, bhash) rows from a signature relation — identical band
+    hashing to :func:`~.dedup.minhash_pairs`, so an index built here and a
+    batch probed there collide on the same buckets."""
+    rows_per_band = num_perm // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col("signature")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc", F.explode(band_cols).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+
+
+def _sig_jaccard(a: F.Column, b: F.Column, num_perm: int) -> F.Column:
+    """MinHash Jaccard estimate: fraction of matching signature positions."""
+    matches = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches.cast("double") / F.lit(float(num_perm))
+
+
+def load_index_meta(path: str) -> dict:
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    for key in ("n", "num_perm", "bands"):
+        if not isinstance(meta.get(key), int) or meta[key] < 1:
+            raise ValueError(f"dedup index meta: bad {key!r} in {path}")
+    if meta["num_perm"] % meta["bands"] != 0:
+        raise ValueError(
+            "dedup index meta: num_perm must be divisible by bands "
+            f"(got {meta['num_perm']}/{meta['bands']}) in {path}"
+        )
+    return meta
+
+
+def _index_rows(
+    docs: DataFrame, text_col: str, id_col: str, meta: dict
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three index relations for a document set, under ``meta``'s
+    geometry: (exact, bands, sigs)."""
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    exact = narrow.select(
+        _norm_hash(text_col).alias("content_hash"), F.col(id_col).alias("doc")
+    )
+    sigs = minhash_signatures(
+        narrow, text_col, id_col, n=meta["n"], num_perm=meta["num_perm"]
+    )
+    bands = _band_buckets(sigs, meta["num_perm"], meta["bands"])
+    return exact, bands, sigs
+
+
+def _write_legs(
+    exact: DataFrame, bands: DataFrame, sigs: DataFrame, path: str, mode: str
+) -> None:
+    # repartition on the probe key so each leg's layout matches its join;
+    # band stays a directory partition for band-subset pruning
+    exact.repartition("content_hash").write.mode(mode).parquet(
+        os.path.join(path, "exact")
+    )
+    bands.repartition("bhash").write.partitionBy("band").mode(mode).parquet(
+        os.path.join(path, "bands")
+    )
+    sigs.repartition("doc").write.mode(mode).parquet(os.path.join(path, "sigs"))
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> None:
+    """Build the standing fingerprint index for ``docs`` at ``path``.
+
+    One pass over the corpus: the signature aggregation is the only
+    shuffle (|docs| rows); exact hashes and band buckets are scan-stage
+    column algebra on top of it.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    meta = {"n": n, "num_perm": num_perm, "bands": bands, "version": 1}
+    os.makedirs(path, exist_ok=True)
+    exact, band_rows, sigs = _index_rows(docs, text_col, id_col, meta)
+    _write_legs(exact, band_rows, sigs, path, mode="overwrite")
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta, f)
+
+
+def append_to_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append ``docs`` to an existing index — strictly additive parquet
+    under the index's OWN build-time geometry (re-read from meta.json, so
+    an append can never silently fork the band hashing)."""
+    meta = load_index_meta(path)
+    exact, band_rows, sigs = _index_rows(docs, text_col, id_col, meta)
+    _write_legs(exact, band_rows, sigs, path, mode="append")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_bands: int | None = None,
+) -> DataFrame:
+    """Classify a new batch against the standing index.
+
+    Returns one row per new document: ``(doc_id, status, match_doc,
+    est_jaccard)`` with status ``'exact_dup'`` (normalized content hash
+    already indexed; match_doc = smallest matching indexed doc),
+    ``'near_dup'`` (best signature-estimate Jaccard ≥ ``threshold``;
+    match_doc = that neighbor, ties → smallest doc), or ``'fresh'``.
+
+    Plan shape: exact leg = one equi-join on content_hash; near leg =
+    band-bucket equi-join (candidates only — no all-pairs), then one
+    signature join + per-new-doc max aggregation. The historical corpus is
+    touched only through its index files; ``probe_bands`` probes just the
+    first k bands (partition-pruned scan — recall trades against cost
+    exactly as in multi-probe LSH).
+    """
+    spark: SparkSession = new_docs.sparkSession
+    meta = load_index_meta(path)
+    idx_exact = spark.read.parquet(os.path.join(path, "exact"))
+    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    if probe_bands is not None:
+        if not 1 <= probe_bands <= meta["bands"]:
+            raise ValueError(f"probe_bands must be in [1, {meta['bands']}]")
+        idx_bands = idx_bands.filter(F.col("band") < probe_bands)
+
+    new_exact, new_bands, new_sigs = _index_rows(new_docs, text_col, id_col, meta)
+    if probe_bands is not None:
+        new_bands = new_bands.filter(F.col("band") < probe_bands)
+
+    exact_hits = (
+        new_exact.join(idx_exact, "content_hash")
+        .groupBy(new_exact["doc"].alias(id_col))
+        .agg(F.min(idx_exact["doc"]).alias("exact_match"))
+    )
+
+    cand = (
+        new_bands.alias("nb")
+        .join(
+            idx_bands.alias("ib"),
+            (F.col("nb.band") == F.col("ib.band"))
+            & (F.col("nb.bhash") == F.col("ib.bhash")),
+        )
+        .select(
+            F.col("nb.doc").alias("new_doc"), F.col("ib.doc").alias("idx_doc")
+        )
+        .distinct()
+    )
+    near_best = (
+        cand.join(
+            new_sigs.select(
+                F.col("doc").alias("new_doc"), F.col("signature").alias("sig_n")
+            ),
+            "new_doc",
+        )
+        .join(
+            idx_sigs.select(
+                F.col("doc").alias("idx_doc"), F.col("signature").alias("sig_i")
+            ),
+            "idx_doc",
+        )
+        .withColumn(
+            "est_jaccard", _sig_jaccard(F.col("sig_n"), F.col("sig_i"), meta["num_perm"])
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy(F.col("new_doc").alias(id_col))
+        .agg(
+            # best neighbor: highest estimate, ties broken to smallest doc
+            F.max_by(
+                F.col("idx_doc"),
+                F.struct(F.col("est_jaccard"), -F.col("idx_doc")),
+            ).alias("near_match"),
+            F.max("est_jaccard").alias("est_jaccard"),
+        )
+    )
+
+    base = new_docs.select(F.col(id_col))
+    return (
+        base.join(exact_hits, id_col, "left")
+        .join(near_best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("fresh"))
+            .alias("status"),
+            F.coalesce(F.col("exact_match"), F.col("near_match")).alias(
+                "match_doc"
+            ),
+            F.when(F.col("exact_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("est_jaccard"))
+            .alias("est_jaccard"),
+        )
+    )
