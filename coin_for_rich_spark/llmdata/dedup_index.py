@@ -189,6 +189,7 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     probe_bands: int | None = None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Classify a new batch against the standing index.
 
@@ -204,6 +205,13 @@ def incremental_dedup(
     touched only through its index files; ``probe_bands`` probes just the
     first k bands (partition-pruned scan — recall trades against cost
     exactly as in multi-probe LSH).
+
+    ``exclude_docs`` (a single-column relation of doc ids) removes those
+    ids from the INDEX side before matching — the retry-idempotency hook:
+    a replayed ingest batch excludes its own ids so fingerprints appended
+    by a previous partial attempt cannot make the batch classify as a
+    duplicate of itself (requires globally unique doc ids, the same
+    assumption the index's ``doc`` column already makes).
     """
     spark: SparkSession = new_docs.sparkSession
     meta = load_index_meta(path)
@@ -214,6 +222,13 @@ def incremental_dedup(
         if not 1 <= probe_bands <= meta["bands"]:
             raise ValueError(f"probe_bands must be in [1, {meta['bands']}]")
         idx_bands = idx_bands.filter(F.col("band") < probe_bands)
+    if exclude_docs is not None:
+        excl = exclude_docs.select(
+            F.col(exclude_docs.columns[0]).alias("doc")
+        )
+        idx_exact = idx_exact.join(excl, "doc", "left_anti")
+        idx_bands = idx_bands.join(excl, "doc", "left_anti")
+        idx_sigs = idx_sigs.join(excl, "doc", "left_anti")
 
     new_exact, new_bands, new_sigs = _index_rows(new_docs, text_col, id_col, meta)
     if probe_bands is not None:

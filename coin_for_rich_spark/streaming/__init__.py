@@ -8,6 +8,11 @@ Reference parity map (SURVEY §2.9):
 - file-chunk replay source for tests        → streaming.source (S3 stand-in)
 """
 
+from .corpus import (
+    ingest_batch_into_corpus,
+    read_ingested_corpus,
+    streaming_corpus_ingest,
+)
 from .dedupe import exactly_once_dedup
 from .jdbc import JdbcMergeSink, PgWireMergeSink, PsqlCopyMergeSink, upsert_sql
 from .latest import latest_value_serve
@@ -32,4 +37,7 @@ __all__ = [
     "format_wire_candles",
     "streaming_ohlcv_rollup",
     "streaming_sessionize",
+    "streaming_corpus_ingest",
+    "ingest_batch_into_corpus",
+    "read_ingested_corpus",
 ]

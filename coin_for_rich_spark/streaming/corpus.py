@@ -1,0 +1,131 @@
+"""Streaming corpus ingest: continuous document arrival → dedup against
+the standing fingerprint index → only fresh content lands in the corpus.
+
+This is the training-data twin of the candle ingest loop (same
+foreachBatch + idempotent-sink architecture as ``streaming/sink.py``; the
+reference's ON CONFLICT DO NOTHING ingest, `schemas/insert_queries.sql:8`,
+lifted to content identity): each micro-batch is
+
+1. **in-batch exact dedup** — keep the smallest id per normalized content
+   hash (within-batch NEAR-dups are out of scope by the same contract as
+   :func:`~..llmdata.dedup_index.incremental_dedup`; the periodic
+   compaction pass — the batch ladder — owns those),
+2. **classified against the index** (:func:`incremental_dedup`) with the
+   batch's own ids EXCLUDED from the index side: exact and near duplicates
+   of anything already ingested are dropped, while fingerprints a previous
+   partial attempt of THIS batch appended are invisible — without the
+   exclusion, a retry would classify the batch as a duplicate of itself
+   and overwrite its corpus directory with nothing,
+3. **fresh docs land in the corpus** under ``ingest_batch=<id>`` with
+   ``overwrite`` — a retried batch overwrites its own directory, so the
+   corpus itself is exactly-once,
+4. **fingerprints append to the index** (:func:`append_to_index`) so the
+   NEXT batch probes see this batch's content. The append is only
+   at-least-once under retries — which is SAFE here: every probe
+   aggregation is duplicate-insensitive (exact leg takes min over matches,
+   band candidates are ``distinct``, the verify step takes max per new
+   doc), so replayed fingerprint rows change nothing. That asymmetry
+   (exactly-once corpus, at-least-once index) is deliberate — it removes
+   the need for transactional coupling between the two stores.
+
+Ordering note: within one batch every doc probes the index as it stood
+BEFORE the batch (step 4 runs after step 2), which is exactly the
+batch-vs-index contract; cross-batch ordering is serialized by the
+streaming engine (foreachBatch batches never overlap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..llmdata.dedup_index import append_to_index, incremental_dedup
+
+
+def ingest_batch_into_corpus(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    corpus_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Process ONE micro-batch (the foreachBatch body, callable directly in
+    batch jobs too — backfills reuse the identical code path)."""
+    batch = batch.persist()
+    try:
+        if batch.isEmpty():
+            return
+        # 1. in-batch exact dedup: smallest id per normalized hash
+        keep = (
+            batch.select(
+                F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("_h")
+            )
+            .groupBy("_h")
+            .agg(F.min(id_col).alias(id_col))
+            .drop("_h")
+        )
+        deduped = batch.join(keep, id_col, "left_semi").persist()
+        # 2. classify vs the standing index — excluding the batch's OWN ids
+        # so a retried batch never matches fingerprints a previous partial
+        # attempt appended for it (the retry-idempotency contract)
+        fresh_ids = (
+            incremental_dedup(
+                deduped, index_path, threshold=threshold,
+                text_col=text_col, id_col=id_col,
+                exclude_docs=deduped.select(id_col),
+            )
+            .filter(F.col("status") == "fresh")
+            .select(id_col)
+        )
+        fresh = deduped.join(fresh_ids, id_col, "left_semi").persist()
+        try:
+            if not fresh.isEmpty():
+                # 3. exactly-once corpus write: the batch owns its directory
+                fresh.write.mode("overwrite").parquet(
+                    os.path.join(corpus_path, f"ingest_batch={batch_id}")
+                )
+                # 4. at-least-once fingerprint append (probe dup-insensitive)
+                append_to_index(fresh, index_path, text_col, id_col)
+        finally:
+            fresh.unpersist()
+            deduped.unpersist()
+    finally:
+        batch.unpersist()
+
+
+def streaming_corpus_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Run the ingest loop over a streaming document source. The index at
+    ``index_path`` must already exist (:func:`build_dedup_index` on the
+    historical corpus — or on an empty frame for a cold start)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch_into_corpus(
+            batch, batch_id, index_path, corpus_path, threshold, text_col, id_col
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_ingested_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """The ingested corpus as one relation; ``ingest_batch`` surfaces as a
+    partition column (batch-range reads partition-prune)."""
+    return spark.read.option("basePath", corpus_path).parquet(
+        os.path.join(corpus_path, "ingest_batch=*")
+    )

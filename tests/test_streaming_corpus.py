@@ -1,0 +1,141 @@
+"""Streaming corpus ingest: micro-batches dedup against the standing
+fingerprint index; only fresh content lands; retries are idempotent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from coin_for_rich_spark.llmdata import build_dedup_index, incremental_dedup
+from coin_for_rich_spark.streaming import (
+    ingest_batch_into_corpus,
+    read_ingested_corpus,
+    streaming_corpus_ingest,
+)
+from coin_for_rich_spark.streaming.source import read_file_stream
+
+
+def _doc_text(seed: int, n_tokens: int = 60) -> str:
+    return " ".join(f"w{seed}x{(i * 7) % 97}" for i in range(n_tokens))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _stage_doc_chunks(spark, path: str, chunks: list[list[tuple[int, str]]]):
+    """One parquet file per micro-batch, mtime-ordered so the file source
+    replays them in sequence (same trick as source.stage_stream_chunks)."""
+    os.makedirs(path, exist_ok=True)
+    schema = None
+    for i, rows in enumerate(chunks):
+        df = _docs(spark, rows).coalesce(1)
+        sub = os.path.join(path, f"chunk_{i}")
+        df.write.mode("overwrite").parquet(sub)
+        part = next(
+            f for f in os.listdir(sub) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        final = os.path.join(path, f"{i:03d}.parquet")
+        os.replace(os.path.join(sub, part), final)
+        base = os.stat(path).st_mtime
+        os.utime(final, (base + 10.0 * (i + 1),) * 2)
+        schema = df.schema
+    return schema
+
+
+def test_streaming_ingest_end_to_end(spark, tmp_path):
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    historical = _docs(spark, [(i, _doc_text(i)) for i in range(10)])
+    build_dedup_index(historical, index_path)
+
+    chunks = [
+        # batch 0: one exact dup of history, one fresh
+        [(100, _doc_text(3)), (101, _doc_text(1001))],
+        # batch 1: near-dup of history, dup of batch 0's fresh doc,
+        # in-batch exact pair, and one fresh
+        [
+            (200, _doc_text(5) + " tail tail"),
+            (201, _doc_text(1001)),
+            (202, _doc_text(2002)),
+            (203, _doc_text(2002)),
+            (204, _doc_text(3003)),
+        ],
+    ]
+    stream_dir = str(tmp_path / "stream")
+    schema = _stage_doc_chunks(spark, stream_dir, chunks)
+    q = streaming_corpus_ingest(
+        read_file_stream(spark, stream_dir, schema),
+        index_path,
+        corpus_path,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id: r.ingest_batch
+        for r in read_ingested_corpus(spark, corpus_path).collect()
+    }
+    # fresh only: 101 (batch 0), 202 (in-batch keeper) + 204 (batch 1);
+    # 100 exact-dup of history, 200 near-dup, 201 dup of ingested 101,
+    # 203 in-batch dup of 202
+    assert got == {101: 0, 202: 1, 204: 1}
+    # and the index now knows everything ingested: replaying batch 1's
+    # fresh docs classifies them as exact dups
+    replay = incremental_dedup(
+        _docs(spark, [(300, _doc_text(2002)), (301, _doc_text(3003))]), index_path
+    )
+    assert {r.status for r in replay.collect()} == {"exact_dup"}
+
+
+def test_batch_retry_is_idempotent(spark, tmp_path):
+    """Re-running a batch (the foreachBatch retry case) must leave the
+    corpus unchanged and the index semantically unchanged (duplicate
+    fingerprint rows are probe-invisible)."""
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    build_dedup_index(_docs(spark, [(0, _doc_text(0))]), index_path)
+
+    batch = _docs(spark, [(10, _doc_text(42)), (11, _doc_text(0))])
+    ingest_batch_into_corpus(batch, 7, index_path, corpus_path)
+    first = sorted(read_ingested_corpus(spark, corpus_path).collect())
+    probe = _docs(spark, [(90, _doc_text(42)), (91, _doc_text(777))])
+    cls_first = sorted(incremental_dedup(probe, index_path).collect())
+
+    ingest_batch_into_corpus(batch, 7, index_path, corpus_path)  # retry
+    assert sorted(read_ingested_corpus(spark, corpus_path).collect()) == first
+    assert sorted(incremental_dedup(probe, index_path).collect()) == cls_first
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    build_dedup_index(_docs(spark, [(0, _doc_text(0))]), index_path)
+    empty = _docs(spark, []).filter(F.lit(False))
+    ingest_batch_into_corpus(empty, 0, index_path, corpus_path)
+    assert not os.path.exists(os.path.join(corpus_path, "ingest_batch=0"))
+
+
+def test_corpus_partition_pruning(spark, tmp_path):
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    build_dedup_index(_docs(spark, [(0, _doc_text(0))]), index_path)
+    for b in range(3):
+        ingest_batch_into_corpus(
+            _docs(spark, [(10 + b, _doc_text(100 + b))]),
+            b,
+            index_path,
+            corpus_path,
+        )
+    corpus = read_ingested_corpus(spark, corpus_path)
+    assert corpus.count() == 3
+    one = corpus.filter(F.col("ingest_batch") == 1)
+    assert [r.doc_id for r in one.collect()] == [11]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "ingest_batch=1" in plan or "PartitionFilters: [isnotnull(ingest_batch" in plan
