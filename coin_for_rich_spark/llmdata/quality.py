@@ -1,0 +1,205 @@
+"""Perplexity-style quality scoring: a character n-gram language model
+trained on a reference (clean) corpus scores every document's cross-
+entropy — the CCNet/Gopher-family quality signal that ranks boilerplate,
+gibberish, and wrong-language text far from in-domain prose.
+
+Spark-first shape (no external LM tooling):
+
+- **Training is one corpus pass**: explode reference docs into character
+  n-grams → one count aggregation. Context counts and the alphabet size
+  derive from the n-gram relation itself (a grouped sum over the model
+  rows — model-sized, not corpus-sized), so the reference corpus is read
+  exactly once.
+- **The model is a relation, not a file**: (ngram, logp) with add-alpha
+  smoothing ``log((c_ngram + a) / (c_ctx + a·V))``, plus a per-context
+  unseen penalty ``log(a / (c_ctx + a·V))`` and the global floor
+  ``log(1/V)`` for unseen contexts. Model cardinality is bounded by the
+  distinct n-grams of the reference (≤ V^order), independent of corpus
+  row count — small enough to BROADCAST, which is exactly what scoring
+  relies on.
+- **Scoring aggregates before it joins**: docs explode to n-grams, but the
+  per-(doc, ngram) count aggregation map-side-combines the bulk away
+  before any shuffle; the model and context relations then join broadcast
+  and one final per-doc aggregation emits cross-entropy. Nothing in the
+  plan is proportional to corpus × model.
+
+Char n-grams use the same shifted-``zip_with`` build as
+:func:`~.textstats.token_ngrams` (linear per row — the quadratic
+capture-the-expression pitfall documented there applies to characters
+exactly as to tokens).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.partitioning import ensure_parallelism
+from .textstats import token_ngrams
+
+# characters are modeled after the same normalization scoring applies, so
+# train/score keys always agree
+def _norm_chars(text_col: str) -> Column:
+    chars = F.split(F.lower(F.trim(F.col(text_col))), "")
+    return F.filter(chars, lambda c: c != "")
+
+
+def _char_ngrams(text_col: str, order: int) -> Column:
+    return token_ngrams(_norm_chars(text_col), order)
+
+
+def _ctx_of(ngram: Column, order: int) -> Column:
+    """The n-gram's context key: its first order-1 space-joined chars."""
+    return F.substring_index(ngram, " ", order - 1)
+
+
+@dataclass
+class CharLM:
+    """A trained character n-gram model: three small relations + scalars.
+
+    ``ngrams``:   (ngram, logp)      — smoothed log-probabilities
+    ``contexts``: (ctx, logp_unseen) — per-context unseen-char penalty
+    ``vocab_size``, ``order``, ``alpha`` — the smoothing geometry
+    """
+
+    ngrams: DataFrame
+    contexts: DataFrame
+    vocab_size: int
+    order: int
+    alpha: float
+
+
+def train_char_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    order: int = 3,
+    alpha: float = 0.5,
+) -> CharLM:
+    """Train the model on a reference corpus (one pass, one aggregation).
+
+    ``alpha`` is the add-alpha smoothing mass; ``order`` the n-gram size
+    (3 = the classic character trigram model).
+    """
+    if order < 2:
+        raise ValueError("char LM order must be >= 2")
+    narrow = ensure_parallelism(ref_docs.select(F.col(text_col)))
+    counts = (
+        narrow.select(F.explode(_char_ngrams(text_col, order)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    # alphabet = distinct final characters across the model rows (model-
+    # sized job); contexts likewise derive from the counts, not the corpus
+    vocab_size = (
+        counts.select(F.substring_index("ngram", " ", -1).alias("ch"))
+        .distinct()
+        .count()
+    )
+    v = max(vocab_size, 1)
+    ctx = counts.groupBy(_ctx_of(F.col("ngram"), order).alias("ctx")).agg(
+        F.sum("c").alias("c_ctx")
+    )
+    denom_off = F.lit(float(alpha * v))
+    ngrams = (
+        counts.join(ctx, _ctx_of(F.col("ngram"), order) == F.col("ctx"))
+        .select(
+            "ngram",
+            F.log((F.col("c") + F.lit(alpha)) / (F.col("c_ctx") + denom_off)).alias(
+                "logp"
+            ),
+        )
+    )
+    contexts = ctx.select(
+        "ctx",
+        F.log(F.lit(alpha) / (F.col("c_ctx") + denom_off)).alias("logp_unseen"),
+    )
+    lm = CharLM(
+        ngrams=ngrams.persist(),
+        contexts=contexts.persist(),
+        vocab_size=v,
+        order=order,
+        alpha=alpha,
+    )
+    lm.ngrams.count()  # materialize before releasing the raw counts
+    lm.contexts.count()
+    counts.unpersist()
+    return lm
+
+
+def release_char_lm(lm: CharLM) -> None:
+    """Unpersist the model relations (pair with train_char_lm)."""
+    for df in (lm.ngrams, lm.contexts):
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — best-effort cache drop
+            pass
+
+
+def score_char_lm(
+    docs: DataFrame,
+    lm: CharLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-entropy of every document under the model.
+
+    Returns (id_col, n_ngrams, cross_entropy, perplexity): cross_entropy =
+    −mean log p per character n-gram (nats), perplexity = exp of it. Docs
+    too short to contain one n-gram score NULL (no evidence either way —
+    callers decide their fate explicitly; length filters are a different
+    operator).
+    """
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    per_doc = (
+        narrow.select(
+            F.col(id_col), F.explode(_char_ngrams(text_col, lm.order)).alias("ngram")
+        )
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    floor = F.lit(-math.log(lm.vocab_size)) if lm.vocab_size > 1 else F.lit(0.0)
+    scored = (
+        per_doc.join(F.broadcast(lm.ngrams), "ngram", "left")
+        .withColumn("ctx", _ctx_of(F.col("ngram"), lm.order))
+        .join(F.broadcast(lm.contexts), "ctx", "left")
+        .withColumn(
+            "lp",
+            F.coalesce(F.col("logp"), F.col("logp_unseen"), floor),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_ngrams"),
+            (-F.sum(F.col("lp") * F.col("n")) / F.sum("n")).alias("cross_entropy"),
+        )
+        .withColumn("perplexity", F.exp("cross_entropy"))
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+        "cross_entropy",
+        "perplexity",
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    lm: CharLM,
+    max_perplexity: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_unscored: bool = False,
+) -> DataFrame:
+    """Keep documents whose perplexity under the reference model is at most
+    ``max_perplexity`` — the curation filter composed from the scorer.
+    ``keep_unscored`` decides the fate of too-short (NULL-scored) docs."""
+    scores = score_char_lm(docs, lm, text_col, id_col)
+    cond = F.col("perplexity") <= max_perplexity
+    if keep_unscored:
+        cond = cond | F.col("perplexity").isNull()
+    keep = scores.filter(cond).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

@@ -1,0 +1,127 @@
+"""Char n-gram LM quality scoring: hand-computed smoothing, in-domain vs
+gibberish separation, broadcast plan shape, filter composition."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from coin_for_rich_spark.llmdata import (
+    quality_filter,
+    release_char_lm,
+    score_char_lm,
+    train_char_lm,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_smoothed_probabilities_hand_computed(spark):
+    """Train on 'abab': trigrams {'a b a':1, 'b a b':1}, alphabet {a, b}
+    (final chars), contexts {'a b':1, 'b a':1}. With alpha=0.5, V=2:
+    p(seen) = (1+0.5)/(1+1) = 0.75; unseen char in seen ctx: 0.25;
+    unseen ctx floor: 1/V = 0.5."""
+    lm = train_char_lm(_docs(spark, [(0, "abab")]), order=3, alpha=0.5)
+    try:
+        assert lm.vocab_size == 2
+        model = {r.ngram: r.logp for r in lm.ngrams.collect()}
+        assert set(model) == {"a b a", "b a b"}
+        for lp in model.values():
+            assert lp == pytest.approx(math.log(0.75))
+        ctxs = {r.ctx: r.logp_unseen for r in lm.contexts.collect()}
+        assert ctxs["a b"] == pytest.approx(math.log(0.25))
+
+        # scoring 'aba' = one seen trigram → H = -log 0.75
+        out = {r.doc_id: r for r in score_char_lm(
+            _docs(spark, [(1, "aba"), (2, "abb"), (3, "zzz"), (4, "a")]), lm
+        ).collect()}
+        assert out[1].cross_entropy == pytest.approx(-math.log(0.75))
+        # 'abb': trigram 'a b b' unseen, ctx 'a b' seen → -log 0.25
+        assert out[2].cross_entropy == pytest.approx(-math.log(0.25))
+        # 'zzz': unseen ctx → global floor log V
+        assert out[3].cross_entropy == pytest.approx(math.log(2))
+        # too short: NULL score, zero ngrams
+        assert out[4].cross_entropy is None and out[4].n_ngrams == 0
+    finally:
+        release_char_lm(lm)
+
+
+def test_in_domain_scores_below_gibberish(spark):
+    def prose(seed):
+        words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+                 "dogs", "and", "runs", "far", "away", "home", "again"]
+        return " ".join(words[(seed * 7 + i) % len(words)] for i in range(40))
+
+    def gibberish(seed):
+        return " ".join(
+            "".join(chr(ord("a") + (seed * 13 + i * 11 + j * 5) % 26) for j in range(6))
+            for i in range(40)
+        )
+
+    ref = _docs(spark, [(i, prose(i)) for i in range(30)])
+    lm = train_char_lm(ref, order=3)
+    try:
+        scored = {
+            r.doc_id: r.perplexity
+            for r in score_char_lm(
+                _docs(
+                    spark,
+                    [(100 + i, prose(50 + i)) for i in range(5)]
+                    + [(200 + i, gibberish(i)) for i in range(5)],
+                ),
+                lm,
+            ).collect()
+        }
+        prose_max = max(v for k, v in scored.items() if k < 200)
+        gib_min = min(v for k, v in scored.items() if k >= 200)
+        assert prose_max < gib_min  # clean separation, not just on average
+    finally:
+        release_char_lm(lm)
+
+
+def test_model_joins_are_broadcast_and_deterministic(spark):
+    ref = _docs(spark, [(i, f"sample text number {i} with words") for i in range(10)])
+    lm = train_char_lm(ref)
+    try:
+        batch = _docs(spark, [(i, f"text {i} words sample") for i in range(20)])
+        out = score_char_lm(batch, lm)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2  # ngram + context legs
+        assert sorted(out.collect()) == sorted(out.collect())
+    finally:
+        release_char_lm(lm)
+
+
+def test_quality_filter_composes(spark):
+    ref = _docs(spark, [(i, "all good clean text here really " * 3) for i in range(5)])
+    lm = train_char_lm(ref)
+    try:
+        docs = _docs(
+            spark,
+            [
+                (1, "all good clean text here really"),
+                (2, "qxzwv jkqpf zzyyx wvvqq"),
+                (3, "a"),  # too short to score
+            ],
+        )
+        scored = {r.doc_id: r.perplexity for r in score_char_lm(docs, lm).collect()}
+        cut = (scored[1] + scored[2]) / 2
+        kept = sorted(r.doc_id for r in quality_filter(docs, lm, cut).collect())
+        assert kept == [1]
+        kept2 = sorted(
+            r.doc_id
+            for r in quality_filter(docs, lm, cut, keep_unscored=True).collect()
+        )
+        assert kept2 == [1, 3]
+    finally:
+        release_char_lm(lm)
+
+
+def test_order_validation(spark):
+    with pytest.raises(ValueError, match="order"):
+        train_char_lm(_docs(spark, [(0, "abc")]), order=1)
