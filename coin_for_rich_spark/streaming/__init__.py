@@ -9,7 +9,9 @@ Reference parity map (SURVEY §2.9):
 """
 
 from .corpus import (
+    compact_ingested_corpus,
     ingest_batch_into_corpus,
+    list_ingest_batches,
     read_ingested_corpus,
     streaming_corpus_ingest,
 )
@@ -40,4 +42,6 @@ __all__ = [
     "streaming_corpus_ingest",
     "ingest_batch_into_corpus",
     "read_ingested_corpus",
+    "compact_ingested_corpus",
+    "list_ingest_batches",
 ]

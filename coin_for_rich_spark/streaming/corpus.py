@@ -129,3 +129,71 @@ def read_ingested_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     return spark.read.option("basePath", corpus_path).parquet(
         os.path.join(corpus_path, "ingest_batch=*")
     )
+
+
+def list_ingest_batches(corpus_path: str) -> list[int]:
+    """Batch ids present on disk, ascending."""
+    if not os.path.isdir(corpus_path):
+        return []
+    out = []
+    for name in os.listdir(corpus_path):
+        if name.startswith("ingest_batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def compact_ingested_corpus(
+    spark: SparkSession,
+    corpus_path: str,
+    up_to_batch: int | None = None,
+    target_partitions: int = 1,
+) -> None:
+    """Fold the per-batch corpus directories at or below ``up_to_batch``
+    into ONE directory (``ingest_batch=<up_to_batch>``) of
+    ``target_partitions`` files — the small-file maintenance pass a
+    per-micro-batch layout needs at scale (a year of 10 s batches is ~3M
+    directories; read-amp and listing cost grow with every one).
+
+    Rows are preserved exactly; per-row batch provenance below the
+    compaction watermark coarsens to the watermark id (the same trade a
+    table format's OPTIMIZE makes). Batches ABOVE the watermark are moved,
+    not rewritten. Swap protocol as in ``ParquetMergeSink.compact``: the
+    compacted layout is fully staged in a sibling directory (newer batch
+    dirs are renamed in — no data copy), then swapped in with two renames,
+    so the corpus is never an empty/partial directory. Concurrency
+    contract: run with the ingest stream stopped — a batch landing between
+    the renames would write into the outgoing directory.
+    """
+    import shutil
+    import uuid
+
+    batches = list_ingest_batches(corpus_path)
+    if up_to_batch is None:
+        up_to_batch = max(batches, default=-1)
+    fold = [b for b in batches if b <= up_to_batch]
+    if len(fold) <= 1:
+        return  # nothing to fold
+    folded = (
+        read_ingested_corpus(spark, corpus_path)
+        .filter(F.col("ingest_batch") <= up_to_batch)
+        .drop("ingest_batch")
+        .repartition(target_partitions)
+    )
+    token = uuid.uuid4().hex
+    staged = f"{corpus_path}__compact_{token}"
+    folded.write.mode("overwrite").parquet(
+        os.path.join(staged, f"ingest_batch={up_to_batch}")
+    )
+    for b in batches:
+        if b > up_to_batch:
+            os.rename(
+                os.path.join(corpus_path, f"ingest_batch={b}"),
+                os.path.join(staged, f"ingest_batch={b}"),
+            )
+    old = f"{corpus_path}__old_{token}"
+    os.rename(corpus_path, old)
+    os.rename(staged, corpus_path)
+    shutil.rmtree(old)

@@ -139,3 +139,45 @@ def test_corpus_partition_pruning(spark, tmp_path):
     assert [r.doc_id for r in one.collect()] == [11]
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "ingest_batch=1" in plan or "PartitionFilters: [isnotnull(ingest_batch" in plan
+
+
+def test_compaction_preserves_rows_and_cuts_directories(spark, tmp_path):
+    from coin_for_rich_spark.streaming import (
+        compact_ingested_corpus,
+        list_ingest_batches,
+    )
+
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    build_dedup_index(_docs(spark, [(0, _doc_text(0))]), index_path)
+    for b in range(5):
+        ingest_batch_into_corpus(
+            _docs(spark, [(10 + b, _doc_text(100 + b))]),
+            b,
+            index_path,
+            corpus_path,
+        )
+    before = sorted(
+        (r.doc_id, r.text) for r in read_ingested_corpus(spark, corpus_path).collect()
+    )
+    compact_ingested_corpus(spark, corpus_path, up_to_batch=3)
+    # batches 0-3 folded into ingest_batch=3; batch 4 untouched
+    assert list_ingest_batches(corpus_path) == [3, 4]
+    after_df = read_ingested_corpus(spark, corpus_path)
+    after = sorted((r.doc_id, r.text) for r in after_df.collect())
+    assert after == before
+    assert {r.ingest_batch for r in after_df.collect()} == {3, 4}
+    # the folded directory is a single file
+    folded_dir = os.path.join(corpus_path, "ingest_batch=3")
+    parts = [f for f in os.listdir(folded_dir) if f.endswith(".parquet")]
+    assert len(parts) == 1
+    # idempotent on re-run (single folded dir at the watermark → no-op)
+    compact_ingested_corpus(spark, corpus_path, up_to_batch=3)
+    assert sorted(
+        (r.doc_id, r.text) for r in read_ingested_corpus(spark, corpus_path).collect()
+    ) == before
+    # ingest continues after compaction and the stream of batches composes
+    ingest_batch_into_corpus(
+        _docs(spark, [(50, _doc_text(500))]), 5, index_path, corpus_path
+    )
+    assert list_ingest_batches(corpus_path) == [3, 4, 5]
