@@ -243,6 +243,154 @@ def embedding_neardup_pairs(
     )
 
 
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    block_budget_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Exact cosine k-nearest-neighbor JOIN: every vector's top-``k``
+    neighbors (self excluded) — the all-rows generalization of
+    ``cosine_knn``'s single-query top-k, and the candidate generator for
+    canonical-copy selection, cluster seeding, and retrieval evaluation.
+
+    Returns (``id_col``, rank 1..k, ``nbr``, cosine), rank ordered by
+    cosine desc with the neighbor id as the deterministic tie-break.
+
+    Scale shape — the same blocked-GEMM grid as ``embedding_neardup_pairs``
+    (``_gemm_grid``): each unordered block pair is one ``applyInPandas``
+    group whose kernel emits PER-ROW partial top-k for both directions
+    (A-rows over B-columns exactly; B-rows from per-strip column top-k,
+    merged at group end), so the shuffle out of the kernel is ≤ n·B·k rows
+    — linear in n for fixed grid/k, never the n² score matrix. The global
+    top-k per id is then ONE hash aggregation (sort_array ∘ collect_list
+    over ≤ B·k rows per id — bounded, skew-immune); no corpus-wide window.
+    The n² flops run inside BLAS, A-side strip-tiled to the same
+    ``block_budget_bytes`` bound as the near-dup kernel.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    exploded = _gemm_grid(embeddings, id_col, vec_col, n_blocks, block_budget_bytes)
+
+    def _norm_rows(pdf):
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm = np.where(nrm == 0, 1.0, nrm)
+        return pdf["id"].to_numpy(), M / nrm
+
+    def _row_topk(ids_a, ids_b, G):
+        """Per-row top-k of a score strip → (id, nbr, cos) arrays, with the
+        operator's tie contract applied EXACTLY: cosine desc, neighbor id
+        asc. argpartition alone is not enough — among columns tied at the
+        k-th value it keeps an arbitrary one, which could drop the
+        smaller-id neighbor the contract prefers — so gather every column
+        tied with the k-th value, then rank with a deterministic lexsort.
+        (Degenerate all-equal rows gather the whole row — bounded by the
+        strip footprint, which the budget already caps.)"""
+        kk = min(k, G.shape[1])
+        if kk == 0 or G.shape[0] == 0:
+            e = np.array([], dtype="int64")
+            return e, e, np.array([], dtype="float64")
+        kth = -np.partition(-G, kk - 1, axis=1)[:, kk - 1]
+        rows, cols = np.nonzero(G >= kth[:, None])
+        vals = G[rows, cols]
+        order = np.lexsort((ids_b[cols], -vals, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        starts = np.r_[0, np.nonzero(np.diff(rows))[0] + 1]
+        lens = np.diff(np.r_[starts, len(rows)])
+        rank = np.arange(len(rows)) - np.repeat(starts, lens)
+        keep = rank < kk
+        return ids_a[rows[keep]], ids_b[cols[keep]], vals[keep]
+
+    def kernel(key, pdf):
+        diagonal = key[0] == key[1]
+        a = pdf[pdf["side"] == "a"]
+        if len(a) == 0:
+            return pd.DataFrame(
+                {"id": [], "nbr": [], "cos": []}
+            ).astype({"id": "int64", "nbr": "int64", "cos": "float64"})
+        a_ids, An = _norm_rows(a)
+        if diagonal:
+            b_ids, Bn = a_ids, An
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"id": [], "nbr": [], "cos": []}
+                ).astype({"id": "int64", "nbr": "int64", "cos": "float64"})
+            b_ids, Bn = _norm_rows(b)
+        chunk = max(1, int(block_budget_bytes // (max(1, Bn.shape[0]) * 8 * 2)))
+        out_id, out_nbr, out_cos = [], [], []
+        # b-direction partials: per-strip top-k per COLUMN, merged below
+        bp_id, bp_nbr, bp_cos = [], [], []
+        for s in range(0, An.shape[0], chunk):
+            G = An[s : s + chunk] @ Bn.T
+            if diagonal:
+                # mask self-pairs: block rows s.. align with columns s..
+                m = min(G.shape[0], G.shape[1] - s)
+                if m > 0:
+                    G[np.arange(m), s + np.arange(m)] = -2.0
+            i, j, c = _row_topk(a_ids[s : s + chunk], b_ids, G)
+            out_id.append(i)
+            out_nbr.append(j)
+            out_cos.append(c)
+            if not diagonal:
+                j2, i2, c2 = _row_topk(b_ids, a_ids[s : s + chunk], G.T)
+                bp_id.append(j2)
+                bp_nbr.append(i2)
+                bp_cos.append(c2)
+        if diagonal:
+            # the diagonal kernel already covered every row↔row direction
+            ids = np.concatenate(out_id)
+            nbrs = np.concatenate(out_nbr)
+            cosv = np.concatenate(out_cos)
+        else:
+            # merge the b-direction per-strip partials to true per-row top-k
+            pid = np.concatenate(bp_id)
+            pnbr = np.concatenate(bp_nbr)
+            pcos = np.concatenate(bp_cos)
+            order = np.lexsort((pnbr, -pcos, pid))  # id, cos desc, nbr asc
+            pid, pnbr, pcos = pid[order], pnbr[order], pcos[order]
+            # rank within each id run; keep the first k
+            starts = np.r_[0, np.nonzero(np.diff(pid))[0] + 1]
+            rank = np.arange(len(pid)) - np.repeat(starts, np.diff(np.r_[starts, len(pid)]))
+            keep = rank < k
+            ids = np.concatenate(out_id + [pid[keep]])
+            nbrs = np.concatenate(out_nbr + [pnbr[keep]])
+            cosv = np.concatenate(out_cos + [pcos[keep]])
+        return pd.DataFrame({"id": ids, "nbr": nbrs, "cos": cosv})
+
+    partials = exploded.groupBy("bi", "bj").applyInPandas(
+        kernel, schema="id long, nbr long, cos double"
+    )
+    # drop the self-pair sentinel (-2, below any real cosine): when k is
+    # at least the block width the per-row top-k necessarily includes it
+    partials = partials.filter(F.col("cos") >= -1.0)
+    # global top-k per id: bounded-input aggregation (≤ B·k rows per id)
+    ordered = F.struct(
+        (-F.col("cos")).alias("negcos"),
+        F.col("nbr").alias("nbr"),
+        F.col("cos").alias("cos"),
+    )
+    return (
+        partials.groupBy("id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(ordered)), 1, k
+            ).alias("top")
+        )
+        .select(F.col("id").alias(id_col), F.posexplode("top").alias("pos", "t"))
+        .select(
+            id_col,
+            (F.col("pos") + 1).alias("rank"),
+            F.col("t.nbr").alias("nbr"),
+            F.round(F.col("t.cos"), 6).alias("cosine"),
+        )
+    )
+
+
 def _gemm_grid_size(
     n: int, d: int, parallelism: int, block_budget_bytes: int
 ) -> int:
@@ -259,6 +407,58 @@ def _gemm_grid_size(
     while b_par * (b_par + 1) // 2 < parallelism and b_par < 64:
         b_par += 1
     return max(b_mem, min(b_par, max(1, n // 2048)))
+
+
+def _gemm_grid(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int | None,
+    block_budget_bytes: int,
+) -> DataFrame:
+    """The shared blocked-GEMM grid relation: every vector replicated to
+    each block pair it participates in, tagged (bi, bj, side). Auto-sizes
+    the grid from (count, dims, parallelism) when ``n_blocks`` is None —
+    see :func:`_gemm_candidates` for the full sizing rationale."""
+    if n_blocks is None:
+        # (count, dims) only: the count prunes every column (an upstream
+        # computed vector — e.g. the int8 quantize transform — must NOT be
+        # evaluated corpus-wide just to size the grid), and dims comes from
+        # a single row
+        n = embeddings.count()
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        n_blocks = _gemm_grid_size(
+            n,
+            (first["d"] if first is not None else 0) or 0,
+            embeddings.sparkSession.sparkContext.defaultParallelism,
+            block_budget_bytes,
+        )
+    grid = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_blk"), F.lit(q)).alias("bi"),
+                F.greatest(F.col("_blk"), F.lit(q)).alias("bj"),
+            )
+            for q in range(n_blocks)
+        ]
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+        )
+        .select("id", "v", "_blk", F.explode(grid).alias("_cell"))
+        .select(
+            "id",
+            "v",
+            F.col("_cell.bi").alias("bi"),
+            F.col("_cell.bj").alias("bj"),
+            F.when(F.col("_blk") == F.col("_cell.bi"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+        )
+    )
 
 
 def _gemm_candidates(
@@ -303,45 +503,7 @@ def _gemm_candidates(
     only partition the computation, never the semantics.
     """
     eps = 1e-9
-    if n_blocks is None:
-        # (count, dims) only: the count prunes every column (an upstream
-        # computed vector — e.g. the int8 quantize transform — must NOT be
-        # evaluated corpus-wide just to size the grid), and dims comes from
-        # a single row
-        n = embeddings.count()
-        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-        n_blocks = _gemm_grid_size(
-            n,
-            (first["d"] if first is not None else 0) or 0,
-            embeddings.sparkSession.sparkContext.defaultParallelism,
-            block_budget_bytes,
-        )
-    grid = F.array(
-        *[
-            F.struct(
-                F.least(F.col("_blk"), F.lit(q)).alias("bi"),
-                F.greatest(F.col("_blk"), F.lit(q)).alias("bj"),
-            )
-            for q in range(n_blocks)
-        ]
-    )
-    exploded = (
-        embeddings.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
-        )
-        .select("id", "v", "_blk", F.explode(grid).alias("_cell"))
-        .select(
-            "id",
-            "v",
-            F.col("_cell.bi").alias("bi"),
-            F.col("_cell.bj").alias("bj"),
-            F.when(F.col("_blk") == F.col("_cell.bi"), F.lit("a"))
-            .otherwise(F.lit("b"))
-            .alias("side"),
-        )
-    )
+    exploded = _gemm_grid(embeddings, id_col, vec_col, n_blocks, block_budget_bytes)
 
     def _norm_rows(pdf):
         M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])

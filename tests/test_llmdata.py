@@ -809,3 +809,68 @@ def test_jaccard_count_plan_survives_interpreted_eval(docs):
             .collect()
         )
     assert got == expected
+
+
+def test_knn_join_matches_brute_force(spark):
+    """knn_join over the blocked grid must equal a per-row brute-force
+    top-k with the (cosine desc, nbr asc) tie contract — values, order,
+    and the self-exclusion."""
+    import numpy as np
+
+    from coin_for_rich_spark.llmdata import knn_join
+
+    rng = np.random.RandomState(13)
+    n, d, k = 60, 8, 5
+    M = rng.randn(n, d)
+    M[7] = 0.0  # zero vector: cosine 0 against everything
+    M[11] = M[3] * 2.0  # exact-duplicate direction: cosine 1 tie
+    rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_id, r.rank): (r.nbr, r.cosine)
+        for r in knn_join(df, k=k, n_blocks=4).collect()
+    }
+
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm = np.where(nrm == 0, 1.0, nrm)
+    Mn = M / nrm
+    C = Mn @ Mn.T
+    for i in range(n):
+        order = sorted(
+            (j for j in range(n) if j != i), key=lambda j: (-C[i, j], j)
+        )[:k]
+        for rank, j in enumerate(order, start=1):
+            nbr, cosv = got[(i, rank)]
+            assert nbr == j, (i, rank, nbr, j)
+            assert cosv == round(float(C[i, j]), 6), (i, rank)
+    assert len(got) == n * k
+
+
+def test_knn_join_small_corpus_and_validation(spark):
+    import pytest as _pytest
+
+    from coin_for_rich_spark.llmdata import knn_join
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k larger than n-1: every other vector returned, ranked
+    out = knn_join(df, k=10, n_blocks=2).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r.vec_id, []).append(r.nbr)
+    assert all(sorted(v) == sorted({0, 1, 2} - {i}) for i, v in per_id.items())
+    with _pytest.raises(ValueError, match="k must be"):
+        knn_join(df, k=0)
+
+
+def test_knn_join_deterministic_across_runs(spark):
+    import numpy as np
+
+    from coin_for_rich_spark.llmdata import knn_join
+
+    rng = np.random.RandomState(29)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(7)
+    a = sorted(knn_join(df, k=3, n_blocks=3).collect())
+    b = sorted(knn_join(df, k=3, n_blocks=5).collect())  # grid size is physical only
+    assert a == b
