@@ -215,9 +215,18 @@ def incremental_dedup(
     """
     spark: SparkSession = new_docs.sparkSession
     meta = load_index_meta(path)
-    idx_exact = spark.read.parquet(os.path.join(path, "exact"))
-    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
-    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    # explicit schemas: a cold-start index built on an empty corpus has no
+    # schema-bearing part files, and inference would fail where an empty
+    # relation is the correct answer
+    idx_exact = spark.read.schema("content_hash string, doc long").parquet(
+        os.path.join(path, "exact")
+    )
+    idx_bands = spark.read.schema("doc long, bhash long, band int").parquet(
+        os.path.join(path, "bands")
+    )
+    idx_sigs = spark.read.schema("doc long, signature array<bigint>").parquet(
+        os.path.join(path, "sigs")
+    )
     if probe_bands is not None:
         if not 1 <= probe_bands <= meta["bands"]:
             raise ValueError(f"probe_bands must be in [1, {meta['bands']}]")

@@ -147,3 +147,19 @@ def test_within_batch_dups_are_out_of_scope(spark, corpus, tmp_path):
     batch = _docs(spark, [(600, _sentence(4242)), (601, _sentence(4242))])
     out = {r.doc_id: r.status for r in incremental_dedup(batch, path).collect()}
     assert out == {600: "fresh", 601: "fresh"}
+
+
+def test_cold_start_empty_index(spark, tmp_path):
+    """An index built on an empty corpus (the streaming cold start) probes
+    as all-fresh, and appends bring it to life."""
+    from coin_for_rich_spark.llmdata import append_to_index
+
+    path = str(tmp_path / "idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_dedup_index(empty, path)
+    batch = _docs(spark, [(1, _sentence(1))])
+    (row,) = incremental_dedup(batch, path).collect()
+    assert (row.status, row.match_doc) == ("fresh", None)
+    append_to_index(batch, path)
+    (row2,) = incremental_dedup(_docs(spark, [(2, _sentence(1))]), path).collect()
+    assert (row2.status, row2.match_doc) == ("exact_dup", 1)
