@@ -1,0 +1,102 @@
+"""BPE trainer + tokenizer: textbook-example merges, driver ≡ distributed
+training parity, encode parity with the reference fold, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from coin_for_rich_spark.llmdata import encode_bpe, encode_word, train_bpe
+from coin_for_rich_spark.llmdata.bpe import (
+    END_WORD,
+    _apply_merge,
+    _train_bpe_py,
+    _word_symbols,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_textbook_example_merges(spark):
+    """The classic Sennrich corpus: low×5, lower×2, newest×6, widest×3 —
+    with end-of-word symbols the first merges must assemble 'est</w>'."""
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = _docs(spark, [(0, text)])
+    model = train_bpe(docs, n_merges=4, strategy="driver")
+    # pair counts: (e,s)=9, (s,t)=9, (t,</w>)=9, … tie-break lexicographic:
+    # ('e','s') first, then ('es','t'), then ('est','</w>'), then l-o (7)
+    assert model.merges[0] == ("e", "s")
+    assert model.merges[1] == ("es", "t")
+    assert model.merges[2] == ("est", END_WORD)
+    assert model.merges[3] == ("l", "o")
+    toks = {r.doc_id: r.tokens for r in encode_bpe(docs, model).collect()}
+    # the doc starts with 'low' → lo w </w> under these 4 merges
+    assert toks[0][:3] == ["lo", "w", END_WORD]
+    assert encode_word("newest", model) == ["n", "e", "w", "est" + END_WORD]
+    assert encode_word("low", model) == ["lo", "w", END_WORD]
+
+
+def test_driver_and_distributed_training_identical(spark):
+    text1 = "the cat sat on the mat the cat ran and the dog sat"
+    text2 = "a banana and a bandana in the cabana"
+    docs = _docs(spark, [(0, text1), (1, text2), (2, text1 + " " + text2)])
+    m_driver = train_bpe(docs, n_merges=12, strategy="driver", min_pair_count=2)
+    m_dist = train_bpe(docs, n_merges=12, strategy="distributed", min_pair_count=2)
+    assert m_driver.merges == m_dist.merges
+    assert len(m_driver.merges) > 0
+
+
+def test_encode_matches_reference_and_rank_equivalence(spark):
+    docs = _docs(
+        spark,
+        [(i, f"repeat repeat repeated repeating token{i % 3} words") for i in range(12)],
+    )
+    model = train_bpe(docs, n_merges=15, strategy="driver")
+    out = {r.doc_id: (r.tokens, r.n_tokens) for r in encode_bpe(docs, model).collect()}
+    for i in range(12):
+        words = f"repeat repeat repeated repeating token{i % 3} words".split()
+        # reference: replay merges in order per word
+        expect = []
+        for w in words:
+            syms = _word_symbols(w)
+            for a, b in model.merges:
+                syms = _apply_merge(syms, a, b)
+            expect.extend(syms)
+            # rank-based single-word encoder must agree (the standard
+            # equivalence between replay and min-rank application)
+            assert encode_word(w, model) == syms
+        toks, n = out[i]
+        assert toks == expect and n == len(expect)
+
+
+def test_round_trip_text_reconstruction(spark):
+    docs = _docs(spark, [(0, "hello world hello spark")])
+    model = train_bpe(docs, n_merges=10, strategy="driver", min_pair_count=1)
+    (row,) = encode_bpe(docs, model).collect()
+    text = "".join(row.tokens).replace(END_WORD, " ").strip()
+    assert text == "hello world hello spark"
+
+
+def test_empty_and_untrained_edges(spark):
+    docs = _docs(spark, [(0, "abc abc"), (1, "")])
+    model = train_bpe(docs, n_merges=5, strategy="driver", min_pair_count=1)
+    out = {r.doc_id: r for r in encode_bpe(docs, model).collect()}
+    assert out[1].tokens == [] and out[1].n_tokens == 0
+    # min_pair_count stops training when nothing repeats
+    tiny = train_bpe(_docs(spark, [(0, "xyz")]), n_merges=5, strategy="driver")
+    assert tiny.merges == []  # every pair occurs once < min_pair_count=2
+    with pytest.raises(ValueError, match="strategy"):
+        train_bpe(docs, strategy="bogus")
+
+
+def test_encode_plan_is_broadcast_and_distinct_words_only(spark):
+    docs = _docs(spark, [(i, "alpha beta gamma delta " * 5) for i in range(50)])
+    model = train_bpe(docs, n_merges=6, strategy="driver", min_pair_count=1)
+    out = encode_bpe(docs, model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # vocab→corpus decorate is broadcast
+    rows = out.collect()
+    assert len(rows) == 50 and all(r.n_tokens == rows[0].n_tokens for r in rows)
