@@ -338,3 +338,33 @@ def token_quantiles(
         for i, p in enumerate(probs)
     ]
     return agg.select(*cols, ok.alias("approx_ok"))
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: assign every document a shard
+    and an intra-shard position that depend ONLY on (id, seed) — never on
+    the input's physical partitioning — so any re-run, any cluster size,
+    and any upstream re-partitioning reproduces the identical global
+    order. A new ``seed`` per epoch gives a fresh permutation.
+
+    Returns the input columns plus ``shard`` (0..n_shards-1) and ``ord``
+    (the shuffle key: sort by it within a shard for the epoch order).
+    Plan: one scan-stage hash projection + a hash repartition on ``shard``
+    with an intra-partition sort — no global sort, no sampling-dependent
+    range boundaries (``repartitionByRange`` draws boundaries from a
+    sample, which is NOT stable across input layouts; hash sharding is).
+    Shard sizes concentrate at n/n_shards (hash balance); the per-epoch
+    reader streams shards in index order and rows in ``ord`` order.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    out = docs.withColumn("ord", key).withColumn(
+        "shard", F.pmod(F.col("ord"), F.lit(n_shards)).cast("int")
+    )
+    return out.repartition(n_shards, "shard").sortWithinPartitions("shard", "ord")

@@ -265,3 +265,65 @@ def test_domain_mix_sample_hits_targets_and_nests(spark, sf_dir):
                .select("doc_id").collect()}
     fuller = {r[0] for r in s.select("doc_id").collect()}
     assert smaller <= fuller
+
+
+def test_epoch_shuffle_is_layout_invariant_and_seeded(spark):
+    from coin_for_rich_spark.llmdata import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    def order_of(df, seed):
+        rows = epoch_shuffle(df, n_shards=4, seed=seed).collect()
+        return sorted((r.shard, r.ord, r.doc_id) for r in rows)
+
+    base = order_of(docs, seed=1)
+    # identical under any physical input layout
+    assert order_of(docs.repartition(13), seed=1) == base
+    assert order_of(docs.coalesce(1), seed=1) == base
+    # a different seed is a different permutation
+    other = order_of(docs, seed=2)
+    assert [d for *_x, d in base] != [d for *_x, d in other]
+    # same multiset of docs either way, shards reasonably balanced
+    assert sorted(d for *_x, d in base) == list(range(200))
+    from collections import Counter
+    sizes = Counter(s for s, *_x in base)
+    assert set(sizes) == {0, 1, 2, 3} and max(sizes.values()) < 200
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(docs, 0)
+
+
+def test_epoch_shuffle_composes_with_bpe_packing(spark):
+    """The training-prep chain: BPE-tokenize → epoch-shuffle → pack — the
+    composition every pretraining pipeline runs, end to end."""
+    from coin_for_rich_spark.llmdata import (
+        encode_bpe,
+        epoch_shuffle,
+        pack_sequences,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "pack these tokens tightly " * (i % 3 + 1)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = train_bpe(docs, n_merges=8, strategy="driver", min_pair_count=1)
+    toks = encode_bpe(docs, model)
+    shuffled = epoch_shuffle(toks.join(docs, "doc_id"), n_shards=2, seed=3)
+    # pack by the SHUFFLED epoch order: re-key ids by (shard, ord)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    packed = pack_sequences(
+        shuffled.select(
+            F.dense_rank().over(Window.orderBy("shard", "ord")).alias("epoch_pos"),
+            F.col("text"),
+        ),
+        budget=32,
+        id_col="epoch_pos",
+    )
+    rows = packed.collect()
+    assert len(rows) == 20
+    assert all(r.seq_id >= 0 for r in rows)
