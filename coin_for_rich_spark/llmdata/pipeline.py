@@ -367,4 +367,8 @@ def epoch_shuffle(
     out = docs.withColumn("ord", key).withColumn(
         "shard", F.pmod(F.col("ord"), F.lit(n_shards)).cast("int")
     )
-    return out.repartition(n_shards, "shard").sortWithinPartitions("shard", "ord")
+    # id_col as the final sort key: a 64-bit hash collision between two
+    # docs would otherwise leave their relative order to shuffle luck
+    return out.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "ord", id_col
+    )
