@@ -18,7 +18,9 @@ Vectors are cast to double before any arithmetic (float accumulation drifts).
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import random
 
 import numpy as np
@@ -895,6 +897,29 @@ def materialize_ann_index(
     cents = kmeans_refine(
         embeddings, seeds, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
+    _write_cells(embeddings, path, cents, id_col, vec_col, pq_codebooks,
+                 mode="overwrite")
+    # geometry sidecar (underscore-prefixed: invisible to the parquet
+    # reader) — appends and path-only queries re-read it, so cell
+    # assignment can never fork from the stored layout
+    with open(os.path.join(path, _ANN_META_FILE), "w") as f:
+        json.dump({"centroids": cents, "pq_codebooks": pq_codebooks,
+                   "version": 1}, f)
+    return cents
+
+
+_ANN_META_FILE = "_ann_meta.json"
+
+
+def _write_cells(
+    embeddings: DataFrame,
+    path: str,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    pq_codebooks: list[list[list[float]]] | None,
+    mode: str,
+) -> None:
     if len(cents) * len(cents[0]) > _MAX_SQL_LITERALS:
         cell = _nearest_centroid_udf(cents)(F.col(vec_col))
     else:
@@ -907,17 +932,44 @@ def materialize_ann_index(
         indexed = indexed.join(codes, id_col)
     (
         indexed.repartition(F.col("_cell"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("_cell")
         .parquet(path)
     )
-    return cents
+
+
+def load_ann_index_meta(path: str) -> dict:
+    with open(os.path.join(path, _ANN_META_FILE)) as f:
+        meta = json.load(f)
+    if not meta.get("centroids"):
+        raise ValueError(f"ANN index meta at {path} has no centroids")
+    return meta
+
+
+def append_to_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a materialized IVF(-PQ) index WITHOUT
+    retraining: cells (and PQ codes, if the index stores them) are
+    assigned under the index's own persisted centroids/codebooks, so the
+    layout stays self-consistent and probes see the new vectors
+    immediately. Centroid drift under heavy appends is the standard IVF
+    trade — periodic re-materialization is the rebuild, exactly like the
+    dedup index's compaction story."""
+    meta = load_ann_index_meta(path)
+    _write_cells(
+        embeddings, path, meta["centroids"], id_col, vec_col,
+        meta.get("pq_codebooks"), mode="append",
+    )
 
 
 def ann_index_knn(
     spark,
     path: str,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     query_vec: list[float],
     k: int = 10,
     n_probe: int = 4,
@@ -935,7 +987,15 @@ def ann_index_knn(
     With ``pq_codebooks`` (index written with codes) the probed partitions
     are scored via ADC over the stored codes and only the ``rerank`` best
     fetch their full vectors — the IVF-PQ query path.
+
+    ``centroids=None`` reads the geometry from the index's sidecar
+    (written by ``materialize_ann_index``) — the path-only query form.
     """
+    if centroids is None:
+        meta = load_ann_index_meta(path)
+        centroids = meta["centroids"]
+        if pq_codebooks is None:
+            pq_codebooks = meta.get("pq_codebooks")
     q = [float(x) for x in query_vec]
     probes = _centroid_ranks_py(q, centroids)[:n_probe]
     cands = spark.read.parquet(path).filter(F.col("_cell").isin(probes))

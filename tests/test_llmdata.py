@@ -874,3 +874,48 @@ def test_knn_join_deterministic_across_runs(spark):
     a = sorted(knn_join(df, k=3, n_blocks=3).collect())
     b = sorted(knn_join(df, k=3, n_blocks=5).collect())  # grid size is physical only
     assert a == b
+
+
+def test_ann_index_append_and_path_only_query(spark, tmp_path):
+    """Appends join the index under its persisted geometry: new vectors
+    land in the cell their stored centroids dictate, probes see them
+    immediately, and a path-only query (centroids=None) reads the sidecar."""
+    import numpy as np
+
+    from coin_for_rich_spark.llmdata import (
+        ann_index_knn,
+        append_to_ann_index,
+        load_ann_index_meta,
+        materialize_ann_index,
+    )
+
+    rng = np.random.RandomState(19)
+    base = [(i, [float(x) for x in rng.randn(8)]) for i in range(80)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann")
+    cents = materialize_ann_index(df, path, n_centroids=4, n_iter=2)
+    meta = load_ann_index_meta(path)
+    assert meta["centroids"] == cents
+
+    # append: one vector exactly on an existing vector's direction → it
+    # must become that vector's top hit at full probe width
+    target = base[17][1]
+    extra = [(1000, [2.0 * x for x in target]), (1001, [float(x) for x in rng.randn(8)])]
+    append_to_ann_index(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>"), path
+    )
+    hits = ann_index_knn(
+        spark, path, None, target, k=2, n_probe=4
+    ).collect()
+    assert {h.vec_id for h in hits} == {17, 1000}
+    assert all(h.cosine == 1.0 for h in hits)
+    # appended rows landed in the partition their centroid assignment
+    # dictates: re-deriving the cell from the sidecar centroids matches
+    # the partition value on disk
+    rows = spark.read.parquet(path).filter(F.col("vec_id") >= 1000).collect()
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-150)
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-150)
+        assert r._cell == int(np.argmax(Cn @ v))
