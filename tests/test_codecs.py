@@ -186,6 +186,28 @@ try:
         out420 = jpeg_decode(jpeg_encode_rgb(px, subsampling="4:2:0"))
         assert out420.shape == px.shape and out420.dtype == np.uint8
 
+    @settings(max_examples=10, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 32),
+        ri=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_progressive_equals_baseline_property(w, h, ri, seed):
+        """Fuzz: progressive decode is bit-identical to baseline decode at
+        any dims, with and without restart markers."""
+        from coin_for_rich_spark.llmdata.codecs import (
+            jpeg_decode,
+            jpeg_encode_gray,
+            jpeg_encode_gray_progressive,
+        )
+
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode_gray(px))
+        prog = jpeg_decode(jpeg_encode_gray_progressive(px, restart_interval=ri))
+        assert np.array_equal(prog, base)
+
     @settings(max_examples=15, deadline=None)
     @given(
         w=st.integers(1, 16),
