@@ -372,3 +372,99 @@ def epoch_shuffle(
     return out.repartition(n_shards, "shard").sortWithinPartitions(
         "shard", "ord", id_col
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    density: float = 0.15,
+    span_len: int = 3,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span-corruption example construction: mask ~``density`` of
+    each document's tokens in ~``span_len``-token spans, emit the
+    sentinel-marked encoder input and the decoder target.
+
+    Returns (id_col, input_tokens, target_tokens, n_masked): masked runs
+    are replaced by ``<extra_id_k>`` in the input (k in first-run order);
+    the target lists each sentinel followed by the tokens it hides and
+    ends with the closing sentinel — the standard denoising layout.
+
+    Span selection is the DETERMINISTIC analog of T5's random sampling:
+    tokens are grouped into fixed ``span_len`` blocks and a block masks
+    iff ``xxhash64(doc_id, block, seed) mod 10^6 < density·10^6`` — same
+    expected density and span geometry, but a pure function of
+    (id, seed), so re-runs, cluster sizes, and input layouts produce
+    byte-identical examples (and per-epoch seeds give fresh masks).
+
+    Plan shape: tokenize+posexplode → per-DOC window for run numbering
+    (partitioned by id — bounded per group, skew-safe) → one groupBy
+    reassembly ordered by token position. No corpus-wide window, no UDFs.
+    """
+    if not 0.0 <= density <= 1.0:
+        raise ValueError("density must be in [0, 1]")
+    if span_len < 1:
+        raise ValueError("span_len must be >= 1")
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    toks = narrow.select(
+        F.col(id_col),
+        F.posexplode(F.filter(tokenize(text_col), lambda w: w != "")).alias(
+            "pos", "tok"
+        ),
+    )
+    draw = F.pmod(
+        F.xxhash64(F.col(id_col), (F.col("pos") / span_len).cast("long"), F.lit(seed)),
+        F.lit(1_000_000),
+    )
+    flagged = toks.withColumn("masked", draw < int(density * 1_000_000))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.withColumn(
+            "start",
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+        )
+        .withColumn("k", F.sum(F.col("start").cast("int")).over(w))
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), (F.col("k") - 1), F.lit(">"))
+    empty = F.array().cast("array<string>")
+    elems = runs.select(
+        F.col(id_col),
+        "pos",
+        F.when(~F.col("masked"), F.array(F.col("tok")))
+        .when(F.col("start"), F.array(sentinel))
+        .otherwise(empty)
+        .alias("inp"),
+        F.when(F.col("masked") & F.col("start"), F.array(sentinel, F.col("tok")))
+        .when(F.col("masked"), F.array(F.col("tok")))
+        .otherwise(empty)
+        .alias("tgt"),
+        F.col("masked").cast("int").alias("m"),
+        F.col("k"),
+    )
+
+    def _ordered(col: str) -> Column:
+        return F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col(col)))),
+                lambda s: s[col],
+            )
+        )
+
+    per_doc = elems.groupBy(id_col).agg(
+        _ordered("inp").alias("input_tokens"),
+        _ordered("tgt").alias("_tgt"),
+        F.sum("m").alias("n_masked"),
+        F.max("k").alias("_nspans"),
+    )
+    closing = F.concat(F.lit("<extra_id_"), F.col("_nspans"), F.lit(">"))
+    base = docs.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("input_tokens"), empty).alias("input_tokens"),
+        F.coalesce(
+            F.concat(F.col("_tgt"), F.array(closing)), empty
+        ).alias("target_tokens"),
+        F.coalesce(F.col("n_masked"), F.lit(0)).alias("n_masked"),
+    )

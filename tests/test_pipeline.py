@@ -327,3 +327,82 @@ def test_epoch_shuffle_composes_with_bpe_packing(spark):
     rows = packed.collect()
     assert len(rows) == 20
     assert all(r.seq_id >= 0 for r in rows)
+
+
+def test_span_corruption_structure_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.llmdata import span_corruption
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(40))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = span_corruption(docs, density=0.3, span_len=3, seed=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == set(range(30))
+    total_masked = 0
+    for i, r in rows.items():
+        words = [f"t{i}w{j}" for j in range(40)]
+        # target = sentinels + masked tokens, ends with the closing sentinel
+        assert r.target_tokens[-1].startswith("<extra_id_")
+        sentinels_in = [t for t in r.input_tokens if t.startswith("<extra_id_")]
+        sentinels_tgt = [t for t in r.target_tokens if t.startswith("<extra_id_")]
+        # input sentinels are numbered 0.. in order, target repeats them + closer
+        assert sentinels_in == [f"<extra_id_{k}>" for k in range(len(sentinels_in))]
+        assert sentinels_tgt[:-1] == sentinels_in
+        assert sentinels_tgt[-1] == f"<extra_id_{len(sentinels_in)}>"
+        # reconstruction: splice target spans back into input = original
+        spans = {}
+        cur = None
+        for t in r.target_tokens[:-1]:
+            if t.startswith("<extra_id_"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in r.input_tokens:
+            rebuilt.extend(spans[t] if t.startswith("<extra_id_") else [t])
+        assert rebuilt == words, i
+        assert r.n_masked == sum(len(v) for v in spans.values())
+        total_masked += r.n_masked
+    # density lands near the target over the corpus (30×40 tokens)
+    assert 0.15 < total_masked / (30 * 40) < 0.45
+
+    # deterministic across runs and input layouts; new seed → new mask
+    again = {r.doc_id: r for r in span_corruption(
+        docs.repartition(7), density=0.3, span_len=3, seed=5
+    ).collect()}
+    assert all(
+        (rows[i].input_tokens, rows[i].target_tokens)
+        == (again[i].input_tokens, again[i].target_tokens)
+        for i in rows
+    )
+    other = {r.doc_id: r for r in span_corruption(
+        docs, density=0.3, span_len=3, seed=6
+    ).collect()}
+    assert any(rows[i].input_tokens != other[i].input_tokens for i in rows)
+
+
+def test_span_corruption_edges(spark):
+    import pytest as _pytest
+
+    from coin_for_rich_spark.llmdata import span_corruption
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in span_corruption(docs, density=0.0).collect()}
+    # density 0: nothing masked, input = tokens, target = closing sentinel
+    assert rows[0].input_tokens == ["a", "b", "c"]
+    assert rows[0].n_masked == 0 and rows[0].target_tokens == ["<extra_id_0>"]
+    assert rows[1].input_tokens == [] and rows[1].n_masked == 0
+    full = {r.doc_id: r for r in span_corruption(docs, density=1.0).collect()}
+    # density 1: everything masked into one run
+    assert full[0].input_tokens == ["<extra_id_0>"]
+    assert full[0].target_tokens == ["<extra_id_0>", "a", "b", "c", "<extra_id_1>"]
+    with _pytest.raises(ValueError, match="density"):
+        span_corruption(docs, density=1.5)
+    with _pytest.raises(ValueError, match="span_len"):
+        span_corruption(docs, span_len=0)
