@@ -49,6 +49,7 @@ from coin_for_rich_spark.llmdata import (
     decode_media_stats,
     resample_media,
     cosine_knn,
+    knn_join,
     dedup_clusters,
     embedding_neardup_pairs,
     doc_profile,
@@ -1059,10 +1060,25 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize targets for image rows (declarative dims;
-    pixel resample is the stubbed codec step)."""
+    """Aspect-preserving resize targets for image rows (declarative dims).
+
+    UNDECLARED since the r6 continuation (swapped for `embed_knn_join`):
+    the resize-dim arithmetic this exercised stays oracle-covered inside
+    `media_resample` (its target_w/target_h columns come from the same
+    formula over real decoded PNGs) and unit-tested in test_llmdata."""
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return resize_plan(media, max_w=256, max_h=256)
+
+
+def q_embed_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine kNN JOIN: top-5 neighbors for EVERY embedding row over
+    the blocked-GEMM grid (llmdata.similarity.knn_join — per-block partial
+    top-k both directions, ≤ n·B·k shuffle rows, bounded per-id final
+    aggregation, deterministic (cosine desc, nbr asc) tie contract). The
+    oracle recomputes the full pairwise ranking with DuckDB's
+    list_cosine_similarity + row_number under the same tie order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=5, n_blocks=4)
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1429,7 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
-        "media_resize": q_media_resize,
+        "embed_knn_join": q_embed_knn_join,
         "media_decode": q_media_decode,
         "media_resample": q_media_resample,
         # sketch / probabilistic dedup tiers
@@ -2155,18 +2171,28 @@ def oracle_sql() -> dict[str, str]:
                    s.value_min, s.value_max
             FROM ticks t JOIN stats s ON t.i = s.i AND t.f = s.f
         """,
-        "media_resize": """
-            WITH imgs AS (
-                SELECT doc_id AS media_id,
-                       CAST(doc_id % 1920 + 1 AS INT) AS width,
-                       CAST(doc_id % 1080 + 1 AS INT) AS height
-                FROM documents WHERE doc_id % 3 = 0
+        # exact kNN join: full pairwise cosine ranking, same tie order
+        # (cosine desc, nbr asc) as the blocked-GEMM operator
+        "embed_knn_join": """
+            WITH pairs AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+                       list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+                       ) AS cos_full
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+                -- rank on FULL precision (the Spark side ranks unrounded
+                -- BLAS cosines); round only for the emitted column
+                SELECT vec_id, nbr, cos_full,
+                       CAST(row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos_full DESC, nbr
+                       ) AS INT) AS rank
+                FROM pairs
             )
-            SELECT media_id, width, height,
-                   round(least(1.0, 256.0 / width, 256.0 / height), 6) AS scale,
-                   greatest(1, CAST(floor(width * least(1.0, 256.0 / width, 256.0 / height)) AS INT)) AS target_w,
-                   greatest(1, CAST(floor(height * least(1.0, 256.0 / width, 256.0 / height)) AS INT)) AS target_h
-            FROM imgs
+            SELECT vec_id, rank, nbr, round(cos_full, 6) AS cosine
+            FROM ranked WHERE rank <= 5
         """,
         # the decode oracle recomputes the statistics of the DECODED values
         # straight from the generation formulas (attach_real_media docstring)
