@@ -182,6 +182,45 @@ def append_to_index(
     _write_legs(exact, band_rows, sigs, path, mode="append")
 
 
+def compact_dedup_index(
+    spark: SparkSession, path: str, target_partitions: int = 8
+) -> None:
+    """Fold each index leg's accumulated append file-sets into
+    ``target_partitions`` files — the small-file maintenance pass a
+    per-micro-batch append pattern needs (a year of 10 s ingest batches is
+    ~3M file-sets per leg; probe cost grows with file listing, not data).
+
+    Rows are preserved exactly and stay repartitioned on their probe key
+    (band directories keep their partition layout). Same staged-swap
+    protocol as the corpus/sink compaction: each leg is fully rewritten
+    beside the live directory, then swapped in with two renames. Run with
+    ingest stopped (an append landing between renames would write into the
+    outgoing directory). meta.json is untouched — geometry survives."""
+    import shutil
+    import uuid
+
+    meta = load_index_meta(path)  # validates the index exists/geometry
+    assert meta
+    legs = [
+        ("exact", "content_hash string, doc long", "content_hash", None),
+        ("bands", "doc long, bhash long, band int", "bhash", "band"),
+        ("sigs", "doc long, signature array<bigint>", "doc", None),
+    ]
+    for name, schema, key, part_col in legs:
+        live = os.path.join(path, name)
+        df = spark.read.schema(schema).parquet(live)
+        token = uuid.uuid4().hex
+        staged = f"{live}__compact_{token}"
+        writer = df.repartition(target_partitions, key).write.mode("overwrite")
+        if part_col:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(staged)
+        old = f"{live}__old_{token}"
+        os.rename(live, old)
+        os.rename(staged, live)
+        shutil.rmtree(old)
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     path: str,

@@ -163,3 +163,36 @@ def test_cold_start_empty_index(spark, tmp_path):
     append_to_index(batch, path)
     (row2,) = incremental_dedup(_docs(spark, [(2, _sentence(1))]), path).collect()
     assert (row2.status, row2.match_doc) == ("exact_dup", 1)
+
+
+def test_compact_dedup_index_preserves_probes_and_cuts_files(spark, corpus, tmp_path):
+    from coin_for_rich_spark.llmdata import compact_dedup_index
+
+    path = str(tmp_path / "idx")
+    build_dedup_index(corpus, path)
+    for b in range(4):  # appends accumulate file-sets per leg
+        append_to_index(
+            _docs(spark, [(1000 + b, _sentence(700 + b))]), path
+        )
+    probe = _docs(
+        spark,
+        [(5000, _sentence(3)), (5001, _sentence(702)), (5002, _sentence(9009))],
+    )
+    before = sorted(incremental_dedup(probe, path).collect())
+
+    def leg_files(leg):
+        n = 0
+        for root, _dirs, files in os.walk(os.path.join(path, leg)):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    files_before = {leg: leg_files(leg) for leg in ("exact", "bands", "sigs")}
+    compact_dedup_index(spark, path, target_partitions=2)
+    files_after = {leg: leg_files(leg) for leg in ("exact", "bands", "sigs")}
+    assert all(files_after[leg] < files_before[leg] for leg in files_after)
+    # identical classifications, geometry intact, appends still compose
+    assert sorted(incremental_dedup(probe, path).collect()) == before
+    assert load_index_meta(path)["bands"] == 8
+    append_to_index(_docs(spark, [(2000, _sentence(800))]), path)
+    (row,) = incremental_dedup(_docs(spark, [(5003, _sentence(800))]), path).collect()
+    assert row.status == "exact_dup"
