@@ -1,4 +1,5 @@
 from .asof import asof_join
+from .rangejoin import range_join
 from .candles import cascade_rollup, cascade_rollup_multi, ohlcv_rollup, rollup_family
 from .analytics import (
     common_keys_top30,
@@ -20,6 +21,7 @@ from .gapfill import gap_fill_series
 from .windowed import moving_average, sessionize, topn_per_key
 
 __all__ = [
+    "range_join",
     "sketch_merge",
     "skew_report",
     "sketch_rollup",

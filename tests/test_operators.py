@@ -275,3 +275,85 @@ def test_skew_report_composite_key_and_plan(spark, sf_dir):
     assert r["n_rows"] == li.count()
     assert len(r["heavy_hitters"]) <= 5
     assert r["heavy_hitters"][0]["rows"] == r["max_rows"]
+
+
+def test_range_join_matches_naive_and_avoids_bnl(spark):
+    """Bucketed point-in-interval join: row-identical to the naive
+    non-equi join, but planned as an equi-join (no BroadcastNestedLoop),
+    with single-match semantics across bucket spans."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.operators import range_join
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    points = spark.createDataFrame(
+        [(i, t(i % 60, (i * 7) % 60), i % 3) for i in range(120)],
+        "pid long, ts timestamp, key int",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, t(0), t(10), 0),
+            (101, t(5), t(6), 0),       # 1-minute interval
+            (102, t(0), t(59, 59), 1),  # spans many buckets
+            (103, t(30), t(30), 2),     # empty (start == end, half-open)
+            (104, t(58), t(59), 9),     # key with no points
+        ],
+        "iid long, start timestamp, end timestamp, key int",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(
+            points, intervals, on=["key"], bucket_seconds=300
+        ).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (points.key == intervals.key)
+            & (points.ts >= intervals.start)
+            & (points.ts < intervals.end),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+    # no duplicate (point, interval) pairs despite multi-bucket intervals
+    assert len(got) == len(set(got))
+    # the cliff this operator removes is the KEYLESS range join: pure
+    # BETWEEN has no equality, so Spark plans BroadcastNestedLoop; the
+    # bucketed rewrite is an equi-join even with no extra keys
+    p2 = points.drop("key")
+    i2 = intervals.drop("key")
+    keyless = sorted(
+        (r.pid, r.iid)
+        for r in range_join(p2, i2, bucket_seconds=300).collect()
+    )
+    naive_keyless = sorted(
+        (r.pid, r.iid)
+        for r in p2.join(
+            i2, (p2.ts >= i2.start) & (p2.ts < i2.end)
+        ).collect()
+    )
+    assert keyless == naive_keyless
+    ptxt = range_join(p2, i2, bucket_seconds=300)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in ptxt
+    ntxt = (
+        p2.join(i2, (p2.ts >= i2.start) & (p2.ts < i2.end))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" in ntxt or "CartesianProduct" in ntxt
+
+    # left join keeps unmatched points with null interval columns
+    left = range_join(points, intervals, on=["key"], bucket_seconds=300, how="left")
+    rows = left.collect()
+    matched = {p for p, _ in got}
+    assert {r.pid for r in rows if r.iid is None} == {
+        r.pid for r in points.collect()
+    } - matched
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner/left"):
+        range_join(points, intervals, how="full")
+    with _pytest.raises(ValueError, match="ambiguous"):
+        range_join(points.withColumnRenamed("pid", "iid"), intervals)
