@@ -138,14 +138,21 @@ def train_bpe(
         raise ValueError(f"unknown strategy {strategy!r}")
     wc = _word_counts_df(docs, text_col)
     if strategy == "auto":
+        # persist BEFORE the sizing count, or the corpus-scale word-count
+        # aggregation runs twice (limit above a groupBy doesn't
+        # short-circuit the scan) — the 'corpus touched once' contract
+        wc = wc.persist()
         strategy = (
             "driver" if wc.limit(driver_vocab_limit + 1).count() <= driver_vocab_limit
             else "distributed"
         )
-    if strategy == "driver":
-        counts = {r["word"]: r["cnt"] for r in wc.collect()}
-        return BPEModel(_train_bpe_py(counts, n_merges, min_pair_count))
-    return BPEModel(_train_bpe_distributed(wc, n_merges, min_pair_count))
+    try:
+        if strategy == "driver":
+            counts = {r["word"]: r["cnt"] for r in wc.collect()}
+            return BPEModel(_train_bpe_py(counts, n_merges, min_pair_count))
+        return BPEModel(_train_bpe_distributed(wc, n_merges, min_pair_count))
+    finally:
+        wc.unpersist()
 
 
 def _train_bpe_distributed(

@@ -160,7 +160,16 @@ def build_dedup_index(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    meta = {"n": n, "num_perm": num_perm, "bands": bands, "version": 1}
+    meta = {
+        "n": n,
+        "num_perm": num_perm,
+        "bands": bands,
+        # the id type is part of the geometry: probe/compact reads use
+        # explicit schemas (cold-start indexes have no part files to infer
+        # from), so a string-id index must not be read back as bigint
+        "doc_type": docs.schema[id_col].dataType.simpleString(),
+        "version": 1,
+    }
     os.makedirs(path, exist_ok=True)
     exact, band_rows, sigs = _index_rows(docs, text_col, id_col, meta)
     _write_legs(exact, band_rows, sigs, path, mode="overwrite")
@@ -178,6 +187,13 @@ def append_to_index(
     under the index's OWN build-time geometry (re-read from meta.json, so
     an append can never silently fork the band hashing)."""
     meta = load_index_meta(path)
+    got = docs.schema[id_col].dataType.simpleString()
+    want = meta.get("doc_type", "bigint")
+    if got != want:
+        raise ValueError(
+            f"dedup index at {path} stores {want} doc ids; appending "
+            f"{got} ids would fork the leg schemas"
+        )
     exact, band_rows, sigs = _index_rows(docs, text_col, id_col, meta)
     _write_legs(exact, band_rows, sigs, path, mode="append")
 
@@ -200,11 +216,11 @@ def compact_dedup_index(
     import uuid
 
     meta = load_index_meta(path)  # validates the index exists/geometry
-    assert meta
+    dt = meta.get("doc_type", "bigint")
     legs = [
-        ("exact", "content_hash string, doc long", "content_hash", None),
-        ("bands", "doc long, bhash long, band int", "bhash", "band"),
-        ("sigs", "doc long, signature array<bigint>", "doc", None),
+        ("exact", f"content_hash string, doc {dt}", "content_hash", None),
+        ("bands", f"doc {dt}, bhash long, band int", "bhash", "band"),
+        ("sigs", f"doc {dt}, signature array<bigint>", "doc", None),
     ]
     for name, schema, key, part_col in legs:
         live = os.path.join(path, name)
@@ -256,14 +272,16 @@ def incremental_dedup(
     meta = load_index_meta(path)
     # explicit schemas: a cold-start index built on an empty corpus has no
     # schema-bearing part files, and inference would fail where an empty
-    # relation is the correct answer
-    idx_exact = spark.read.schema("content_hash string, doc long").parquet(
+    # relation is the correct answer; the doc type comes from the meta
+    # (a string-id index read back as bigint would fail the convert)
+    dt = meta.get("doc_type", "bigint")
+    idx_exact = spark.read.schema(f"content_hash string, doc {dt}").parquet(
         os.path.join(path, "exact")
     )
-    idx_bands = spark.read.schema("doc long, bhash long, band int").parquet(
+    idx_bands = spark.read.schema(f"doc {dt}, bhash long, band int").parquet(
         os.path.join(path, "bands")
     )
-    idx_sigs = spark.read.schema("doc long, signature array<bigint>").parquet(
+    idx_sigs = spark.read.schema(f"doc {dt}, signature array<bigint>").parquet(
         os.path.join(path, "sigs")
     )
     if probe_bands is not None:
@@ -300,7 +318,7 @@ def incremental_dedup(
         )
         .distinct()
     )
-    near_best = (
+    scored = (
         cand.join(
             new_sigs.select(
                 F.col("doc").alias("new_doc"), F.col("signature").alias("sig_n")
@@ -317,13 +335,19 @@ def incremental_dedup(
             "est_jaccard", _sig_jaccard(F.col("sig_n"), F.col("sig_i"), meta["num_perm"])
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .select("new_doc", "idx_doc", "est_jaccard")
+    )
+    # best neighbor = highest estimate, ties broken to the SMALLEST doc —
+    # two aggregations instead of a max_by struct key because the struct
+    # trick needs a numeric negation and doc ids may be strings/UUIDs
+    best_est = scored.groupBy("new_doc").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+    near_best = (
+        scored.join(best_est, ["new_doc", "est_jaccard"])
         .groupBy(F.col("new_doc").alias(id_col))
         .agg(
-            # best neighbor: highest estimate, ties broken to smallest doc
-            F.max_by(
-                F.col("idx_doc"),
-                F.struct(F.col("est_jaccard"), -F.col("idx_doc")),
-            ).alias("near_match"),
+            F.min("idx_doc").alias("near_match"),
             F.max("est_jaccard").alias("est_jaccard"),
         )
     )

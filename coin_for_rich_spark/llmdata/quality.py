@@ -41,10 +41,20 @@ from ..functions.partitioning import ensure_parallelism
 from .textstats import token_ngrams
 
 # characters are modeled after the same normalization scoring applies, so
-# train/score keys always agree
+# train/score keys always agree. Spaces are remapped to a visible
+# placeholder BEFORE n-gramming: token_ngrams joins symbols with " ", so a
+# literal space symbol would make the separator ambiguous — contexts like
+# (' ', 'x') and (' ', ' ') would collapse to one key and corrupt every
+# post-space smoothing denominator.
+_SPACE_SYM = "▁"  # ▁ — the sentencepiece convention
+
+
 def _norm_chars(text_col: str) -> Column:
     chars = F.split(F.lower(F.trim(F.col(text_col))), "")
-    return F.filter(chars, lambda c: c != "")
+    return F.transform(
+        F.filter(chars, lambda c: c != ""),
+        lambda c: F.when(c == " ", F.lit(_SPACE_SYM)).otherwise(c),
+    )
 
 
 def _char_ngrams(text_col: str, order: int) -> Column:

@@ -64,11 +64,12 @@ def range_join(
 
     p_bucket = F.floor(F.col(point_ts).cast("double") / w).cast("long")
     i_start = F.floor(F.col(start_col).cast("double") / w).cast("long")
-    # half-open end: an interval ending exactly on a bucket boundary does
-    # not cover that bucket
-    i_end = F.floor(
-        (F.col(end_col).cast("double") - F.lit(1e-6)) / w
-    ).cast("long")
+    # an interval ending exactly on a bucket boundary explodes one bucket
+    # it can't match (half-open end) — deliberately NOT corrected with an
+    # epsilon: under double rounding an epsilon can floor the last bucket
+    # one too low and silently DROP matches, while the extra bucket row is
+    # always removed by the residual `ts < end` predicate
+    i_end = F.floor(F.col(end_col).cast("double") / w).cast("long")
 
     pts = points.withColumn("_rj_bucket", p_bucket)
     ivs = intervals.withColumn(

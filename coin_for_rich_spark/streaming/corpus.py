@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..llmdata.dedup_index import append_to_index, incremental_dedup
+from ..llmdata.dedup_index import _norm_hash, append_to_index, incremental_dedup
 
 
 def ingest_batch_into_corpus(
@@ -60,11 +60,11 @@ def ingest_batch_into_corpus(
     try:
         if batch.isEmpty():
             return
-        # 1. in-batch exact dedup: smallest id per normalized hash
+        # 1. in-batch exact dedup: smallest id per normalized hash — the
+        # SAME content-identity function as the index's exact leg, so the
+        # two steps can never disagree on what a duplicate is
         keep = (
-            batch.select(
-                F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("_h")
-            )
+            batch.select(F.col(id_col), _norm_hash(text_col).alias("_h"))
             .groupBy("_h")
             .agg(F.min(id_col).alias(id_col))
             .drop("_h")

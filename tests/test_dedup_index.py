@@ -196,3 +196,34 @@ def test_compact_dedup_index_preserves_probes_and_cuts_files(spark, corpus, tmp_
     append_to_index(_docs(spark, [(2000, _sentence(800))]), path)
     (row,) = incremental_dedup(_docs(spark, [(5003, _sentence(800))]), path).collect()
     assert row.status == "exact_dup"
+
+
+def test_string_id_index_round_trips(spark, tmp_path):
+    """Indexes keyed by non-bigint ids (URLs, UUIDs) must build, probe,
+    append, and compact — the probe readers take the id type from meta."""
+    from coin_for_rich_spark.llmdata import compact_dedup_index
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(f"url-{i}", _sentence(i)) for i in range(10)],
+        "doc_id string, text string",
+    )
+    build_dedup_index(docs, path)
+    assert load_index_meta(path)["doc_type"] == "string"
+    batch = spark.createDataFrame(
+        [("new-1", _sentence(3)), ("new-2", _sentence(999))],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(batch, path).collect()}
+    assert out["new-1"].status == "exact_dup" and out["new-1"].match_doc == "url-3"
+    assert out["new-2"].status == "fresh"
+    append_to_index(batch.filter("doc_id = 'new-2'"), path)
+    compact_dedup_index(spark, path, target_partitions=1)
+    (row,) = incremental_dedup(
+        spark.createDataFrame([("p", _sentence(999))], "doc_id string, text string"),
+        path,
+    ).collect()
+    assert (row.status, row.match_doc) == ("exact_dup", "new-2")
+    # mismatched id type on append fails loud instead of forking the legs
+    with pytest.raises(ValueError, match="doc ids"):
+        append_to_index(_docs(spark, [(1, _sentence(1))]), path)

