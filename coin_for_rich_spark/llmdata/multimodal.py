@@ -365,11 +365,18 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     points executor-side; no driver loop, no UDF.
     """
     vids = media.filter(F.col("mime").startswith("video/"))
-    return vids.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
-        ).alias("frame_ts_ms"),
+    return (
+        vids.select(
+            "media_id",
+            "duration_ms",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+        # half-open [0, duration): a tick at exactly duration_ms addresses
+        # no frame (same convention as sample_real_frames)
+        .filter(F.col("frame_ts_ms") < F.col("duration_ms"))
+        .select("media_id", "frame_ts_ms")
     )
 
 

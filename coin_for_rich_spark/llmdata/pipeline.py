@@ -229,8 +229,10 @@ def chunk_documents(
 
 
 def token_count(text_col: str = "text") -> Column:
-    """Whitespace token count (the packing measure)."""
-    return F.size(tokenize(text_col))
+    """Whitespace token count (the packing measure). Empty/whitespace-only
+    text counts 0: ``split`` on such input yields ``[""]`` (size 1), which
+    would add a phantom token to every downstream packing prefix sum."""
+    return F.size(F.filter(tokenize(text_col), lambda w: w != ""))
 
 
 def pack_sequences(

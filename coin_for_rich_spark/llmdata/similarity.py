@@ -218,9 +218,14 @@ def embedding_neardup_pairs(
         F.sqrt(_dot(v, v)).alias("norm"),
     )
     if method == "lsh":
-        sample = embeddings.select(vec_col).first()
-        d = dims or len(sample[0])
-        planes = plane_weights(d, n_planes)
+        if dims is None:  # probe only when the caller didn't say
+            sample = embeddings.select(vec_col).first()
+            if sample is None:  # empty corpus: no pairs, not a crash
+                return embeddings.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cosine double"
+                )
+            dims = len(sample[0])
+        planes = plane_weights(dims, n_planes)
         base = base.withColumn("_bucket", bucket_of("v", planes))
         cond = (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a.id") < F.col("b.id"))
         a, b = base.alias("a"), base.alias("b")
@@ -243,6 +248,16 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _normed_rows(pdf):
+    """(ids, row-normalized float64 matrix) for a grid group's side — the
+    ONE normalization both blocked-GEMM kernels share (zero-norm rows clamp
+    to 1.0 so they score cosine 0 instead of NaN)."""
+    M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm = np.where(nrm == 0, 1.0, nrm)
+    return pdf["id"].to_numpy(), M / nrm
 
 
 def knn_join(
@@ -275,12 +290,7 @@ def knn_join(
     if k < 1:
         raise ValueError("k must be >= 1")
     exploded = _gemm_grid(embeddings, id_col, vec_col, n_blocks, block_budget_bytes)
-
-    def _norm_rows(pdf):
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-        nrm = np.linalg.norm(M, axis=1, keepdims=True)
-        nrm = np.where(nrm == 0, 1.0, nrm)
-        return pdf["id"].to_numpy(), M / nrm
+    _norm_rows = _normed_rows
 
     def _row_topk(ids_a, ids_b, G):
         """Per-row top-k of a score strip → (id, nbr, cos) arrays, with the
@@ -329,6 +339,10 @@ def knn_join(
         bp_id, bp_nbr, bp_cos = [], [], []
         for s in range(0, An.shape[0], chunk):
             G = An[s : s + chunk] @ Bn.T
+            # float rounding can push a true cosine a few ulps outside
+            # [-1, 1]; clip BEFORE the sentinel mask, or an antipodal
+            # neighbor at -1-2ulp would be filtered out as a self-pair
+            np.clip(G, -1.0, 1.0, out=G)
             if diagonal:
                 # mask self-pairs: block rows s.. align with columns s..
                 m = min(G.shape[0], G.shape[1] - s)
@@ -507,11 +521,7 @@ def _gemm_candidates(
     eps = 1e-9
     exploded = _gemm_grid(embeddings, id_col, vec_col, n_blocks, block_budget_bytes)
 
-    def _norm_rows(pdf):
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-        nrm = np.linalg.norm(M, axis=1, keepdims=True)
-        nrm = np.where(nrm == 0, 1.0, nrm)
-        return pdf["id"].to_numpy(), M / nrm
+    _norm_rows = _normed_rows
 
     def kernel(key, pdf):
         diagonal = key[0] == key[1]

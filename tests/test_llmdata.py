@@ -919,3 +919,47 @@ def test_ann_index_append_and_path_only_query(spark, tmp_path):
         v = np.asarray(r.embedding, dtype=np.float64)
         v = v / max(np.linalg.norm(v), 1e-150)
         assert r._cell == int(np.argmax(Cn @ v))
+
+
+def test_knn_join_antipodal_neighbor_survives(spark):
+    """A vector's exact negation has cosine −1, which float rounding can
+    push below −1 — it must NOT be conflated with the self-pair sentinel
+    (clip-before-mask)."""
+    from coin_for_rich_spark.llmdata import knn_join
+
+    rows = [
+        (0, [0.3, -0.7, 0.11, 0.923]),
+        (1, [-0.3, 0.7, -0.11, -0.923]),  # exact negation of 0
+        (2, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.vec_id, r.rank): (r.nbr, r.cosine) for r in knn_join(df, k=2, n_blocks=2).collect()}
+    # each of 0/1 sees the other as its rank-2 (worst) neighbor at -1.0
+    assert out[(0, 2)] == (1, -1.0)
+    assert out[(1, 2)] == (0, -1.0)
+
+
+def test_neardup_lsh_empty_and_explicit_dims(spark):
+    from coin_for_rich_spark.llmdata import embedding_neardup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_neardup_pairs(empty, method="lsh").count() == 0
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.01])], "vec_id long, embedding array<double>"
+    )
+    got = embedding_neardup_pairs(df, method="lsh", dims=2, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+
+
+def test_sample_frames_half_open_duration(spark):
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata import sample_frames
+
+    df = spark.createDataFrame(
+        [Row(media_id=1, mime="video/mp4", duration_ms=3000)]
+    )
+    out = sorted(r.frame_ts_ms for r in sample_frames(df, every_ms=1000).collect())
+    # exact-multiple duration: no tick at duration_ms (half-open, matching
+    # sample_real_frames)
+    assert out == [0, 1000, 2000]

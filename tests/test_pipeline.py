@@ -406,3 +406,16 @@ def test_span_corruption_edges(spark):
         span_corruption(docs, density=1.5)
     with _pytest.raises(ValueError, match="span_len"):
         span_corruption(docs, span_len=0)
+
+
+def test_token_count_empty_text_is_zero(spark):
+    from coin_for_rich_spark.llmdata import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "two tokens"), (1, ""), (2, "   "), (3, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, budget=8).collect()}
+    assert rows[1].n_tokens == 0 and rows[2].n_tokens == 0
+    # the empty docs contribute nothing to the prefix sum
+    assert rows[3].cum_before == 2
