@@ -1,0 +1,142 @@
+"""Web-corpus preprocessing: HTML → text extraction and URL
+canonicalization — the step between a raw crawl and every text operator in
+this package (a pretraining corpus usually arrives as HTML + URL, not
+clean text).
+
+Both operators are pure column algebra (regexp/parse_url chains — per-row,
+no shuffle, scan-stage), deliberately deterministic and engine-portable:
+no HTML parser library, so the extraction is the pragmatic
+tag-strip/boilerplate-drop tier (the fidelity of a WET file, not a DOM
+walk — a real DOM-accurate readability pass is a different, library-bound
+operator and is out of scope by the same honesty rule as the codec
+boundaries). What it DOES do is exactly specified and test-pinned:
+
+- drop ``<script>``/``<style>``/``<noscript>``/``<template>`` blocks and
+  HTML comments wholesale (content AND tags — the classic contamination
+  source when tag-stripping naively);
+- turn block-level boundaries (``</p>``, ``<br>``, headings, ``</div>``,
+  ``</li>``, ``</tr>``…) into newlines so downstream line-level dedup
+  (:func:`~.dedup.line_dedup` with ``explode_lines``) sees real line
+  structure;
+- strip every remaining tag, decode the common entities, collapse
+  whitespace per line, drop empty lines.
+
+URL canonicalization produces the identity key URL-level dedup and
+per-domain mixing group by: lowercase scheme/host, strip default ports,
+fragments, tracking parameters (utm_*, gclid, fbclid, ref), trailing
+slashes, and a leading ``www.`` — the standard crawl-dedup key rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# blocks whose CONTENT must go, not just the tags
+_DROP_BLOCKS = ("script", "style", "noscript", "template")
+
+# closing (or void) tags that end a visual block → newline
+_BLOCK_BREAK = (
+    r"</(?:p|div|li|tr|h[1-6]|ul|ol|table|section|article|header|footer|"
+    r"blockquote|pre|figure)>|<br\s*/?>|<hr\s*/?>"
+)
+
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+
+
+def html_text(html_col: Column | str) -> Column:
+    """The extraction as a single reusable column expression."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    for tag in _DROP_BLOCKS:
+        c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # source newlines are plain whitespace in HTML — flatten them BEFORE
+    # block-break conversion, or the markup's indentation would masquerade
+    # as line structure
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, rf"(?i){_BLOCK_BREAK}", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # entities AFTER tag-stripping: '&lt;b&gt;' must not become a tag
+    for ent, rep in _ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    c = F.regexp_replace(c, r"&#(\d+);", " ")  # numeric entities → space
+    # collapse within lines, then drop blank lines
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.trim(c)
+
+
+def extract_html_text(
+    docs: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, extracted_text, n_lines) — newline-structured plain text
+    ready for the line-level dedup / profiling ladder."""
+    t = html_text(html_col)
+    return docs.select(
+        F.col(id_col),
+        t.alias("extracted_text"),
+        F.when(t == "", 0)
+        .otherwise(F.size(F.split(t, "\n")))
+        .alias("n_lines"),
+    )
+
+
+_TRACKING_PARAMS = r"(?:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)"
+
+
+def canonical_url(url_col: Column | str) -> Column:
+    """The crawl-dedup identity key for a URL, as one column expression:
+    lowercase scheme+host, default ports and fragments stripped, tracking
+    query parameters removed (remaining params kept in their original
+    order — full param sorting needs a higher-order rebuild and rarely
+    changes identity in practice), trailing slash and leading ``www.``
+    dropped. NULL stays NULL; a string with no ``://`` is returned
+    trimmed-lowercased as-is (opaque id passthrough)."""
+    c = F.trim(F.col(url_col) if isinstance(url_col, str) else url_col)
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    # default ports are scheme-specific: http://h:443 is NOT canonical h
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    tail = F.regexp_replace(rest, r"^[^/?]+", "")
+    # drop tracking params, then restore '?' if the first param was removed
+    tail = F.regexp_replace(tail, rf"[?&]{_TRACKING_PARAMS}=[^&#]*", "")
+    tail = F.regexp_replace(tail, r"^([^?]*)&", "$1?")
+    tail = F.regexp_replace(tail, r"/\?", "?")
+    tail = F.regexp_replace(tail, r"\?$", "")
+    tail = F.regexp_replace(tail, r"/$", "")
+    canon = F.concat(scheme, F.lit("://"), host, tail)
+    return F.when(c.isNull(), F.lit(None).cast("string")).when(
+        scheme == "", F.lower(c)
+    ).otherwise(canon)
+
+
+def canonicalize_urls(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, url, canonical_url, domain) — the dedup key plus the
+    mixing/grouping domain."""
+    canon = canonical_url(url_col)
+    return docs.select(
+        F.col(id_col),
+        F.col(url_col),
+        canon.alias("canonical_url"),
+        F.regexp_extract(canon, r"^[a-z0-9+.-]+://([^/?]+)", 1).alias("domain"),
+    )

@@ -1,0 +1,80 @@
+"""Web-corpus preprocessing: HTML text extraction and URL canonicalization."""
+
+from __future__ import annotations
+
+from coin_for_rich_spark.llmdata import canonicalize_urls, extract_html_text
+
+
+def _one(spark, html):
+    df = spark.createDataFrame([(0, html)], "doc_id long, text string")
+    return extract_html_text(df).first()
+
+
+def test_html_extraction_drops_script_content_and_keeps_structure(spark):
+    html = """<html><head><title>T</title>
+    <script>var tracking = "SECRET";</script>
+    <style>.x { color: red }</style></head>
+    <body><!-- comment -->
+    <h1>Heading</h1>
+    <p>First paragraph with <b>bold</b> text.</p>
+    <p>Second &amp; final &lt;para&gt;.</p>
+    <ul><li>item one</li><li>item two</li></ul>
+    </body></html>"""
+    r = _one(spark, html)
+    lines = r.extracted_text.split("\n")
+    # script/style CONTENT gone, not just tags
+    assert "SECRET" not in r.extracted_text and "color" not in r.extracted_text
+    assert "comment" not in r.extracted_text
+    # block boundaries became real lines
+    assert "T Heading" == lines[0]
+    assert "First paragraph with bold text." in lines
+    assert "Second & final <para>." in lines
+    assert "item one" in lines and "item two" in lines
+    assert r.n_lines == len(lines)
+
+
+def test_html_extraction_edges(spark):
+    assert _one(spark, "no markup at all").extracted_text == "no markup at all"
+    r = _one(spark, "<script>only()</script>")
+    assert r.extracted_text == "" and r.n_lines == 0
+    # entities decode AFTER tag strip: encoded tags stay text
+    assert _one(spark, "&lt;script&gt;x&lt;/script&gt;").extracted_text == "<script>x</script>"
+    # nbsp and numeric entities neutralized
+    assert _one(spark, "a&nbsp;b&#8212;c").extracted_text == "a b c"
+
+
+def test_canonical_url_rules(spark):
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q=1#frag",
+         "https://example.com/Path?q=1"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com/a?utm_campaign=c", "https://example.com/a"),
+        ("https://example.com/a?q=1&utm_medium=m&r=2",
+         "https://example.com/a?q=1&r=2"),
+        ("https://sub.example.com/a/", "https://sub.example.com/a"),
+        ("not a url", "not a url"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {r.doc_id: (r.canonical_url, r.domain) for r in canonicalize_urls(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i][0] == want, (i, got[i][0], want)
+    assert got[0][1] == "example.com"
+    assert got[2][1] == "example.com:8080"
+    assert got[6][1] == ""  # opaque passthrough has no domain
+
+
+def test_canonical_url_is_a_dedup_key(spark):
+    variants = [
+        "https://www.example.com/page?utm_source=a",
+        "HTTPS://example.com/page/",
+        "https://example.com:443/page#top",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(variants)], "doc_id long, url string"
+    )
+    keys = {r.canonical_url for r in canonicalize_urls(df).collect()}
+    assert keys == {"https://example.com/page"}
