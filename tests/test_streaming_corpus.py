@@ -181,3 +181,62 @@ def test_compaction_preserves_rows_and_cuts_directories(spark, tmp_path):
         _docs(spark, [(50, _doc_text(500))]), 5, index_path, corpus_path
     )
     assert list_ingest_batches(corpus_path) == [3, 4, 5]
+
+
+def test_ingest_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Stop the stream after the first batch, start a new query on the
+    same checkpoint: already-committed batches must not reprocess, new
+    files drain, and the corpus holds each fresh doc exactly once."""
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    build_dedup_index(_docs(spark, [(0, _doc_text(0))]), index_path)
+
+    stream_dir = str(tmp_path / "stream")
+    schema = _stage_doc_chunks(
+        spark, stream_dir, [[(10, _doc_text(10)), (11, _doc_text(0))]]
+    )
+    q1 = streaming_corpus_ingest(
+        read_file_stream(spark, stream_dir, schema), index_path, corpus_path, ckpt
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    first = sorted(
+        (r.doc_id, r.ingest_batch)
+        for r in read_ingested_corpus(spark, corpus_path).collect()
+    )
+    assert [d for d, _ in first] == [10]
+
+    # second chunk arrives while the stream is down; restart on the SAME
+    # checkpoint — batch 0 must not be re-ingested
+    import pyspark.sql.functions as SF  # noqa: F401
+
+    _stage_doc_chunks(
+        spark,
+        stream_dir + "2",
+        [[(20, _doc_text(20)), (21, _doc_text(10))]],  # 21 dups ingested 10
+    )
+    import shutil
+
+    for f in sorted(__import__("os").listdir(stream_dir + "2")):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                __import__("os").path.join(stream_dir + "2", f),
+                __import__("os").path.join(stream_dir, "z" + f),
+            )
+    q2 = streaming_corpus_ingest(
+        read_file_stream(spark, stream_dir, schema), index_path, corpus_path, ckpt
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    final = sorted(
+        (r.doc_id, r.ingest_batch)
+        for r in read_ingested_corpus(spark, corpus_path).collect()
+    )
+    # 10 exactly once (batch 0 not reprocessed), 20 fresh in batch 1,
+    # 21 deduped against the ingested 10
+    assert final == [(10, 0), (20, 1)]
