@@ -11,6 +11,7 @@ from .bucketing import (
     write_bucketed,
     write_zordered,
     zorder_key,
+    zorder_key_n,
 )
 from .store import (
     load_rollups,
@@ -26,6 +27,7 @@ __all__ = [
     "write_bucketed",
     "write_zordered",
     "zorder_key",
+    "zorder_key_n",
     "TABLES",
     "load_table",
     "load_all",

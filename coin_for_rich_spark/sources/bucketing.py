@@ -159,3 +159,50 @@ def write_zordered(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+def zorder_key_n(cols: list) -> "Column":
+    """N-dimensional Morton (Z-order) key: bit i of dimension d lands at
+    position ``i·n + d`` — the :func:`zorder_key` tiling generalized to
+    ``n`` columns, for layouts sliced on three or more range dimensions
+    (e.g. exchange, symbol_id, time_bucket).
+
+    Each dimension gets ``63 // n`` bits (n=2 → 31, n=3 → 21, n=4 → 15);
+    inputs outside ``[0, 2^bits)`` FAIL LOUD exactly like the 2-D key —
+    quantize wider dimensions first (the bit budget shrinking with n is
+    the honest cost of more dimensions, not a limitation to hide). n=2
+    delegates to the magic-number ``zorder_key`` (bit-identical, pinned
+    by test); higher n builds the interleave as a per-bit shift-OR chain
+    — still pure column algebra, one codegen'd expression.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2 or n > 8:
+        raise ValueError("zorder_key_n takes 2..8 columns")
+    if n == 2:
+        return zorder_key(cols[0], cols[1])
+    bits = 63 // n
+    bound = 1 << bits
+
+    terms = []
+    for d, c in enumerate(cols):
+        x = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        x = F.when(
+            x.isNull() | (x < 0) | (x >= bound),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"zorder_key_n input NULL or out of [0, 2^{bits}): "),
+                    F.coalesce(x.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(x)
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(x, i).bitwiseAND(F.lit(1)), i * n + d
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)

@@ -240,3 +240,50 @@ def test_zorder_rejects_null_input(spark):
     df = spark.createDataFrame([(None, 4)], "a long, b long")
     with pytest.raises(Exception, match="zorder_key input"):
         df.select(zorder_key("a", "b")).collect()
+
+
+def test_zorder_key_n_reference_and_2d_delegation(spark):
+    """N-dim key equals a Python reference interleave; n=2 is bit-identical
+    to the magic-number 2-D path; cube-containment locality holds in 3-D."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.sources.bucketing import zorder_key, zorder_key_n
+
+    def ref_key(vals, bits):
+        n = len(vals)
+        out = 0
+        for d, v in enumerate(vals):
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (i * n + d)
+        return out
+
+    rows = [(i, (i * 7) % 97, (i * 13) % 53, (i * 29) % 31) for i in range(300)]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    got3 = df.select("a", "b", "c", zorder_key_n(["a", "b", "c"]).alias("z")).collect()
+    for r in got3:
+        assert r.z == ref_key((r.a, r.b, r.c), 21), (r.a, r.b, r.c)
+    got4 = df.select("a", "b", "c", "d", zorder_key_n(["a", "b", "c", "d"]).alias("z")).collect()
+    for r in got4:
+        assert r.z == ref_key((r.a, r.b, r.c, r.d), 15)
+
+    # n=2 delegates: identical to the magic-number spread
+    two = df.select(
+        (zorder_key("a", "b") == zorder_key_n(["a", "b"])).alias("eq")
+    ).collect()
+    assert all(r.eq for r in two)
+
+    # locality: every point in the [0, 2^k)^3 cube keys below every point
+    # with any coordinate >= 2^k
+    k = 3
+    inside = [r.z for r in got3 if max(r.a, r.b, r.c) < (1 << k)]
+    outside = [r.z for r in got3 if max(r.a, r.b, r.c) >= (1 << k)]
+    assert inside and outside and max(inside) < min(outside)
+
+    # out-of-range fails loud
+    bad = spark.createDataFrame([(1 << 22, 0, 0)], "a long, b long, c long")
+    with pytest.raises(Exception, match="zorder_key_n"):
+        bad.select(zorder_key_n(["a", "b", "c"])).collect()
+    with pytest.raises(ValueError, match="2..8"):
+        zorder_key_n(["a"])
