@@ -212,8 +212,9 @@ def compact_dedup_index(
     beside the live directory, then swapped in with two renames. Run with
     ingest stopped (an append landing between renames would write into the
     outgoing directory). meta.json is untouched — geometry survives."""
-    import shutil
     import uuid
+
+    from ..streaming.sink import swap_directory
 
     meta = load_index_meta(path)  # validates the index exists/geometry
     dt = meta.get("doc_type", "bigint")
@@ -231,10 +232,7 @@ def compact_dedup_index(
         if part_col:
             writer = writer.partitionBy(part_col)
         writer.parquet(staged)
-        old = f"{live}__old_{token}"
-        os.rename(live, old)
-        os.rename(staged, live)
-        shutil.rmtree(old)
+        swap_directory(live, staged, token)
 
 
 def incremental_dedup(

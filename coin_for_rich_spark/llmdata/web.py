@@ -41,14 +41,17 @@ _BLOCK_BREAK = (
     r"blockquote|pre|figure)>|<br\s*/?>|<hr\s*/?>"
 )
 
+# '&amp;' decodes LAST: decoding it first would turn '&amp;lt;' into
+# '&lt;' and then a later pass into '<' — the classic double-decode that
+# resurrects author-escaped markup
 _ENTITIES = (
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&amp;", "&"),
 )
 
 
@@ -86,7 +89,7 @@ def extract_html_text(
     return docs.select(
         F.col(id_col),
         t.alias("extracted_text"),
-        F.when(t == "", 0)
+        F.when(t.isNull() | (t == ""), 0)
         .otherwise(F.size(F.split(t, "\n")))
         .alias("n_lines"),
     )
@@ -113,11 +116,18 @@ def canonical_url(url_col: Column | str) -> Column:
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).when(
         scheme == "https", F.regexp_replace(host, r":443$", "")
     ).otherwise(host)
-    tail = F.regexp_replace(rest, r"^[^/?]+", "")
-    # drop tracking params, then restore '?' if the first param was removed
-    tail = F.regexp_replace(tail, rf"[?&]{_TRACKING_PARAMS}=[^&#]*", "")
-    tail = F.regexp_replace(tail, r"^([^?]*)&", "$1?")
-    tail = F.regexp_replace(tail, r"/\?", "?")
+    raw_tail = F.regexp_replace(rest, r"^[^/?]+", "")
+    # drop tracking params; restore the leading '?' ONLY when the original
+    # tail had a query and the first parameter was removed — a literal '&'
+    # in a query-less path must never be rewritten into a '?'
+    tail = F.regexp_replace(raw_tail, rf"[?&]{_TRACKING_PARAMS}=[^&#]*", "")
+    tail = F.when(
+        raw_tail.contains("?") & ~tail.contains("?"),
+        F.regexp_replace(tail, r"^([^?]*)&", "$1?"),
+    ).otherwise(tail)
+    # path/query boundary only (anchored): '/?'-sequences inside parameter
+    # VALUES are data, not structure
+    tail = F.regexp_replace(tail, r"^([^?]*)/\?", "$1?")
     tail = F.regexp_replace(tail, r"\?$", "")
     tail = F.regexp_replace(tail, r"/$", "")
     canon = F.concat(scheme, F.lit("://"), host, tail)

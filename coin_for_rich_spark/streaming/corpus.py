@@ -167,8 +167,9 @@ def compact_ingested_corpus(
     contract: run with the ingest stream stopped — a batch landing between
     the renames would write into the outgoing directory.
     """
-    import shutil
     import uuid
+
+    from .sink import swap_directory
 
     batches = list_ingest_batches(corpus_path)
     if up_to_batch is None:
@@ -193,7 +194,4 @@ def compact_ingested_corpus(
                 os.path.join(corpus_path, f"ingest_batch={b}"),
                 os.path.join(staged, f"ingest_batch={b}"),
             )
-    old = f"{corpus_path}__old_{token}"
-    os.rename(corpus_path, old)
-    os.rename(staged, corpus_path)
-    shutil.rmtree(old)
+    swap_directory(corpus_path, staged, token)

@@ -64,6 +64,20 @@ def within_batch_order(
     return order
 
 
+
+def swap_directory(live: str, staged: str, token: str) -> None:
+    """Atomically-enough promote a fully-staged sibling directory over the
+    live one: two renames, then remove the outgoing tree. The live path is
+    never an empty/partial directory; a crash between the renames leaves a
+    complete tree at one path or the other (recoverable by rename). The
+    ONE swap implementation every compaction in this repo uses (merge
+    sink, ingested corpus, dedup-index legs)."""
+    old = f"{live}__old_{token}"
+    os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old)
+
+
 class ParquetMergeSink:
     """PK-merge sink over a parquet directory, merge-on-read (LSM-style).
 
@@ -167,10 +181,7 @@ class ParquetMergeSink:
         resolved.write.mode("overwrite").parquet(
             os.path.join(staged, f"batch={self._BASE_BATCH}")
         )
-        old = f"{self.path}__old_{token}"
-        os.rename(self.path, old)
-        os.rename(staged, self.path)
-        shutil.rmtree(old)
+        swap_directory(self.path, staged, token)
 
 
 def run_ingest(

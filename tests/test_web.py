@@ -78,3 +78,30 @@ def test_canonical_url_is_a_dedup_key(spark):
     )
     keys = {r.canonical_url for r in canonicalize_urls(df).collect()}
     assert keys == {"https://example.com/page"}
+
+
+def test_canonical_url_hardening_cases(spark):
+    """The three review-pass hazards: a literal '&' in a query-less path
+    must not become '?', '/?'-sequences inside parameter values are data,
+    and author-escaped entities must not double-decode."""
+    cases = [
+        ("http://a.com/x&y", "http://a.com/x&y"),
+        ("http://a.com/p?next=/home/?tab=1", "http://a.com/p?next=/home/?tab=1"),
+        ("http://a.com/p/?q=1", "http://a.com/p?q=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {r.doc_id: r.canonical_url for r in canonicalize_urls(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_entities_no_double_decode_and_null(spark):
+    r = _one(spark, "use &amp;lt;b&amp;gt; for bold")
+    assert r.extracted_text == "use &lt;b&gt; for bold"
+    df = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(
+        [(0, None)], "doc_id long, text string"
+    )
+    row = extract_html_text(df).first()
+    assert row.n_lines == 0
