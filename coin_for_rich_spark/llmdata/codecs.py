@@ -446,7 +446,8 @@ def wav_encode_adpcm_ima(
 # Scope mirrors the PNG/WAV subset philosophy: a complete, spec-faithful
 # implementation of baseline sequential JFIF for 8-bit grayscale (one
 # component) AND YCbCr color (three components, interleaved scan) at both
-# 4:4:4 and 4:2:0 chroma sampling, with the standard Annex-K quantization
+# 4:4:4, 4:2:0 and 4:2:2 chroma sampling (decode additionally accepts
+# 4:4:0), with the standard Annex-K quantization
 # + Huffman tables, byte-stuffed entropy streams, and DRI/RSTn restart
 # markers on both legs (byte-aligned intervals, DC predictor resets,
 # verified D0-D7 modulo sequence). PROGRESSIVE (SOF2) is fully supported
@@ -454,7 +455,7 @@ def wav_encode_adpcm_ima(
 # AC, both directions), EOBn run lengths, and multi-scan table redefinition
 # — a full progressive decode is bit-identical to the baseline decode of
 # the same coefficients, and partial-scan prefixes still decode (coarse).
-# Other sampling layouts (4:1:1, 4:2:2), 12-bit precision, and arithmetic
+# Remaining sampling layouts (4:1:1), 12-bit precision, and arithmetic
 # coding are outside the subset and raise NotImplementedError naming the
 # capability. The decoder reads DQT/DHT from the stream (not hardcoded),
 # so externally produced JPEGs of this subset decode too.
@@ -609,12 +610,17 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def _pad_replicate(plane: np.ndarray, multiple: int) -> np.ndarray:
+def _pad_replicate(
+    plane: np.ndarray, multiple: int, multiple_w: int | None = None
+) -> np.ndarray:
     """Edge-replicate a (h, w) plane up to the next ``multiple`` grid (the
-    one padding rule every encode path shares); no-copy when aligned."""
+    one padding rule every encode path shares); ``multiple_w`` pads the
+    width to a different grid (the 4:2:2 MCU is 16 wide x 8 tall); no-copy
+    when aligned."""
     h, w = plane.shape
+    mw = multiple if multiple_w is None else multiple_w
     ph = (h + multiple - 1) // multiple * multiple
-    pw = (w + multiple - 1) // multiple * multiple
+    pw = (w + mw - 1) // mw * mw
     if (ph, pw) == (h, w) and plane.dtype == np.float64:
         return plane
     padded = np.empty((ph, pw), dtype=np.float64)
@@ -782,9 +788,9 @@ def jpeg_encode_rgb(
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("jpeg_encode_rgb expects a (h, w, 3) array")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:0", "4:2:2"):
         raise NotImplementedError(
-            f"subsampling {subsampling!r} unsupported (4:4:4 or 4:2:0)"
+            f"subsampling {subsampling!r} unsupported (4:4:4, 4:2:0 or 4:2:2)"
         )
     h, w = px.shape[:2]
     y, cb, cr = _rgb_to_ycbcr(px)
@@ -826,6 +832,32 @@ def jpeg_encode_rgb(
                     prev[ci] = _encode_block(
                         bw, planes[ci][bi, bj][zz_r, zz_c], prev[ci],
                         dc_codes, ac_codes,
+                    )
+    elif subsampling == "4:2:2":
+        # MCU = 16×8 px: two side-by-side Y blocks, one Cb and one Cr
+        # block from the horizontally-half-res planes
+        y_sampling = 0x21
+        ph, pw = (h + 7) // 8 * 8, (w + 15) // 16 * 16
+        yq = _plane_qcoef(_pad_replicate(y, 8, 16), _JPEG_Q)
+        half = [
+            _plane_qcoef(
+                _pad_replicate(p, 8, 16).reshape(ph, pw // 2, 2).mean(axis=2),
+                _JPEG_QC,
+            )
+            for p in (cb, cr)
+        ]
+        n_mcu_i, n_mcu_j = ph // 8, pw // 16
+        for mi in range(n_mcu_i):
+            for mj in range(n_mcu_j):
+                maybe_restart()
+                mcu += 1
+                for dj in (0, 1):
+                    prev[0] = _encode_block(
+                        bw, yq[mi, 2 * mj + dj][zz_r, zz_c], prev[0], *luma
+                    )
+                for ci, plane in ((1, half[0]), (2, half[1])):
+                    prev[ci] = _encode_block(
+                        bw, plane[mi, mj][zz_r, zz_c], prev[ci], *chroma
                     )
     else:  # 4:2:0 — MCU = 16×16 px: Y blocks (2i,2j)(2i,2j+1)(2i+1,2j)
         # (2i+1,2j+1), then one Cb and one Cr block from the half-res planes
@@ -1118,9 +1150,9 @@ def jpeg_encode_rgb_progressive(
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("jpeg_encode_rgb_progressive expects (h, w, 3)")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:0", "4:2:2"):
         raise NotImplementedError(
-            f"subsampling {subsampling!r} unsupported (4:4:4 or 4:2:0)"
+            f"subsampling {subsampling!r} unsupported (4:4:4, 4:2:0 or 4:2:2)"
         )
     h, w = px.shape[:2]
     y, cb, cr = _rgb_to_ycbcr(px)
@@ -1133,6 +1165,17 @@ def jpeg_encode_rgb_progressive(
             _plane_qcoef(y, _JPEG_Q),
             _plane_qcoef(cb, _JPEG_QC),
             _plane_qcoef(cr, _JPEG_QC),
+        ]
+    elif subsampling == "4:2:2":
+        samplings = [(2, 1), (1, 1), (1, 1)]
+        y_sampling = 0x21
+        ph, pw = (h + 7) // 8 * 8, (w + 15) // 16 * 16
+        planes = [_plane_qcoef(_pad_replicate(y, 8, 16), _JPEG_Q)] + [
+            _plane_qcoef(
+                _pad_replicate(p, 8, 16).reshape(ph, pw // 2, 2).mean(axis=2),
+                _JPEG_QC,
+            )
+            for p in (cb, cr)
         ]
     else:
         samplings = [(2, 2), (1, 1), (1, 1)]
@@ -1492,13 +1535,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 all(s == (1, 1) for s in samplings)
                 or (
                     ncomp == 3
-                    and samplings[0] == (2, 2)
+                    and samplings[0] in ((2, 2), (2, 1), (1, 2))
                     and samplings[1] == samplings[2] == (1, 1)
                 )
             ):
                 raise NotImplementedError(
-                    "only 4:4:4 (all 1×1) and 4:2:0 (luma 2×2) sampling "
-                    "is supported"
+                    "only 4:4:4 (all 1×1), 4:2:0 (luma 2×2), 4:2:2 (luma "
+                    "2×1) and 4:4:0 (luma 1×2) sampling is supported"
                 )
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(

@@ -887,3 +887,30 @@ def test_jpeg_progressive_decodes_foreign_scan_scripts():
     for script in scripts:
         got = jpeg_decode(encode_with_script(px, script))
         assert np.array_equal(got, base), script
+
+
+def test_jpeg_422_subsampling_round_trips():
+    """4:2:2 (luma 2x1, 16x8 MCUs): shape preservation at awkward dims,
+    tight constant accuracy, restart + progressive parity with baseline."""
+    from coin_for_rich_spark.llmdata.codecs import (
+        jpeg_decode,
+        jpeg_encode_rgb,
+        jpeg_encode_rgb_progressive,
+    )
+
+    rng = np.random.RandomState(67)
+    for h, w in [(16, 16), (33, 47), (8, 8), (5, 100)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = jpeg_decode(jpeg_encode_rgb(px, subsampling="4:2:2"))
+        assert out.shape == px.shape and out.dtype == np.uint8
+    c = np.full((24, 40, 3), (90, 160, 30), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode_rgb(c, subsampling="4:2:2"))
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 2
+    px = rng.randint(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode_rgb(px, subsampling="4:2:2"))
+    assert np.array_equal(
+        base, jpeg_decode(jpeg_encode_rgb(px, subsampling="4:2:2", restart_interval=2))
+    )
+    assert np.array_equal(
+        base, jpeg_decode(jpeg_encode_rgb_progressive(px, subsampling="4:2:2"))
+    )
