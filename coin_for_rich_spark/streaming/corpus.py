@@ -53,9 +53,18 @@ def ingest_batch_into_corpus(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_filter=None,
 ) -> None:
     """Process ONE micro-batch (the foreachBatch body, callable directly in
-    batch jobs too — backfills reuse the identical code path)."""
+    batch jobs too — backfills reuse the identical code path).
+
+    ``keep_filter`` is an optional curation hook ``DataFrame -> DataFrame``
+    applied BEFORE dedup (e.g. ``partial(quality_filter, lm=..., ...)`` or
+    a length cut): rejected docs never reach the corpus OR the index, so a
+    later higher-quality duplicate still gets its chance. The hook must be
+    deterministic — a retry replays it."""
+    if keep_filter is not None:
+        batch = keep_filter(batch)
     batch = batch.persist()
     try:
         if batch.isEmpty():
@@ -106,14 +115,18 @@ def streaming_corpus_ingest(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_filter=None,
 ) -> StreamingQuery:
     """Run the ingest loop over a streaming document source. The index at
     ``index_path`` must already exist (:func:`build_dedup_index` on the
-    historical corpus — or on an empty frame for a cold start)."""
+    historical corpus — or on an empty frame for a cold start).
+    ``keep_filter`` is the per-batch curation hook (see
+    :func:`ingest_batch_into_corpus`)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_into_corpus(
-            batch, batch_id, index_path, corpus_path, threshold, text_col, id_col
+            batch, batch_id, index_path, corpus_path, threshold, text_col,
+            id_col, keep_filter,
         )
 
     return (

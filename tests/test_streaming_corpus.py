@@ -240,3 +240,34 @@ def test_ingest_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     # 10 exactly once (batch 0 not reprocessed), 20 fresh in batch 1,
     # 21 deduped against the ingested 10
     assert final == [(10, 0), (20, 1)]
+
+
+def test_ingest_keep_filter_gates_before_dedup(spark, tmp_path):
+    """The curation hook runs before dedup: rejected docs reach neither
+    the corpus nor the index, so a later acceptable duplicate still
+    ingests fresh."""
+    from pyspark.sql import functions as SF
+
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    build_dedup_index(_docs(spark, []), index_path)
+
+    def min_length(df):
+        return df.filter(SF.size(SF.split(SF.col("text"), " ")) >= 10)
+
+    short = " ".join(f"w{i}" for i in range(3))
+    long = " ".join(f"w{i}" for i in range(20))
+    ingest_batch_into_corpus(
+        _docs(spark, [(1, short), (2, long)]), 0, index_path, corpus_path,
+        keep_filter=min_length,
+    )
+    got = {r.doc_id for r in read_ingested_corpus(spark, corpus_path).collect()}
+    assert got == {2}
+    # the rejected short doc left NO fingerprint: a longer doc whose text
+    # begins identically (near-dup of nothing indexed) ingests fresh later
+    ingest_batch_into_corpus(
+        _docs(spark, [(3, long + " extra tail words here")]),
+        1, index_path, corpus_path, keep_filter=min_length, threshold=0.99,
+    )
+    got2 = {r.doc_id for r in read_ingested_corpus(spark, corpus_path).collect()}
+    assert got2 == {2, 3}
