@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_parallelism
+from .dedup import _INTERMEDIATE_CACHES
 from .textstats import tokenize
 
 END_WORD = "</w>"
@@ -212,13 +213,28 @@ def encode_bpe(
     model: BPEModel,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Tokenize every document: (id_col, tokens array<string>, n_tokens).
 
     Corpus-scale plan: tokenize + explode with position, one DISTINCT-word
     relation encoded via an Arrow-batched fold (vocab-sized work), then a
-    broadcast join back and an ordered per-doc reassembly. Word order is
-    restored by the token position, never by shuffle luck.
+    join back and an ordered per-doc reassembly. Word order is restored by
+    the token position, never by shuffle luck.
+
+    **Size-gated join strategy.** For natural text the distinct-word
+    relation is vocab-sized and the positions⋈vocab join should broadcast.
+    But on a web corpus "distinct words" includes URLs, hex blobs, and
+    typos — 10⁸–10⁹ rows × token arrays — and an unconditional
+    ``F.broadcast`` hint is a mandatory driver/executor OOM (AQE cannot
+    bail out of an explicit hint). So the encoded vocab is persisted, its
+    serialized size estimated with one vocab-sized aggregate (word chars +
+    token chars + per-row overhead), and the hint applied only under
+    ``broadcast_vocab_bytes``; over budget the plan falls back to a plain
+    shuffle join on ``word`` where AQE's skew handling splits the hot-word
+    partitions (``"the"`` is exactly the skew shape AQE targets). The
+    persist lives in the shared dedup cache registry — callers drain it via
+    :func:`release_intermediate_caches` after materializing results.
     """
     ranks = model.ranks
     merge_list = model.merges
@@ -252,9 +268,31 @@ def encode_bpe(
         ),
     )
     vocab = positions.select("word").distinct()
-    encoded = vocab.mapInPandas(enc, schema="word string, toks array<string>")
+    encoded = vocab.mapInPandas(
+        enc, schema="word string, toks array<string>"
+    ).persist()
+    _INTERMEDIATE_CACHES.append(encoded)
+    # one vocab-sized pass: estimated in-memory bytes of the broadcast
+    # relation (UTF-8 chars for word + tokens, ~48 B row/array overhead)
+    est_bytes = (
+        encoded.select(
+            F.sum(
+                F.length("word")
+                + F.aggregate(
+                    F.transform("toks", F.length),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                + F.lit(48)
+            ).alias("b")
+        ).first()["b"]
+        or 0
+    )
+    joined_vocab = (
+        F.broadcast(encoded) if est_bytes <= broadcast_vocab_bytes else encoded
+    )
     per_doc = (
-        positions.join(F.broadcast(encoded), "word")
+        positions.join(joined_vocab, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(

@@ -206,6 +206,7 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int, str]:
     sample_rate = None
     audio_fmt = bits = block_align = None
     raw = None
+    fact_samples = None
     while pos + 8 <= len(data):
         typ = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -220,6 +221,11 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int, str]:
                     f"WAV with {channels}ch audio is outside the supported "
                     "subset (mono)"
                 )
+        elif typ == b"fact" and length >= 4:
+            # the true sample count for compressed formats — block codecs
+            # pad the final block, and without this the tail padding would
+            # be returned as real audio
+            (fact_samples,) = struct.unpack("<I", body[:4])
         elif typ == b"data":
             raw = body
     if sample_rate is None or raw is None:
@@ -232,7 +238,10 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int, str]:
     if audio_fmt == _WAV_FMT_IMA_ADPCM and bits == 4:
         if not block_align or block_align < 5:
             raise ValueError("IMA ADPCM WAV: bad block align")
-        return adpcm_ima_decode(raw, block_align), sample_rate, "adpcm_ima"
+        out = adpcm_ima_decode(raw, block_align)
+        if fact_samples is not None:
+            out = out[:fact_samples]  # drop final-block tail padding
+        return out, sample_rate, "adpcm_ima"
     raise NotImplementedError(
         f"WAV format tag {audio_fmt}/{bits}bit is outside the supported "
         "subset (PCM16, G.711 mu-law, IMA ADPCM — mono)"
@@ -426,8 +435,10 @@ def wav_encode_adpcm_ima(
 ) -> bytes:
     """Encode int16 mono samples as an IMA ADPCM (fmt 0x11) WAV."""
     payload, block_align = adpcm_ima_encode(samples, samples_per_block)
-    n_blocks = len(payload) // block_align
-    total = n_blocks * samples_per_block
+    # fact carries the TRUE (pre-padding) sample count — writing the padded
+    # n_blocks*samples_per_block would make a round trip of a
+    # non-block-multiple signal change length and decoded stats
+    total = len(np.asarray(samples))
     byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
     fmt = struct.pack(
         "<HHIIHH", _WAV_FMT_IMA_ADPCM, 1, sample_rate, byte_rate, block_align, 4
@@ -1485,6 +1496,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # optional 0xFF fill bytes may precede any marker (spec B.1.1.2) —
+        # without the skip, 'FF FF C4' reads marker=0xFF and misparses the
+        # next bytes as a segment length (same handling _find_scan_end
+        # applies inside entropy data)
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             saw_eoi = True
@@ -1705,6 +1724,8 @@ def _jpeg_sof_ncomp(data: bytes) -> int | None:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before a marker (B.1.1.2)
         marker = data[pos + 1]
         if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
             return None

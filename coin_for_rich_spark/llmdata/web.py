@@ -123,7 +123,11 @@ def canonical_url(url_col: Column | str) -> Column:
     tail = F.regexp_replace(raw_tail, rf"[?&]{_TRACKING_PARAMS}=[^&#]*", "")
     tail = F.when(
         raw_tail.contains("?") & ~tail.contains("?"),
-        F.regexp_replace(tail, r"^([^?]*)&", "$1?"),
+        # non-greedy prefix ([^?&]*): the FIRST remaining separator becomes
+        # the restored '?' — a greedy [^?]* would consume through to the
+        # LAST '&' and produce 'path&b=2?c=3' whenever a tracking param led
+        # the query with 2+ params kept (the dominant real-crawl shape)
+        F.regexp_replace(tail, r"^([^?&]*)&", "$1?"),
     ).otherwise(tail)
     # path/query boundary only (anchored): '/?'-sequences inside parameter
     # VALUES are data, not structure

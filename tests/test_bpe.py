@@ -100,3 +100,21 @@ def test_encode_plan_is_broadcast_and_distinct_words_only(spark):
     assert "BroadcastHashJoin" in plan  # vocab→corpus decorate is broadcast
     rows = out.collect()
     assert len(rows) == 50 and all(r.n_tokens == rows[0].n_tokens for r in rows)
+
+
+def test_encode_over_budget_vocab_falls_back_to_shuffle_join(spark):
+    """The broadcast hint is size-gated: a vocab over the byte budget must
+    NOT be broadcast (at web scale the distinct-'word' relation is
+    10⁸–10⁹ rows — an unconditional hint is a mandatory OOM). Over budget
+    the plan is a plain shuffle join on word, and results are identical."""
+    docs = _docs(spark, [(i, "alpha beta gamma delta " * 5) for i in range(50)])
+    model = train_bpe(docs, n_merges=6, strategy="driver", min_pair_count=1)
+    small = encode_bpe(docs, model)  # default budget: broadcast regime
+    big = encode_bpe(docs, model, broadcast_vocab_bytes=0)  # forced over
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # the positions⋈vocab decorate must not be broadcast over budget; the
+    # remaining BroadcastHashJoin (if any) is the small base left-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    got_small = {r.doc_id: r.tokens for r in small.collect()}
+    got_big = {r.doc_id: r.tokens for r in big.collect()}
+    assert got_small == got_big

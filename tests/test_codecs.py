@@ -492,6 +492,21 @@ def test_jpeg_gray_guard_ignores_ffc0_inside_app_segments():
     assert np.array_equal(out, jpeg_decode_gray(enc))
 
 
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """Optional 0xFF fill bytes may precede any marker (spec B.1.1.2):
+    'FF FF DB ...' must parse as a DQT marker, not desync by reading
+    marker=0xFF and misparsing the next bytes as a segment length —
+    externally produced streams (and concatenating muxers) emit these."""
+    from coin_for_rich_spark.llmdata.codecs import jpeg_decode_gray, jpeg_encode_gray
+
+    img = (np.arange(256).reshape(16, 16) % 200).astype(np.uint8)
+    enc = jpeg_encode_gray(img)
+    # one fill byte right after SOI, and two before the SOF0 marker
+    sof = enc.index(b"\xff\xc0")
+    padded = enc[:2] + b"\xff" + enc[2:sof] + b"\xff\xff" + enc[sof:]
+    assert np.array_equal(jpeg_decode_gray(padded), jpeg_decode_gray(enc))
+
+
 def test_jpeg_truncated_missing_eoi_raises():
     from coin_for_rich_spark.llmdata.codecs import jpeg_decode, jpeg_encode_gray
 
@@ -625,8 +640,25 @@ def test_wav_adpcm_container_roundtrip():
     wav = wav_encode_adpcm_ima(sig, 22050, 505)
     got, rate, codec = wav_decode(wav)
     assert (codec, rate) == ("adpcm_ima", 22050)
+    # the fact chunk carries the TRUE count: a round trip of a
+    # non-block-multiple signal preserves length — the block tail padding
+    # (last sample repeated) never leaks out as real audio
+    assert len(got) == len(sig)
     payload, ba = adpcm_ima_encode(sig, 505)
-    assert np.array_equal(got, adpcm_ima_decode(payload, ba))
+    assert np.array_equal(got, adpcm_ima_decode(payload, ba)[: len(sig)])
+
+
+def test_wav_adpcm_fact_chunk_truncates_tail_padding():
+    from coin_for_rich_spark.llmdata.codecs import wav_decode, wav_encode_adpcm_ima
+
+    sig = (np.arange(700) % 97 * 30 - 1500).astype(np.int16)  # 700 < 2*505
+    wav = wav_encode_adpcm_ima(sig, 8000, 505)
+    # fact chunk holds the pre-padding count, not n_blocks*spb
+    pos = wav.index(b"fact") + 8
+    (fact,) = struct.unpack("<I", wav[pos : pos + 4])
+    assert fact == 700
+    got, _, _ = wav_decode(wav)
+    assert len(got) == 700
 
 
 def test_adpcm_decodes_foreign_block_layout():

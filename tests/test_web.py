@@ -52,6 +52,13 @@ def test_canonical_url_rules(spark):
         ("https://example.com/a?utm_campaign=c", "https://example.com/a"),
         ("https://example.com/a?q=1&utm_medium=m&r=2",
          "https://example.com/a?q=1&r=2"),
+        # a LEADING tracking param with 2+ kept params: the FIRST remaining
+        # separator must become '?' (the greedy-regex regression shape —
+        # 'path&b=2?c=3' would fork equivalent URLs into different keys)
+        ("https://example.com/path?utm_source=x&b=2&c=3",
+         "https://example.com/path?b=2&c=3"),
+        ("https://example.com/p?gclid=g&a=1&b=2&c=3",
+         "https://example.com/p?a=1&b=2&c=3"),
         ("https://sub.example.com/a/", "https://sub.example.com/a"),
         ("not a url", "not a url"),
         (None, None),
@@ -64,7 +71,7 @@ def test_canonical_url_rules(spark):
         assert got[i][0] == want, (i, got[i][0], want)
     assert got[0][1] == "example.com"
     assert got[2][1] == "example.com:8080"
-    assert got[6][1] == ""  # opaque passthrough has no domain
+    assert got[8][1] == ""  # opaque passthrough has no domain
 
 
 def test_canonical_url_is_a_dedup_key(spark):
