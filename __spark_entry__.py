@@ -75,6 +75,9 @@ from coin_for_rich_spark.llmdata import (
     simhash_pairs,
     domain_mix_sample,
     token_quantiles,
+    build_dedup_index,
+    incremental_dedup,
+    epoch_shuffle,
 )
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
 from coin_for_rich_spark.functions.partitioning import scoped_shuffle_partitions
@@ -794,6 +797,107 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the standing dedup fingerprint index is ingest-time infrastructure (like
+# the rollup store and the IVF-PQ index): built once per source identity at
+# a FIXED path — fixed, not identity-keyed, because the DuckDB twin reads
+# the same parquet legs back and oracle_sql() cannot see sf_dir — with an
+# identity marker so a testdata swap rebuilds instead of serving stale legs.
+_DEDUP_GATE_GEOMETRY = {"n": 3, "num_perm": 32, "bands": 8}
+
+
+def _dedup_probe_batch(docs: DataFrame) -> DataFrame:
+    """The probe batch: the doc_id % 4 == 0 split PLUS a replay of every
+    % 40 == 1 history doc under a fresh id (+1e6) — the corpus has no
+    exact-duplicate documents, so the replays are what exercises the exact
+    leg (and the exact-over-near precedence: a replay also collides in
+    every band at estimate 1.0)."""
+    base = docs.filter(F.col("doc_id") % 4 == 0)
+    replay = docs.filter(F.col("doc_id") % 40 == 1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return base.unionByName(replay)
+
+
+def _dedup_index_gate(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the gate's dedup-index pair under $TMPDIR:
+    ``index/`` — the standing fingerprint index over the HISTORY split
+    (doc_id % 4 != 0); ``probe/`` — the same three fingerprint legs for the
+    BATCH (:func:`_dedup_probe_batch`), dumped so the oracle can recompute
+    the probe's classification joins from parquet (the batch fingerprints
+    are a pure function of the corpus, so the dump is bit-identical to what
+    ``incremental_dedup`` derives internally)."""
+    import hashlib  # noqa: F401 — parallel with _ann_index's identity recipe
+    import os
+    import shutil
+    import tempfile
+
+    final = os.path.join(tempfile.gettempdir(), "cfr_dedupidx_gate")
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|idx4v2"
+    except OSError:
+        ident = f"{sf_dir}|idx4v2"
+    marker = os.path.join(final, "_ident.txt")
+    current = None
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            current = fh.read()
+    if current != ident:
+        docs = load_table(spark, sf_dir, "documents")
+        history = docs.filter(F.col("doc_id") % 4 != 0)
+        batch = _dedup_probe_batch(docs)
+        tmp = tempfile.mkdtemp(prefix="cfr_dedupidx_stage_")
+        built = os.path.join(tmp, "gate")
+        build_dedup_index(history, os.path.join(built, "index"), **_DEDUP_GATE_GEOMETRY)
+        build_dedup_index(batch, os.path.join(built, "probe"), **_DEDUP_GATE_GEOMETRY)
+        with open(os.path.join(built, "_ident.txt"), "w") as fh:
+            fh.write(ident)
+        shutil.rmtree(final, ignore_errors=True)
+        _promote_staged_dir(built, final, expect=os.path.join(final, "_ident.txt"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against the PERSISTED fingerprint index
+    (llmdata.dedup_index.incremental_dedup): the batch split is classified
+    exact_dup / near_dup / fresh by probing the standing on-disk index of
+    the history split — exact leg one equi-join on content_hash, near leg a
+    band-bucket equi-join + signature-estimate scoring, history touched
+    only through its index files. The oracle recomputes every
+    classification from the SAME parquet legs in DuckDB (md5 exact join,
+    band-bucket join, matching-position Jaccard estimate, threshold, and
+    the (max est, min doc) tie contract) — so a green row certifies the
+    probe's join/score/precedence logic end-to-end, with the fingerprint
+    generation itself pinned by the build≡append and probe-parity tests in
+    tests/test_dedup_index.py. Replaces the former ``media_features`` row
+    (r6→r7 surface swap, COVERAGE.md): its fake-decoder tier is superseded
+    by the real ``media_decode``/``media_resample``/``frame_sample`` rows."""
+    import os
+
+    gate = _dedup_index_gate(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = _dedup_probe_batch(docs)
+    return incremental_dedup(batch, os.path.join(gate, "index"), threshold=0.5)
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (llmdata.pipeline.epoch_shuffle):
+    shard + order key as a pure function of (doc_id, seed) — layout- and
+    cluster-size-invariant by construction. The oracle recomputes Spark's
+    exact xxhash64 chain (XXH64 of the 8-byte id seeded 42, re-seeding the
+    4-byte literal's hash) in DuckDB via the closed form for fixed-width
+    input, then the same pmod — every ord and shard value is hash-exact,
+    not a property. The layout-invariance property itself stays pinned in
+    tests/test_pipeline.py. Replaces the former ``embed_knn`` row (r6→r7
+    surface swap, COVERAGE.md): brute cosine top-k remains gate-certified
+    by ``embed_knn_join`` (exact ranking for EVERY row vs the full DuckDB
+    pairwise oracle) and keeps executing inside ``embed_ann_lsh`` /
+    ``embed_ann_ivf`` as their recall truth set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, n_shards=8, seed=7).select("doc_id", "shard", "ord")
+
+
 # the brute-force property twin runs on this deterministic md5 prefix sample
 # (4/16 of docs → 1/16 of the all-pairs work) — the pigeonhole guarantee is
 # per-pair, so a sampled check is a valid property, and the quadratic scan
@@ -911,7 +1015,14 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 around the vec_id=0 embedding."""
+    """Brute-force cosine top-10 around the vec_id=0 embedding.
+
+    UNDECLARED since r7 (swapped for ``epoch_shuffle``): exact brute-force
+    cosine ranking stays gate-certified by ``embed_knn_join`` (top-k for
+    EVERY row vs the full DuckDB pairwise oracle), and cosine_knn itself
+    keeps executing inside the declared ``embed_ann_lsh`` /
+    ``embed_ann_ivf`` rows as their recall truth set; value-checked in
+    tests/test_llmdata.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return cosine_knn(emb, qv, k=10)
@@ -1036,7 +1147,13 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas feature extraction (deterministic fake decoder); the
-    metadata/digest columns are oracle-checked."""
+    metadata/digest columns are oracle-checked.
+
+    UNDECLARED since r7 (swapped for ``dedup_index_probe``): the fake-
+    decoder tier is superseded by the REAL ``media_decode`` /
+    ``media_resample`` / ``frame_sample`` rows, which exercise the same
+    attach→mapInPandas→stats plumbing through genuine codec bytes; this
+    query stays unit-tested in tests/test_llmdata.py."""
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     feats = extract_media_features(media, fake=True)
     return feats.select("media_id", "mime", "n_bytes", "sha256")
@@ -1434,16 +1551,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hold_back": q_stream_hold_back,
         "stream_dedup": q_stream_dedup,
         "stream_upsert_ingest": q_stream_upsert_ingest,
-        # embedding similarity / ANN tier
-        "embed_knn": q_embed_knn,
+        # embedding similarity / ANN tier (embed_knn → epoch_shuffle in r7:
+        # brute cosine stays certified via embed_knn_join's every-row oracle)
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
         "embed_neardup": q_embed_neardup,
         # REST fetch plan (S1/S2)
         "fetch_plan": q_fetch_plan,
         "fetch_backfill": q_fetch_backfill,
-        # multimodal plumbing
-        "media_features": q_media_features,
+        # multimodal plumbing (media_features → dedup_index_probe in r7:
+        # its fake tier is superseded by the real decode/resample/frame rows)
         "frame_sample": q_frame_sample,
         "embed_knn_join": q_embed_knn_join,
         "media_decode": q_media_decode,
@@ -1457,8 +1574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        # incremental dedup vs the persisted fingerprint index (r7 swap-in)
+        "dedup_index_probe": q_dedup_index_probe,
         "seq_packing": q_seq_packing,
-        # document pipeline
+        # document pipeline (+ the deterministic epoch shuffle, r7 swap-in)
+        "epoch_shuffle": q_epoch_shuffle,
         "doc_line_dedup": q_doc_line_dedup,
         "doc_profile": q_doc_profile,
         "domain_mix_sample": q_domain_mix_sample,
@@ -1498,6 +1618,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping in COVERAGE.md) instead of silently losing a row"
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin of Spark's xxhash64 over (bigint, int-literal) — the epoch-
+# shuffle order key. XXH64 collapses to a short closed form for fixed-width
+# input: hashLong(id, 42) then hashInt(seed_literal, that). DuckDB's BIGINT
+# ops raise on overflow, so every multiply/rotate routes through HUGEINT
+# mod 2^64; emitted as a chain of one-op CTEs (inlining would duplicate the
+# running value exponentially).
+# ---------------------------------------------------------------------------
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+# the full 64×64-bit product needs UNSIGNED int128: (2^64-1)^2 overflows
+# HUGEINT (signed) but fits UHUGEINT exactly
+_M64 = "18446744073709551616::UHUGEINT"
+
+
+def _u64_mul(c: int) -> str:
+    return f"(((v)::UHUGEINT * {c}::UHUGEINT) % {_M64})::UBIGINT"
+
+
+def _u64_add(c: int) -> str:
+    return f"(((v)::UHUGEINT + {c}::UHUGEINT) % {_M64})::UBIGINT"
+
+
+def _u64_rotl(r: int) -> str:
+    return f"({_u64_mul(1 << r)} | ((v) >> {64 - r}))"
+
+
+def _u64_mix(r: int) -> str:
+    return f"xor(v, (v) >> {r})"
+
+
+def _epoch_shuffle_oracle_sql(seed: int, n_shards: int) -> str:
+    init = (42 + _XXH_P5 + 8) & _U64  # hashLong's seeded accumulator
+    seed_mult = ((seed & 0xFFFFFFFF) * _XXH_P1) & _U64  # hashInt's k1
+    fmix = [_u64_mix(33), _u64_mul(_XXH_P2), _u64_mix(29), _u64_mul(_XXH_P3), _u64_mix(32)]
+    steps = [
+        # hashLong(doc_id, 42): k1 = rotl(id*P2,31)*P1; h = init ^ k1;
+        # h = rotl(h,27)*P1 + P4; fmix
+        _u64_mul(_XXH_P2),
+        _u64_rotl(31),
+        _u64_mul(_XXH_P1),
+        f"xor({init}::UBIGINT, v)",
+        _u64_rotl(27),
+        _u64_mul(_XXH_P1),
+        _u64_add(_XXH_P4),
+        *fmix,
+        # hashInt(seed_literal, h): h += P5+4; h ^= (seed&0xffffffff)*P1;
+        # h = rotl(h,23)*P2 + P3; fmix
+        _u64_add(_XXH_P5 + 4),
+        f"xor(v, {seed_mult}::UBIGINT)",
+        _u64_rotl(23),
+        _u64_mul(_XXH_P2),
+        _u64_add(_XXH_P3),
+        *fmix,
+    ]
+    ctes = ["h0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS v FROM documents)"]
+    for i, expr in enumerate(steps, 1):
+        ctes.append(f"h{i} AS (SELECT doc_id, {expr} AS v FROM h{i - 1})")
+    joined = ",\n            ".join(ctes)
+    return f"""
+        WITH {joined},
+        fin AS (
+            SELECT doc_id,
+                   CASE WHEN v >= 9223372036854775808::UBIGINT
+                        THEN (v::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                        ELSE v::BIGINT END AS ord
+            FROM h{len(steps)}
+        )
+        SELECT doc_id,
+               CAST(((ord % {n_shards}) + {n_shards}) % {n_shards} AS INT) AS shard,
+               ord
+        FROM fin
+    """
+
+
+def _dedup_probe_oracle_sql() -> str:
+    """DuckDB twin of the incremental-dedup probe: reads the index + probe
+    fingerprint legs that ``q_dedup_index_probe`` materializes (fixed
+    $TMPDIR path — computed here at call time so both sides resolve the
+    same directory) and REDOES the classification: md5-exact equi-join,
+    band-bucket candidate join, matching-position Jaccard estimate over the
+    signature arrays, the ≥ threshold filter, and the (max estimate,
+    min doc) tie contract, with exact taking precedence over near."""
+    import os
+    import tempfile
+
+    gate = os.path.join(tempfile.gettempdir(), "cfr_dedupidx_gate")
+    return f"""
+        WITH idx_exact AS (SELECT * FROM read_parquet('{gate}/index/exact/*.parquet')),
+        new_exact AS (SELECT * FROM read_parquet('{gate}/probe/exact/*.parquet')),
+        idx_bands AS (SELECT * FROM read_parquet('{gate}/index/bands/*/*.parquet', hive_partitioning=1)),
+        new_bands AS (SELECT * FROM read_parquet('{gate}/probe/bands/*/*.parquet', hive_partitioning=1)),
+        idx_sigs AS (SELECT * FROM read_parquet('{gate}/index/sigs/*.parquet')),
+        new_sigs AS (SELECT * FROM read_parquet('{gate}/probe/sigs/*.parquet')),
+        batch AS (
+            SELECT doc_id FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id + 1000000 FROM documents WHERE doc_id % 40 = 1
+        ),
+        exact_hits AS (
+            SELECT ne.doc AS doc_id, min(ie.doc) AS exact_match
+            FROM new_exact ne JOIN idx_exact ie USING (content_hash)
+            GROUP BY ne.doc
+        ),
+        cand AS (
+            SELECT DISTINCT nb.doc AS new_doc, ib.doc AS idx_doc
+            FROM new_bands nb JOIN idx_bands ib
+              ON nb.band = ib.band AND nb.bhash = ib.bhash
+        ),
+        scored AS (
+            SELECT c.new_doc, c.idx_doc,
+                   list_sum(list_transform(
+                       list_zip(ns.signature, isg.signature),
+                       x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END
+                   )) / 32.0 AS est_jaccard
+            FROM cand c
+            JOIN new_sigs ns ON ns.doc = c.new_doc
+            JOIN idx_sigs isg ON isg.doc = c.idx_doc
+        ),
+        near AS (
+            SELECT new_doc AS doc_id, min(idx_doc) AS near_match,
+                   max(est_jaccard) AS est_jaccard
+            FROM (
+                SELECT *, max(est_jaccard) OVER (PARTITION BY new_doc) AS best
+                FROM scored WHERE est_jaccard >= 0.5
+            ) WHERE est_jaccard = best
+            GROUP BY new_doc
+        )
+        SELECT b.doc_id,
+               CASE WHEN eh.exact_match IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+                    ELSE 'fresh' END AS status,
+               coalesce(eh.exact_match, nr.near_match) AS match_doc,
+               CASE WHEN eh.exact_match IS NOT NULL THEN 1.0
+                    ELSE nr.est_jaccard END AS est_jaccard
+        FROM batch b
+        LEFT JOIN exact_hits eh USING (doc_id)
+        LEFT JOIN near nr USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2089,13 +2355,9 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS approx_ok
             FROM t
         """,
-        "embed_knn": """
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
-            FROM embeddings, q
-            ORDER BY cosine DESC, vec_id
-            LIMIT 10
-        """,
+        # epoch_shuffle: hash-exact twin — ord is Spark's xxhash64(doc_id,
+        # lit(7)) recomputed via the XXH64 closed form, shard its pmod 8
+        "epoch_shuffle": _epoch_shuffle_oracle_sql(seed=7, n_shards=8),
         "embed_neardup": """
             WITH q AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v0,
@@ -2119,15 +2381,10 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         """,
-        "media_features": """
-            SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                        ELSE 'video/mp4' END AS mime,
-                   octet_length(encode(text)) AS n_bytes,
-                   sha256(text) AS sha256
-            FROM documents
-        """,
+        # recomputes every exact/near/fresh classification from the SAME
+        # parquet legs the Spark probe reads (the gate query materializes
+        # them first — selfcheck/driver run the Spark side, then its oracle)
+        "dedup_index_probe": _dedup_probe_oracle_sql(),
         # predicts each demuxed frame's integer stats and tick set from the
         # attach_real_video formulas (w = i%13+1, h = i%11+1, n = i%7+2,
         # 250 ms/frame, pixel = (5x+11y+29f+i) % 256) without parsing MP4:

@@ -69,6 +69,13 @@ def main() -> int:
             )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # self-describing environment: host load at measurement time, so a
+    # round-over-round comparison can tell plan regressions from co-tenant
+    # noise without a controlled re-run (the r6 adjudication cost)
+    try:
+        load1, load5, load15 = (round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load1 = load5 = load15 = -1.0
     print(
         json.dumps(
             {
@@ -78,6 +85,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "n": n_passes,
+                "loadavg": [load1, load5, load15],
+                "cpus": os.cpu_count(),
             }
         )
     )
