@@ -91,7 +91,17 @@ def ingest_batch_into_corpus(
             .filter(F.col("status") == "fresh")
             .select(id_col)
         )
-        fresh = deduped.join(fresh_ids, id_col, "left_semi").persist()
+        # localCheckpoint, NOT persist: step 4 writes to the very store the
+        # probe lineage READS, and a write invalidates (refreshByPath) every
+        # cached plan touching that path — a later append job would then
+        # recompute `fresh` THROUGH the index read against the mutated
+        # directory (on a cold-start index that flips the bands leg from
+        # unpartitioned-empty to band=N partitions mid-batch, which kills
+        # the captured read plan with a partition-schema assertion; on a
+        # warm index it silently re-probes against the batch's own
+        # fingerprints). Checkpointing materializes fresh AND truncates the
+        # lineage, so the appends can never re-descend into the index scan.
+        fresh = deduped.join(fresh_ids, id_col, "left_semi").localCheckpoint()
         try:
             if not fresh.isEmpty():
                 # 3. exactly-once corpus write: the batch owns its directory
@@ -101,7 +111,6 @@ def ingest_batch_into_corpus(
                 # 4. at-least-once fingerprint append (probe dup-insensitive)
                 append_to_index(fresh, index_path, text_col, id_col)
         finally:
-            fresh.unpersist()
             deduped.unpersist()
     finally:
         batch.unpersist()

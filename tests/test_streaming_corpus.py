@@ -94,6 +94,40 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     assert {r.status for r in replay.collect()} == {"exact_dup"}
 
 
+def test_cold_start_ingest_survives_index_layout_flip(spark, tmp_path):
+    """Regression: the fingerprint append writes to the very store the
+    probe lineage reads, and a write invalidates every cached plan touching
+    that path — a later append job then recomputed `fresh` THROUGH the
+    index scan against the mutated directory. On a COLD-START (empty)
+    index, batch 0's own bands append flips that leg from
+    unpartitioned-empty to band=N partition directories mid-batch, and the
+    recompute died with a partition-schema assertion (reproduced at
+    ~125 docs/batch; small batches can stay fully plan-cached and mask it).
+    Fixed by localCheckpoint-ing `fresh` — lineage truncated, the appends
+    can never re-descend into the index read."""
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    build_dedup_index(_docs(spark, []), index_path)  # cold start: empty
+    n = 150
+    b0 = _docs(spark, [(i, _doc_text(i)) for i in range(n)])
+    b1 = _docs(
+        spark,
+        # half replays of batch 0 (must be suppressed), half fresh
+        [(1000 + i, _doc_text(i)) for i in range(0, n, 2)]
+        + [(2000 + i, _doc_text(5000 + i)) for i in range(n // 2)],
+    )
+    ingest_batch_into_corpus(b0, 0, index_path, corpus_path)
+    ingest_batch_into_corpus(b1, 1, index_path, corpus_path)
+    got = {
+        r.doc_id: r.ingest_batch
+        for r in read_ingested_corpus(spark, corpus_path).collect()
+    }
+    assert sum(1 for b in got.values() if b == 0) == n
+    assert sorted(d for d, b in got.items() if b == 1) == [
+        2000 + i for i in range(n // 2)
+    ]
+
+
 def test_batch_retry_is_idempotent(spark, tmp_path):
     """Re-running a batch (the foreachBatch retry case) must leave the
     corpus unchanged and the index semantically unchanged (duplicate
