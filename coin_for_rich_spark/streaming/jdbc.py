@@ -82,6 +82,35 @@ def pg_ddl(table: str, schema: T.StructType, pk: list[str]) -> str:
     )
 
 
+def hypertable_ddl(table: str, time_col: str, pk: list[str]) -> str:
+    """TimescaleDB conversion for a freshly created table, guarded on the
+    extension actually being installable — the reference's
+    ``SELECT create_hypertable('ohlcvs', 'time')``
+    (`scripts/database/init/create.sql` / `schemas/create_tables.sql:85`)
+    as a no-op on a plain-PostgreSQL server, so the same DDL deploys
+    against both. TimescaleDB requires the partitioning column in every
+    unique index, so ``time_col`` must be part of the sink's PK — enforced
+    here rather than discovered as a server error at deploy time. The merge
+    semantics (ON CONFLICT upsert) are identical either way; chunking is a
+    storage-layout concern the sink never sees."""
+    if time_col not in pk:
+        raise ValueError(
+            f"hypertable time column {time_col!r} must be part of the "
+            f"primary key {pk} (TimescaleDB requires the partitioning "
+            "column in every unique index)"
+        )
+    return (
+        "DO $$ BEGIN\n"
+        "  IF EXISTS (SELECT 1 FROM pg_available_extensions "
+        "WHERE name = 'timescaledb') THEN\n"
+        "    CREATE EXTENSION IF NOT EXISTS timescaledb;\n"
+        f"    PERFORM create_hypertable('{table}', '{time_col}', "
+        "if_not_exists => TRUE);\n"
+        "  END IF;\n"
+        "END $$;"
+    )
+
+
 # Every escape COPY TO text emits (\b \f \v included — the server escapes
 # more control chars than pg_text_value ever produces on the write side).
 _PG_TEXT_UNESCAPES = {
@@ -432,13 +461,23 @@ class PsqlCopyMergeSink:
             )
         return proc.stdout
 
-    def create_table(self, schema, drop: bool = False) -> None:
+    def create_table(
+        self, schema, drop: bool = False, hypertable_time_col: str | None = None
+    ) -> None:
         """Create the target table from a Spark schema with the sink's PK
         (composite PRIMARY KEY backs ON CONFLICT); ``drop=True`` first
-        drops any previous incarnation — the reset a re-run query wants."""
+        drops any previous incarnation — the reset a re-run query wants.
+        ``hypertable_time_col`` additionally runs the guarded TimescaleDB
+        conversion (:func:`hypertable_ddl`) — a no-op where the extension
+        is unavailable, the reference's hypertable where it is."""
         ddl = pg_ddl(self.table, schema, self.pk)
         pre = f"DROP TABLE IF EXISTS {self.table};\n" if drop else ""
-        self._run_psql(f"{pre}{ddl};\n")
+        post = (
+            "\n" + hypertable_ddl(self.table, hypertable_time_col, self.pk)
+            if hypertable_time_col
+            else ""
+        )
+        self._run_psql(f"{pre}{ddl};{post}\n")
 
     def read(self, spark: SparkSession, schema) -> DataFrame:
         """Resolved table state read back FROM PostgreSQL as a DataFrame —

@@ -295,6 +295,50 @@ def test_pg_ddl_maps_schema_and_rejects_composites():
         pg_ddl("t", bad, ["a"])
 
 
+def test_hypertable_ddl_guarded_and_pk_validated():
+    """The TimescaleDB conversion (the reference's create_hypertable on
+    ohlcvs) must be extension-guarded — identical DDL deploys against plain
+    PostgreSQL as a no-op — and must reject a time column outside the PK
+    at DDL-build time (TimescaleDB requires the partitioning column in
+    every unique index; better a ValueError here than a server error at
+    deploy)."""
+    from coin_for_rich_spark.streaming.jdbc import hypertable_ddl
+
+    ddl = hypertable_ddl("ohlcvs", "ts", ["symbol", "ts"])
+    assert "pg_available_extensions" in ddl  # guard: no-op without the ext
+    assert "CREATE EXTENSION IF NOT EXISTS timescaledb" in ddl
+    assert "create_hypertable('ohlcvs', 'ts', if_not_exists => TRUE)" in ddl
+    with pytest.raises(ValueError, match="primary key"):
+        hypertable_ddl("events", "ts", ["user_id", "event_type"])
+
+
+def test_create_table_with_hypertable_on_plain_postgres(spark, pg):
+    """On a server WITHOUT timescaledb the guarded conversion is a no-op:
+    the table comes up as a plain PK table and the merge path is unchanged
+    — the exact degradation contract the DDL promises."""
+    from pyspark.sql import types as T
+
+    from coin_for_rich_spark.streaming.jdbc import PsqlCopyMergeSink
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    sink = PsqlCopyMergeSink(pg, "hyper_t", ("k", "ts"), mode="upsert")
+    sink.create_table(schema, drop=True, hypertable_time_col="ts")
+    import datetime
+
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1, 0, 0), 1.5)], schema
+    )
+    sink.merge(df, 0)
+    rows = _fetch(pg, "SELECT k, v FROM hyper_t")
+    assert rows == [["a", "1.5"]]
+
+
 def test_pg_text_parse_inverts_pg_text_value():
     """Escape→unescape must be the identity on adversarial strings — in
     particular a literal backslash-t must NOT come back as a tab (the
