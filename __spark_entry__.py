@@ -831,7 +831,6 @@ def _dedup_index_gate(spark: SparkSession, sf_dir: str) -> str:
     the probe's classification joins from parquet (the batch fingerprints
     are a pure function of the corpus, so the dump is bit-identical to what
     ``incremental_dedup`` derives internally)."""
-    import hashlib  # noqa: F401 — parallel with _ann_index's identity recipe
     import os
     import shutil
     import tempfile

@@ -227,14 +227,23 @@ def encode_bpe(
     But on a web corpus "distinct words" includes URLs, hex blobs, and
     typos — 10⁸–10⁹ rows × token arrays — and an unconditional
     ``F.broadcast`` hint is a mandatory driver/executor OOM (AQE cannot
-    bail out of an explicit hint). So the encoded vocab is persisted, its
-    serialized size estimated with one vocab-sized aggregate (word chars +
-    token chars + per-row overhead), and the hint applied only under
-    ``broadcast_vocab_bytes``; over budget the plan falls back to a plain
-    shuffle join on ``word`` where AQE's skew handling splits the hot-word
-    partitions (``"the"`` is exactly the skew shape AQE targets). The
-    persist lives in the shared dedup cache registry — callers drain it via
-    :func:`release_intermediate_caches` after materializing results.
+    bail out of an explicit hint). So the vocab relation is persisted and
+    its broadcast size estimated with one closed-form vocab-sized aggregate
+    in UTF-8 BYTES (``octet_length``, not codepoints — a CJK vocab is ~3×
+    its character count; the encoded tokens are a partition of the word's
+    characters plus the ``</w>`` marker, so their bytes are bounded by the
+    word's own), and the hint applied only under ``broadcast_vocab_bytes``;
+    over budget the plan falls back to a plain shuffle join on ``word``
+    where AQE's skew handling splits the hot-word partitions (``"the"`` is
+    exactly the skew shape AQE targets). The estimate never runs the
+    Arrow-batched fold — that executes once, inside the decorate join.
+
+    **Cache contract:** the persisted vocab registers in the shared
+    intermediate-cache registry; callers that loop (bench passes, services
+    encoding many corpora) drain it with
+    :func:`~.dedup.release_intermediate_caches` AFTER materializing the
+    returned DataFrame — same lifetime rule as the dedup operators'
+    inverted-index caches.
     """
     ranks = model.ranks
     merge_list = model.merges
@@ -267,27 +276,25 @@ def encode_bpe(
             "pos", "word"
         ),
     )
-    vocab = positions.select("word").distinct()
-    encoded = vocab.mapInPandas(
-        enc, schema="word string, toks array<string>"
-    ).persist()
-    _INTERMEDIATE_CACHES.append(encoded)
-    # one vocab-sized pass: estimated in-memory bytes of the broadcast
-    # relation (UTF-8 chars for word + tokens, ~48 B row/array overhead)
+    vocab = positions.select("word").distinct().persist()
+    _INTERMEDIATE_CACHES.append(vocab)
+    # one vocab-sized pass over the CACHED word list: UTF-8 bytes of the
+    # word + its tokens (tokens partition the word's bytes, + up to 5 B for
+    # the </w> marker), ~16 B per array element for offsets/pointers
+    # (n_tokens ≤ chars+1), 48 B fixed row overhead — a deliberate upper
+    # bound so the gate errs toward shuffling, never toward an OOM
     est_bytes = (
-        encoded.select(
+        vocab.select(
             F.sum(
-                F.length("word")
-                + F.aggregate(
-                    F.transform("toks", F.length),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                )
+                F.octet_length("word") * 2
+                + F.lit(5)
+                + (F.length("word") + 1) * 16
                 + F.lit(48)
             ).alias("b")
         ).first()["b"]
         or 0
     )
+    encoded = vocab.mapInPandas(enc, schema="word string, toks array<string>")
     joined_vocab = (
         F.broadcast(encoded) if est_bytes <= broadcast_vocab_bytes else encoded
     )

@@ -1726,6 +1726,8 @@ def _jpeg_sof_ncomp(data: bytes) -> int | None:
             return None
         while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
             pos += 1  # optional fill bytes before a marker (B.1.1.2)
+        if pos + 4 > len(data):
+            return None  # truncated stream ending in fill bytes
         marker = data[pos + 1]
         if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
             return None

@@ -117,23 +117,22 @@ def canonical_url(url_col: Column | str) -> Column:
         scheme == "https", F.regexp_replace(host, r":443$", "")
     ).otherwise(host)
     raw_tail = F.regexp_replace(rest, r"^[^/?]+", "")
-    # drop tracking params; restore the leading '?' ONLY when the original
-    # tail had a query and the first parameter was removed — a literal '&'
-    # in a query-less path must never be rewritten into a '?'
-    tail = F.regexp_replace(raw_tail, rf"[?&]{_TRACKING_PARAMS}=[^&#]*", "")
+    # split at the FIRST '?' (limit-2 split: '?' inside parameter VALUES is
+    # data, not structure), filter tracking params out of the query piece,
+    # and rejoin. Strip-then-patch regexes destroy the path/query boundary:
+    # a literal '&' in the PATH ('/a&b?utm=x&c=1') or a leading tracking
+    # param with 2+ kept params both forked equivalent URLs under them.
+    parts = F.split(raw_tail, r"\?", 2)
+    path = F.regexp_replace(parts.getItem(0), r"/$", "")  # trailing slash
+    query = F.when(F.size(parts) > 1, F.element_at(parts, 2))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(f"^{_TRACKING_PARAMS}="),
+    )
     tail = F.when(
-        raw_tail.contains("?") & ~tail.contains("?"),
-        # non-greedy prefix ([^?&]*): the FIRST remaining separator becomes
-        # the restored '?' — a greedy [^?]* would consume through to the
-        # LAST '&' and produce 'path&b=2?c=3' whenever a tracking param led
-        # the query with 2+ params kept (the dominant real-crawl shape)
-        F.regexp_replace(tail, r"^([^?&]*)&", "$1?"),
-    ).otherwise(tail)
-    # path/query boundary only (anchored): '/?'-sequences inside parameter
-    # VALUES are data, not structure
-    tail = F.regexp_replace(tail, r"^([^?]*)/\?", "$1?")
-    tail = F.regexp_replace(tail, r"\?$", "")
-    tail = F.regexp_replace(tail, r"/$", "")
+        kept.isNotNull() & (F.size(kept) > 0),
+        F.concat(path, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(path)
     canon = F.concat(scheme, F.lit("://"), host, tail)
     return F.when(c.isNull(), F.lit(None).cast("string")).when(
         scheme == "", F.lower(c)

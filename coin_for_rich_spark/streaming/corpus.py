@@ -91,26 +91,31 @@ def ingest_batch_into_corpus(
             .filter(F.col("status") == "fresh")
             .select(id_col)
         )
-        # localCheckpoint, NOT persist: step 4 writes to the very store the
-        # probe lineage READS, and a write invalidates (refreshByPath) every
-        # cached plan touching that path — a later append job would then
-        # recompute `fresh` THROUGH the index read against the mutated
-        # directory (on a cold-start index that flips the bands leg from
-        # unpartitioned-empty to band=N partitions mid-batch, which kills
-        # the captured read plan with a partition-schema assertion; on a
-        # warm index it silently re-probes against the batch's own
-        # fingerprints). Checkpointing materializes fresh AND truncates the
-        # lineage, so the appends can never re-descend into the index scan.
-        fresh = deduped.join(fresh_ids, id_col, "left_semi").localCheckpoint()
+        fresh = deduped.join(fresh_ids, id_col, "left_semi").persist()
         try:
             if not fresh.isEmpty():
                 # 3. exactly-once corpus write: the batch owns its directory
-                fresh.write.mode("overwrite").parquet(
-                    os.path.join(corpus_path, f"ingest_batch={batch_id}")
-                )
-                # 4. at-least-once fingerprint append (probe dup-insensitive)
-                append_to_index(fresh, index_path, text_col, id_col)
+                out_dir = os.path.join(corpus_path, f"ingest_batch={batch_id}")
+                fresh.write.mode("overwrite").parquet(out_dir)
+                # 4. at-least-once fingerprint append — computed from a
+                # RE-READ of the directory just written, NOT from `fresh`:
+                # the append writes to the very store the probe lineage
+                # READS, and a write invalidates (refreshByPath) every
+                # cached plan touching that path, so a later append job
+                # would recompute `fresh` THROUGH the index read against
+                # the mutated directory (on a cold-start index that flips
+                # the bands leg from unpartitioned-empty to band=N
+                # partitions mid-batch, killing the captured read plan with
+                # a partition-schema assertion; on a warm index it silently
+                # re-probes against the batch's own fingerprints). The
+                # batch's own corpus directory is the natural checkpoint:
+                # lineage roots at the written files, nothing beyond the
+                # scoped persist stays cached, and cleanup is deterministic
+                # (a localCheckpoint would leak RDD blocks until driver GC).
+                landed = batch.sparkSession.read.parquet(out_dir)
+                append_to_index(landed, index_path, text_col, id_col)
         finally:
+            fresh.unpersist()
             deduped.unpersist()
     finally:
         batch.unpersist()

@@ -92,7 +92,15 @@ def hypertable_ddl(table: str, time_col: str, pk: list[str]) -> str:
     unique index, so ``time_col`` must be part of the sink's PK — enforced
     here rather than discovered as a server error at deploy time. The merge
     semantics (ON CONFLICT upsert) are identical either way; chunking is a
-    storage-layout concern the sink never sees."""
+    storage-layout concern the sink never sees.
+
+    The guard probes ``pg_extension`` (the extension INSTALLED in this
+    database — the reference's init scripts run on an image where it
+    already is) rather than issuing ``CREATE EXTENSION`` itself: a DO block
+    is a function/transaction context, exactly where TimescaleDB's loader
+    refuses to install, so auto-creating here would fail on the one server
+    the guard exists for. Installing the extension is a deployment step,
+    not table DDL."""
     if time_col not in pk:
         raise ValueError(
             f"hypertable time column {time_col!r} must be part of the "
@@ -101,9 +109,8 @@ def hypertable_ddl(table: str, time_col: str, pk: list[str]) -> str:
         )
     return (
         "DO $$ BEGIN\n"
-        "  IF EXISTS (SELECT 1 FROM pg_available_extensions "
-        "WHERE name = 'timescaledb') THEN\n"
-        "    CREATE EXTENSION IF NOT EXISTS timescaledb;\n"
+        "  IF EXISTS (SELECT 1 FROM pg_extension "
+        "WHERE extname = 'timescaledb') THEN\n"
         f"    PERFORM create_hypertable('{table}', '{time_col}', "
         "if_not_exists => TRUE);\n"
         "  END IF;\n"

@@ -505,6 +505,14 @@ def test_jpeg_fill_bytes_before_markers_are_skipped():
     sof = enc.index(b"\xff\xc0")
     padded = enc[:2] + b"\xff" + enc[2:sof] + b"\xff\xff" + enc[sof:]
     assert np.array_equal(jpeg_decode_gray(padded), jpeg_decode_gray(enc))
+    # a truncated stream ENDING in fill bytes must fail clean per the codec
+    # contract (the SOF guard returns None → decode raises ValueError), not
+    # desync into struct.error from reading past the skip loop's bound
+    from coin_for_rich_spark.llmdata.codecs import _jpeg_sof_ncomp
+
+    assert _jpeg_sof_ncomp(b"\xff\xd8\xff\xff\xff\xff") is None
+    with pytest.raises(ValueError):
+        jpeg_decode_gray(b"\xff\xd8\xff\xff\xff\xff")
 
 
 def test_jpeg_truncated_missing_eoi_raises():

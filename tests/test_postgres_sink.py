@@ -305,8 +305,10 @@ def test_hypertable_ddl_guarded_and_pk_validated():
     from coin_for_rich_spark.streaming.jdbc import hypertable_ddl
 
     ddl = hypertable_ddl("ohlcvs", "ts", ["symbol", "ts"])
-    assert "pg_available_extensions" in ddl  # guard: no-op without the ext
-    assert "CREATE EXTENSION IF NOT EXISTS timescaledb" in ddl
+    # guard on pg_extension (INSTALLED), never CREATE EXTENSION: a DO block
+    # is a transaction context, where TimescaleDB's loader refuses install
+    assert "pg_extension" in ddl and "extname = 'timescaledb'" in ddl
+    assert "CREATE EXTENSION" not in ddl
     assert "create_hypertable('ohlcvs', 'ts', if_not_exists => TRUE)" in ddl
     with pytest.raises(ValueError, match="primary key"):
         hypertable_ddl("events", "ts", ["user_id", "event_type"])

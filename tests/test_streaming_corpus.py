@@ -103,8 +103,9 @@ def test_cold_start_ingest_survives_index_layout_flip(spark, tmp_path):
     unpartitioned-empty to band=N partition directories mid-batch, and the
     recompute died with a partition-schema assertion (reproduced at
     ~125 docs/batch; small batches can stay fully plan-cached and mask it).
-    Fixed by localCheckpoint-ing `fresh` — lineage truncated, the appends
-    can never re-descend into the index read."""
+    Fixed by computing the appends from a re-read of the batch's own
+    just-written corpus directory — lineage roots at those files, so the
+    appends can never re-descend into the index read."""
     index_path = str(tmp_path / "idx")
     corpus_path = str(tmp_path / "corpus")
     build_dedup_index(_docs(spark, []), index_path)  # cold start: empty

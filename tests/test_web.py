@@ -95,6 +95,13 @@ def test_canonical_url_hardening_cases(spark):
         ("http://a.com/x&y", "http://a.com/x&y"),
         ("http://a.com/p?next=/home/?tab=1", "http://a.com/p?next=/home/?tab=1"),
         ("http://a.com/p/?q=1", "http://a.com/p?q=1"),
+        # literal '&' in the PATH plus a leading tracking param: the path
+        # '&' must never be promoted to '?' (the review-pass regression in
+        # the first non-greedy patch)
+        ("http://a.com/a&b?utm_source=x&c=1", "http://a.com/a&b?c=1"),
+        # empty-query and dangling-separator shapes normalize clean
+        ("http://a.com/p?", "http://a.com/p"),
+        ("http://a.com/p?b=1&", "http://a.com/p?b=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
