@@ -101,11 +101,11 @@ _TRACKING_PARAMS = r"(?:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)"
 def canonical_url(url_col: Column | str) -> Column:
     """The crawl-dedup identity key for a URL, as one column expression:
     lowercase scheme+host, default ports and fragments stripped, tracking
-    query parameters removed (remaining params kept in their original
-    order — full param sorting needs a higher-order rebuild and rarely
-    changes identity in practice), trailing slash and leading ``www.``
-    dropped. NULL stays NULL; a string with no ``://`` is returned
-    trimmed-lowercased as-is (opaque id passthrough)."""
+    query parameters removed and the REMAINING params sorted (the standard
+    crawl-canon rule: ``?a=1&b=2`` and ``?b=2&a=1`` are one resource — the
+    higher-order split/filter/rejoin makes the sort free), trailing slash
+    and leading ``www.`` dropped. NULL stays NULL; a string with no
+    ``://`` is returned trimmed-lowercased as-is (opaque id passthrough)."""
     c = F.trim(F.col(url_col) if isinstance(url_col, str) else url_col)
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -125,9 +125,11 @@ def canonical_url(url_col: Column | str) -> Column:
     parts = F.split(raw_tail, r"\?", 2)
     path = F.regexp_replace(parts.getItem(0), r"/$", "")  # trailing slash
     query = F.when(F.size(parts) > 1, F.element_at(parts, 2))
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(f"^{_TRACKING_PARAMS}="),
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(f"^{_TRACKING_PARAMS}="),
+        )
     )
     tail = F.when(
         kept.isNotNull() & (F.size(kept) > 0),

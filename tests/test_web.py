@@ -87,6 +87,21 @@ def test_canonical_url_is_a_dedup_key(spark):
     assert keys == {"https://example.com/page"}
 
 
+def test_canonical_url_sorts_query_params(spark):
+    """Param ORDER is presentation, not identity: ?a=1&b=2 and ?b=2&a=1
+    are one resource and must share one dedup key (sorted rejoin)."""
+    variants = [
+        "https://example.com/p?b=2&a=1",
+        "https://example.com/p?a=1&b=2",
+        "https://example.com/p?b=2&utm_source=x&a=1",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(variants)], "doc_id long, url string"
+    )
+    keys = {r.canonical_url for r in canonicalize_urls(df).collect()}
+    assert keys == {"https://example.com/p?a=1&b=2"}
+
+
 def test_canonical_url_hardening_cases(spark):
     """The three review-pass hazards: a literal '&' in a query-less path
     must not become '?', '/?'-sequences inside parameter values are data,
