@@ -236,7 +236,10 @@ def encode_bpe(
     over budget the plan falls back to a plain shuffle join on ``word``
     where AQE's skew handling splits the hot-word partitions (``"the"`` is
     exactly the skew shape AQE targets). The estimate never runs the
-    Arrow-batched fold — that executes once, inside the decorate join.
+    Arrow-batched fold — that executes inside the decorate join, once per
+    action over the cached word list (the returned DataFrame is lazy, as
+    in every operator here; callers that materialize repeatedly persist
+    the RESULT, not this internal).
 
     **Cache contract:** the persisted vocab registers in the shared
     intermediate-cache registry; callers that loop (bench passes, services

@@ -125,6 +125,11 @@ def canonical_url(url_col: Column | str) -> Column:
     parts = F.split(raw_tail, r"\?", 2)
     path = F.regexp_replace(parts.getItem(0), r"/$", "")  # trailing slash
     query = F.when(F.size(parts) > 1, F.element_at(parts, 2))
+    # naive tag appenders glue '?utm_...' onto an existing query
+    # ('?a=1?utm_source=x'): a second '?' IMMEDIATELY followed by a known
+    # tracking param is a separator in disguise — but only then; a '?'
+    # inside an ordinary value ('?next=/home/?tab=1') stays data
+    query = F.regexp_replace(query, rf"\?(?={_TRACKING_PARAMS}=)", "&")
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),

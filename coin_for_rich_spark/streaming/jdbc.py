@@ -84,11 +84,12 @@ def pg_ddl(table: str, schema: T.StructType, pk: list[str]) -> str:
 
 def hypertable_ddl(table: str, time_col: str, pk: list[str]) -> str:
     """TimescaleDB conversion for a freshly created table, guarded on the
-    extension actually being installable — the reference's
+    extension being INSTALLED in the target database — the reference's
     ``SELECT create_hypertable('ohlcvs', 'time')``
     (`scripts/database/init/create.sql` / `schemas/create_tables.sql:85`)
-    as a no-op on a plain-PostgreSQL server, so the same DDL deploys
-    against both. TimescaleDB requires the partitioning column in every
+    as a no-op everywhere the extension is not active (plain PostgreSQL,
+    or a TimescaleDB-capable server where it was never CREATEd), so the
+    same DDL deploys against both. TimescaleDB requires the partitioning column in every
     unique index, so ``time_col`` must be part of the sink's PK — enforced
     here rather than discovered as a server error at deploy time. The merge
     semantics (ON CONFLICT upsert) are identical either way; chunking is a
@@ -475,8 +476,9 @@ class PsqlCopyMergeSink:
         (composite PRIMARY KEY backs ON CONFLICT); ``drop=True`` first
         drops any previous incarnation — the reset a re-run query wants.
         ``hypertable_time_col`` additionally runs the guarded TimescaleDB
-        conversion (:func:`hypertable_ddl`) — a no-op where the extension
-        is unavailable, the reference's hypertable where it is."""
+        conversion (:func:`hypertable_ddl`) — a no-op unless the extension
+        is INSTALLED in the database, the reference's hypertable where it
+        is."""
         ddl = pg_ddl(self.table, schema, self.pk)
         pre = f"DROP TABLE IF EXISTS {self.table};\n" if drop else ""
         post = (

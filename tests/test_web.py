@@ -117,6 +117,10 @@ def test_canonical_url_hardening_cases(spark):
         # empty-query and dangling-separator shapes normalize clean
         ("http://a.com/p?", "http://a.com/p"),
         ("http://a.com/p?b=1&", "http://a.com/p?b=1"),
+        # a tracker GLUED on with a second '?' (naive tag appender) is a
+        # separator in disguise and must strip; a '?' inside an ordinary
+        # value (the next=/home/?tab=1 case above) must stay data
+        ("http://a.com/p?a=1?utm_source=x", "http://a.com/p?a=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
