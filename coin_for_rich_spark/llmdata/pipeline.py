@@ -90,6 +90,29 @@ def domain_mix_fractions(
     }
 
 
+def temperature_mix_weights(
+    counts: dict[str, int], alpha: float
+) -> dict[str, float]:
+    """Target-mix weights from the standard temperature-resampling rule
+    ``q_d ∝ p_d^α`` (p_d = natural share of domain d): ``alpha = 1``
+    reproduces the natural mix, ``alpha → 0`` flattens toward uniform —
+    the multilingual-corpus rebalancing rule (XLM-R-style exponentiated
+    sampling, typically α ≈ 0.3) that keeps head domains from drowning the
+    tail without hand-tuned weights. Feed the result to
+    :func:`domain_mix_sample`, whose clamp-at-1.0 then realizes the mix
+    without upsampling. Pure IEEE-double arithmetic on the |domains|-sized
+    count dict — no corpus pass beyond the one the mixer already does.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0 (1 = natural mix, 0 = uniform)")
+    total = sum(counts.values())
+    if total == 0:
+        return {}
+    raw = {d: (n / total) ** alpha for d, n in counts.items() if n > 0}
+    z = sum(raw.values())
+    return {d: v / z for d, v in raw.items()}
+
+
 def domain_mix_sample(
     docs: DataFrame,
     strata_col: str,

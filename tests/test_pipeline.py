@@ -267,6 +267,56 @@ def test_domain_mix_sample_hits_targets_and_nests(spark, sf_dir):
     assert smaller <= fuller
 
 
+def test_temperature_mix_weights_rule_and_composition(spark, sf_dir):
+    """q_d ∝ p_d^α: α=1 reproduces the natural mix, α=0 is uniform, and
+    intermediate α strictly flattens head-vs-tail ratios; the weights
+    compose with domain_mix_sample into a valid draw."""
+    import math
+
+    import pytest
+
+    from coin_for_rich_spark.llmdata import (
+        domain_mix_sample,
+        temperature_mix_weights,
+    )
+
+    counts = {"head": 8000, "mid": 1500, "tail": 500}
+    total = sum(counts.values())
+    nat = temperature_mix_weights(counts, 1.0)
+    for d, n in counts.items():
+        assert math.isclose(nat[d], n / total)
+    uni = temperature_mix_weights(counts, 0.0)
+    assert all(math.isclose(v, 1 / 3) for v in uni.values())
+    t = temperature_mix_weights(counts, 0.3)
+    # flattening: head/tail ratio shrinks but ordering is preserved
+    assert 1 < t["head"] / t["tail"] < counts["head"] / counts["tail"]
+    assert t["head"] > t["mid"] > t["tail"]
+    assert math.isclose(sum(t.values()), 1.0)
+    # zero-count domains drop; negative temperature rejected
+    assert "z" not in temperature_mix_weights({"a": 1, "z": 0}, 0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_weights(counts, -0.1)
+    assert temperature_mix_weights({}, 0.5) == {}
+
+    # composition over the real corpus: the α-flattened draw keeps MORE of
+    # the smallest domain and LESS of the largest than the natural draw
+    docs = load_table(spark, sf_dir, "documents")
+    real = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    big = max(real, key=real.get)
+    small = min(real, key=real.get)
+    if real[big] > real[small]:  # testdata has a skewed source mix
+        flat = domain_mix_sample(
+            docs, "source", temperature_mix_weights(real, 0.3), 0.2
+        )
+        natural = domain_mix_sample(
+            docs, "source", temperature_mix_weights(real, 1.0), 0.2
+        )
+        fcounts = {r[0]: r[1] for r in flat.groupBy("source").count().collect()}
+        ncounts = {r[0]: r[1] for r in natural.groupBy("source").count().collect()}
+        assert fcounts.get(small, 0) >= ncounts.get(small, 0)
+        assert fcounts.get(big, 0) <= ncounts.get(big, 0)
+
+
 def test_epoch_shuffle_is_layout_invariant_and_seeded(spark):
     from coin_for_rich_spark.llmdata import epoch_shuffle
 
