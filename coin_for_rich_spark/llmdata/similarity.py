@@ -55,10 +55,15 @@ def cosine_knn(
     to 6 decimals for stable cross-engine ordering, ties broken by id.
     """
     q = [float(x) for x in query_vec]
-    qnorm = math.sqrt(sum(x * x for x in q))
+    # clamp BOTH norms away from zero (same rule as every other norm site
+    # here): an all-zero query or row scores cosine 0.0 — without the
+    # clamp Spark's Divide yields NULL, NULLs sort last, and the "top k"
+    # silently degenerates to the k lowest ids labeled cosine NULL
+    qnorm = math.sqrt(sum(x * x for x in q)) or 1e-150
     qcol = F.array(*[F.lit(x) for x in q])
     v = _as_double(F.col(vec_col))
-    cos = _dot(v, qcol) / (F.sqrt(_dot(v, v)) * F.lit(qnorm))
+    row_norm = F.greatest(F.sqrt(_dot(v, v)), F.lit(1e-150))
+    cos = _dot(v, qcol) / (row_norm * F.lit(qnorm))
     out = embeddings.select(
         F.col(id_col),
         F.round(cos, 6).alias("cosine"),
@@ -85,6 +90,14 @@ def _dot_sql(vec_sql: str, w: list[float]) -> str:
     round trips of pure *driver* latency (8 tables × 8 planes × 768 dims);
     the formatted string is two orders of magnitude cheaper to build and
     compiles to the identical sequential fold."""
+    if not all(math.isfinite(x) for x in w):
+        # repr(nan/inf)+'D' is unparseable SQL; weights come from corpus
+        # data via the centroid path, so fail with the real cause instead
+        # of a ParseException at plan-build time
+        raise ValueError(
+            "non-finite weight in literal dot product — the corpus (or a "
+            "centroid derived from it) contains NaN/Inf vector components"
+        )
     arr = ", ".join(f"{x!r}D" for x in w)
     return (
         f"aggregate(zip_with({vec_sql}, array({arr}),"
@@ -144,15 +157,50 @@ def _lsh_candidate_udf(tables: list[tuple[list[list[float]], list[int]]]):
 
     @pandas_udf("boolean")
     def is_candidate(vecs: pd.Series) -> pd.Series:
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        out = np.zeros(len(M), dtype=bool)
-        for W, probes in zip(mats, probe_lists):
-            signs = (M @ W.T) >= 0.0
-            buckets = signs @ (1 << np.arange(W.shape[0], dtype=np.int64))
-            out |= np.isin(buckets, probes)
+        # NULL embeddings are never candidates — the literal-SQL twin
+        # evaluates their bucket to NULL and the filter drops them; the
+        # Arrow path must not diverge into an np.stack crash
+        mask = vecs.notna().to_numpy()
+        out = np.zeros(len(vecs), dtype=bool)
+        if mask.any():
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            hit = np.zeros(len(M), dtype=bool)
+            for W, probes in zip(mats, probe_lists):
+                signs = (M @ W.T) >= 0.0
+                buckets = signs @ (1 << np.arange(W.shape[0], dtype=np.int64))
+                hit |= np.isin(buckets, probes)
+            out[mask] = hit
         return pd.Series(out)
 
     return is_candidate
+
+
+def _bucket_udf(planes: list[list[float]]):
+    """Arrow-batched twin of :func:`bucket_of` (the bucket COLUMN, not the
+    candidate test) for over-budget plane configs — same sign rule as the
+    BLAS candidate UDF; NULL vectors map to NULL buckets exactly like the
+    literal-SQL fold, so a bucket equi-join drops them either way."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(planes, dtype=np.float64)
+    bits = 1 << np.arange(W.shape[0], dtype=np.int64)
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna().to_numpy()
+        out = np.zeros(len(vecs), dtype=np.int64)
+        if mask.any():
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            out[mask] = ((M @ W.T) >= 0.0) @ bits
+        res = pd.array(out, dtype="Int64")
+        res[~mask] = None
+        return pd.Series(res)
+
+    return bucket
 
 
 def _nearest_centroid_udf(centroids: list[list[float]]):
@@ -167,10 +215,20 @@ def _nearest_centroid_udf(centroids: list[list[float]]):
 
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        nrm = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-150)
-        cos = (M / nrm) @ Cn.T
-        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+        # NULL embeddings get a NULL cell — the literal-SQL twin's
+        # behavior; crashing the whole job on one bad row is not an option
+        # on either side of the literal budget
+        mask = vecs.notna().to_numpy()
+        out = np.zeros(len(vecs), dtype=np.int32)
+        if mask.any():
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            nrm = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-150)
+            out[mask] = np.argmax((M / nrm) @ Cn.T, axis=1).astype("int32")
+        res = pd.array(out, dtype="Int32")
+        res[~mask] = None
+        return pd.Series(res)
 
     return cell_of
 
@@ -226,7 +284,15 @@ def embedding_neardup_pairs(
                 )
             dims = len(sample[0])
         planes = plane_weights(dims, n_planes)
-        base = base.withColumn("_bucket", bucket_of("v", planes))
+        # same literal-budget rule as every other literal-SQL consumer:
+        # at realistic dims (768 × even 4 planes = 3072 literals) the
+        # codegen'd fold is exactly the regime the budget comment warns
+        # about — the Arrow twin computes the identical bucket column
+        if n_planes * dims > _MAX_SQL_LITERALS:
+            bucket_col = _bucket_udf(planes)(F.col("v"))
+        else:
+            bucket_col = bucket_of("v", planes)
+        base = base.withColumn("_bucket", bucket_col)
         cond = (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a.id") < F.col("b.id"))
         a, b = base.alias("a"), base.alias("b")
         cand = a.join(b, cond).select(
@@ -305,7 +371,10 @@ def knn_join(
         if kk == 0 or G.shape[0] == 0:
             e = np.array([], dtype="int64")
             return e, e, np.array([], dtype="float64")
-        kth = -np.partition(-G, kk - 1, axis=1)[:, kk - 1]
+        # ascending partition picks the kk-th LARGEST directly (index
+        # n-kk) — negating G first would materialize a full strip copy on
+        # top of partition's own, blowing the strip budget by another 1×
+        kth = np.partition(G, G.shape[1] - kk, axis=1)[:, G.shape[1] - kk]
         rows, cols = np.nonzero(G >= kth[:, None])
         vals = G[rows, cols]
         order = np.lexsort((ids_b[cols], -vals, rows))
@@ -333,7 +402,10 @@ def knn_join(
                     {"id": [], "nbr": [], "cos": []}
                 ).astype({"id": "int64", "nbr": "int64", "cos": "float64"})
             b_ids, Bn = _norm_rows(b)
-        chunk = max(1, int(block_budget_bytes // (max(1, Bn.shape[0]) * 8 * 2)))
+        # this kernel's peak per strip is G + np.partition's copy + the
+        # kth-tie boolean mask (~2.1 strips) — a wider divisor than the
+        # candidate kernel's G+mask, or the budget is only nominal
+        chunk = max(1, int(block_budget_bytes // (max(1, Bn.shape[0]) * 8 * 3)))
         out_id, out_nbr, out_cos = [], [], []
         # b-direction partials: per-strip top-k per COLUMN, merged below
         bp_id, bp_nbr, bp_cos = [], [], []
@@ -655,6 +727,8 @@ def kmeans_refine(
     partial-order drift is irrelevant to an argmax assignment.
     """
     cents = [list(map(float, c)) for c in centroids]
+    if not cents:
+        return []  # empty seed set (empty corpus): nothing to refine
     k = len(cents)
     dims = len(cents[0])
     v = _as_double(F.col(vec_col))
@@ -735,6 +809,12 @@ def ivf_ann_knn(
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     q = [float(x) for x in query_vec]
+    if not centroids:
+        # empty corpus ⇒ no cells ⇒ no neighbors — an empty top-k, not an
+        # IndexError (same contract as embedding_neardup_pairs)
+        return cosine_knn(
+            embeddings.limit(0), q, k=k, id_col=id_col, vec_col=vec_col
+        )
     probes = _centroid_ranks_py(q, centroids)[:n_probe]
     if len(centroids) * len(centroids[0]) > _MAX_SQL_LITERALS:
         cell = _nearest_centroid_udf(centroids)(F.col(vec_col))
@@ -773,7 +853,13 @@ def pq_train(
     cost is m independent k-means runs over one column slice each.
     """
     if dims is None:
-        dims = len(embeddings.select(vec_col).first()[0])
+        first = embeddings.select(vec_col).first()
+        if first is None:
+            raise ValueError(
+                "pq_train on an empty corpus — codebooks need data (pass "
+                "dims= and a non-empty relation, or skip PQ for this source)"
+            )
+        dims = len(first[0])
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
     sub_dim = dims // m
@@ -798,6 +884,17 @@ def pq_encode(
     centroid per subspace) — the stored representation of a PQ index. Pure
     scan-stage work: per subspace the same nearest-centroid assignment the
     IVF tier uses (codegen'd literals, Arrow past the budget)."""
+    return embeddings.select(
+        F.col(id_col), _pq_codes_col(codebooks, vec_col).alias("pq_codes")
+    )
+
+
+def _pq_codes_col(
+    codebooks: list[list[list[float]]], vec_col: str
+) -> Column:
+    """The PQ code array as ONE column expression — scan-stage, so a writer
+    can attach it next to other derived columns (the cell id) without a
+    corpus-wide join back on id."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     code_cols = []
@@ -810,9 +907,7 @@ def pq_encode(
         else:
             code = _nearest_centroid_expr(sub_sql, book)
         code_cols.append(code)
-    return embeddings.select(
-        F.col(id_col), F.array(*code_cols).alias("pq_codes")
-    )
+    return F.array(*code_cols)
 
 
 def pq_ann_knn(
@@ -907,18 +1002,61 @@ def materialize_ann_index(
     cents = kmeans_refine(
         embeddings, seeds, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
+    if not cents:
+        raise ValueError(
+            "materialize_ann_index on an empty corpus — an IVF layout "
+            "needs at least one centroid; build it when data exists (the "
+            "dedup index supports cold starts because its legs are plain "
+            "relations; cell partitioning is not)"
+        )
     _write_cells(embeddings, path, cents, id_col, vec_col, pq_codebooks,
                  mode="overwrite")
     # geometry sidecar (underscore-prefixed: invisible to the parquet
     # reader) — appends and path-only queries re-read it, so cell
-    # assignment can never fork from the stored layout
-    with open(os.path.join(path, _ANN_META_FILE), "w") as f:
-        json.dump({"centroids": cents, "pq_codebooks": pq_codebooks,
-                   "version": 1}, f)
+    # assignment can never fork from the stored layout. Written through
+    # the Hadoop FS API: the sidecar must live on the SAME filesystem as
+    # the cells (hdfs://, s3a://, file:), not the driver's local disk.
+    _fs_write_text(
+        embeddings.sparkSession,
+        path.rstrip("/") + "/" + _ANN_META_FILE,
+        json.dumps(
+            {"centroids": cents, "pq_codebooks": pq_codebooks, "version": 1}
+        ),
+    )
     return cents
 
 
 _ANN_META_FILE = "_ann_meta.json"
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API, so the
+    sidecar lands wherever the parquet data does (hdfs://, s3a://, file:)
+    — a local ``open()`` would crash AFTER the expensive data write on any
+    non-local index path, exactly the 100 TB deployment shape."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        # commons-io RETURNS the bytes (py4j copies arrays by value, so
+        # readFully into a Python bytearray would fill a JVM-side copy and
+        # leave ours zeroed)
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def _write_cells(
@@ -936,10 +1074,13 @@ def _write_cells(
         cell = _nearest_centroid_expr(vec_col, cents)
     indexed = embeddings.withColumn("_cell", cell)
     if pq_codebooks is not None:
-        codes = pq_encode(
-            embeddings, pq_codebooks, id_col=id_col, vec_col=vec_col
+        # codes are scan-stage column algebra: attach them in the SAME
+        # select as the cell id — joining pq_encode's output back on id
+        # would re-scan the corpus and add two corpus-wide exchanges per
+        # index build
+        indexed = indexed.withColumn(
+            "pq_codes", _pq_codes_col(pq_codebooks, vec_col)
         )
-        indexed = indexed.join(codes, id_col)
     (
         indexed.repartition(F.col("_cell"))
         .write.mode(mode)
@@ -948,9 +1089,22 @@ def _write_cells(
     )
 
 
-def load_ann_index_meta(path: str) -> dict:
-    with open(os.path.join(path, _ANN_META_FILE)) as f:
-        meta = json.load(f)
+def load_ann_index_meta(path: str, spark=None) -> dict:
+    """Read the geometry sidecar from the index's own filesystem (any
+    Hadoop scheme). ``spark`` defaults to the active session — required
+    for non-local paths; a purely local path falls back to plain open()
+    when no session is alive."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is not None:
+        meta = json.loads(
+            _fs_read_text(spark, path.rstrip("/") + "/" + _ANN_META_FILE)
+        )
+    else:
+        with open(os.path.join(path, _ANN_META_FILE)) as f:
+            meta = json.load(f)
     if not meta.get("centroids"):
         raise ValueError(f"ANN index meta at {path} has no centroids")
     return meta
@@ -969,7 +1123,7 @@ def append_to_ann_index(
     immediately. Centroid drift under heavy appends is the standard IVF
     trade — periodic re-materialization is the rebuild, exactly like the
     dedup index's compaction story."""
-    meta = load_ann_index_meta(path)
+    meta = load_ann_index_meta(path, spark=embeddings.sparkSession)
     _write_cells(
         embeddings, path, meta["centroids"], id_col, vec_col,
         meta.get("pq_codebooks"), mode="append",
@@ -1002,7 +1156,7 @@ def ann_index_knn(
     (written by ``materialize_ann_index``) — the path-only query form.
     """
     if centroids is None:
-        meta = load_ann_index_meta(path)
+        meta = load_ann_index_meta(path, spark=spark)
         centroids = meta["centroids"]
         if pq_codebooks is None:
             pq_codebooks = meta.get("pq_codebooks")

@@ -951,6 +951,84 @@ def test_neardup_lsh_empty_and_explicit_dims(spark):
     assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
 
 
+def test_neardup_lsh_over_budget_falls_back_and_matches(spark, monkeypatch):
+    """embedding_neardup_pairs' bucket column obeys the literal budget like
+    every other literal-SQL consumer: past it, the Arrow bucket twin
+    produces the SAME pair set (at realistic dims — 768 × 4 planes = 3072
+    literals — the codegen'd fold is exactly the regime the budget's
+    measured rationale warns about)."""
+    from coin_for_rich_spark.llmdata import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)]) for i in range(40)]
+        + [(100, [1.0] * 8), (101, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    lit = sorted(
+        (r.id_a, r.id_b)
+        for r in sim.embedding_neardup_pairs(df, method="lsh", threshold=0.95).collect()
+    )
+    monkeypatch.setattr(sim, "_MAX_SQL_LITERALS", 1)
+    fb = sorted(
+        (r.id_a, r.id_b)
+        for r in sim.embedding_neardup_pairs(df, method="lsh", threshold=0.95).collect()
+    )
+    assert lit == fb and (100, 101) in lit
+
+
+def test_similarity_boundary_inputs(spark, monkeypatch):
+    """Zero query, empty corpus, NULL embeddings, non-finite centroids —
+    the boundary shapes must fail clean or score clean, never crash or
+    silently return NULL-ranked garbage."""
+    import pytest
+
+    from coin_for_rich_spark.llmdata import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    # all-zero query: cosine 0.0 for every row (NOT NULL), id-ordered
+    got = sim.cosine_knn(df, [0.0, 0.0], k=2).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [(0, 0.0), (1, 0.0)]
+    # empty corpus: ivf empty result, train/materialize fail with context
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.ivf_ann_knn(empty, [1.0, 0.0], k=3).count() == 0
+    assert sim.kmeans_refine(empty, []) == []
+    with pytest.raises(ValueError, match="empty corpus"):
+        sim.pq_train(empty)
+    with pytest.raises(ValueError, match="empty corpus"):
+        sim.materialize_ann_index(empty, "/tmp/never_written_idx")
+    # non-finite centroid components: a clear error, not a ParseException
+    with pytest.raises(ValueError, match="non-finite"):
+        sim._nearest_centroid_expr("embedding", [[float("nan"), 1.0]])
+    # NULL embedding rows: dropped/ignored identically on BOTH sides of
+    # the literal budget (the Arrow twins must not np.stack-crash)
+    with_null = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    lit_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in sim.embedding_neardup_pairs(
+            with_null, method="lsh", dims=2, threshold=0.9
+        ).collect()
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    lit_knn = [r.vec_id for r in sim.ivf_ann_knn(
+        with_null, [1.0, 0.0], k=2, centroids=cents, n_probe=2).collect()]
+    monkeypatch.setattr(sim, "_MAX_SQL_LITERALS", 1)
+    fb_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in sim.embedding_neardup_pairs(
+            with_null, method="lsh", dims=2, threshold=0.9
+        ).collect()
+    )
+    fb_knn = [r.vec_id for r in sim.ivf_ann_knn(
+        with_null, [1.0, 0.0], k=2, centroids=cents, n_probe=2).collect()]
+    assert lit_pairs == fb_pairs == [(0, 1)]
+    assert lit_knn == fb_knn
+
+
 def test_sample_frames_half_open_duration(spark):
     from pyspark.sql import Row
 
