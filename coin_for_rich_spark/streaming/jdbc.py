@@ -573,17 +573,26 @@ class PgWireMergeSink:
         mode: str = "ignore",
         tiebreak_col: str | None = None,
         copy_chunk_bytes: int = 1 << 20,
+        socket_timeout: float = 600.0,
     ) -> None:
         from .pgwire import conninfo_params
 
         upsert_sql(table, "_probe_stg", ["_probe"], list(pk), mode)  # validate
         self.params = conninfo_params(conninfo)
+        # the merge transaction is ONE simple-query round trip with no
+        # protocol traffic while the server works — its recv timeout must
+        # budget the largest batch's set-based merge, not a chat latency
+        # (a timeout mid-merge reports failure for work the server may
+        # still commit). Tunable per deployment.
+        self.params.setdefault("timeout", socket_timeout)
         self.table = table
         self.pk = list(pk)
         self.mode = mode
         self.tiebreak_col = tiebreak_col
         self.copy_chunk_bytes = int(copy_chunk_bytes)
-        self.staging = f"_cfr_wstage_{table.rsplit('.', 1)[-1]}"
+        # FULL qualified name, sanitized — keying on the bare table name
+        # would let a.t and b.t trample each other's staging
+        self.staging = "_cfr_wstage_" + table.replace(".", "__")
 
     def _dedup_order(self, columns: list[str]) -> list[str]:
         return pg_dedup_order(self.mode, self.pk, self.tiebreak_col, columns)

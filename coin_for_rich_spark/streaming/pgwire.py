@@ -31,17 +31,43 @@ class PgError(RuntimeError):
 
 def conninfo_params(conninfo: list[str]) -> dict[str, str]:
     """Parse the ``["-h", host, "-U", user, "-d", db, "-p", port]`` psql
-    argument convention the engine's sinks share into wire-client kwargs."""
+    argument convention the engine's sinks share into wire-client kwargs.
+
+    Long-form flags (``--host=x``) and one positional dbname (psql accepts
+    it, so the subprocess twin would) are understood too; anything ELSE is
+    a hard error — a silently-dropped ``--user=ingest`` would make the
+    wire sink merge into ``postgres``/``postgres`` while the psql twin
+    writes where the caller intended, a data-placement divergence no error
+    message ever surfaces."""
     out: dict[str, str] = {}
     flags = {"-h": "host", "-U": "user", "-d": "database", "-p": "port"}
+    long_flags = {
+        "--host": "host", "--username": "user", "--user": "user",
+        "--dbname": "database", "--port": "port",
+    }
     i = 0
     while i < len(conninfo):
-        key = flags.get(conninfo[i])
-        if key is not None and i + 1 < len(conninfo):
+        tok = conninfo[i]
+        key = flags.get(tok)
+        if key is not None:
+            if i + 1 >= len(conninfo):
+                raise ValueError(f"conninfo flag {tok!r} is missing its value")
             out[key] = conninfo[i + 1]
             i += 2
-        else:
+            continue
+        if tok.startswith("--") and "=" in tok:
+            name, _, val = tok.partition("=")
+            lkey = long_flags.get(name)
+            if lkey is None:
+                raise ValueError(f"unrecognized conninfo flag {tok!r}")
+            out[lkey] = val
             i += 1
+            continue
+        if not tok.startswith("-") and "database" not in out:
+            out["database"] = tok  # psql's positional dbname
+            i += 1
+            continue
+        raise ValueError(f"unrecognized conninfo argument {tok!r}")
     return out
 
 
@@ -63,20 +89,34 @@ class PgWireClient:
             self._sock.connect(f"{host}/.s.PGSQL.{int(port)}")
         else:
             self._sock = socket.create_connection((host, int(port)), timeout)
-        self._buf = b""
-        self._startup(user, database)
+        self._buf = bytearray()
+        self._pos = 0
+        try:
+            self._startup(user, database)
+        except Exception:
+            # __init__ never completed, so close()/__exit__ can never run —
+            # without this a retry loop against an unsupported-auth server
+            # accumulates open fds until GC
+            self._sock.close()
+            raise
 
     # -- framing ----------------------------------------------------------
     def _send(self, typ: bytes, payload: bytes) -> None:
         self._sock.sendall(typ + struct.pack(">I", 4 + len(payload)) + payload)
 
     def _read_exact(self, n: int) -> bytes:
-        while len(self._buf) < n:
+        # offset cursor, not re-slicing: buf[n:] would copy the whole
+        # unread remainder per message (quadratic over a large response)
+        while len(self._buf) - self._pos < n:
             chunk = self._sock.recv(65536)
             if not chunk:
                 raise PgError("server closed the connection")
             self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
+        out = bytes(self._buf[self._pos : self._pos + n])
+        self._pos += n
+        if self._pos >= 65536:
+            del self._buf[: self._pos]
+            self._pos = 0
         return out
 
     def _read_message(self) -> tuple[bytes, bytes]:
@@ -98,7 +138,14 @@ class PgWireClient:
 
     # -- protocol ---------------------------------------------------------
     def _startup(self, user: str, database: str) -> None:
-        params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
+        # pin client_encoding: this client encodes/decodes UTF-8 on both
+        # legs unconditionally, so against a LATIN1/SQL_ASCII database the
+        # server-default encoding would silently double-encode COPY
+        # payloads and desync result decoding on the first non-UTF8 byte
+        params = (
+            f"user\x00{user}\x00database\x00{database}\x00"
+            "client_encoding\x00UTF8\x00\x00"
+        ).encode()
         payload = struct.pack(">I", 196608) + params  # protocol 3.0
         self._sock.sendall(struct.pack(">I", 4 + len(payload)) + payload)
         while True:
@@ -147,6 +194,13 @@ class PgWireClient:
                 tags.append(body.rstrip(b"\x00").decode())
             elif typ == b"E":
                 err = self._error_fields(body)
+            elif typ in (b"G", b"H"):
+                # COPY through query() would deadlock waiting for CopyData
+                # (G) or silently return zero rows (H) — fail fast and
+                # loudly toward the right entry point
+                raise PgError(
+                    "COPY statements must go through copy_in(), not query()"
+                )
             elif typ == b"Z":
                 if err is not None:
                     raise PgError(err)
@@ -159,26 +213,29 @@ class PgWireClient:
         implicit transaction unless wrapped by the caller."""
         self._send(b"Q", copy_sql.encode() + b"\x00")
         err: str | None = None
-        started = False
         while True:
             typ, body = self._read_message()
             if typ == b"G":
-                started = True
                 break
             if typ == b"E":
                 err = self._error_fields(body)
             elif typ == b"Z":
                 raise PgError(err or "COPY did not reach CopyInResponse")
-        assert started
+        data_exc: Exception | None = None
         try:
             for chunk in data:
                 if chunk:
                     self._send(b"d", chunk)
             self._send(b"c", b"")  # CopyDone
-        except PgError:
-            raise
-        except Exception as exc:  # encoding failure mid-stream: tell server
-            self._send(b"f", str(exc).encode()[:200] + b"\x00")  # CopyFail
+        except Exception as exc:  # mid-stream failure (encoder, iterable):
+            # ANY exception — including PgError from a nested client inside
+            # the iterable — must CopyFail and drain, or the server keeps
+            # expecting CopyData and every later query() on this connection
+            # is misread as COPY payload. Truncate the reason BEFORE
+            # encoding: slicing encoded bytes could split a multi-byte
+            # codepoint and ship invalid UTF-8 in the protocol message.
+            data_exc = exc
+            self._send(b"f", str(exc)[:200].encode() + b"\x00")  # CopyFail
             # fall through to drain the error response
         tag = ""
         while True:
@@ -189,7 +246,7 @@ class PgWireClient:
                 err = self._error_fields(body)
             elif typ == b"Z":
                 if err is not None:
-                    raise PgError(err)
+                    raise PgError(err) from data_exc
                 return tag
 
     def close(self) -> None:

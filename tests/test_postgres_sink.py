@@ -429,6 +429,41 @@ def test_pgwire_client_query_copy_and_errors(pg):
         assert c.query("SELECT count(*) FROM wt")[0] == [["3"]]
 
 
+def test_conninfo_parsing_strict_and_complete():
+    """Silently-dropped conninfo arguments are a data-placement hazard (the
+    wire sink would merge into postgres/postgres while the psql twin writes
+    where the caller said) — unknown tokens must ERROR, and the shapes psql
+    itself accepts (long flags, positional dbname) must parse."""
+    from coin_for_rich_spark.streaming.pgwire import conninfo_params
+
+    assert conninfo_params(["-h", "/tmp/s", "-U", "u", "-d", "db"]) == {
+        "host": "/tmp/s", "user": "u", "database": "db"
+    }
+    assert conninfo_params(["--user=ingest", "--host=h", "mydb"]) == {
+        "user": "ingest", "host": "h", "database": "mydb"
+    }
+    with pytest.raises(ValueError, match="unrecognized"):
+        conninfo_params(["--wat=1"])
+    with pytest.raises(ValueError, match="missing its value"):
+        conninfo_params(["-h"])
+
+
+def test_pgwire_copy_through_query_fails_fast(pg):
+    """COPY FROM STDIN through query() would deadlock waiting for CopyData
+    until the socket timeout; the client must reject it immediately and
+    keep the connection usable is NOT promised (fail loud, fail fast)."""
+    from coin_for_rich_spark.streaming.pgwire import (
+        PgError,
+        PgWireClient,
+        conninfo_params,
+    )
+
+    with PgWireClient(**conninfo_params(pg)) as c:
+        c.query("CREATE TABLE IF NOT EXISTS qcopy_t (a int)")
+        with pytest.raises(PgError, match="copy_in"):
+            c.query("COPY qcopy_t FROM STDIN")
+
+
 def test_pgwire_distributed_sink_stages_partitions_in_parallel(spark, pg):
     """A multi-partition batch lands complete and correctly merged: every
     executor partition COPYs over its own wire connection, and the merge
