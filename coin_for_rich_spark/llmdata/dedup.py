@@ -52,6 +52,15 @@ def release_intermediate_caches() -> None:
             pass
 
 
+def content_hash(col: Column | str) -> Column:
+    """THE content-identity normalization — md5 of lower(trim(text)) —
+    shared by exact dedup, line dedup, decontamination, and the dedup
+    index (one definition, so a future tweak cannot silently desynchronize
+    the tiers that promise "the same normalization")."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(c)))
+
+
 def exact_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -64,11 +73,9 @@ def exact_dedup(
     the duplicate count — the MERGE/DO-NOTHING analog of the reference's PK
     dedup (`schemas/insert_queries.sql:8-15`) lifted to content identity.
     """
-    t = F.col(text_col)
-    if normalize:
-        t = F.lower(F.trim(t))
+    t = content_hash(text_col) if normalize else F.md5(F.col(text_col))
     return (
-        docs.select(F.md5(t).alias("content_hash"), F.col(id_col))
+        docs.select(t.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -84,9 +91,12 @@ def explode_lines(
     0-based line index — the input relation :func:`line_dedup` consumes.
     Pure posexplode(split) in the scan stage."""
     narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    # \Q..\E quotes the delimiter: F.split takes a Java REGEX, so a raw
+    # '|' or '.' would silently split between every character
+    quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     return narrow.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias(
+        F.posexplode(F.split(F.col(text_col), quoted, -1)).alias(
             "pos", "line"
         ),
     )
@@ -164,9 +174,8 @@ def line_dedup(
     (3) the per-document rebuild groupBy. No window over the corpus, no
     all-pairs anything; per-document state is bounded by document length.
     """
-    norm = F.lower(F.trim(F.col("line")))
     marked = lines.withColumn(
-        "_h", F.when(F.trim(F.col("line")) != "", F.md5(norm))
+        "_h", F.when(F.trim(F.col("line")) != "", content_hash("line"))
     )
     boiler = (
         marked.filter(F.col("_h").isNotNull())
@@ -266,6 +275,11 @@ def ngram_jaccard_pairs(
     corpus, and the old plan's inverted-index self-join (two more full-index
     shuffles) is gone entirely.
     """
+    if method not in ("auto", "count", "prefix"):
+        raise ValueError(
+            f"unknown method {method!r} (auto | count | prefix) — a typo "
+            "must not silently bypass the quadratic-safety probe"
+        )
     if method == "auto":
         from .pipeline import hash_sample
 
@@ -354,6 +368,14 @@ def _jaccard_prefix(
 ) -> DataFrame:
     if idx is None:
         idx = _shingle_index(docs, text_col, id_col, n)
+    # candidate-pruning bounds use a hair-loosened threshold: threshold*sz
+    # in doubles can exceed the true rational product (0.28*25 =
+    # 7.000000000000001), which would drop a pair whose Jaccard is EXACTLY
+    # the threshold — a pair the count plan and the final exact filter
+    # keep. Loosening only ADMITS candidates; the exact jaccard >=
+    # threshold verify below still decides every pair, so the two plans
+    # stay result-identical.
+    t_loose = max(0.0, threshold - 1e-9)
     # document frequency per shingle — the only corpus-global statistic
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # one pass per doc: shingles sorted rarest-first, size folded in
@@ -375,7 +397,7 @@ def _jaccard_prefix(
         "sz",
         F.explode(
             F.slice(
-                "sh", 1, F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+                "sh", 1, F.col("sz") - F.ceil(F.lit(t_loose) * F.col("sz")) + 1
             )
         ).alias("shingle"),
     )
@@ -385,8 +407,8 @@ def _jaccard_prefix(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc") < F.col("b.doc"))
-            & (F.lit(threshold) * F.col("a.sz") <= F.col("b.sz"))
-            & (F.lit(threshold) * F.col("b.sz") <= F.col("a.sz")),
+            & (F.lit(t_loose) * F.col("a.sz") <= F.col("b.sz"))
+            & (F.lit(t_loose) * F.col("b.sz") <= F.col("a.sz")),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
@@ -524,12 +546,25 @@ def dedup_clusters(
     iterative-Spark failure mode). On a cluster, swap localCheckpoint for a
     reliable ``checkpoint`` dir; the loop is otherwise unchanged.
     """
+    if method not in ("label", "star"):
+        raise ValueError(f"unknown method {method!r} (label | star)")
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     edges = edges.localCheckpoint()
     if method == "star":
         labels = _cc_star(edges, max_iter)
+        # a node whose ONLY edges are self-pairs never enters the star edge
+        # relation (src != dst filter) but label propagation keeps it as a
+        # singleton — reattach such nodes so the two pinned-equal methods
+        # cannot diverge on degenerate (d, d) input rows
+        singletons = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .join(labels, "id", "left_anti")
+            .withColumn("label", F.col("id"))
+        )
+        labels = labels.unionByName(singletons)
         w = Window.partitionBy("label")
         return labels.select(
             F.col("id").alias("doc_id"),
@@ -636,12 +671,11 @@ def cross_corpus_contamination(
     )
     if not exact:
         return shingle_hits.withColumn("exact_dup", F.lit(False))
-    norm = lambda c: F.md5(F.lower(F.trim(F.col(c))))  # noqa: E731
     t_hash = train.select(
-        F.col(id_col).alias("train_id"), norm(text_col).alias("_h")
+        F.col(id_col).alias("train_id"), content_hash(text_col).alias("_h")
     )
     e_hash = evalset.select(
-        F.col(id_col).alias("eval_id"), norm(text_col).alias("_h")
+        F.col(id_col).alias("eval_id"), content_hash(text_col).alias("_h")
     )
     exact_pairs = t_hash.join(maybe_bcast(e_hash), "_h").select(
         "train_id", "eval_id", F.lit(True).alias("exact_dup")
@@ -684,15 +718,21 @@ def pick_canonical(
     joined = clusters.select(F.col(id_col), "cluster_id").join(
         docs.select(F.col(id_col), F.length(text_col).alias("_len")), id_col
     )
+    # min_by with an (ordering, id) struct key instead of max_by over a
+    # negated id: unary minus on the id column implicitly casts to double —
+    # NULL (or an ANSI cast error) for string/UUID ids, while every other
+    # operator in this module is id-type-agnostic. Negating LENGTH is fine
+    # (always numeric).
     if prefer == "longest":
-        # order by (length asc, id desc) so max_by picks longest-then-lowest-id
-        order = F.struct(F.col("_len"), -F.col(id_col))
+        keep = F.min_by(
+            F.col(id_col), F.struct(-F.col("_len"), F.col(id_col))
+        )
     elif prefer == "min_id":
-        order = -F.col(id_col)
+        keep = F.min(F.col(id_col))
     else:
         raise ValueError(f"unknown prefer={prefer!r}")
     return joined.groupBy("cluster_id").agg(
-        F.max_by(F.col(id_col), order).alias("keep_id"),
+        keep.alias("keep_id"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
 
@@ -726,6 +766,7 @@ def minhash_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -736,10 +777,42 @@ def minhash_pairs(
     at s=0.5 is caught with P ≈ 1-(1-0.0625)^8 ≈ 0.40 per band set — tune
     bands/rows for the corpus; the exact verify step removes false
     positives entirely.
+
+    ``shingled`` — optional precomputed ``(doc, sh array)`` distinct-shingle
+    relation (the ``ngram_shingles`` form). The CPU-bound shingling stage
+    otherwise runs twice per call (once inside the signature agg, once for
+    the verify sets); a caller that persists a bounded corpus's relation
+    halves that — same contract as ``simhash_pairs``' ``fingerprints``
+    parameter. At 100 TB you deliberately recompute instead of caching a
+    corpus-sized relation; the default does exactly that.
     """
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:
+        # a bare assert is stripped under python -O, silently banding on a
+        # truncated signature; dedup_index raises for the same condition
+        raise ValueError(
+            f"num_perm={num_perm} must be divisible by bands={bands}"
+        )
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, text_col, id_col, n, num_perm)
+    if shingled is None:
+        sig = minhash_signatures(docs, text_col, id_col, n, num_perm)
+    else:
+        idx = shingled.select(
+            F.col("doc"), F.explode(F.col("sh")).alias("shingle")
+        )
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+        sig = (
+            idx.groupBy("doc")
+            .agg(*mins)
+            .select(
+                "doc",
+                F.array(
+                    *[F.col(f"mh_{i}") for i in range(num_perm)]
+                ).alias("signature"),
+            )
+        )
     band_cols = F.array(
         *[
             F.struct(
@@ -765,9 +838,12 @@ def minhash_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    shingled = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("doc"), ngram_shingles(text_col, n).alias("sh")
-    )
+    if shingled is None:
+        shingled = ensure_parallelism(
+            docs.select(F.col(id_col), F.col(text_col))
+        ).select(
+            F.col(id_col).alias("doc"), ngram_shingles(text_col, n).alias("sh")
+        )
     a = shingled.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -918,6 +994,8 @@ def simhash_pairs(
     share one — ideally persisted — fingerprint relation instead of paying
     the 64-column signature aggregation per method.
     """
+    if method not in ("banded", "brute"):
+        raise ValueError(f"unknown method {method!r} (banded | brute)")
     fp = (
         fingerprints
         if fingerprints is not None

@@ -53,16 +53,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_parallelism
-from .dedup import minhash_signatures
+from .dedup import content_hash, minhash_signatures
 
 _META_FILE = "meta.json"
 _DEFAULT_GEOMETRY = {"n": 3, "num_perm": 32, "bands": 8}
 
 
 def _norm_hash(text_col: str) -> F.Column:
-    """The exact-leg content identity: md5 of lowercased, trimmed text —
-    the same normalization family as :func:`~.dedup.exact_dedup`."""
-    return F.md5(F.lower(F.trim(F.col(text_col))))
+    """The exact-leg content identity — delegates to the ONE shared
+    :func:`~.dedup.content_hash` definition, so the index can never
+    silently fork from exact/line dedup and decontamination."""
+    return content_hash(text_col)
 
 
 def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:

@@ -779,6 +779,93 @@ def test_pick_canonical_policies(spark):
     assert min_id == {1: 1, 10: 10}
 
 
+def test_dedup_review_hardening(spark):
+    """The dedup review-pass pins: threshold-boundary parity between the
+    Jaccard plans, literal delimiters, string-id canonical picks, unknown-
+    method errors, star/label self-pair parity, and the shared-shingle
+    minhash path."""
+    import pytest
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata import (
+        dedup_clusters,
+        explode_lines,
+        minhash_pairs,
+        pick_canonical,
+        simhash_pairs,
+    )
+    from coin_for_rich_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+        ngram_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    # 1. J == threshold exactly (7/25 = 0.28, and 0.28*25 > 7 in doubles):
+    # both plans must keep the pair — the prefix plan's pruning previously
+    # dropped it at the float boundary
+    toks_x = " ".join(f"t{i}" for i in range(27))  # 25 distinct trigrams
+    toks_y = " ".join(f"t{i}" for i in range(9))  # its first 7 trigrams
+    docs2 = spark.createDataFrame(
+        [(0, toks_x), (1, toks_y)], "doc_id long, text string"
+    )
+    for m in ("count", "prefix"):
+        got = ngram_jaccard_pairs(docs2, threshold=0.28, method=m).collect()
+        assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(0, 1, 0.28)], m
+    with pytest.raises(ValueError, match="unknown method"):
+        ngram_jaccard_pairs(docs2, method="Count")
+
+    # 2. regex metacharacter delimiters split literally
+    d = spark.createDataFrame([(0, "a|b|c")], "doc_id long, text string")
+    lines = [r.line for r in explode_lines(d, delimiter="|").collect()]
+    assert lines == ["a", "b", "c"]
+
+    # 3. pick_canonical with STRING ids (negated-id ordering silently
+    # NULLed these before)
+    cl = spark.createDataFrame(
+        [Row(doc_id="b", cluster_id="a"), Row(doc_id="a", cluster_id="a")]
+    )
+    dd = spark.createDataFrame(
+        [Row(doc_id="a", text="xxxx"), Row(doc_id="b", text="yy")]
+    )
+    assert pick_canonical(cl, dd).first().keep_id == "a"  # longest
+    assert pick_canonical(cl, dd, prefer="min_id").first().keep_id == "a"
+
+    # 4. star ≡ label on degenerate self-pair rows
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 5)], "doc_a long, doc_b long"
+    )
+    for m in ("label", "star"):
+        got = sorted(
+            (r.doc_id, r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(pairs, method=m).collect()
+        )
+        assert got == [(1, 1, 2), (2, 1, 2), (5, 5, 1)], m
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup_clusters(pairs, method="stars")
+    with pytest.raises(ValueError, match="unknown method"):
+        simhash_pairs(docs2, method="bands")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_pairs(docs2, num_perm=32, bands=7)
+
+    # 5. the shared-shingle fast path returns the identical pair relation
+    near = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 30))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    base = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_pairs(near, threshold=0.2).collect()
+    )
+    pre = near.select(
+        F.col("doc_id").alias("doc"), ngram_shingles("text", 3).alias("sh")
+    )
+    shared = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_pairs(near, threshold=0.2, shingled=pre).collect()
+    )
+    assert base == shared and len(base) > 0
+
+
 def test_jaccard_count_plan_survives_interpreted_eval(docs):
     """Spark's interpreted Slice.eval overflows 32-bit on huge length
     literals (codegen silently falls back to interpretation on wide plans,
