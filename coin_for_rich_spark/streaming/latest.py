@@ -26,10 +26,16 @@ def latest_value_serve(
     time_col: str = "ts",
     value_cols: tuple[str, ...] = ("price", "volume"),
 ) -> DataFrame:
-    latest = F.max_by(
-        F.struct(F.col(time_col).alias(time_col), *[F.col(c) for c in value_cols]),
-        F.col(time_col),
-    ).alias("_latest")
+    # ordering key = (ts, value struct): the reference's `timestamp >=
+    # current` guard means the LATEST ARRIVAL wins a timestamp tie, an
+    # order Spark cannot observe — max_by on the bare ts would pick an
+    # arbitrary tied row per run/partitioning, so the value struct itself
+    # breaks ties (lexicographic struct comparison): deterministic across
+    # runs and engines, documented as "greatest value wins a ts tie"
+    val = F.struct(
+        F.col(time_col).alias(time_col), *[F.col(c) for c in value_cols]
+    )
+    latest = F.max_by(val, F.struct(F.col(time_col), val)).alias("_latest")
     return (
         stream.groupBy(*keys)
         .agg(latest)
@@ -45,24 +51,7 @@ def run_latest_to_memory(
     state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive the serve aggregate into an in-memory sink in complete mode
-    (state is one row per key, so 'complete' is the serve-hash snapshot).
-    ``state_partitions`` sizes the state store to the keyspace."""
-    from contextlib import nullcontext
+    (state is one row per key, so 'complete' is the serve-hash snapshot)."""
+    from .rollup import run_to_memory
 
-    from ..functions.partitioning import scoped_shuffle_partitions
-
-    scope = (
-        scoped_shuffle_partitions(served.sparkSession, state_partitions)
-        if state_partitions
-        else nullcontext()
-    )
-    with scope:
-        q = (
-            served.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(table_name)
-            .trigger(**(trigger or {"availableNow": True}))
-            .start()
-        )
-        q.awaitTermination()
-    return served.sparkSession.table(table_name)
+    return run_to_memory(served, table_name, "complete", trigger, state_partitions)

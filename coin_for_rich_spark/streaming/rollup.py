@@ -74,8 +74,22 @@ def streaming_ohlcv_rollup(
     Append-mode output emits a candle exactly once, when the watermark passes
     the window end (the "don't publish the open candle" rule, S4).
     """
+    if interval not in _DURATIONS:
+        raise ValueError(
+            f"interval {interval!r} has no fixed streaming window duration "
+            f"(supported: {sorted(_DURATIONS)}); calendar intervals like "
+            "'1M' vary in length and belong to the batch rollup cascade"
+        )
     if watermark is None:
-        watermark = CONAGG_POLICIES.get(interval, (None, "0 seconds", None))[1]
+        policy = CONAGG_POLICIES.get(interval)
+        if policy is None:
+            raise ValueError(
+                f"interval {interval!r} has no continuous-aggregate policy "
+                "to derive a watermark from — pass watermark= explicitly "
+                "(defaulting to '0 seconds' would silently DROP every late "
+                "row; the late-data tolerance is a semantic choice)"
+            )
+        watermark = policy[1]
     win = F.window(time_col, _DURATIONS[interval])
     return (
         stream.withWatermark(time_col, watermark)
@@ -94,6 +108,53 @@ def streaming_ohlcv_rollup(
     )
 
 
+def run_to_memory(
+    df: DataFrame,
+    table_name: str,
+    output_mode: str,
+    trigger: dict | None = None,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drive a streaming DataFrame to COMPLETION into an in-memory sink —
+    the shared harness behind run_rollup_to_memory / run_latest_to_memory
+    (one copy, so a fix to the drive logic cannot silently miss a twin).
+
+    Only self-terminating triggers are accepted: a processingTime or
+    continuous trigger never finishes, so ``awaitTermination()`` would
+    block the caller forever while holding the shuffle-partition scope
+    pinned on the shared session — continuous serving should start
+    ``writeStream`` directly and manage the query handle.
+    ``state_partitions`` sizes the state store to the keyspace (see
+    functions.partitioning.scoped_shuffle_partitions)."""
+    from contextlib import nullcontext
+
+    from ..functions.partitioning import scoped_shuffle_partitions
+
+    trigger = trigger or {"availableNow": True}
+    if not (trigger.get("availableNow") or trigger.get("once")):
+        raise ValueError(
+            f"run_to_memory drives the stream to completion; trigger "
+            f"{trigger!r} never self-terminates — use writeStream directly "
+            "for continuous queries"
+        )
+    scope = (
+        scoped_shuffle_partitions(df.sparkSession, state_partitions)
+        if state_partitions
+        else nullcontext()
+    )
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(table_name)
+    )
+    with scope:
+        # the scope must cover awaitTermination: micro-batch planning (which
+        # captures the state partition count) happens after start() returns
+        q = writer.trigger(**trigger).start()
+        q.awaitTermination()
+    return df.sparkSession.table(table_name)
+
+
 def run_rollup_to_memory(
     rolled: DataFrame,
     table_name: str,
@@ -103,27 +164,5 @@ def run_rollup_to_memory(
     """Drive a streaming rollup into an in-memory sink (tests / serve cache).
 
     Append mode ⇒ only watermark-closed candles land in the table. Returns
-    after the stream finishes (availableNow by default). ``state_partitions``
-    sizes the state store to the keyspace (see
-    functions.partitioning.scoped_shuffle_partitions).
-    """
-    from contextlib import nullcontext
-
-    from ..functions.partitioning import scoped_shuffle_partitions
-
-    scope = (
-        scoped_shuffle_partitions(rolled.sparkSession, state_partitions)
-        if state_partitions
-        else nullcontext()
-    )
-    writer = (
-        rolled.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(table_name)
-    )
-    with scope:
-        # the scope must cover awaitTermination: micro-batch planning (which
-        # captures the state partition count) happens after start() returns
-        q = writer.trigger(**(trigger or {"availableNow": True})).start()
-        q.awaitTermination()
-    return rolled.sparkSession.table(table_name)
+    after the stream finishes (availableNow by default)."""
+    return run_to_memory(rolled, table_name, "append", trigger, state_partitions)

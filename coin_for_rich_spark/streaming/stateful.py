@@ -55,7 +55,8 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# one parallel array entry per open bucket: minute index + running aggregates
+# one parallel array entry per open bucket: minute index + running aggregates;
+# emitted_max is the key's emit-once watermark (newest minute ever emitted)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("minutes", T.ArrayType(T.LongType())),
@@ -67,6 +68,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("close_v", T.ArrayType(T.DoubleType())),
         T.StructField("vol_cents", T.ArrayType(T.LongType())),
         T.StructField("n", T.ArrayType(T.LongType())),
+        T.StructField("emitted_max", T.LongType()),
     ]
 )
 
@@ -83,78 +85,22 @@ def _flush_fn(
     state: GroupState,
     stale_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
-    # rebuild the open-bucket dict from state
+    # rebuild the open-bucket dict (+ the emit-once watermark) from state
     open_buckets: dict[int, dict[str, Any]] = {}
+    emitted_max: int | None = None
     if state.exists:
-        (minutes, o_ts, o_v, hi, lo, c_ts, c_v, vc, n) = state.get
+        (minutes, o_ts, o_v, hi, lo, c_ts, c_v, vc, n, emax) = state.get
+        emitted_max = emax
         for i, m in enumerate(minutes):
             open_buckets[m] = dict(
                 open_ts=o_ts[i], open_v=o_v[i], high=hi[i], low=lo[i],
                 close_ts=c_ts[i], close_v=c_v[i], vol_cents=vc[i], n=n[i],
             )
 
-    if state.hasTimedOut:
-        # stale flush: emit everything held, clear state
-        emitted = sorted(open_buckets.items())
-        state.remove()
-    else:
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if rows.empty and not open_buckets:
-            return
-        import numpy as np
-
-        # event-time order within the batch (replay order across batches is
-        # the source's responsibility)
-        rows = rows.sort_values("ts")
-        # unit-safe epoch µs regardless of the Arrow datetime resolution
-        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        price = rows["price"].to_numpy(dtype="float64")
-        # per-row half-even cent rounding, then integer sums — identical to
-        # the old per-row round(), exact and engine-independent
-        cents = np.rint(rows["volume"].to_numpy(dtype="float64") * 100).astype(
-            "int64"
-        )
-        # vectorized per-minute aggregation over the ts-sorted arrays: the
-        # minute column is non-decreasing, so each minute is one contiguous
-        # run — ufunc.reduceat aggregates every run in C (first/last on the
-        # sorted order reproduce the per-row strict-</>= open/close tie
-        # rules), and the Python merge loop runs over ~batch-minutes scalars
-        minute = ts_us // _MINUTE_US
-        starts = np.flatnonzero(np.r_[True, np.diff(minute) > 0])
-        ends = np.r_[starts[1:], len(minute)] - 1
-        merged = zip(
-            minute[starts].tolist(),
-            ts_us[starts].tolist(), price[starts].tolist(),
-            np.maximum.reduceat(price, starts).tolist(),
-            np.minimum.reduceat(price, starts).tolist(),
-            ts_us[ends].tolist(), price[ends].tolist(),
-            np.add.reduceat(cents, starts).tolist(),
-            (ends - starts + 1).tolist(),
-        )
-        for m, ot, ov, hi, lo, ct, cv, vc, cnt in merged:
-            b = open_buckets.get(m)
-            if b is None:
-                open_buckets[m] = dict(
-                    open_ts=ot, open_v=ov, high=hi, low=lo,
-                    close_ts=ct, close_v=cv, vol_cents=vc, n=cnt,
-                )
-            else:
-                if ot < b["open_ts"]:
-                    b["open_ts"], b["open_v"] = ot, ov
-                if ct >= b["close_ts"]:
-                    b["close_ts"], b["close_v"] = ct, cv
-                b["high"] = max(b["high"], hi)
-                b["low"] = min(b["low"], lo)
-                b["vol_cents"] += vc
-                b["n"] += cnt
-        # the newest bucket stays open; everything older is closed by the
-        # existence of later data for this key
-        newest = max(open_buckets)
-        emitted = sorted((m, b) for m, b in open_buckets.items() if m != newest)
-        held = {newest: open_buckets[newest]}
+    def _write_state(held: dict[int, dict[str, Any]], emax: int | None) -> None:
         state.update(
             (
-                [m for m in held],
+                list(held),
                 [b["open_ts"] for b in held.values()],
                 [b["open_v"] for b in held.values()],
                 [b["high"] for b in held.values()],
@@ -163,8 +109,101 @@ def _flush_fn(
                 [b["close_v"] for b in held.values()],
                 [b["vol_cents"] for b in held.values()],
                 [b["n"] for b in held.values()],
+                emax,
             )
         )
+
+    if state.hasTimedOut:
+        # stale flush: emit everything held; keep only the watermark
+        # tombstone (no timeout re-armed) so a post-flush replay of the
+        # same minutes cannot re-emit a partial duplicate
+        emitted = sorted(open_buckets.items())
+        if emitted:
+            emitted_max = max(
+                m for m, _ in emitted
+            ) if emitted_max is None else max(emitted_max, emitted[-1][0])
+            _write_state({}, emitted_max)
+        else:
+            state.remove()
+    else:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty and not open_buckets and emitted_max is None:
+            return
+        import numpy as np
+
+        if not rows.empty:
+            # event-time order within the batch (replay order across
+            # batches is the source's responsibility); stable sort, so
+            # equal-ts rows keep arrival order and the open/close tie
+            # winner is deterministic for a given batch content
+            rows = rows.sort_values("ts", kind="stable")
+            # unit-safe epoch µs regardless of Arrow datetime resolution
+            ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            price = rows["price"].to_numpy(dtype="float64")
+            # per-row half-even cent rounding, then integer sums — identical
+            # to the old per-row round(), exact and engine-independent
+            cents = np.rint(
+                rows["volume"].to_numpy(dtype="float64") * 100
+            ).astype("int64")
+            # vectorized per-minute aggregation over the ts-sorted arrays:
+            # the minute column is non-decreasing, so each minute is one
+            # contiguous run — ufunc.reduceat aggregates every run in C
+            # (first/last on the sorted order reproduce the per-row
+            # strict-</>= open/close tie rules), and the Python merge loop
+            # runs over ~batch-minutes scalars
+            minute = ts_us // _MINUTE_US
+            starts = np.flatnonzero(np.r_[True, np.diff(minute) > 0])
+            ends = np.r_[starts[1:], len(minute)] - 1
+            merged = zip(
+                minute[starts].tolist(),
+                ts_us[starts].tolist(), price[starts].tolist(),
+                np.maximum.reduceat(price, starts).tolist(),
+                np.minimum.reduceat(price, starts).tolist(),
+                ts_us[ends].tolist(), price[ends].tolist(),
+                np.add.reduceat(cents, starts).tolist(),
+                (ends - starts + 1).tolist(),
+            )
+            for m, ot, ov, hi, lo, ct, cv, vc, cnt in merged:
+                if emitted_max is not None and m <= emitted_max:
+                    # late-after-close: this minute was already emitted (by
+                    # later data or a stale flush) — appending a second,
+                    # partial candle row for the same (key, bucket) would
+                    # corrupt an append sink, so the row is dropped, the
+                    # same contract a watermarked rollup applies to
+                    # late-past-watermark data
+                    continue
+                b = open_buckets.get(m)
+                if b is None:
+                    open_buckets[m] = dict(
+                        open_ts=ot, open_v=ov, high=hi, low=lo,
+                        close_ts=ct, close_v=cv, vol_cents=vc, n=cnt,
+                    )
+                else:
+                    if ot < b["open_ts"]:
+                        b["open_ts"], b["open_v"] = ot, ov
+                    if ct >= b["close_ts"]:
+                        b["close_ts"], b["close_v"] = ct, cv
+                    b["high"] = max(b["high"], hi)
+                    b["low"] = min(b["low"], lo)
+                    b["vol_cents"] += vc
+                    b["n"] += cnt
+        if open_buckets:
+            # the newest bucket stays open; everything older is closed by
+            # the existence of later data for this key
+            newest = max(open_buckets)
+            emitted = sorted(
+                (m, b) for m, b in open_buckets.items() if m != newest
+            )
+            held = {newest: open_buckets[newest]}
+            if emitted:
+                emitted_max = max(
+                    emitted[-1][0],
+                    emitted_max if emitted_max is not None else emitted[-1][0],
+                )
+        else:
+            emitted = []
+            held = {}
+        _write_state(held, emitted_max)
         # arm the stale flush: without this the ProcessingTimeTimeout mode
         # never fires (state.hasTimedOut stays false forever) and held
         # candles would only ever close on later data

@@ -570,3 +570,151 @@ def test_streaming_sessionize_matches_batch_on_closed_sessions(
     assert got.filter(
         F.col("session_end") + F.expr(f"INTERVAL {gap} SECONDS") > F.lit(max_ts)
     ).count() == 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _flush_fn directly — the
+    engine-edge inputs (empty chunk with live state, late-after-close
+    replays) are hard to provoke deterministically through a real query."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _mk_rows(rows):
+    import pandas as pd
+
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    "ts": pd.to_datetime([r[0] for r in rows]),
+                    "price": [r[1] for r in rows],
+                    "volume": [r[2] for r in rows],
+                }
+            )
+        ]
+    )
+
+
+def test_flush_fn_edge_inputs_and_emit_once():
+    """Review-pass pins for the hold-back collector: an EMPTY chunk with
+    live state must not crash the vectorized path; a closed (already
+    emitted) minute never re-emits a partial duplicate on late replays;
+    a stale flush leaves a watermark tombstone with the same guarantee."""
+    import pandas as pd
+
+    from coin_for_rich_spark.streaming.stateful import _flush_fn
+
+    key = ("sym",)
+    state = _FakeState()
+    # batch 1: two minutes -> older emitted, newest held
+    out1 = list(
+        _flush_fn(
+            key,
+            _mk_rows(
+                [("2024-01-01 10:00:00", 5.0, 1.0), ("2024-01-01 10:01:00", 6.0, 1.0)]
+            ),
+            state,
+        )
+    )
+    assert len(out1) == 1 and out1[0]["close"].tolist() == [5.0]
+    # batch 2: EMPTY chunk with live state — previously IndexError
+    out2 = list(_flush_fn(key, iter([pd.DataFrame({"ts": [], "price": [], "volume": []})]), state))
+    assert out2 == [] and state.exists
+    # batch 3: a LATE row for the already-emitted 10:00 minute is dropped —
+    # an append sink must never receive a second, partial 10:00 candle
+    out3 = list(_flush_fn(key, _mk_rows([("2024-01-01 10:00:30", 9.0, 1.0)]), state))
+    assert out3 == []
+    # ...while the held 10:01 bucket is still open and closes on later data
+    out4 = list(_flush_fn(key, _mk_rows([("2024-01-01 10:02:00", 7.0, 1.0)]), state))
+    assert len(out4) == 1 and out4[0]["close"].tolist() == [6.0]
+    # stale flush: emit held, keep the watermark tombstone; a replay of the
+    # flushed minute after the flush is ALSO dropped
+    timed = _FakeState(value=state._value, timed_out=True)
+    out5 = list(_flush_fn(key, iter([]), timed))
+    assert len(out5) == 1 and out5[0]["bucket"].tolist() == [pd.Timestamp("2024-01-01 10:02:00")]
+    assert timed.exists and not timed.removed  # tombstone, not removal
+    timed.hasTimedOut = False
+    out6 = list(_flush_fn(key, _mk_rows([("2024-01-01 10:02:45", 1.0, 1.0)]), timed))
+    assert out6 == []
+
+
+def test_rollup_interval_and_trigger_guards(spark, tmp_path):
+    """Unsupported intervals fail with context (not a bare KeyError), a
+    no-policy interval demands an explicit watermark (a silent '0 seconds'
+    default would drop all late rows), and the run-to-memory harness
+    rejects non-self-terminating triggers instead of hanging forever."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.streaming.rollup import (
+        run_to_memory,
+        streaming_ohlcv_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [Row(symbol="a", ts=dt.datetime(2024, 1, 1), price=1.0, volume=1.0)]
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    with pytest.raises(ValueError, match="no fixed streaming window"):
+        streaming_ohlcv_rollup(stream, "1M")
+    with pytest.raises(ValueError, match="watermark"):
+        streaming_ohlcv_rollup(stream, "3h")
+    # explicit watermark unlocks the no-policy interval (plan builds fine)
+    streaming_ohlcv_rollup(stream, "3h", watermark="1 hour")
+    with pytest.raises(ValueError, match="self-terminates"):
+        run_to_memory(
+            streaming_ohlcv_rollup(stream, "1h"),
+            "t_never",
+            "append",
+            trigger={"processingTime": "10 seconds"},
+        )
+
+
+def test_latest_value_serve_deterministic_ts_tie(spark):
+    """Two updates sharing a timestamp: the greatest value struct wins the
+    tie — deterministic across runs/partitionings (a bare max_by on ts
+    picks an arbitrary tied row), mirroring the reference's 'ts >= current'
+    overwrite guard as closely as an order-blind engine can."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.streaming.latest import latest_value_serve
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(symbol="a", ts=t, price=3.0, volume=1.0),
+            Row(symbol="a", ts=t, price=9.0, volume=1.0),
+            Row(symbol="a", ts=t - dt.timedelta(minutes=1), price=99.0, volume=1.0),
+        ]
+    )
+    for _ in range(3):  # stable under repeated evaluation
+        row = latest_value_serve(df).collect()[0]
+        assert (row.price, row.ts) == (9.0, t)
