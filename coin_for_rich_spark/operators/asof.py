@@ -13,8 +13,10 @@ Spark-first expression — the union + ordered carry-forward plan:
 1. union the two sides into one relation tagged by source, right rows
    carrying their payload columns, left rows carrying null payloads;
 2. one window per key ordered by (time, source-tag):
-   ``last(payload, ignorenulls=True)`` carries the most recent right payload
-   forward onto every subsequent row;
+   ``last(payload_struct, ignorenulls=True)`` carries the most recent right
+   ROW (one struct — per-column carries would skip genuinely-NULL payload
+   fields and stitch values from different right rows) forward onto every
+   subsequent row;
 3. keep the left rows — each now decorated with the latest right payload at
    or before its time (ties: right sorts before left, so an exactly-
    simultaneous right row IS visible, matching ASOF's ``l.ts >= r.ts``).
@@ -29,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -54,16 +57,19 @@ def asof_join(
             if c not in on and c != right_time
         }
     left_cols = left.columns
-    # the union plan uses _t/_src plus one _c_<alias> carry column per
-    # payload — collisions with input columns or between payload aliases and
-    # left columns would silently produce duplicate/ambiguous output, so the
-    # API boundary rejects them up front
-    reserved = {"_t", "_src"} | {f"_c_{alias}" for alias in payload.values()}
-    clashes = reserved & (set(left_cols) | set(right.columns))
+    # the union plan uses _t/_src plus ONE struct carry column _p —
+    # collisions with input columns or aliases would silently produce
+    # duplicate/ambiguous output, so the API boundary rejects them up front
+    # (including aliases named like the reserved internals: payload
+    # {'price': '_t'} would otherwise die mid-plan on an ambiguous ref)
+    reserved = {"_t", "_src", "_p"}
+    clashes = reserved & (
+        set(left_cols) | set(right.columns) | set(payload.values())
+    )
     if clashes:
         raise ValueError(
-            f"asof_join: input columns collide with reserved internal names: "
-            f"{sorted(clashes)}"
+            f"asof_join: input columns or payload aliases collide with "
+            f"reserved internal names: {sorted(clashes)}"
         )
     alias_clashes = set(payload.values()) & set(left_cols)
     if alias_clashes:
@@ -73,11 +79,28 @@ def asof_join(
         )
     if len(set(payload.values())) != len(payload):
         raise ValueError("asof_join: duplicate payload aliases")
+    if not payload:
+        return left.select(*left_cols)
 
-    r = right.select(
+    payload_type = T.StructType(
+        [
+            T.StructField(alias, right.schema[c].dataType)
+            for c, alias in payload.items()
+        ]
+    )
+    # NULL right timestamps can match NOTHING under ASOF's l.ts >= r.ts —
+    # left unfiltered they sort NULLS FIRST and their payload would be
+    # carried onto every left row as a spurious match
+    r = right.filter(F.col(right_time).isNotNull()).select(
         *on,
         F.col(right_time).alias("_t"),
-        *[F.col(c).alias(alias) for c, alias in payload.items()],
+        # ONE struct per right row, never per-column carries: a right row
+        # whose payload FIELD is genuinely NULL must still win as the
+        # as-of row (per-column last(ignorenulls) skipped the NULL and
+        # stitched together fields from different right rows)
+        F.struct(
+            *[F.col(c).alias(alias) for c, alias in payload.items()]
+        ).alias("_p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in on],
         F.lit(0).alias("_src"),
@@ -85,8 +108,7 @@ def asof_join(
     l = left.select(
         *on,
         F.col(left_time).alias("_t"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(alias)
-          for c, alias in payload.items()],
+        F.lit(None).cast(payload_type).alias("_p"),
         *[F.col(c) for c in left_cols if c not in on],
         F.lit(1).alias("_src"),
     )
@@ -98,13 +120,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(alias, ignorenulls=True).over(w).alias(f"_c_{alias}")
-            for alias in payload.values()
-        ],
+        "*", F.last("_p", ignorenulls=True).over(w).alias("_cp")
     )
     return carried.filter(F.col("_src") == 1).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"_c_{alias}").alias(alias) for alias in payload.values()],
+        *[
+            F.col("_cp").getField(alias).alias(alias)
+            for alias in payload.values()
+        ],
     )

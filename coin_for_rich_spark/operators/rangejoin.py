@@ -27,8 +27,23 @@ widths, unioned — same operator, two calls.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _bucket_col(df: DataFrame, colname: str, w: int) -> Column:
+    """Floor-division bucket id, EXACT for integral time columns: a long
+    epoch-nanos column (~1.7e18) is beyond double's 2^53 integer range, so
+    the double round-trip can floor a boundary value into the wrong bucket
+    and silently drop the match. pmod + `div` stay in 64-bit integers;
+    timestamps/doubles keep the double path (epoch seconds are far inside
+    2^53)."""
+    if isinstance(
+        df.schema[colname].dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        return F.expr(f"(`{colname}` - pmod(`{colname}`, {w})) div {w}")
+    return F.floor(F.col(colname).cast("double") / w).cast("long")
 
 
 def range_join(
@@ -40,6 +55,7 @@ def range_join(
     on: list[str] | None = None,
     bucket_seconds: int = 3600,
     how: str = "inner",
+    max_interval_buckets: int = 1_000_000,
 ) -> DataFrame:
     """Join each point to every interval containing it (``start <= ts <
     end``, the half-open convention every bucketing operator here uses),
@@ -48,6 +64,13 @@ def range_join(
     Returns points columns + interval columns (minus the join keys'
     duplicates). ``how='inner'`` keeps matched points; ``'left'`` keeps
     unmatched points with null interval columns.
+
+    ``max_interval_buckets`` fails loud on runaway explosion: ONE interval
+    with a far-future sentinel end (9999-12-31 as "no end") would otherwise
+    materialize a multi-million-element sequence per row — an executor OOM
+    or Spark's hard sequence-length error deep in the job instead of an
+    explanation. Encode open-ended intervals with a bounded horizon, or
+    raise the cap deliberately.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports inner/left, got {how!r}")
@@ -62,20 +85,34 @@ def range_join(
     if w < 1:
         raise ValueError("bucket_seconds must be >= 1")
 
-    p_bucket = F.floor(F.col(point_ts).cast("double") / w).cast("long")
-    i_start = F.floor(F.col(start_col).cast("double") / w).cast("long")
+    p_bucket = _bucket_col(points, point_ts, w)
+    i_start = _bucket_col(intervals, start_col, w)
     # an interval ending exactly on a bucket boundary explodes one bucket
     # it can't match (half-open end) — deliberately NOT corrected with an
     # epsilon: under double rounding an epsilon can floor the last bucket
     # one too low and silently DROP matches, while the extra bucket row is
     # always removed by the residual `ts < end` predicate
-    i_end = F.floor(F.col(end_col).cast("double") / w).cast("long")
+    i_end = _bucket_col(intervals, end_col, w)
 
+    n_buckets = F.greatest(i_end, i_start) - i_start + F.lit(1)
+    seq = F.when(
+        n_buckets > F.lit(int(max_interval_buckets)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join: one interval spans more than "
+                    f"{int(max_interval_buckets)} buckets of {w}s ("
+                ),
+                n_buckets.cast("string"),
+                F.lit(
+                    ") — a sentinel 'no end' date? widen bucket_seconds, "
+                    "bound the horizon, or raise max_interval_buckets"
+                ),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(i_start, F.greatest(i_end, i_start)))
     pts = points.withColumn("_rj_bucket", p_bucket)
-    ivs = intervals.withColumn(
-        "_rj_bucket",
-        F.explode(F.sequence(i_start, F.greatest(i_end, i_start))),
-    )
+    ivs = intervals.withColumn("_rj_bucket", F.explode(seq))
     cond = [pts["_rj_bucket"] == ivs["_rj_bucket"]] + [
         pts[c] == ivs[c] for c in on
     ]

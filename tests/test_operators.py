@@ -357,3 +357,43 @@ def test_range_join_matches_naive_and_avoids_bnl(spark):
         range_join(points, intervals, how="full")
     with _pytest.raises(ValueError, match="ambiguous"):
         range_join(points.withColumnRenamed("pid", "iid"), intervals)
+
+
+def test_range_join_exact_on_big_longs_and_explosion_guard(spark):
+    """Integral time columns bucket with 64-bit integer arithmetic: epoch
+    nanoseconds (~1.7e18) are beyond double's 2^53 exact range, where the
+    old double round-trip could floor a boundary value into the wrong
+    bucket and silently drop the match. And one sentinel-dated interval
+    must fail loud, not OOM the executor mid-job."""
+    import pytest
+
+    from coin_for_rich_spark.operators import range_join
+
+    base = 1_700_000_000_000_000_000  # epoch ns, > 2^53
+    w_ns = 3600 * 1_000_000_000
+    # a point at an interval's EXACT start boundary, boundary on a bucket edge
+    start = (base // w_ns) * w_ns
+    points = spark.createDataFrame(
+        [(1, start), (2, start - 1)], "pid long, ts long"
+    )
+    intervals = spark.createDataFrame(
+        [(10, start, start + w_ns)], "iid long, start long, end long"
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(
+            points, intervals, bucket_seconds=w_ns
+        ).collect()
+    )
+    assert got == [(1, 10)]  # boundary point matches; pre-start point doesn't
+
+    sentinel = spark.createDataFrame(
+        [(11, start, start + 5000 * w_ns)], "iid long, start long, end long"
+    )
+    with pytest.raises(Exception, match="range_join: one interval spans"):
+        range_join(points, sentinel, bucket_seconds=w_ns,
+                   max_interval_buckets=1000).collect()
+    # raising the cap deliberately is allowed (small span here)
+    ok = range_join(points, intervals, bucket_seconds=w_ns,
+                    max_interval_buckets=10).collect()
+    assert len(ok) == 1

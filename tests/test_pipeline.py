@@ -89,6 +89,44 @@ def test_asof_join_semantics(spark):
     assert out == {1: 30.0, 2: 30.0, 3: None, 4: None}
 
 
+def test_asof_join_null_payloads_and_null_right_time(spark):
+    """Review-pass pins: a right row whose payload FIELD is genuinely NULL
+    must still win as the as-of row (per-column carries stitched fields
+    from different right rows), and a NULL right timestamp matches nothing
+    (it used to sort NULLS FIRST and leak onto every left row)."""
+    import datetime as dt
+
+    from coin_for_rich_spark.operators import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [Row(event_id=1, ts=t(9), user_id=1), Row(event_id=2, ts=t(3), user_id=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=t(2), price=10.0, qty=1),
+            Row(user_id=1, ts=t(5), price=None, qty=7),   # newest: NULL price
+            Row(user_id=1, ts=None, price=99.0, qty=99),  # matches NOTHING
+        ]
+    )
+    out = {
+        r.event_id: (r.p, r.q)
+        for r in asof_join(
+            left, right, on=["user_id"], payload={"price": "p", "qty": "q"}
+        ).collect()
+    }
+    # event 1: the t(5) ROW wins whole — (NULL, 7), never (10.0, 7)
+    assert out[1] == (None, 7)
+    # event 2 (ts=t(3)): only t(2) is at-or-before — the NULL-ts row's
+    # payload must not leak onto it as a spurious "match"
+    assert out[2] == (10.0, 1)
+    # aliases named like reserved internals fail up front, not mid-plan
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on=["user_id"], payload={"price": "_t"})
+
+
 def test_scrub_text_redacts_and_counts(spark):
     from coin_for_rich_spark.llmdata import scrub_text
 
