@@ -106,10 +106,29 @@ def read_ohlcvs(
                          rollups=rollups, keys=[key_col], **rollup_kwargs)
     if rollups and interval in rollups:
         rel = rel.filter(F.col(key_col) == symbol)
+    # a materialized rollup carries its dt partition column: apply the
+    # derived day bounds (Catalyst cannot infer them from `bucket` — dt is
+    # a stored column) so the scan PRUNES instead of reading the rollup's
+    # whole history, then drop dt from the serve schema
+    has_dt = "dt" in rel.columns
     if start is not None:
         rel = rel.filter(F.col("bucket") >= F.lit(start))
+        if has_dt:
+            from ..sources.store import utc_day
+
+            rel = rel.filter(
+                F.col("dt") >= utc_day(F.lit(start).cast("timestamp"))
+            )
     if end is not None:
         rel = rel.filter(F.col("bucket") <= F.lit(end))
+        if has_dt:
+            from ..sources.store import utc_day
+
+            rel = rel.filter(
+                F.col("dt") <= utc_day(F.lit(end).cast("timestamp"))
+            )
+    if has_dt:
+        rel = rel.drop("dt")
 
     # DESC fetch with limit keeps the latest rows (`readers.py:194-195`),
     # then ASC re-sort for charting (`readers.py:242`).

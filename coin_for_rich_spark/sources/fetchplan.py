@@ -54,6 +54,15 @@ ERROR_SCHEMA = (
     "start_ms long, end_ms long, time_frame string, message string"
 )
 
+# one relation carrying BOTH outcomes of a page fetch: candle rows with the
+# error fields null, or one error row per failed page with the candle
+# fields null — so candles and dead letters come from ONE fetch pass
+COMBINED_SCHEMA = (
+    CANDLE_SCHEMA
+    + ", exception_class string, start_ms long, end_ms long, "
+    "time_frame string, message string"
+)
+
 MINUTE_MS = 60_000
 
 
@@ -71,8 +80,29 @@ def build_fetch_plan(
     the last page is clamped to ``end_ms``. Built with sequence+explode so
     the plan itself is distributed.
     """
+    if page_minutes < 1:
+        raise ValueError(f"page_minutes must be >= 1, got {page_minutes}")
+    if end_ms < start_ms:
+        raise ValueError(
+            f"inverted span: start_ms={start_ms} > end_ms={end_ms}"
+        )
+    unknown = {e for e, _ in symbols} - set(EXCHANGE_FIELD_ORDER)
+    if unknown:
+        raise ValueError(
+            f"no field-order mapping for exchange(s) {sorted(unknown)} — "
+            "failing at plan build beats a KeyError inside an executor "
+            "after the cluster spun up"
+        )
     page_ms = page_minutes * MINUTE_MS
     sym = spark.createDataFrame(symbols, "exchange string, symbol string")
+    if end_ms == start_ms:
+        # a legitimate nothing-to-backfill request: an EMPTY plan, not a
+        # runtime 'Illegal sequence boundaries' error from an executor
+        return (
+            sym.withColumn("page_start_ms", F.lit(start_ms))
+            .withColumn("page_end_ms", F.lit(end_ms))
+            .limit(0)
+        )
     return (
         sym.withColumn(
             "page_start_ms",
@@ -111,53 +141,95 @@ def synthetic_fetcher(
     return out
 
 
+def fetch_pages_combined(
+    plan: DataFrame,
+    fetcher: Callable[[str, str, int, int], list[tuple]] = synthetic_fetcher,
+    time_frame: str = "1m",
+) -> DataFrame:
+    """Execute the fetch plan ONCE, emitting both outcomes as data
+    (``COMBINED_SCHEMA``): a page that fetches yields its candle rows
+    (error fields null); a page that raises yields ONE dead-letter row in
+    the ``ohlcvs_errors`` shape (candle fields null) — failures are data,
+    never a job abort (the reference's error-table contract,
+    `create.sql:32-42`). ``fetch_pages`` / ``dead_letters`` are projections
+    of this relation; callers needing both persist it once and split.
+
+    Arrow-batched ``mapInPandas``, one yield per PAGE: output memory is
+    bounded by a single page's candles regardless of how many plan rows
+    share an input batch (accumulating a whole batch's pages buffered
+    millions of rows before the old single yield).
+    """
+
+    candle_cols = [
+        "exchange", "symbol", "time_ms", "open", "high", "low", "close",
+        "volume", "exception_class", "start_ms", "end_ms", "time_frame",
+        "message",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                order = EXCHANGE_FIELD_ORDER[r.exchange]
+                try:
+                    recs = fetcher(
+                        r.exchange, r.symbol,
+                        int(r.page_start_ms), int(r.page_end_ms),
+                    )
+                    rows = []
+                    for rec in recs:
+                        named = dict(zip(order, rec))
+                        rows.append(
+                            (
+                                r.exchange, r.symbol, named["time_ms"],
+                                named["open"], named["high"], named["low"],
+                                named["close"], named["volume"],
+                                None, None, None, None, None,
+                            )
+                        )
+                except Exception as exc:  # noqa: BLE001 — dead-letter it
+                    rows = [
+                        (
+                            r.exchange, r.symbol, None,
+                            None, None, None, None, None,
+                            type(exc).__name__,
+                            int(r.page_start_ms), int(r.page_end_ms),
+                            time_frame, str(exc)[:500],
+                        )
+                    ]
+                if rows:
+                    yield pd.DataFrame(rows, columns=candle_cols)
+
+    return plan.mapInPandas(run, schema=COMBINED_SCHEMA)
+
+
+def split_fetch_results(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(candles, dead_letters) projections of a ``fetch_pages_combined``
+    relation — persist the input first when consuming both, so the fetch
+    runs once."""
+    candles = combined.filter(F.col("exception_class").isNull()).select(
+        "exchange", "symbol", "time_ms", "open", "high", "low", "close",
+        "volume",
+    )
+    errors = combined.filter(F.col("exception_class").isNotNull()).select(
+        "exception_class", "exchange", "symbol", "start_ms", "end_ms",
+        "time_frame", "message",
+    )
+    return candles, errors
+
+
 def fetch_pages(
     plan: DataFrame,
     fetcher: Callable[[str, str, int, int], list[tuple]] = synthetic_fetcher,
 ) -> DataFrame:
     """Execute the fetch plan: each page row → normalized candle rows.
 
-    Arrow-batched ``mapInPandas``: the Python hop is intrinsic here (the
-    fetcher is Python I/O, not column math). Per-exchange positional layouts
-    are normalized to the unified candle schema inside the same pass.
+    A failing page contributes NO rows instead of aborting the whole
+    backfill (its dead-letter row is in the ``fetch_pages_combined``
+    relation — use that + ``split_fetch_results`` to consume both sides of
+    one fetch pass). Per-exchange positional layouts are normalized to the
+    unified candle schema inside the same pass.
     """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                order = EXCHANGE_FIELD_ORDER[r.exchange]
-                for rec in fetcher(
-                    r.exchange, r.symbol, int(r.page_start_ms), int(r.page_end_ms)
-                ):
-                    named = dict(zip(order, rec))
-                    rows.append(
-                        (
-                            r.exchange,
-                            r.symbol,
-                            named["time_ms"],
-                            named["open"],
-                            named["high"],
-                            named["low"],
-                            named["close"],
-                            named["volume"],
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "exchange",
-                    "symbol",
-                    "time_ms",
-                    "open",
-                    "high",
-                    "low",
-                    "close",
-                    "volume",
-                ],
-            )
-
-    return plan.mapInPandas(run, schema=CANDLE_SCHEMA)
+    return split_fetch_results(fetch_pages_combined(plan, fetcher))[0]
 
 
 def dead_letters(
@@ -166,37 +238,10 @@ def dead_letters(
     time_frame: str = "1m",
 ) -> DataFrame:
     """Pages whose fetch raises → ``ohlcvs_errors``-shaped rows
-    (`create.sql:32-42`): the error log is data, not an exception path."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    fetcher(r.exchange, r.symbol, int(r.page_start_ms), int(r.page_end_ms))
-                except Exception as exc:  # noqa: BLE001 — the point is to log it
-                    rows.append(
-                        (
-                            type(exc).__name__,
-                            r.exchange,
-                            r.symbol,
-                            int(r.page_start_ms),
-                            int(r.page_end_ms),
-                            time_frame,
-                            str(exc)[:500],
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "exception_class",
-                    "exchange",
-                    "symbol",
-                    "start_ms",
-                    "end_ms",
-                    "time_frame",
-                    "message",
-                ],
-            )
-
-    return plan.mapInPandas(run, schema=ERROR_SCHEMA)
+    (`create.sql:32-42`): the error log is data, not an exception path.
+    A projection of ``fetch_pages_combined`` — when consuming candles AND
+    errors, persist the combined relation and ``split_fetch_results`` it
+    instead of paying the fetch twice."""
+    return split_fetch_results(
+        fetch_pages_combined(plan, fetcher, time_frame)
+    )[1]

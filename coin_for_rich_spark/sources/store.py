@@ -29,6 +29,18 @@ from ..operators.candles import rollup_family
 PARTITION_COL = "dt"
 
 
+def utc_day(col) -> F.Column:
+    """The UTC calendar day of a timestamp, independent of the SESSION
+    timezone: epoch seconds floor-div 86400 → DATE. ``to_date`` would cut
+    the day in the session zone — a writer running outside the engine's
+    UTC pin (load_table enforces it, but nothing forces a store writer
+    through load_table) would bake a shifted layout that a UTC reader's
+    partition predicate then silently prunes matching rows out of."""
+    return F.date_from_unix_date(
+        F.floor(F.unix_timestamp(col) / F.lit(86400)).cast("int")
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -36,7 +48,7 @@ def write_partitioned(
     mode: str = "overwrite",
     coalesce_days: bool = False,
 ) -> None:
-    """Write ``df`` date-partitioned on ``time_col``'s day.
+    """Write ``df`` date-partitioned on ``time_col``'s UTC day.
 
     ``coalesce_days=True`` shuffles rows to their day before the write so
     each day directory gets one file instead of one-per-task — right for
@@ -44,11 +56,21 @@ def write_partitioned(
     creates 32 tiny files per day and file-open overhead dominates every
     subsequent read). Leave it off for raw fact writes, where a hot day must
     stay spread across many tasks/files.
+
+    ``mode='overwrite'`` (default) uses DYNAMIC partition overwrite: only
+    the day partitions present in ``df`` are replaced — Spark's default
+    static overwrite would wipe the WHOLE table on an incremental
+    single-day write, deleting every prior day with no warning.
     """
-    out = df.withColumn(PARTITION_COL, F.to_date(F.col(time_col)))
+    out = df.withColumn(PARTITION_COL, utc_day(F.col(time_col)))
     if coalesce_days:
         out = out.repartition(F.col(PARTITION_COL))
-    out.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
+    (
+        out.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
@@ -71,12 +93,12 @@ def prune_time_range(df: DataFrame, time_col: str, start=None, end=None) -> Data
     if start is not None:
         df = df.filter(
             (F.col(time_col) >= F.lit(start))
-            & (F.col(PARTITION_COL) >= F.to_date(F.lit(start)))
+            & (F.col(PARTITION_COL) >= utc_day(F.lit(start).cast("timestamp")))
         )
     if end is not None:
         df = df.filter(
             (F.col(time_col) <= F.lit(end))
-            & (F.col(PARTITION_COL) <= F.to_date(F.lit(end)))
+            & (F.col(PARTITION_COL) <= utc_day(F.lit(end).cast("timestamp")))
         )
     return df
 
@@ -106,10 +128,18 @@ def materialize_rollups(
         write_partitioned(rolled, p, time_col="bucket", coalesce_days=True)
         return interval, p
 
+    if not family:
+        return {}  # empty interval list: no work, not a ThreadPool error
     with ThreadPoolExecutor(max_workers=len(family)) as pool:
         return dict(pool.map(_write, family.items()))
 
 
 def load_rollups(spark: SparkSession, paths: dict[str, str]) -> dict[str, DataFrame]:
-    """Reload materialized rollups for the interval router (plans.reader)."""
-    return {iv: read_partitioned(spark, p).drop(PARTITION_COL) for iv, p in paths.items()}
+    """Reload materialized rollups for the interval router (plans.reader).
+
+    ``dt`` is KEPT: dropping it here would make every routed read scan the
+    rollup's full history — Catalyst cannot derive the partition predicate
+    from ``bucket`` bounds once ``dt`` is projected away. The reader
+    applies the derived ``dt`` bounds and drops the column from its
+    output (plans/reader.read_ohlcvs)."""
+    return {iv: read_partitioned(spark, p) for iv, p in paths.items()}

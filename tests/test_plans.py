@@ -163,3 +163,18 @@ def test_media_pipeline_is_exchange_free(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_materialized_route_prunes_dt_partitions(spark, sf_dir):
+    """The routed rollup read must apply the derived dt partition bounds —
+    without them a one-week chart read scans the rollup's WHOLE history
+    (dt is a stored column; Catalyst cannot infer it from `bucket`) — and
+    the dt column must not leak into the serve schema."""
+    import __spark_entry__ as m
+
+    df = m.queries()["chart_read_routes"](spark, sf_dir)
+    assert "dt" not in df.columns
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt#" in plan or (
+        "PartitionFilters: [" in plan and "dt#" in plan
+    ), "materialized route scan lost its dt partition filters"

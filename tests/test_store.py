@@ -78,3 +78,60 @@ def test_materialized_route_scans_rollup_not_ticks(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     assert "candles_1h" in plan
     assert "events.parquet" not in plan
+
+
+def test_utc_day_is_session_timezone_independent(spark):
+    """The dt partition derivation must cut days on UTC midnight no matter
+    the session timezone — a shifted layout written by a non-UTC session
+    would make a UTC reader's partition predicate silently prune matching
+    rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.sources.store import utc_day
+
+    ts = dt.datetime(2024, 1, 11, 3, 0, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+    utc_val = df.select(utc_day(F.col("ts")).alias("d")).first().d
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_val = df.select(utc_day(F.col("ts")).alias("d")).first().d
+        # to_date (the old derivation) WOULD shift: 03:00Z = 22:00 prev day NY
+        shifted = df.select(F.to_date(F.col("ts")).alias("d")).first().d
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert utc_val == ny_val == dt.date(2024, 1, 11)
+    assert shifted == dt.date(2024, 1, 10)
+
+
+def test_incremental_write_keeps_other_partitions(spark, tmp_path):
+    """mode='overwrite' is DYNAMIC: writing one day replaces only that
+    day's partition — Spark's static default would wipe the whole table on
+    an incremental write."""
+    import datetime as dt
+
+    from coin_for_rich_spark.sources.store import (
+        materialize_rollups,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    day1 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5), 1.0)], "ts timestamp, v double"
+    )
+    day2 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 5), 2.0)], "ts timestamp, v double"
+    )
+    write_partitioned(day1, path)
+    write_partitioned(day2, path)  # incremental: must NOT delete day 1
+    got = sorted(r.v for r in read_partitioned(spark, path).collect())
+    assert got == [1.0, 2.0]
+    # and re-writing day 2 replaces day 2 only (no duplicates)
+    write_partitioned(day2, path)
+    got = sorted(r.v for r in read_partitioned(spark, path).collect())
+    assert got == [1.0, 2.0]
+    # empty interval family: no work, not a ThreadPool crash
+    assert materialize_rollups(day1, str(tmp_path / "r"), intervals=()) == {}
