@@ -169,23 +169,36 @@ REVENUE_DEC = "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
 
 # shared by the doc_stats / doc_langid oracles and the corpus_curation
 # pipeline oracle that composes them as CTEs
+# match-normalization mirror of textstats.match_tokens: lowercase + strip
+# edge punctuation before lexicon matching
+_MATCH_TOKS_SQL = (
+    "list_transform(toks, x -> lower(regexp_replace(x, "
+    "'(^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$)', '', 'g')))"
+)
+
 DOC_STATS_SQL = f"""
     WITH t AS (
         SELECT doc_id, text,
-               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               CASE WHEN length(trim(text)) > 0
+                    THEN regexp_split_to_array(trim(text), '\\s+')
+                    ELSE []::VARCHAR[] END AS toks,
                length(text) AS n_chars,
-               len(regexp_extract_all(text, '([^A-Za-z0-9\\s])', 1)) AS n_punct
+               len(regexp_extract_all(text, '([^\\p{{L}}\\p{{N}}\\s])', 1)) AS n_punct
         FROM documents
     ),
     s AS (
-        SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
-               len(list_filter(toks, x -> x IN ({_sql_list(STOPWORDS)}))) AS n_stopwords
+        SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct, toks,
+               len(list_filter({_MATCH_TOKS_SQL},
+                   x -> x IN ({_sql_list(STOPWORDS)}))) AS n_stopwords
         FROM t
     )
     SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
            CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
            CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
-           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+           CASE WHEN n_tokens > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / n_tokens
+           ELSE 0.0 END AS mean_word_len,
            CASE WHEN n_tokens < 10 THEN 'too_short'
                 WHEN CAST(n_punct AS DOUBLE) / n_chars > 0.2 THEN 'punct_heavy'
                 WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 'fluent'
@@ -195,15 +208,19 @@ DOC_STATS_SQL = f"""
 
 DOC_LANGID_SQL = f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) > 0
+                    THEN regexp_split_to_array(trim(text), '\\s+')
+                    ELSE []::VARCHAR[] END AS toks
         FROM documents
     ),
+    m AS (SELECT doc_id, {_MATCH_TOKS_SQL} AS toks FROM t),
     s AS (
         SELECT doc_id,
                len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['en'])}))) AS score_en,
                len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['es'])}))) AS score_es,
                len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS['de'])}))) AS score_de
-        FROM t
+        FROM m
     )
     SELECT doc_id, score_en, score_es, score_de,
            CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
@@ -2271,7 +2288,7 @@ def oracle_sql() -> dict[str, str]:
             tok AS (
                 SELECT doc_id,
                        len(regexp_extract_all(text,
-                           '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS bpe_tokens
+                           '([\\p{{L}}]+|[\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s])', 1)) AS bpe_tokens
                 FROM documents
             ),
             fp AS (
@@ -2499,7 +2516,7 @@ def oracle_sql() -> dict[str, str]:
                            '\\s+', ' ', 'g'))) AS norm_text
                 FROM documents d JOIN f USING (source)
                 WHERE CAST(concat('0x',
-                           substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                           substr(md5(CAST(d.doc_id AS VARCHAR)), 5, 4))
                            AS BIGINT)
                       < 65536 * f.frac
             )

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_parallelism
+from .dedup import _INTERMEDIATE_CACHES
 from .textstats import tokenize
 
 
@@ -54,9 +55,16 @@ def stratified_hash_sample(
     f' ≥ f — the thresholds nest), so shrinking a stratum's rate yields a
     subset of the previous sample. Pure column algebra; the predicate
     evaluates in the scan stage.
+
+    The draw reads hex digits 5-8 of the md5 — DISJOINT from
+    ``hash_sample``'s leading digit, so the two draws compose as
+    independent samples: a stratified draw over a hash-held-out split
+    previously reused the same leading bits and sampled at 0% or 100%
+    instead of the requested rate (the holdout had already conditioned
+    those bits).
     """
     h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        F.substring(F.md5(F.col(id_col).cast("string")), 5, 4), 16, 10
     ).cast("long")
     frac = F.lit(float(default_fraction))
     for value, f in fractions.items():
@@ -232,6 +240,9 @@ def chunk_documents(
     exploded = (
         ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        # empty/NULL docs produce NO chunks (tokenize gives them an empty
+        # array): without the guard they emitted a phantom empty chunk
+        .filter(F.col("_n") > 0)
         .select(
             F.col(id_col),
             "_toks",
@@ -302,6 +313,10 @@ def pack_sequences(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    # registered for the shared drain (release_intermediate_caches): the
+    # returned DataFrame still reads this cache, so its lifetime cannot end
+    # here — but a looping caller must be able to release it
+    _INTERMEDIATE_CACHES.append(base)
     part_sums = {
         r["_pid"]: r["s"]
         for r in base.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()

@@ -95,6 +95,11 @@ def train_char_lm(
     """
     if order < 2:
         raise ValueError("char LM order must be >= 2")
+    if alpha <= 0:
+        # alpha = 0 makes logp_unseen = log(0) = NULL, which the scorer
+        # silently coalesces to the global 1/V floor — the cross-entropy
+        # changes semantics with no error anywhere downstream
+        raise ValueError("smoothing alpha must be > 0 (add-alpha mass)")
     narrow = ensure_parallelism(ref_docs.select(F.col(text_col)))
     counts = (
         narrow.select(F.explode(_char_ngrams(text_col, order)).alias("ngram"))

@@ -28,17 +28,75 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = LANG_MARKERS["en"]
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
-BPE_REGEX = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+# Unicode classes, not ASCII: [^A-Za-z0-9] counts every non-Latin letter as
+# punctuation — a Cyrillic or accented document would be 100% "punctuation"
+# (and bucketed punct_heavy) in the very languages the lang-ID claims to
+# handle. On pure-ASCII text the classes are identical.
+BPE_REGEX = r"([\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s])"
+
+#: punctuation = non-letter, non-digit, non-space (unicode-aware)
+PUNCT_REGEX = r"([^\p{L}\p{N}\s])"
+
+#: strips leading/trailing non-alphanumerics off a token for lexicon
+#: matching ('The,' → 'the' after lowercasing)
+_EDGE_PUNCT = r"(^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$)"
 
 
 def tokenize(text: Column | str) -> Column:
-    """Whitespace tokens of the trimmed text."""
+    """Whitespace tokens of the trimmed text. Empty/NULL text is an EMPTY
+    array, not [""]: split('') yields a phantom single empty token that
+    inflates every count built on it (n_tokens=1 for an empty doc,
+    top_token_frac=1.0, a phantom chunk…) — and NULL text otherwise turns
+    F.size into -1 under Spark's default config, silently corrupting any
+    prefix sum over it."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    t = F.trim(c)
+    return F.when(
+        F.length(t) > 0, F.split(t, r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def match_tokens(tokens: Column) -> Column:
+    """Tokens normalized for LEXICON matching: lowercased, edge punctuation
+    stripped — 'The,' and 'casa.' must hit their marker/stopword entries;
+    case-sensitive glued matching undercounted every sentence-initial or
+    punctuation-adjacent marker (the dominant positions in real prose)."""
+    return F.transform(
+        tokens, lambda t: F.lower(F.regexp_replace(t, _EDGE_PUNCT, ""))
+    )
 
 
 def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def _mean_word_len(toks: Column, n_tokens: Column) -> Column:
+    """Mean token length from the TOKENS, not a raw-text arithmetic trick:
+    (n_chars - gaps)/n assumed exactly one separator space per gap, so any
+    leading/trailing or doubled whitespace inflated the stat on exactly the
+    noisy documents a quality scan targets."""
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.when(
+        n_tokens > 0, total.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+
+
+def _lang_scores(toks: Column) -> dict[str, Column]:
+    m = match_tokens(toks)
+    return {lang: _count_in(m, words) for lang, words in LANG_MARKERS.items()}
+
+
+def _pred_lang(scores: dict[str, Column]) -> Column:
+    return (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
 
 
 def token_ngrams(toks: Column, n: int) -> Column:
@@ -101,11 +159,18 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = tokenize(text_col)
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9\s])"), 1))
-    n_stop = _count_in(toks, STOPWORDS)
-    punct_ratio = n_punct.cast("double") / n_chars
-    stop_ratio = n_stop.cast("double") / n_tokens
-    mean_word_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_REGEX), 1)
+    )
+    n_stop = _count_in(match_tokens(toks), STOPWORDS)
+    # guarded ratios: a zero-token/zero-char doc is 0.0, not an ANSI
+    # divide-by-zero job failure (tokenize now reports empty docs as 0)
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0, n_stop.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -114,7 +179,7 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         n_stop.alias("n_stopwords"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        mean_word_len.alias("mean_word_len"),
+        _mean_word_len(toks, n_tokens).alias("mean_word_len"),
         F.when(n_tokens < 10, "too_short")
         .when(punct_ratio > 0.2, "punct_heavy")
         .when(stop_ratio > 0.05, "fluent")
@@ -137,18 +202,11 @@ def doc_langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     """Deterministic language ID: count marker-word hits per language, pick
     the max with a fixed priority order (en > es > de) on ties."""
     toks = tokenize(text_col)
-    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
-    pred = (
-        F.when(
-            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en"
-        )
-        .when(scores["es"] >= scores["de"], "es")
-        .otherwise("de")
-    )
+    scores = _lang_scores(toks)
     return docs.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        pred.alias("pred_lang"),
+        _pred_lang(scores).alias("pred_lang"),
     )
 
 
@@ -168,19 +226,21 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = tokenize(text_col)
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9\s])"), 1))
-    n_stop = _count_in(toks, STOPWORDS)
-    punct_ratio = n_punct.cast("double") / n_chars
-    stop_ratio = n_stop.cast("double") / n_tokens
-    mean_word_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
-    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
-    pred = (
-        F.when(
-            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en"
-        )
-        .when(scores["es"] >= scores["de"], "es")
-        .otherwise("de")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_REGEX), 1)
     )
+    n_stop = _count_in(match_tokens(toks), STOPWORDS)
+    # guarded ratios: a zero-token/zero-char doc is 0.0, not an ANSI
+    # divide-by-zero job failure (tokenize now reports empty docs as 0)
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0, n_stop.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    mean_word_len = _mean_word_len(toks, n_tokens)
+    scores = _lang_scores(toks)
+    pred = _pred_lang(scores)
     bag = F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))
     total_ngrams = F.greatest(n_tokens - 2, F.lit(0))
     distinct_ngrams = F.size(F.array_distinct(token_ngrams(toks, 3)))

@@ -566,13 +566,16 @@ def test_token_ngrams_and_max_multiplicity_match_python_reference(spark):
     ).collect()
     assert len(got) == len(texts)
     for r in got:
-        # mirror Spark's split(trim(text), '\\s+') exactly: "" -> [""]
-        t = re.split(r"\s+", texts[r.doc_id].strip())
+        # mirror tokenize's contract: empty/whitespace-only -> [] (the
+        # phantom [""] token was a review-pass fix)
+        stripped = texts[r.doc_id].strip()
+        t = re.split(r"\s+", stripped) if stripped else []
         for n, col in ((2, r.g2), (3, r.g3)):
             ref = [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)] \
                 if len(t) >= n else []
             assert col == ref, (r.doc_id, n, col, ref)
-        assert r.m == max(Counter(t).values()), (r.doc_id, t, r.m)
+        expect_m = max(Counter(t).values()) if t else 0
+        assert r.m == expect_m, (r.doc_id, t, r.m)
 
 
 def test_doc_profile_long_document_scaling(spark):

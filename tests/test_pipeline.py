@@ -507,3 +507,60 @@ def test_token_count_empty_text_is_zero(spark):
     assert rows[1].n_tokens == 0 and rows[2].n_tokens == 0
     # the empty docs contribute nothing to the prefix sum
     assert rows[3].cum_before == 2
+
+
+def test_text_tier_edge_and_composition_hardening(spark):
+    """Review-pass pins for the text tier: NULL/empty text never crashes or
+    phantom-counts; the stratified draw is independent of the holdout draw;
+    non-Latin text is not 'punctuation'; lexicon matching sees through case
+    and edge punctuation; mean_word_len comes from token lengths."""
+    import pytest
+
+    from coin_for_rich_spark.llmdata import (
+        chunk_documents,
+        doc_profile,
+        hash_sample,
+        pack_sequences,
+        stratified_hash_sample,
+    )
+    from coin_for_rich_spark.llmdata.quality import train_char_lm
+
+    df = spark.createDataFrame(
+        [
+            (0, "plain english words here"),
+            (1, None),
+            (2, "   "),
+            (3, "El perro. La casa. Los gatos."),
+            (4, "съешь же ещё этих мягких булок"),
+            (5, " a  b "),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {r.doc_id: r for r in doc_profile(df).collect()}
+    # NULL/empty: zero tokens, never -1 or a phantom token
+    assert prof[1].n_tokens == 0 and prof[2].n_tokens == 0
+    assert prof[2].top_token_frac == 0.0
+    # capitalized + punctuation-glued Spanish markers now score
+    assert prof[3].score_es >= 3 and prof[3].pred_lang == "es"
+    # Cyrillic prose is NOT punctuation-heavy
+    assert prof[4].n_punct == 0 and prof[4].quality_bucket != "punct_heavy"
+    # mean word length from tokens: ' a  b ' -> two 1-char tokens
+    assert prof[5].mean_word_len == 1.0
+    # chunking: no phantom chunks, no crash on NULL
+    chunks = chunk_documents(df, chunk_tokens=4, stride=4)
+    ids = {r.doc_id for r in chunks.collect()}
+    assert 1 not in ids and 2 not in ids and 0 in ids
+    # packing survives NULL-text rows with a clean 0 count
+    packed = {r.doc_id: r.n_tokens for r in pack_sequences(df, 8).collect()}
+    assert packed[1] == 0 and packed[2] == 0
+    # stratified draw is INDEPENDENT of the holdout draw: sampling a
+    # hash-held-out split at rate f actually draws ~f, not 0%/100%
+    wide = spark.createDataFrame(
+        [(i, "x", "s") for i in range(4000)], "doc_id long, text string, src string"
+    )
+    hold = hash_sample(wide)  # conditions md5 hex digit 1
+    n_hold = hold.count()
+    n_draw = stratified_hash_sample(hold, "src", {"s": 0.25}).count()
+    assert 0.15 * n_hold < n_draw < 0.35 * n_hold, (n_hold, n_draw)
+    with pytest.raises(ValueError, match="alpha"):
+        train_char_lm(df.filter("text IS NOT NULL"), alpha=0.0)
