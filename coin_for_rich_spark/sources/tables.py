@@ -124,11 +124,18 @@ def candles_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-tick volume.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    return ev.select(*candle_projection())
+
+
+def candle_projection() -> list:
+    """The ONE events→candles column mapping, shared by the batch view and
+    streaming.source.candle_stream — one definition, two execution modes,
+    so batch-vs-streaming equivalence can never drift on the projection."""
+    return [
         F.col("event_id"),
         F.col("ts"),
         F.col("event_type").alias("symbol"),
         F.col("user_id"),
         F.col("value").alias("price"),
         F.col("value").alias("volume"),
-    )
+    ]

@@ -83,9 +83,27 @@ def start_cluster(
     os.makedirs(sock, exist_ok=True)
     subprocess.run(["chown", "-R", "postgres", base], check=True)
     initdb, pg_ctl = _pg_binary("initdb"), _pg_binary("pg_ctl")
-    p = _as_pg(initdb, "-D", data, "-A", "trust", "--no-sync")
+
+    def _fail(msg: str) -> "RuntimeError":
+        # failure paths must not leak the data dir (repeated probes would
+        # accumulate cfr_pg_* trees in /tmp) — best-effort stop + rmtree
+        import shutil
+
+        try:
+            _as_pg(pg_ctl, "-D", data, "-m", "immediate", "stop")
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        shutil.rmtree(base, ignore_errors=True)
+        return RuntimeError(msg)
+
+    # --locale=C pins BYTE-ORDER collation: an inherited en_US.UTF-8 locale
+    # would make DISTINCT ON ... ORDER BY sort strings case-insensitively,
+    # silently forking the tied-row winner from the byte-wise
+    # ParquetMergeSink — the cross-backend parity the NULLS-pinned order
+    # terms exist to guarantee
+    p = _as_pg(initdb, "-D", data, "-A", "trust", "--no-sync", "--locale=C")
     if p.returncode != 0:
-        raise RuntimeError(f"initdb failed: {p.stderr.decode(errors='replace')}")
+        raise _fail(f"initdb failed: {p.stderr.decode(errors='replace')}")
     # fsync/synchronous_commit off: the cluster is throwaway by construction
     # (deleted on stop, never restarted after a crash), so durability buys
     # nothing — this is PostgreSQL's own documented configuration for test

@@ -149,6 +149,11 @@ class ParquetMergeSink:
     # -- the foreachBatch body ----------------------------------------------
 
     def merge(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            # same early-out as the database twins: an empty micro-batch
+            # must not permanently add a file-less batch=N partition that
+            # every later read lists and windows over until compaction
+            return
         # replay-idempotent: the batch owns its partition and overwrites it
         batch.write.mode("overwrite").parquet(
             os.path.join(self.path, f"batch={int(batch_id)}")

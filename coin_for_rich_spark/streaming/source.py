@@ -65,16 +65,12 @@ def read_file_stream(
 
 
 def candle_stream(stream: DataFrame) -> DataFrame:
-    """Normalize an events-shaped stream to the candle schema (same mapping
-    as sources.tables.candles_view, streaming-safe: pure projection)."""
-    return stream.select(
-        F.col("event_id"),
-        F.col("ts"),
-        F.col("event_type").alias("symbol"),
-        F.col("user_id"),
-        F.col("value").alias("price"),
-        F.col("value").alias("volume"),
-    )
+    """Normalize an events-shaped stream to the candle schema — the SAME
+    projection as sources.tables.candles_view (imported, not copied, so the
+    batch views and the streaming legs can never silently diverge)."""
+    from ..sources.tables import candle_projection
+
+    return stream.select(*candle_projection())
 
 
 WIRE_SEP = ";;"
@@ -133,13 +129,17 @@ def parse_wire_candles(
     """
     ts_of = {"ms": F.timestamp_millis, "us": F.timestamp_micros}[ts_unit]
     parts = F.split(F.col(wire_col), WIRE_SEP)
+    # try_element_at, NOT element_at: under ANSI (Spark 4 default) a bare
+    # element_at on a short-arity row RAISES, and the dead-letter guarantee
+    # would rest on the optimizer happening to evaluate the size()==6
+    # conjunct first — try_* makes the NULL contract structural
     fields = {
-        "ts": ts_of(F.element_at(parts, 1).try_cast("bigint")),
-        "open": F.element_at(parts, 2).try_cast("double"),
-        "high": F.element_at(parts, 3).try_cast("double"),
-        "low": F.element_at(parts, 4).try_cast("double"),
-        "close": F.element_at(parts, 5).try_cast("double"),
-        "volume": F.element_at(parts, 6).try_cast("double"),
+        "ts": ts_of(F.try_element_at(parts, F.lit(1)).try_cast("bigint")),
+        "open": F.try_element_at(parts, F.lit(2)).try_cast("double"),
+        "high": F.try_element_at(parts, F.lit(3)).try_cast("double"),
+        "low": F.try_element_at(parts, F.lit(4)).try_cast("double"),
+        "close": F.try_element_at(parts, F.lit(5)).try_cast("double"),
+        "volume": F.try_element_at(parts, F.lit(6)).try_cast("double"),
     }
     ok = F.size(parts) == 6
     for name in fields:

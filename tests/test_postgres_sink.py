@@ -429,6 +429,19 @@ def test_pgwire_client_query_copy_and_errors(pg):
         assert c.query("SELECT count(*) FROM wt")[0] == [["3"]]
 
 
+def test_ephemeral_cluster_pins_c_collation(pg):
+    """The throwaway cluster must initdb with --locale=C: an inherited
+    en_US-style locale would sort strings case-insensitively in
+    DISTINCT ON ... ORDER BY, silently forking tied-row winners from the
+    byte-wise ParquetMergeSink — the exact cross-backend parity the
+    NULLS-pinned order terms guarantee."""
+    rows = _fetch(pg, "SHOW lc_collate")
+    assert rows[0][0] in ("C", "POSIX"), rows
+    # byte-order proof: uppercase sorts before lowercase under C collation
+    got = _fetch(pg, "SELECT x FROM (VALUES ('a'), ('B')) t(x) ORDER BY x")
+    assert [r[0] for r in got] == ["B", "a"]
+
+
 def test_conninfo_parsing_strict_and_complete():
     """Silently-dropped conninfo arguments are a data-placement hazard (the
     wire sink would merge into postgres/postgres while the psql twin writes
