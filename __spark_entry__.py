@@ -129,11 +129,15 @@ def _sql_list(words: list[str]) -> str:
 
 
 def _epoch_bucket(width: int) -> str:
-    # identical to functions.timeutils.time_bucket: floor(epoch_seconds/width)
-    # via integer arithmetic, rebuilt as a naive timestamp.
+    # identical to functions.timeutils.time_bucket: origin-aligned floor
+    # (TimescaleDB's 2000-01-03 Monday origin — phase-neutral for widths
+    # dividing a day, Monday-aligning 7D/14D) via integer arithmetic,
+    # rebuilt as a naive timestamp. // floors in DuckDB and epochs here are
+    # post-origin, so the mod is a floor-mod either way.
+    origin = 946_857_600
     return (
-        f"make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // {width}) * {width})"
-        " * 1000000)"
+        f"make_timestamp(((((CAST(floor(epoch(ts)) AS BIGINT) - {origin}) "
+        f"// {width}) * {width}) + {origin}) * 1000000)"
     )
 
 

@@ -36,11 +36,22 @@ INTERVAL_SECONDS: dict[str, int | None] = {
 }
 
 
+#: TimescaleDB's bucket origin — 2000-01-03 00:00:00 UTC, a MONDAY
+#: (timescaledb's documented default for interval widths). For every width
+#: that divides a day the origin is phase-neutral (946857600 % w == 0), so
+#: sub-daily and daily buckets are identical to a plain epoch floor; for
+#: 7D/14D it aligns weeks to Monday — a bare epoch floor starts weeks on
+#: THURSDAY (1970-01-01), a 4-day divergence from the reference's weekly
+#: continuous aggregate that the round-7 review surfaced.
+TS_BUCKET_ORIGIN = 946_857_600
+
+
 def time_bucket(ts: Column | str, interval: str) -> Column:
     """Bucket start for ``ts`` at the given interval.
 
-    Epoch-aligned floor for fixed widths (identical semantics to
-    ``to_timestamp(floor(epoch(ts)/w)*w)``), ``date_trunc('month')`` for '1M'.
+    Origin-aligned floor for fixed widths (identical semantics to
+    TimescaleDB's ``time_bucket(width, ts)``: subtract
+    ``(epoch - origin) mod width``), ``date_trunc('month')`` for '1M'.
     Integer division on the long epoch keeps this exact and codegen-friendly.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
@@ -48,7 +59,7 @@ def time_bucket(ts: Column | str, interval: str) -> Column:
         return F.date_trunc("month", c)
     width = INTERVAL_SECONDS[interval]
     secs = F.to_unix_timestamp(c)
-    return F.timestamp_seconds((secs - _pymod(secs, width)))
+    return F.timestamp_seconds(secs - _pymod(secs - TS_BUCKET_ORIGIN, width))
 
 
 def _pymod(col: Column, width: int) -> Column:

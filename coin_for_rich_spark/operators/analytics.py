@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
 
-from ..functions.numbers import money
+from ..functions.numbers import money, money4
 from .candles import ohlcv_rollup
 from .gapfill import lead_bounded_fill
 
@@ -84,8 +84,10 @@ def top_k_with_other(
     measure = (
         F.col(measure_col)
         if isinstance(df.schema[measure_col].dataType, T.DecimalType)
-        else money(measure_col)
-    )
+        else money4(measure_col)
+    )  # scale-4 fallback: a computed product (close*volume) at scale 2
+    # sits on double rounding ties (numbers.MONEY4 contract) and can flip
+    # membership near rank k vs the NUMERIC oracle
     per_key = df.groupBy(key_col).agg(F.sum(measure).alias("_vol_dec"))
     winners = topn_per_key(
         per_key, [], [F.col("_vol_dec").desc(), F.col(key_col)], n=k, salted=True

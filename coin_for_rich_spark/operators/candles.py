@@ -84,6 +84,22 @@ def ohlcv_rollup(
     )
 
 
+def coarse_candle_aggs(order_col) -> list:
+    """THE fine→coarse candle aggregate list, shared by the per-resolution
+    cascade and the fused multi-resolution cascade (same discipline as
+    ``ohlcv_aggs``: one definition, so the two paths the tests equate can
+    never silently diverge). ``order_col`` is the fine-bucket column the
+    open/close argmin/argmax order on."""
+    return [
+        F.min_by("open", order_col).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", order_col).alias("close"),
+        F.sum(money("volume")).cast("double").alias("volume"),
+        F.sum("n_trades").alias("n_trades"),
+    ]
+
+
 def cascade_rollup(
     candles: DataFrame,
     coarse_interval: str,
@@ -104,16 +120,8 @@ def cascade_rollup(
     (one hash agg, one shuffle), input orders of magnitude smaller.
     """
     b = time_bucket("bucket", coarse_interval).alias("bucket")
-    return (
-        candles.groupBy(b, *keys)
-        .agg(
-            F.min_by("open", F.col("bucket")).alias("open"),
-            F.max("high").alias("high"),
-            F.min("low").alias("low"),
-            F.max_by("close", F.col("bucket")).alias("close"),
-            F.sum(money("volume")).cast("double").alias("volume"),
-            F.sum("n_trades").alias("n_trades"),
-        )
+    return candles.groupBy(b, *keys).agg(
+        *coarse_candle_aggs(F.col("bucket"))
     )
 
 
@@ -159,12 +167,7 @@ def cascade_rollup_multi(
         *meta,
     )
     return exploded.groupBy("resolution", "bucket", *keys).agg(
-        F.min_by("open", F.col("_fine")).alias("open"),
-        F.max("high").alias("high"),
-        F.min("low").alias("low"),
-        F.max_by("close", F.col("_fine")).alias("close"),
-        F.sum(money("volume")).cast("double").alias("volume"),
-        F.sum("n_trades").alias("n_trades"),
+        *coarse_candle_aggs(F.col("_fine"))
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numbers import money
-from ..functions.timeutils import INTERVAL_SECONDS
+from ..functions.timeutils import INTERVAL_SECONDS, time_bucket
 
 
 def lead_bounded_fill(
@@ -80,9 +80,20 @@ def gap_fill_series(
     width = INTERVAL_SECONDS[interval]
     if width is None:
         raise ValueError("gap fill over calendar months not supported; use fixed widths")
-    bounds = F.struct(F.min(bucket_col), F.max(bucket_col))
-    lo = F.lit(start).cast("timestamp") if start is not None else F.min(bucket_col)
-    hi = F.lit(end).cast("timestamp") if end is not None else F.max(bucket_col)
+    # explicit bounds SNAP to the bucket grid (an unaligned start would put
+    # every spine timestamp off-grid, the join would match nothing, and all
+    # real candles would come back as filled dummies); data-derived bounds
+    # are bucket values already
+    lo = (
+        time_bucket(F.lit(start).cast("timestamp"), interval)
+        if start is not None
+        else F.min(bucket_col)
+    )
+    hi = (
+        time_bucket(F.lit(end).cast("timestamp"), interval)
+        if end is not None
+        else F.max(bucket_col)
+    )
 
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     avgs = {
@@ -91,8 +102,12 @@ def gap_fill_series(
     }
     enriched = candles.select("*", *avgs.values())
 
+    # agg, never select: with BOTH bounds literal, a select carries no
+    # aggregate and emits one (_lo,_hi) row PER candle — duplicating the
+    # whole spine (and output) N times; a global agg is one row for any
+    # input, including an empty in-range fetch (full dummy series)
     spine = (
-        candles.select(lo.alias("_lo"), hi.alias("_hi"))
+        candles.agg(lo.alias("_lo"), hi.alias("_hi"))
         .select(
             F.explode(
                 F.sequence("_lo", "_hi", F.expr(f"INTERVAL {width} SECOND"))

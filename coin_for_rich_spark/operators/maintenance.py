@@ -115,7 +115,11 @@ def recompute_is_trading(
     """
     latest = df.groupBy(*keys).agg(F.max(time_col).alias("latest_time"))
     if now is None:
-        now = df.select(F.max(time_col)).first()[0]
+        # derive now from the tiny per-key aggregate, NOT a second full
+        # scan of the fact table (max over maxes is max) — at the 100 TB
+        # posture the old df.select(max).first() doubled the input I/O
+        row = latest.select(F.max("latest_time")).first()
+        now = row[0] if row else None
     now_col = F.lit(now).cast("timestamp")
     return latest.select(
         *keys,
@@ -169,7 +173,11 @@ def count_distinct_pairs(df: DataFrame, cols: list[str], group_by: list[str] | N
     (approx_count_distinct, HLL) is the 100 TB fast path and exposed in
     bench, but the parity query is exact.
     """
-    agg = F.countDistinct(*cols).alias("n_distinct")
+    # countDistinct over a STRUCT, not bare columns: Spark's multi-column
+    # count-distinct drops any row with a NULL component, while Postgres
+    # COUNT(DISTINCT (a,b)) counts the row constructor (non-NULL composite)
+    # — the parity probe would undercount on nullable columns
+    agg = F.countDistinct(F.struct(*cols)).alias("n_distinct")
     if group_by:
         return df.groupBy(*group_by).agg(agg).orderBy(*group_by)
     return df.select(agg)

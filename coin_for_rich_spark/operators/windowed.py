@@ -57,9 +57,14 @@ def sessionize(
         ),
         1,
     ).otherwise(0)
+    # the tiebreak column must survive the intermediate projection — the
+    # running-sum window orders by it, and dropping it made the documented
+    # determinism parameter an unresolved-column AnalysisException
+    carry = [F.col(tiebreak_col)] if tiebreak_col else []
     numbered = df.select(
         *keys,
         F.col(time_col),
+        *carry,
         is_start.alias("_new"),
     ).select(
         *keys,
@@ -111,8 +116,11 @@ def moving_average(
     )
     return df.withColumn(
         out_col,
+        # count(value), not count(*): SQL AVG ignores NULL values — the
+        # reference's AVG(...) OVER frame (aggregations.sql) divides by the
+        # non-NULL count, and gap_fill_series already follows that rule
         F.sum(money(value_col)).over(w).cast("double")
-        / F.count(F.lit(1)).over(w),
+        / F.count(F.col(value_col)).over(w),
     )
 
 

@@ -90,7 +90,18 @@ def streaming_ohlcv_rollup(
                 "row; the late-data tolerance is a semantic choice)"
             )
         watermark = policy[1]
-    win = F.window(time_col, _DURATIONS[interval])
+    # share the batch tier's bucket origin (TimescaleDB's 2000-01-03
+    # Monday): window() epoch-aligns by default, which is identical for
+    # widths dividing a day (offset 0) but would start 7D/14D windows on
+    # Thursday while functions.timeutils.time_bucket starts them Monday —
+    # the batch-vs-streaming equivalence must hold at every resolution
+    from ..functions.timeutils import TS_BUCKET_ORIGIN
+
+    width = INTERVAL_SECONDS[interval]
+    offset = TS_BUCKET_ORIGIN % width
+    win = F.window(
+        time_col, _DURATIONS[interval], startTime=f"{offset} seconds"
+    )
     return (
         stream.withWatermark(time_col, watermark)
         .groupBy(win.alias("win"), *keys)

@@ -397,3 +397,85 @@ def test_range_join_exact_on_big_longs_and_explosion_guard(spark):
     ok = range_join(points, intervals, bucket_seconds=w_ns,
                     max_interval_buckets=10).collect()
     assert len(ok) == 1
+
+
+def test_operator_core_review_hardening(spark):
+    """Round-7 review pins for the relational core: sessionize's tiebreak
+    parameter works; gap-fill with explicit bounds neither duplicates the
+    spine nor misses off-grid candles; moving_average follows SQL AVG NULL
+    semantics; count-distinct-pairs counts NULL-component rows like a
+    Postgres row constructor; weekly buckets align to Monday (TimescaleDB's
+    2000-01-03 origin), not epoch-floor Thursday."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.functions.timeutils import time_bucket
+    from coin_for_rich_spark.operators import (
+        count_distinct_pairs,
+        gap_fill_series,
+        moving_average,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    # 1. sessionize(tiebreak_col=...) no longer an unresolved-column error
+    df = spark.createDataFrame(
+        [Row(k="a", ts=t0, event_id=i) for i in range(3)]
+    )
+    got = sessionize(df, ["k"], tiebreak_col="event_id").collect()
+    assert len(got) == 1 and got[0].n_events == 3
+
+    # 2. explicit bounds: exactly one spine row per bucket, and an
+    # off-grid :30 start snaps to the hour grid instead of matching nothing
+    candles = spark.createDataFrame(
+        [
+            Row(bucket=t0 + dt.timedelta(hours=1), open=1.0, high=1.0,
+                low=1.0, close=1.0, volume=5.0),
+            Row(bucket=t0 + dt.timedelta(hours=3), open=2.0, high=2.0,
+                low=2.0, close=2.0, volume=7.0),
+        ]
+    )
+    filled = gap_fill_series(
+        candles, "1h",
+        start=t0 + dt.timedelta(minutes=30),
+        end=t0 + dt.timedelta(hours=3, minutes=45),
+    ).collect()
+    assert len(filled) == 4  # hours 0..3, each ONCE
+    by_bucket = {r.bucket: r for r in filled}
+    assert by_bucket[t0 + dt.timedelta(hours=1)].filled is False
+    assert by_bucket[t0 + dt.timedelta(hours=3)].volume == 7.0
+    assert by_bucket[t0 + dt.timedelta(hours=2)].filled is True
+    # empty in-range fetch: a full dummy series, not zero rows
+    empty = candles.limit(0)
+    dummies = gap_fill_series(
+        empty, "1h", start=t0, end=t0 + dt.timedelta(hours=2)
+    ).collect()
+    assert len(dummies) == 3 and all(r.filled for r in dummies)
+
+    # 3. AVG ignores NULLs
+    mv = spark.createDataFrame(
+        [Row(k="a", ts=t0 + dt.timedelta(minutes=i),
+             close=[10.0, None, 20.0][i]) for i in range(3)]
+    )
+    r = moving_average(mv, ["k"], "ts", "close", 2).collect()[-1]
+    assert r.moving_avg == 15.0
+
+    # 4. NULL-component pairs count like Postgres row constructors
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=1, b=None), Row(a=1, b=2)]
+    )
+    assert count_distinct_pairs(pairs, ["a", "b"]).first().n_distinct == 2
+
+    # 5. Monday-aligned weeks (2000-01-03 origin); day/hour buckets
+    # unchanged by the origin (it divides a day)
+    wk = spark.createDataFrame([Row(ts=dt.datetime(2024, 1, 10))])  # a Wed
+    b = wk.select(
+        time_bucket("ts", "7D").alias("w"),
+        time_bucket("ts", "1D").alias("d"),
+        time_bucket("ts", "1h").alias("h"),
+    ).first()
+    assert b.w == dt.datetime(2024, 1, 8)  # Monday of that week
+    assert b.d == dt.datetime(2024, 1, 10) and b.h == dt.datetime(2024, 1, 10)
