@@ -345,8 +345,11 @@ def _rollup_store(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
         except OSError:
             ident = sf_dir
-        # schema fingerprint: a loader type-normalization change re-stages
-        ident += "|" + cv.schema.simpleString()
+        # schema fingerprint: a loader type-normalization change re-stages;
+        # bucketing-version tag: a semantic change to time_bucket (e.g. the
+        # r7 Monday week-origin fix) must rebuild the store, or a stale 7D
+        # table would keep serving Thursday-aligned candles
+        ident += "|" + cv.schema.simpleString() + "|bkt-mon1"
         key = hashlib.md5(ident.encode()).hexdigest()[:12]
         final = os.path.join(tempfile.gettempdir(), f"cfr_rollups_{key}")
         if not os.path.isdir(final):
