@@ -99,8 +99,11 @@ def build_fetch_plan(
         # a legitimate nothing-to-backfill request: an EMPTY plan, not a
         # runtime 'Illegal sequence boundaries' error from an executor
         return (
-            sym.withColumn("page_start_ms", F.lit(start_ms))
-            .withColumn("page_end_ms", F.lit(end_ms))
+            # explicit long casts: for small values F.lit infers
+            # IntegerType, which would fork this schema from the normal
+            # plan path's long page bounds and break a union of plans
+            sym.withColumn("page_start_ms", F.lit(start_ms).cast("long"))
+            .withColumn("page_end_ms", F.lit(end_ms).cast("long"))
             .limit(0)
         )
     return (

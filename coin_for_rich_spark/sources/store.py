@@ -47,6 +47,7 @@ def write_partitioned(
     time_col: str = "ts",
     mode: str = "overwrite",
     coalesce_days: bool = False,
+    truncate: bool = False,
 ) -> None:
     """Write ``df`` date-partitioned on ``time_col``'s UTC day.
 
@@ -60,17 +61,22 @@ def write_partitioned(
     ``mode='overwrite'`` (default) uses DYNAMIC partition overwrite: only
     the day partitions present in ``df`` are replaced — Spark's default
     static overwrite would wipe the WHOLE table on an incremental
-    single-day write, deleting every prior day with no warning.
+    single-day write, deleting every prior day with no warning. That makes
+    the default **incremental-only**: a full rebuild over the same path
+    leaves any day partition absent from the new data in place (e.g. after
+    a bucketing-semantics change that shifts which days rollup rows land
+    in). Pass ``truncate=True`` for a full rebuild — the whole table is
+    replaced (static overwrite), so no stale partition survives.
     """
     out = df.withColumn(PARTITION_COL, utc_day(F.col(time_col)))
     if coalesce_days:
         out = out.repartition(F.col(PARTITION_COL))
-    (
-        out.write.mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(PARTITION_COL)
-        .parquet(path)
-    )
+    writer = out.write.mode(mode)
+    if not truncate:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    else:
+        writer = writer.option("partitionOverwriteMode", "static")
+    writer.partitionBy(PARTITION_COL).parquet(path)
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
@@ -113,6 +119,13 @@ def materialize_rollups(
     (the 8 continuous aggregates, `create.sql:105-223`); returns
     interval → path. Batch backfill counterpart of streaming.rollup.
 
+    This is a FULL REBUILD from ``ticks``: each sink table is truncated
+    (static overwrite), so a re-run over the same path after a semantics
+    change (e.g. the 7D Monday-origin fix) cannot leave stale partitions
+    from the old layout serving conflicting candles. Incremental
+    single-day refreshes should call ``write_partitioned`` directly with
+    its default dynamic-overwrite mode.
+
     The 8 resolutions are independent jobs over the same input, so they are
     submitted concurrently from driver threads — Spark's scheduler
     interleaves their stages across the cluster instead of paying 8× the
@@ -125,7 +138,9 @@ def materialize_rollups(
     def _write(item: tuple[str, DataFrame]) -> tuple[str, str]:
         interval, rolled = item
         p = f"{base_path}/candles_{interval}"
-        write_partitioned(rolled, p, time_col="bucket", coalesce_days=True)
+        write_partitioned(
+            rolled, p, time_col="bucket", coalesce_days=True, truncate=True
+        )
         return interval, p
 
     if not family:

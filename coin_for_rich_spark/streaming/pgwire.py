@@ -235,7 +235,18 @@ class PgWireClient:
             # encoding: slicing encoded bytes could split a multi-byte
             # codepoint and ship invalid UTF-8 in the protocol message.
             data_exc = exc
-            self._send(b"f", str(exc)[:200].encode() + b"\x00")  # CopyFail
+            try:
+                self._send(b"f", str(exc)[:200].encode() + b"\x00")  # CopyFail
+            except Exception:
+                # the socket itself is dead (broken pipe): CopyFail can't be
+                # delivered and the drain below would hang/raise on the same
+                # dead socket, masking the original failure — mark the
+                # connection unusable and surface the real error
+                try:
+                    self._sock.close()
+                except Exception:
+                    pass
+                raise data_exc
             # fall through to drain the error response
         tag = ""
         while True:

@@ -123,6 +123,12 @@ def _flush_fn(
                 m for m, _ in emitted
             ) if emitted_max is None else max(emitted_max, emitted[-1][0])
             _write_state({}, emitted_max)
+        elif emitted_max is not None:
+            # tombstone-only state (every row of the last batch was
+            # late-dropped): the watermark must survive the timeout, or a
+            # replay of already-emitted minutes would re-emit duplicate
+            # candles — keep the tombstone, don't re-arm the timeout
+            _write_state({}, emitted_max)
         else:
             state.remove()
     else:

@@ -135,3 +135,52 @@ def test_incremental_write_keeps_other_partitions(spark, tmp_path):
     assert got == [1.0, 2.0]
     # empty interval family: no work, not a ThreadPool crash
     assert materialize_rollups(day1, str(tmp_path / "r"), intervals=()) == {}
+
+
+def test_full_rebuild_truncates_stale_partitions(spark, tmp_path):
+    """ADVICE r7 (store.py:70): dynamic overwrite makes write_partitioned
+    incremental-only — a full rebuild whose new data no longer lands in an
+    old day partition would leave that partition serving stale rows.
+    truncate=True (and materialize_rollups, which is a full rebuild) must
+    replace the WHOLE table."""
+    import datetime as dt
+
+    from coin_for_rich_spark.sources.store import (
+        materialize_rollups,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    both = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5), 1.0), (dt.datetime(2024, 1, 2, 5), 2.0)],
+        "ts timestamp, v double",
+    )
+    only2 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 5), 9.0)], "ts timestamp, v double"
+    )
+    write_partitioned(both, path)
+    # full rebuild that no longer produces day 1: stale day-1 must go
+    write_partitioned(only2, path, truncate=True)
+    got = sorted(r.v for r in read_partitioned(spark, path).collect())
+    assert got == [9.0], f"stale partition survived full rebuild: {got}"
+
+    # materialize_rollups over the same base path is a full rebuild: rows
+    # whose buckets moved to a different day (the weekly-origin scenario)
+    # must not coexist with the old layout
+    base = str(tmp_path / "roll")
+    jan = spark.createDataFrame(
+        [("s", dt.datetime(2024, 1, 1, 0, 0), 1.0, 1.0)],
+        "symbol string, ts timestamp, price double, volume double",
+    )
+    feb = spark.createDataFrame(
+        [("s", dt.datetime(2024, 2, 5, 0, 0), 2.0, 2.0)],
+        jan.schema,
+    )
+    materialize_rollups(jan, base, intervals=("1D",))
+    paths = materialize_rollups(feb, base, intervals=("1D",))
+    rows = read_partitioned(spark, paths["1D"]).collect()
+    assert len(rows) == 1 and rows[0]["close"] == 2.0, (
+        "re-run of materialize_rollups left stale partitions: "
+        f"{[(r['bucket'], r['close']) for r in rows]}"
+    )

@@ -660,6 +660,51 @@ def test_flush_fn_edge_inputs_and_emit_once():
     assert out6 == []
 
 
+def test_flush_fn_timeout_on_tombstone_only_state_keeps_watermark():
+    """ADVICE r7 (stateful.py:127): a batch whose rows were ALL late-dropped
+    writes a tombstone-only state (no open buckets, emitted_max set) and
+    re-arms the timeout. When that timeout fires, state.remove() would
+    discard emitted_max — a later replay of already-emitted minutes would
+    then re-emit duplicate candles. The timeout must keep the tombstone."""
+    import pandas as pd
+
+    from coin_for_rich_spark.streaming.stateful import _flush_fn
+
+    key = ("sym",)
+    state = _FakeState()
+    # emit minute 10:00 by sending 10:00 then 10:01, then close 10:01 too
+    list(
+        _flush_fn(
+            key,
+            _mk_rows(
+                [("2024-01-01 10:00:00", 5.0, 1.0), ("2024-01-01 10:01:00", 6.0, 1.0)]
+            ),
+            state,
+            stale_ms=1000,
+        )
+    )
+    # stale flush closes 10:01 -> tombstone-only state
+    timed = _FakeState(value=state._value, timed_out=True)
+    list(_flush_fn(key, iter([]), timed, stale_ms=1000))
+    assert timed.exists and timed.get[0] == []  # no open buckets
+    # an all-late batch: rows for already-emitted minutes only — the data
+    # branch keeps the tombstone and re-arms the timeout
+    timed.hasTimedOut = False
+    out = list(_flush_fn(key, _mk_rows([("2024-01-01 10:00:30", 9.0, 1.0)]), timed, stale_ms=1000))
+    assert out == [] and timed.exists
+    # THAT timeout fires on the tombstone-only state: the watermark must
+    # survive (pre-fix: state.remove() here)
+    timed.hasTimedOut = True
+    out = list(_flush_fn(key, iter([]), timed, stale_ms=1000))
+    assert out == []
+    assert timed.exists and not timed.removed, "tombstone discarded on timeout"
+    assert timed.get[-1] is not None
+    # and the duplicate-suppression contract still holds on replay
+    timed.hasTimedOut = False
+    out = list(_flush_fn(key, _mk_rows([("2024-01-01 10:01:30", 8.0, 1.0)]), timed, stale_ms=1000))
+    assert out == [], "replay of an emitted minute re-emitted after timeout"
+
+
 def test_rollup_interval_and_trigger_guards(spark, tmp_path):
     """Unsupported intervals fail with context (not a bare KeyError), a
     no-policy interval demands an explicit watermark (a silent '0 seconds'
