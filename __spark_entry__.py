@@ -109,7 +109,7 @@ from coin_for_rich_spark.streaming import (
 
 # Candle relation over `events` shared by the oracle SQL below: event_type is
 # the symbol key, value is price and per-tick volume (FIXTURES.md §6 mapping).
-def _candle_sql(bucket_expr: str) -> str:
+def _candle_sql(bucket_expr: str, source: str = "events") -> str:
     return f"""
         SELECT {bucket_expr} AS bucket,
                event_type AS symbol,
@@ -119,7 +119,7 @@ def _candle_sql(bucket_expr: str) -> str:
                arg_max(value, ts) AS close,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
                count(*) AS n_trades
-        FROM events
+        FROM {source}
         GROUP BY 1, 2
     """
 
@@ -2045,7 +2045,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_vol DESC, bucket_label
         """,
         "weekly_return": f"""
-            WITH weekly AS ({_candle_sql(_epoch_bucket(604800))}),
+            WITH windowed AS (
+                -- create.sql:327 windows the RAW rows to the trailing week
+                -- BEFORE bucketing (now anchored at max ts); stale keys
+                -- vanish and a straddling week opens inside the window
+                SELECT * FROM events
+                WHERE ts >= date_trunc('day', (SELECT max(ts) FROM events))
+                              - INTERVAL 7 DAY
+            ),
+            weekly AS ({_candle_sql(_epoch_bucket(604800), source="windowed")}),
             latest AS (
                 SELECT symbol, bucket AS week, open, close
                 FROM weekly
@@ -2068,13 +2076,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM recent
             ),
             filled AS (
+                -- next_bucket IS NOT NULL: PostgreSQL eliminates the
+                -- select-list-SRF row when LEAD is NULL, so the reference's
+                -- close_filled CTE DROPS each key's final daily bucket
+                -- (pinned verbatim in tests/test_reference_sql_parity)
                 SELECT symbol,
                        unnest(generate_series(
                            bucket,
-                           coalesce(next_bucket - INTERVAL 1 DAY, bucket),
+                           next_bucket - INTERVAL 1 DAY,
                            INTERVAL 1 DAY)) AS bucket,
                        close
                 FROM nx
+                WHERE next_bucket IS NOT NULL
             ),
             factors AS (
                 SELECT symbol, close,
@@ -2097,16 +2110,17 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
         "gap_detect": """
+            -- fractional seconds: EXTRACT(EPOCH FROM (next - time)) in the
+            -- reference (queries.py:54-75) keeps the µs fraction; the same
+            -- integer-µs diff / 1e6 double division runs on both engines
             SELECT user_id, ts AS gap_start, next_time AS gap_end,
-                   CAST(floor(epoch(next_time)) AS BIGINT)
-                     - CAST(floor(epoch(ts)) AS BIGINT) AS gap_seconds
+                   (epoch_us(next_time) - epoch_us(ts)) / 1000000.0 AS gap_seconds
             FROM (
                 SELECT user_id, ts,
                        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_time
                 FROM events
             )
-            WHERE CAST(floor(epoch(next_time)) AS BIGINT)
-                    - CAST(floor(epoch(ts)) AS BIGINT) > 43200
+            WHERE (epoch_us(next_time) - epoch_us(ts)) / 1000000.0 > 43200
         """,
         "is_trading": """
             WITH latest AS (

@@ -110,16 +110,31 @@ def weekly_return(
     keys: list[str] = ("symbol",),
     time_col: str = "ts",
     price_col: str = "price",
+    now=None,
     **rollup_kwargs,
 ) -> DataFrame:
     """% return of each key's latest week: ROUND((close-open)/open*100, 4).
 
-    Parity: ``weekly_return`` (`create.sql:318-337`) — a 1-week rollup (A1),
-    DISTINCT ON (keys) ... ORDER BY bucket DESC to keep the latest week (W6,
-    emulated with row_number over a per-key window), then the return
-    arithmetic (A9). Guard ``open <> 0`` per `create.sql:334-335`.
+    Parity: ``weekly_return`` (`create.sql:318-337`) — the source rows are
+    FIRST windowed to ``time >= CURRENT_DATE - interval '1 week'``
+    (`create.sql:327`, ``now`` parameterizes CURRENT_DATE as max(time) for
+    determinism), THEN rolled up at 1 week (A1), DISTINCT ON (keys) ...
+    ORDER BY bucket DESC keeps the latest week (W6, emulated with
+    row_number over a per-key window), then the return arithmetic (A9).
+    Guard ``open <> 0`` per `create.sql:334-335`.
+
+    The window-before-bucket order is semantic, not cosmetic: a key whose
+    last data predates the window disappears entirely (the reference never
+    reports stale keys), and a second-to-latest week straddling the cutoff
+    would open at the first row INSIDE the window, not the true week open —
+    both behaviors pinned against the reference's own SQL on live
+    PostgreSQL in tests/test_reference_sql_parity.
     """
-    weekly = ohlcv_rollup(df, "7D", keys=list(keys), time_col=time_col,
+    if now is None:
+        now = df.select(F.max(time_col)).first()[0]
+    cutoff = F.date_sub(F.lit(now).cast("timestamp").cast("date"), 7)
+    windowed = df.filter(F.col(time_col) >= cutoff.cast("timestamp"))
+    weekly = ohlcv_rollup(windowed, "7D", keys=list(keys), time_col=time_col,
                           price_col=price_col, **rollup_kwargs)
     w = Window.partitionBy(*keys).orderBy(F.col("bucket").desc())
     latest = weekly.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
@@ -155,7 +170,12 @@ def geo_daily_return(
     so results are deterministic (SURVEY §7 M0). A gap day carries the
     previous close forward, so its factor is ln(1)=0 — it dilutes the
     geometric mean (larger n) without adding return, exactly the reference's
-    semantics; a factor never spans a gap.
+    semantics; a factor never spans a gap. The fill DROPS each key's final
+    daily bucket (``last_bucket="drop"``): PostgreSQL's select-list SRF
+    semantics eliminate the LEAD-is-NULL row from the reference's
+    ``close_filled`` CTE, so the most recent day's return is never counted
+    — reproduced deliberately and pinned against the reference's own SQL
+    (tests/test_reference_sql_parity).
 
     Zero-guards per `create.sql:242,275`: close <> 0 before the fill (so a
     forward-filled prev_close is never 0) and factor rows with NULL ln
@@ -169,9 +189,13 @@ def geo_daily_return(
     recent = daily.filter(
         (F.col("bucket") >= cutoff.cast("timestamp")) & (F.col("close") != 0)
     ).select(*keys, "bucket", "close")
+    # last_bucket="drop": PostgreSQL eliminates the select-list SRF row when
+    # LEAD(bucket) is NULL, so the reference's close_filled CTE drops each
+    # key's FINAL daily bucket — the most recent day's return never enters
+    # the geometric mean (verified verbatim in test_reference_sql_parity)
     filled = lead_bounded_fill(
         recent, keys=list(keys), bucket_col="bucket", interval="1D",
-        carry_cols=["close"],
+        carry_cols=["close"], last_bucket="drop",
     )
     w = Window.partitionBy(*keys).orderBy("bucket")
     factors = (

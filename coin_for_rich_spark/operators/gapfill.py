@@ -30,6 +30,7 @@ def lead_bounded_fill(
     bucket_col: str = "bucket",
     interval: str = "1D",
     carry_cols: list[str] = ("close",),
+    last_bucket: str = "keep",
 ) -> DataFrame:
     """W2 — per-gap LEAD-bounded forward fill (the reference's
     ``close_filled`` CTE, `create.sql:227-244`): each present bucket is
@@ -37,23 +38,41 @@ def lead_bounded_fill(
     ``LEAD(bucket) - interval`` — so every gap is filled from its left edge
     and the series never extends past the last present bucket.
 
+    ``last_bucket`` pins what happens to each key's FINAL bucket (whose
+    LEAD is NULL):
+
+    - ``"keep"`` — the bucket emits itself once (natural reading of a
+      forward fill, and what ``gap_fill_series`` consumers want);
+    - ``"drop"`` — the bucket emits NOTHING, reproducing PostgreSQL's
+      actual evaluation of the reference CTE: a set-returning function in
+      the select list whose argument is NULL
+      (``generate_series(bucket, LEAD(bucket) - Δ, Δ)`` with LEAD = NULL)
+      returns zero rows and ELIMINATES the whole row — so the reference's
+      ``close_filled`` silently drops each key's latest daily close, and
+      ``geo_daily_return`` never includes the most recent day's return.
+      Verified against a live PostgreSQL 15 (tests/test_reference_sql_parity
+      runs the CTE verbatim).
+
     Spark-first: one LEAD window per key (the rows are already post-rollup,
     ~|buckets| per key), then ``explode(sequence(bucket, next - Δ, Δ))`` —
     Postgres's per-row ``generate_series(bucket, LEAD(bucket) - Δ, Δ)``
     exactly. No join: the fill factor is data-dependent per gap, and the
     exploded output streams out of the window stage map-side.
     """
+    if last_bucket not in ("keep", "drop"):
+        raise ValueError(f"last_bucket must be 'keep' or 'drop', got {last_bucket!r}")
     width = INTERVAL_SECONDS[interval]
     if width is None:
         raise ValueError("lead-bounded fill needs a fixed-width interval")
     step = F.expr(f"INTERVAL {width} SECOND")
     w = Window.partitionBy(*keys).orderBy(bucket_col)
     nxt = F.lead(bucket_col).over(w)
-    seq = F.sequence(
-        F.col(bucket_col),
-        F.coalesce(F.col("_next") - step, F.col(bucket_col)),
-        step,
-    )
+    stop = F.col("_next") - step
+    if last_bucket == "keep":
+        stop = F.coalesce(stop, F.col(bucket_col))
+    # with last_bucket="drop", sequence(b, NULL, Δ) is NULL and explode of a
+    # NULL array emits no rows — the same row elimination PostgreSQL applies
+    seq = F.sequence(F.col(bucket_col), stop, step)
     return (
         df.withColumn("_next", nxt)
         .select(*keys, F.explode(seq).alias(bucket_col), *carry_cols)

@@ -75,9 +75,12 @@ def detect_gaps(
     """Per-key gaps: consecutive rows more than ``min_gap_seconds`` apart.
 
     Parity: TS_GAPS — ``LEAD(time) OVER (PARTITION BY key ORDER BY time)``
-    with ``next - time > 60s`` (W1, `queries.py:54-61`). Gap length in whole
-    seconds (epoch-truncated diff, matching EXTRACT(EPOCH FROM ...) usage at
-    `select_queries.sql:43`).
+    with ``EXTRACT(EPOCH FROM (next - time)) > 60`` (W1, `queries.py:54-75`).
+    EXTRACT(EPOCH ...) yields FRACTIONAL seconds, so the gap measure is the
+    exact µs difference / 1e6 — an earlier whole-second truncation silently
+    reclassified gaps like 60.8 s (ref: gap; truncated 60: not a gap), a
+    divergence the reference-SQL parity leg surfaced
+    (tests/test_reference_sql_parity).
     """
     w = Window.partitionBy(*keys).orderBy(time_col)
     return (
@@ -85,7 +88,8 @@ def detect_gaps(
         .withColumn("next_time", F.lead(time_col).over(w))
         .withColumn(
             "gap_seconds",
-            F.to_unix_timestamp("next_time") - F.to_unix_timestamp(time_col),
+            (F.unix_micros("next_time") - F.unix_micros(time_col))
+            / F.lit(1_000_000.0),
         )
         .filter(F.col("gap_seconds") > min_gap_seconds)
         .select(

@@ -1,0 +1,508 @@
+"""Third oracle leg: the reference's OWN SQL, verbatim, on live PostgreSQL.
+
+Round 7's weekly-origin escape proved the mirrored DuckDB twin cannot catch
+a misreading SHARED between engine and oracle (both written by the same
+builder from the same reading of the reference). This module removes that
+blind spot for the reference's analytics views and fetcher queries:
+
+1. boot the repo's ephemeral PostgreSQL (streaming/pgserver.py — the same
+   lifecycle the declared `stream_upsert_ingest` query uses);
+2. polyfill the three TimescaleDB primitives the view SQL calls —
+   ``time_bucket`` / ``first(v, t)`` / ``last(v, t)`` — from Timescale's
+   PUBLIC documentation (origin 2000-01-03, value at min/max time);
+3. load the exact rows the engine reads into the reference's own
+   ``ohlcvs`` / ``symbol_exchange`` tables (CREATE TABLE DDL extracted
+   from `create.sql` AT RUNTIME — reference text is executed, never
+   copied into this repo);
+4. execute the reference's view/query SQL VERBATIM
+   (`scripts/database/init/create.sql:94-337`,
+   `fetchers/config/queries.py:19-75`) and diff against the engine's
+   operators over the same DataFrame.
+
+The ONLY edits applied to the reference text before execution, each
+mechanical and visible in ``_prepare_view``:
+- ``CURRENT_DATE`` -> a literal anchor date (the UTC date of max(time)) —
+  the same determinism parameterization the engine's ``now`` argument
+  applies;
+- continuous-aggregate scaffolding (``WITH (timescaledb.continuous)``,
+  ``WITH NO DATA``) stripped so the views materialize eagerly on vanilla
+  PostgreSQL.
+
+Honest residual: ``time_bucket`` is the one primitive still written by
+this builder (vanilla PostgreSQL has no TimescaleDB extension), so bucket
+ORIGIN parity rests on Timescale's documented default rather than the
+extension's binary; ``test_polyfill_time_bucket_contract`` pins the
+documented contract (Monday weeks, midnight days) independently of the
+engine's implementation. Everything else — first/last, DISTINCT ON,
+select-list SRF row elimination, window frames, NUMERIC arithmetic,
+ordering — is PostgreSQL's own executor.
+
+What this leg has already caught (engine fixed to match, round 8):
+- geo_daily_return: PostgreSQL ELIMINATES the select-list-SRF row when
+  ``LEAD(bucket)`` is NULL, so the reference drops each key's final daily
+  bucket — the most recent day's return never enters the geometric mean;
+- weekly_return: the reference windows RAW rows to the trailing week
+  BEFORE bucketing (stale keys vanish; a straddling week opens inside the
+  window);
+- TS_GAPS: ``EXTRACT(EPOCH FROM ...)`` keeps fractional seconds — the
+  engine's old whole-second truncation reclassified 60.x-second gaps.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import re
+import subprocess
+import tempfile
+
+import pytest
+
+REF_ROOT = "/root/reference"
+CREATE_SQL = os.path.join(REF_ROOT, "scripts/database/init/create.sql")
+QUERIES_PY = os.path.join(REF_ROOT, "fetchers/config/queries.py")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isfile(CREATE_SQL) and os.path.isfile(QUERIES_PY)),
+    reason="reference tree not present",
+)
+
+# --- polyfills (builder-written, from Timescale/Postgres public docs) -----
+
+POLYFILL_SQL = """
+CREATE TYPE _ts_vt AS (v numeric, t timestamptz);
+CREATE FUNCTION _ts_first_sf(s _ts_vt, v numeric, t timestamptz)
+RETURNS _ts_vt IMMUTABLE LANGUAGE sql AS
+  'SELECT CASE WHEN s.t IS NULL OR t < s.t THEN ROW(v, t)::_ts_vt ELSE s END';
+CREATE FUNCTION _ts_last_sf(s _ts_vt, v numeric, t timestamptz)
+RETURNS _ts_vt IMMUTABLE LANGUAGE sql AS
+  'SELECT CASE WHEN s.t IS NULL OR t > s.t THEN ROW(v, t)::_ts_vt ELSE s END';
+CREATE FUNCTION _ts_vfinal(s _ts_vt) RETURNS numeric
+IMMUTABLE LANGUAGE sql AS 'SELECT s.v';
+CREATE AGGREGATE first(numeric, timestamptz)
+  (SFUNC=_ts_first_sf, STYPE=_ts_vt, FINALFUNC=_ts_vfinal);
+CREATE AGGREGATE last(numeric, timestamptz)
+  (SFUNC=_ts_last_sf, STYPE=_ts_vt, FINALFUNC=_ts_vfinal);
+-- TimescaleDB's documented default origin for interval widths:
+-- 2000-01-03 00:00:00 UTC (epoch 946857600, a Monday). Phase-neutral for
+-- widths dividing a day; Monday-aligns 7-day weeks.
+CREATE FUNCTION time_bucket(width interval, ts timestamptz)
+RETURNS timestamptz IMMUTABLE LANGUAGE sql AS
+  'SELECT to_timestamp(
+      floor((extract(epoch from ts) - 946857600) / extract(epoch from width))
+      * extract(epoch from width) + 946857600)';
+"""
+
+CONAGG_VIEWS = {
+    "ohlcvs_summary_5min": "5m",
+    "ohlcvs_summary_15min": "15m",
+    "ohlcvs_summary_30min": "30m",
+    "ohlcvs_summary_1hour": "1h",
+    "ohlcvs_summary_6hour": "6h",
+    "ohlcvs_summary_12hour": "12h",
+    "ohlcvs_summary_daily": "1D",
+    "ohlcvs_summary_7day": "7D",
+}
+
+KEYS = ["exchange", "base_id", "quote_id"]
+
+
+# --- reference-text extraction (executed, never stored) -------------------
+
+
+def _view_body(text: str, name: str) -> str:
+    # `--` comments are stripped BEFORE boundary detection (semantically
+    # void, and geo_daily_return hides a ';' inside its commented-out
+    # `-- FROM daily_factor;` line that would truncate a naive first-';'
+    # scan); the executed body is otherwise untouched reference text
+    stripped = re.sub(r"--[^\n]*", "", text)
+    m = re.search(
+        rf"CREATE\s+MATERIALIZED\s+VIEW\s+{name}\s+"
+        rf"(?:WITH\s*\(\s*timescaledb\.continuous\s*\)\s+)?AS\s+"
+        rf"(.*?)\s*(?:WITH\s+NO\s+DATA\s*)?;",
+        stripped,
+        re.I | re.S,
+    )
+    assert m, f"view {name} not found in create.sql"
+    return m.group(1)
+
+
+def _table_ddl(text: str, name: str) -> str:
+    m = re.search(
+        rf"CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\s+{name}\s*\(.*?\);", text, re.I | re.S
+    )
+    assert m, f"table {name} not found in create.sql"
+    return m.group(0)
+
+
+def _py_query(text: str, name: str) -> str:
+    m = re.search(rf"{name}\s*=\s*'''(.*?)'''", text, re.S)
+    assert m, f"{name} not found in queries.py"
+    return m.group(1)
+
+
+def _prepare_view(body: str, anchor: dt.date) -> str:
+    """The one permitted edit: CURRENT_DATE -> the literal anchor date."""
+    return body.replace("CURRENT_DATE", f"DATE '{anchor.isoformat()}'")
+
+
+# --- PG harness -----------------------------------------------------------
+
+
+def _psql(conninfo, sql: str, fetch: bool = False) -> str:
+    flags = ["-A", "-t", "-F", "\t"] if fetch else ["-q"]
+    p = subprocess.run(
+        ["psql", "-X", "-v", "ON_ERROR_STOP=1", *conninfo, *flags],
+        input=sql.encode(),
+        capture_output=True,
+        cwd="/",
+    )
+    assert p.returncode == 0, f"psql failed:\n{p.stderr.decode()}\nSQL:\n{sql[:2000]}"
+    return p.stdout.decode()
+
+
+def _fetch(conninfo, sql: str) -> list[list[str]]:
+    out = _psql(conninfo, sql, fetch=True)
+    return [line.split("\t") for line in out.splitlines() if line]
+
+
+def _pg_ts(text: str) -> dt.datetime:
+    """'2024-01-08 00:00:00+00' / ISO-T variants -> naive UTC datetime."""
+    d = dt.datetime.fromisoformat(text)
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
+# --- fixture: booted + loaded cluster, shared Spark-side frame ------------
+
+
+@pytest.fixture(scope="module")
+def env(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.sources.tables import candles_view
+    from coin_for_rich_spark.streaming.pgserver import pg_runnable, start_cluster
+
+    if not pg_runnable():
+        pytest.skip("no runnable PostgreSQL server in this environment")
+
+    create_sql = open(CREATE_SQL).read()
+    queries_py = open(QUERIES_PY).read()
+
+    # the SAME rows for both sides: the engine's candles view widened to the
+    # reference's (exchange, base_id, quote_id) key triple. All four price
+    # columns equal the tick price, so the reference's first(open)/max(high)/
+    # min(low)/last(close) over these rows compute exactly what the engine's
+    # tick rollup computes — the comparison then isolates the VIEW SQL
+    # semantics (bucket origin, DISTINCT ON, SRF fill, window arithmetic).
+    cv = candles_view(spark, sf_dir)
+    ohlcvs_df = cv.select(
+        F.col("ts").alias("time"),
+        F.col("symbol").alias("exchange"),
+        F.concat(F.lit("b"), F.pmod(F.col("user_id"), F.lit(13)).cast("string")).alias(
+            "base_id"
+        ),
+        F.concat(F.lit("q"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")).alias(
+            "quote_id"
+        ),
+        F.col("price").alias("open"),
+        F.col("price").alias("high"),
+        F.col("price").alias("low"),
+        F.col("price").alias("close"),
+        F.col("volume").alias("volume"),
+    ).persist()
+    se_df = (
+        ohlcvs_df.select(*KEYS)
+        .distinct()
+        .withColumn("symbol", F.concat_ws("/", "base_id", "quote_id"))
+        .withColumn("is_trading", F.lit(True))
+    ).persist()
+    max_time = ohlcvs_df.agg(F.max("time")).first()[0]
+    anchor = max_time.date()
+
+    conninfo, stop = start_cluster(tempfile.mkdtemp(prefix="cfr_refpar_"))
+    try:
+        _psql(conninfo, POLYFILL_SQL)
+        # reference DDL, executed from the file (PKs omitted: the views
+        # don't read them and both sides consume the identical row set)
+        _psql(conninfo, _table_ddl(create_sql, "ohlcvs"))
+        _psql(conninfo, _table_ddl(create_sql, "symbol_exchange"))
+
+        with tempfile.TemporaryDirectory(prefix="cfr_refpar_csv_") as tmp:
+            for name, df, cols in (
+                ("ohlcvs", ohlcvs_df, ["time", *KEYS, "open", "high", "low", "close", "volume"]),
+                ("symbol_exchange", se_df, [*KEYS, "symbol", "is_trading"]),
+            ):
+                pdf = df.select(*cols).toPandas()
+                if "time" in pdf.columns:
+                    pdf["time"] = pdf["time"].dt.strftime("%Y-%m-%d %H:%M:%S.%f+00")
+                path = os.path.join(tmp, f"{name}.csv")
+                pdf.to_csv(path, index=False, header=False)
+                _psql(
+                    conninfo,
+                    f"\\copy {name} ({', '.join(cols)}) FROM '{path}' WITH (FORMAT csv)",
+                )
+
+        # materialize the views IN REFERENCE ORDER (geo/top20 read conaggs)
+        for name in ("common_basequote_30", *CONAGG_VIEWS):
+            _psql(
+                conninfo,
+                f"CREATE MATERIALIZED VIEW {name} AS "
+                + _prepare_view(_view_body(create_sql, name), anchor),
+            )
+        for name in ("geo_daily_return", "top_20_quoted_vol", "weekly_return"):
+            body = _view_body(create_sql, name)
+            assert "CURRENT_DATE" in body, f"{name}: expected CURRENT_DATE anchor"
+            _psql(
+                conninfo,
+                f"CREATE MATERIALIZED VIEW {name} AS " + _prepare_view(body, anchor),
+            )
+
+        yield {
+            "conninfo": conninfo,
+            "ohlcvs": ohlcvs_df,
+            "se": se_df,
+            "anchor": anchor,
+            "max_time": max_time,
+            "queries_py": queries_py,
+        }
+    finally:
+        stop()
+        ohlcvs_df.unpersist()
+        se_df.unpersist()
+
+
+# --- comparison helper ----------------------------------------------------
+
+
+def _diff_keyed(pg_rows, sp_rows, label: str, tol: float):
+    """Both sides: {key_tuple: (floats...)}; assert same keys, floats within
+    ``tol`` (absolute OR relative)."""
+    pg_keys, sp_keys = set(pg_rows), set(sp_rows)
+    assert pg_keys == sp_keys, (
+        f"{label}: key sets differ\n  only reference-PG: {sorted(pg_keys - sp_keys)[:5]}"
+        f"\n  only engine: {sorted(sp_keys - pg_keys)[:5]}"
+    )
+    bad = []
+    for k, pv in pg_rows.items():
+        sv = sp_rows[k]
+        for a, b in zip(pv, sv):
+            if abs(a - b) > tol and abs(a - b) > tol * max(abs(a), abs(b)):
+                bad.append((k, pv, sv))
+                break
+    assert not bad, f"{label}: {len(bad)} rows diverge, e.g. {bad[:5]}"
+
+
+# --- the parity tests -----------------------------------------------------
+
+
+def test_polyfill_time_bucket_contract(env):
+    """Pin the polyfill against Timescale's DOCUMENTED origin, independent
+    of the engine: 7-day buckets start on Monday, daily buckets at UTC
+    midnight, 5-minute buckets on the 5-minute grid."""
+    rows = _fetch(
+        env["conninfo"],
+        """
+        SELECT time_bucket(interval '7 days', timestamptz '2024-01-10 05:00:00+00'),
+               time_bucket(interval '1 day',  timestamptz '2024-01-10 05:00:00+00'),
+               time_bucket(interval '5 minutes', timestamptz '2024-01-10 05:07:31+00')
+        """,
+    )
+    wk, day, m5 = (_pg_ts(v) for v in rows[0])
+    assert wk == dt.datetime(2024, 1, 8) and wk.weekday() == 0  # Monday
+    assert day == dt.datetime(2024, 1, 10)
+    assert m5 == dt.datetime(2024, 1, 10, 5, 5)
+
+
+@pytest.mark.parametrize("view,interval", sorted(CONAGG_VIEWS.items()))
+def test_continuous_aggregates_verbatim(env, view, interval):
+    """All 8 conagg views (create.sql:105-223) vs the engine's
+    ohlcv_rollup at the same resolution — bucket origin, first/last picks,
+    and the volume sum all checked through PostgreSQL's own executor."""
+    from coin_for_rich_spark.operators.candles import ohlcv_rollup
+
+    pg = {
+        (_pg_ts(r[0]).isoformat(), r[1], r[2], r[3]): tuple(float(v) for v in r[4:])
+        for r in _fetch(
+            env["conninfo"],
+            f"SELECT bucket, exchange, base_id, quote_id,"
+            f" open, high, low, close, volume FROM {view}",
+        )
+    }
+    sp = {
+        (r["bucket"].isoformat(), r["exchange"], r["base_id"], r["quote_id"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"],
+        )
+        for r in ohlcv_rollup(
+            env["ohlcvs"], interval, keys=KEYS, time_col="time", price_col="close"
+        ).collect()
+    }
+    assert pg, f"{view}: reference view is empty"
+    _diff_keyed(pg, sp, view, tol=1e-9)
+
+
+def test_common_basequote_30_verbatim(env):
+    """create.sql:94-99 vs common_keys_top30 — HAVING >2, ORDER BY keys,
+    LIMIT 30; ordered-list comparison (the LIMIT makes order semantic)."""
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.operators.analytics import common_keys_top30
+
+    create_sql = open(CREATE_SQL).read()
+    pg = [
+        (r[0], r[1])
+        for r in _fetch(
+            env["conninfo"],
+            "SELECT base_id, quote_id FROM common_basequote_30",
+        )
+    ]
+    sp = [
+        (r["bq"]["base_id"], r["bq"]["quote_id"])
+        for r in common_keys_top30(
+            env["se"].select(F.struct("base_id", "quote_id").alias("bq"), "exchange"),
+            key_col="bq",
+            across_col="exchange",
+            min_across=2,
+            top_n=30,
+        ).collect()
+    ]
+    assert "HAVING COUNT(*) > 2" in _view_body(create_sql, "common_basequote_30")
+    assert pg, "reference view selected nothing — HAVING threshold unmet by fixture"
+    assert pg == sp
+
+
+def test_geo_daily_return_verbatim(env):
+    """create.sql:225-278 vs the engine operator: SRF gap-fill (including
+    PostgreSQL's last-bucket row elimination), LAG, ln-factor geometric
+    mean, NUMERIC(10,4) rounding."""
+    from coin_for_rich_spark.operators.analytics import geo_daily_return
+
+    pg = {
+        (r[0], r[1], r[2]): (float(r[3]),)
+        for r in _fetch(
+            env["conninfo"],
+            "SELECT exchange, base_id, quote_id, daily_return_pct FROM geo_daily_return",
+        )
+    }
+    sp = {
+        (r["exchange"], r["base_id"], r["quote_id"]): (r["daily_return_pct"],)
+        for r in geo_daily_return(
+            env["ohlcvs"], keys=KEYS, time_col="time", price_col="close"
+        ).collect()
+    }
+    assert pg, "reference geo_daily_return is empty"
+    # 1.5e-4: NUMERIC vs double can flip the 4th-decimal rounding on ties
+    _diff_keyed(pg, sp, "geo_daily_return", tol=1.5e-4)
+
+
+def test_top_20_quoted_vol_verbatim(env):
+    """create.sql:280-316 vs 7D rollup + top_k_with_other: quoted-vol
+    product, trailing-8-day window, rank>20 -> 'Other', ROUND(,4)."""
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.functions.numbers import money4
+    from coin_for_rich_spark.operators.analytics import top_k_with_other
+    from coin_for_rich_spark.operators.candles import ohlcv_rollup
+
+    pg = {
+        (r[0],): (float(r[1]),)
+        for r in _fetch(
+            env["conninfo"], "SELECT bqgrp, total_volume FROM top_20_quoted_vol"
+        )
+    }
+    cutoff = dt.datetime.combine(env["anchor"], dt.time()) - dt.timedelta(days=8)
+    ebq = (
+        ohlcv_rollup(env["ohlcvs"], "7D", keys=KEYS, time_col="time", price_col="close")
+        .filter(F.col("bucket") >= F.lit(cutoff))
+        .select(
+            F.concat_ws("-", "base_id", "quote_id").alias("bq"),
+            money4(F.col("close") * F.col("volume")).alias("quoted_vol"),
+        )
+    )
+    sp = {
+        (r["bucket_label"],): (r["total_vol"],)
+        for r in top_k_with_other(ebq, "bq", "quoted_vol", k=20, label_prefix="").collect()
+    }
+    assert len(pg) > 1, "fixture produced no Other split"
+    _diff_keyed(pg, sp, "top_20_quoted_vol", tol=1.5e-4)
+
+
+def test_weekly_return_verbatim(env):
+    """create.sql:318-337 vs the engine operator: window-before-bucket,
+    DISTINCT ON latest week, return arithmetic, open<>0 guard."""
+    from coin_for_rich_spark.operators.analytics import weekly_return
+
+    pg = {
+        (r[1], r[2], r[3]): (_pg_ts(r[0]).timestamp(), float(r[4]))
+        for r in _fetch(
+            env["conninfo"],
+            'SELECT "time", exchange, base_id, quote_id, weekly_return_pct'
+            " FROM weekly_return",
+        )
+    }
+    sp = {
+        (r["exchange"], r["base_id"], r["quote_id"]): (
+            r["week"].replace(tzinfo=dt.timezone.utc).timestamp(),
+            r["weekly_return_pct"],
+        )
+        for r in weekly_return(
+            env["ohlcvs"], keys=KEYS, time_col="time", price_col="close"
+        ).collect()
+    }
+    assert pg, "reference weekly_return is empty"
+    _diff_keyed(pg, sp, "weekly_return", tol=1.5e-4)
+
+
+def test_latest_symexch_verbatim(env):
+    """queries.py:19-31 (LATERAL ORDER BY time DESC LIMIT 1) vs
+    latest_per_key's max_by aggregation."""
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.operators.maintenance import latest_per_key
+
+    pg = {
+        (r[0], r[1]): (_pg_ts(r[2]).timestamp(),)
+        for r in _fetch(
+            env["conninfo"], _py_query(env["queries_py"], "LATEST_SYMEXCH_QUERY")
+        )
+    }
+    latest = latest_per_key(env["ohlcvs"], KEYS, "time", tiebreak_col=None)
+    sp = {
+        (r["exchange"], r["symbol"]): (
+            r["time"].replace(tzinfo=dt.timezone.utc).timestamp(),
+        )
+        for r in latest.join(env["se"], KEYS).select("exchange", "symbol", "time").collect()
+    }
+    assert pg
+    _diff_keyed(pg, sp, "latest_symexch", tol=1e-6)
+
+
+def test_ts_gaps_verbatim(env):
+    """queries.py:49-75 (row_to_json gap report, fractional-second
+    EXTRACT(EPOCH) threshold) vs detect_gaps."""
+    from coin_for_rich_spark.operators.maintenance import detect_gaps
+
+    n_rows = env["ohlcvs"].count()
+    assert n_rows <= 10000, (
+        "fixture exceeds the reference's interior LIMIT 10000 — the verbatim "
+        "comparison would be against a nondeterministic subset"
+    )
+    pg = {}
+    for (line,) in _fetch(env["conninfo"], _py_query(env["queries_py"], "TS_GAPS_QUERY")):
+        row = json.loads(line)
+        key = (row["exchange"], row["symbol"], _pg_ts(row["time"]).timestamp())
+        pg[key] = (_pg_ts(row["next_time"]).timestamp(), float(row["difference"]))
+    gaps = detect_gaps(env["ohlcvs"], KEYS, "time", min_gap_seconds=60)
+    sp = {
+        (r["exchange"], r["symbol"], r["gap_start"].replace(tzinfo=dt.timezone.utc).timestamp()): (
+            r["gap_end"].replace(tzinfo=dt.timezone.utc).timestamp(),
+            r["gap_seconds"],
+        )
+        for r in gaps.join(env["se"], KEYS)
+        .select("exchange", "symbol", "gap_start", "gap_end", "gap_seconds")
+        .collect()
+    }
+    assert pg, "no gaps in fixture — threshold comparison is vacuous"
+    _diff_keyed(pg, sp, "ts_gaps", tol=1e-6)
