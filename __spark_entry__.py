@@ -32,6 +32,7 @@ from coin_for_rich_spark.operators import (
     latest_per_key,
     moving_average,
     ohlcv_rollup,
+    range_join,
     sessionize,
     recompute_is_trading,
     retention_anti_join,
@@ -75,6 +76,8 @@ from coin_for_rich_spark.llmdata import (
     simhash_pairs,
     domain_mix_sample,
     token_quantiles,
+    train_bpe,
+    encode_bpe,
     build_dedup_index,
     incremental_dedup,
     epoch_shuffle,
@@ -503,6 +506,61 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, on=["user_id"],
         payload={"value": "last_purchase_value"},
+    )
+
+
+def _range_join_inputs(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_id", "ts", "user_id", "value")
+    day_min = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("day_min"))
+    w_short = day_min.select(
+        "user_id",
+        F.col("day_min").alias("start"),
+        (F.col("day_min") + F.expr("INTERVAL 90 MINUTES")).alias("end"),
+        F.lit("w90").alias("win"),
+    )
+    w_long = day_min.select(
+        "user_id",
+        (F.col("day_min") + F.expr("INTERVAL 30 MINUTES")).alias("start"),
+        (F.col("day_min") + F.expr("INTERVAL 240 MINUTES")).alias("end"),
+        F.lit("w240").alias("win"),
+    )
+    return pts, w_short.unionByName(w_long)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py — declared r8, swapped in
+    for `token_quantiles` per VERDICT r7 ask #2): each event joined to every
+    per-(user, day) activity window containing it. Exercises the full
+    relational contract in one declared row: INNER and LEFT modes (tagged,
+    unioned), half-open [start, end) bounds (a point at `end` must not
+    match), OVERLAPPING multi-bucket intervals at bucket_seconds=3600 (the
+    240-minute window spans 4-5 buckets and overlaps the 90-minute one, so
+    a point can match 0, 1, or 2 intervals), and the extra-equality-keys
+    path (`on=["user_id"]`). The oracle re-derives the identical interval
+    relation and runs DuckDB's native inequality joins."""
+    pts, ivs = _range_join_inputs(spark, sf_dir)
+    kwargs = dict(
+        point_ts="ts", start_col="start", end_col="end",
+        on=["user_id"], bucket_seconds=3600,
+    )
+    inner = range_join(pts, ivs, how="inner", **kwargs)
+    left = range_join(pts, ivs, how="left", **kwargs)
+    out = inner.withColumn("mode", F.lit("inner")).unionByName(
+        left.withColumn("mode", F.lit("left"))
+    )
+    # unmatched left rows carry sentinel values instead of NULLs: the gate's
+    # value-hash treatment of NULL timestamps is engine-dependent, and the
+    # (sentinel-tagged) rows prove the left-mode contract just as hard
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return out.select(
+        "event_id", "ts", "user_id", "value",
+        F.coalesce("start", epoch).alias("start"),
+        F.coalesce("end", epoch).alias("end"),
+        F.coalesce("win", F.lit("none")).alias("win"),
+        "mode",
     )
 
 
@@ -1148,11 +1206,48 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r8
+    # swapped for `range_join` (VERDICT r7 ask #2; mapping in COVERAGE.md):
+    # the sketch-vs-exact contract stays value-pinned in tests/test_pipeline
+    # and the percentile_approx path stays exercised by `doc_profile`'s
+    # length tiers; range_join's relational edge semantics need the hash
+    # gate more than a property row whose contract pytest already pins
     """Token-length distribution: exact interpolated p50/p90/p99 (value-
     checked vs quantile_cont) + the percentile_approx sketch pinned within
     10% of exact (the one-pass bounded-memory 100 TB path)."""
     return token_quantiles(load_table(spark, sf_dir, "documents"))
+
+
+#: gate BPE shape (declared r8): small enough that the DuckDB twin re-trains
+#: the merge table itself in chained materialized CTEs, large enough that
+#: multi-round merge interactions (merged symbols re-pairing) occur
+_BPE_GATE_MERGES = 12
+_BPE_GATE_MIN_PAIR = 2
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + encode, hash-exact (llmdata/bpe.py — declared r8, swapped
+    in for `media_resample` per VERDICT r7 ask #3): trains the deterministic
+    12-merge model on the gate corpus (tie-break: count desc, pair lex asc),
+    tokenizes every document, and emits per doc the token count plus an md5
+    over the full, boundary-delimited token stream. The oracle does NOT
+    trust the model: it independently RE-TRAINS the merge table in DuckDB
+    (12 chained materialized CTEs, each one pair-count aggregation + argmax
+    + a separator-guarded string fold replaying the left-to-right merge
+    rule) and re-encodes every word — so a green row certifies trainer
+    determinism, the merge fold, and per-doc positional reassembly
+    end-to-end. The existing two-regime broadcast plan guards
+    (tests/test_bpe.py) stay in force."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bpe(
+        docs, n_merges=_BPE_GATE_MERGES, min_pair_count=_BPE_GATE_MIN_PAIR
+    )
+    enc = encode_bpe(docs, model)
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "\x1f")).alias("toks_md5"),
+    )
 
 
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1358,7 +1453,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_stats(media)
 
 
-def q_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r8
+    # swapped for `bpe_encode` (VERDICT r7 ask #3; mapping in COVERAGE.md):
+    # the per-pixel NN contract stays fully value-pinned in tests/test_llmdata
+    # and the codec round trip it rides on keeps its gate row (`media_decode`)
     """REAL pixel resample, oracle-checked: real PNGs decoded, NN-downscaled
     (aspect-preserving, the resize_plan arithmetic), re-encoded, re-decoded,
     reduced to integer stats. The oracle predicts every output pixel from
@@ -1705,9 +1803,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "embed_knn_join": q_embed_knn_join,
         "media_decode": q_media_decode,
-        "media_resample": q_media_resample,
-        # sketch / probabilistic dedup tiers
-        "token_quantiles": q_token_quantiles,
+        # BPE tokenizer (media_resample → bpe_encode in r8: the per-pixel
+        # NN contract stays pytest-pinned; the codec round trip keeps its
+        # media_decode gate row)
+        "bpe_encode": q_bpe_encode,
+        # bucketed range join (token_quantiles → range_join in r8: the
+        # sketch-vs-exact contract stays pytest-pinned)
+        "range_join": q_range_join,
         "simhash_pairs": q_simhash_pairs,
         # ngram_jaccard precedes minhash_pairs deliberately: it computes the
         # exact-pair relation both reuse, so each query's bench cost is its
@@ -1970,6 +2072,91 @@ def _corpus_ingest_oracle_sql() -> str:
     )
     joined = ",\n        ".join(parts)
     return f"WITH {joined}\n        {selects}"
+
+
+def _bpe_oracle_sql(n_merges: int, min_pair_count: int) -> str:
+    """DuckDB twin that RE-TRAINS the BPE model and re-encodes every doc.
+
+    One chained (best_k, words_{k+1}) CTE pair per merge round: best_k is
+    the pair-count argmax under the engine's exact tie-break (count desc,
+    pair lexicographic asc, min-pair-count floor); the fold replays the
+    left-to-right merge rule as a separator-guarded string replace — each
+    word's symbols are kept US-delimited WITH leading/trailing separators,
+    so replacing `US a US b US` -> `US ab US` (a) can never match across a
+    symbol boundary (every symbol is fully delimited) and (b) consumes the
+    shared separator of an overlapping run exactly like the engine's
+    non-overlapping left-to-right scan ([l,l,l] -> [ll,l]). CTEs are
+    MATERIALIZED: default inlining re-expands each words_k ~4x per round —
+    exponential in rounds. Empty best_k (max pair count below the floor)
+    makes every later round a no-op, matching the trainer's break."""
+    us = "chr(31)"
+    parts = [
+        f"""doc_words AS MATERIALIZED (
+            SELECT doc_id, pos, w[pos] AS word
+            FROM (
+                SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(trim(text)) > 0
+                                THEN list_filter(
+                                    regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x <> '')
+                                ELSE [] END AS w
+                    FROM documents
+                )
+            )
+        ),
+        words0 AS MATERIALIZED (
+            SELECT word, count(*) AS cnt,
+                   {us} || regexp_replace(word, '(.)', '\\1' || {us}, 'g')
+                        || '</w>' || {us} AS sym
+            FROM doc_words GROUP BY word
+        )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""best{k} AS MATERIALIZED (
+            SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS n
+            FROM (
+                SELECT s, cnt, unnest(range(1, len(s))) AS i
+                FROM (SELECT list_filter(str_split(sym, {us}), x -> x <> '') AS s,
+                             cnt
+                      FROM words{k})
+            )
+            GROUP BY 1, 2
+            HAVING sum(cnt) >= {min_pair_count}
+            ORDER BY n DESC, a, b LIMIT 1
+        ),
+        words{k + 1} AS MATERIALIZED (
+            SELECT word, cnt,
+                   CASE WHEN (SELECT count(*) FROM best{k}) = 0 THEN sym
+                        ELSE replace(sym,
+                             {us} || (SELECT a FROM best{k}) || {us}
+                                  || (SELECT b FROM best{k}) || {us},
+                             {us} || (SELECT a || b FROM best{k}) || {us})
+                   END AS sym
+            FROM words{k}
+        )"""
+        )
+    parts.append(
+        f"""enc AS (
+            SELECT word, list_filter(str_split(sym, {us}), x -> x <> '') AS toks
+            FROM words{n_merges}
+        ),
+        per_doc AS (
+            SELECT dw.doc_id,
+                   sum(len(e.toks)) AS n_tokens,
+                   string_agg(array_to_string(e.toks, {us}), {us}
+                              ORDER BY dw.pos) AS tok_str
+            FROM doc_words dw JOIN enc e USING (word)
+            GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               md5(coalesce(p.tok_str, '')) AS toks_md5
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+    )
+    return "WITH " + ",\n        ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2546,16 +2733,37 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM s
         """,
-        "token_quantiles": """
-            WITH t AS (
-                SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
-                FROM documents
-            )
-            SELECT round(quantile_cont(n_tokens, 0.5), 4) AS p50,
-                   round(quantile_cont(n_tokens, 0.9), 4) AS p90,
-                   round(quantile_cont(n_tokens, 0.99), 4) AS p99,
-                   TRUE AS approx_ok
-            FROM t
+        # bpe_encode: the oracle re-trains the merge table itself — see
+        # _bpe_oracle_sql (token_quantiles left the gate for range_join in
+        # r8; its exact-vs-sketch contract stays pinned in tests/)
+        "bpe_encode": _bpe_oracle_sql(_BPE_GATE_MERGES, _BPE_GATE_MIN_PAIR),
+        "range_join": """
+            WITH day_min AS (
+                SELECT user_id, date_trunc('day', ts) AS day, min(ts) AS day_min
+                FROM events GROUP BY 1, 2
+            ),
+            ivs AS (
+                SELECT user_id, day_min AS start,
+                       day_min + INTERVAL 90 MINUTE AS "end",
+                       'w90' AS win
+                FROM day_min
+                UNION ALL
+                SELECT user_id, day_min + INTERVAL 30 MINUTE,
+                       day_min + INTERVAL 240 MINUTE, 'w240'
+                FROM day_min
+            ),
+            pts AS (SELECT event_id, ts, user_id, value FROM events)
+            SELECT p.event_id, p.ts, p.user_id, p.value,
+                   i.start, i."end", i.win, 'inner' AS mode
+            FROM pts p JOIN ivs i
+              ON p.user_id = i.user_id AND p.ts >= i.start AND p.ts < i."end"
+            UNION ALL
+            SELECT p.event_id, p.ts, p.user_id, p.value,
+                   coalesce(i.start, TIMESTAMP '1970-01-01 00:00:00') AS start,
+                   coalesce(i."end", TIMESTAMP '1970-01-01 00:00:00') AS "end",
+                   coalesce(i.win, 'none') AS win, 'left' AS mode
+            FROM pts p LEFT JOIN ivs i
+              ON p.user_id = i.user_id AND p.ts >= i.start AND p.ts < i."end"
         """,
         # epoch_shuffle: hash-exact twin — ord is Spark's xxhash64(doc_id,
         # lit(7)) recomputed via the XXH64 closed form, shard its pmod 8
@@ -2742,43 +2950,6 @@ def oracle_sql() -> dict[str, str]:
         # ((x*w)//tw, (y*h)//th), and source pixel (sx, sy) of image i is
         # (7sx + 13sy + i) % 256 — so the oracle enumerates the output grid
         # and predicts every decoded value without running any codec.
-        "media_resample": """
-            WITH img AS (
-                SELECT doc_id, doc_id % 31 + 1 AS w, doc_id % 23 + 1 AS h
-                FROM documents WHERE doc_id % 2 = 0
-            ),
-            dims AS (
-                SELECT doc_id, w, h, least(1.0, 16.0 / w, 12.0 / h) AS scale
-                FROM img
-            ),
-            t AS (
-                SELECT doc_id, w, h,
-                       greatest(1, CAST(floor(w * scale) AS BIGINT)) AS tw,
-                       greatest(1, CAST(floor(h * scale) AS BIGINT)) AS th
-                FROM dims
-            ),
-            grid AS (
-                SELECT doc_id, w, h, tw, th,
-                       unnest(generate_series(0, tw * th - 1)) AS k
-                FROM t
-            ),
-            vals AS (
-                SELECT doc_id, w, h, tw, th,
-                       ((((k % tw) * w) // tw) * 7
-                        + (((k // tw) * h) // th) * 13 + doc_id) % 256 AS v
-                FROM grid
-            )
-            SELECT doc_id AS media_id,
-                   CAST(min(w) AS INT) AS width,
-                   CAST(min(h) AS INT) AS height,
-                   CAST(min(tw) AS INT) AS target_w,
-                   CAST(min(th) AS INT) AS target_h,
-                   count(*) AS n_values,
-                   CAST(sum(v) AS BIGINT) AS value_sum,
-                   CAST(min(v) AS BIGINT) AS value_min,
-                   CAST(max(v) AS BIGINT) AS value_max
-            FROM vals GROUP BY doc_id
-        """,
         "fetch_plan": f"""
             WITH syms(exchange, symbol) AS (VALUES {_FETCH_SYMS_SQL})
             SELECT exchange, symbol, page_start_ms,

@@ -71,7 +71,9 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
                     f"spark={av[i]!r} oracle={bv[i]!r} (Δ={av[i]-bv[i]!r})"
                 )
         else:
-            eq = av == bv
+            # NaT == NaT and None == None count as equal: numpy's elementwise
+            # == is False for missing values even when both sides are missing
+            eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
             if not np.asarray(eq).all():
                 i = int(np.argmax(~np.asarray(eq)))
                 problems.append(
