@@ -512,7 +512,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _range_join_inputs(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select("event_id", "ts", "user_id", "value")
-    day_min = ev.groupBy(
+    # fresh scan for the interval side: deriving both join inputs from ONE
+    # DataFrame lineage makes user_id==user_id a same-exprId self-join —
+    # Spark disambiguates it correctly but logs `trivially true equals
+    # predicate` on every gate/bench run (VERDICT r8 ask #6). A second read
+    # gives distinct attribute ids (and an identical physical scan).
+    ev2 = load_table(spark, sf_dir, "events")
+    day_min = ev2.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(F.min("ts").alias("day_min"))
     w_short = day_min.select(
@@ -1237,8 +1243,17 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule) and re-encodes every word — so a green row certifies trainer
     determinism, the merge fold, and per-doc positional reassembly
     end-to-end. The existing two-regime broadcast plan guards
-    (tests/test_bpe.py) stay in force."""
-    docs = load_table(spark, sf_dir, "documents")
+    (tests/test_bpe.py) stay in force.
+
+    The gate path treats \\x1f as whitespace on BOTH sides before anything
+    else runs: \\x1f is this row's token/symbol framing delimiter and is
+    NOT regex whitespace, so a corpus word containing it would corrupt the
+    engine's array_join framing and the oracle's US-delimited fold
+    *differently* — an undiagnosable mismatch. Mapping it to ' ' keeps the
+    two sides byte-identical on any corpus (ADVICE r8 #4)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", "\x1f", " ")
+    )
     model = train_bpe(
         docs, n_merges=_BPE_GATE_MERGES, min_pair_count=_BPE_GATE_MIN_PAIR
     )
@@ -2080,15 +2095,23 @@ def _bpe_oracle_sql(n_merges: int, min_pair_count: int) -> str:
     One chained (best_k, words_{k+1}) CTE pair per merge round: best_k is
     the pair-count argmax under the engine's exact tie-break (count desc,
     pair lexicographic asc, min-pair-count floor); the fold replays the
-    left-to-right merge rule as a separator-guarded string replace — each
-    word's symbols are kept US-delimited WITH leading/trailing separators,
-    so replacing `US a US b US` -> `US ab US` (a) can never match across a
-    symbol boundary (every symbol is fully delimited) and (b) consumes the
-    shared separator of an overlapping run exactly like the engine's
-    non-overlapping left-to-right scan ([l,l,l] -> [ll,l]). CTEs are
-    MATERIALIZED: default inlining re-expands each words_k ~4x per round —
-    exponential in rounds. Empty best_k (max pair count below the floor)
-    makes every later round a no-op, matching the trainer's break."""
+    left-to-right merge rule as a GENUINE left-to-right list_reduce over
+    the symbol array (ADVICE r8 #1 — the previous separator-guarded string
+    replace scanned the ORIGINAL string past each consumed trailing
+    separator, so the second of two adjacent occurrences of the winning
+    pair never merged: 'banana' under (a,n) gave [b,an,a,n,a,</w>] where
+    the engine's _apply_merge gives [b,an,an,a,</w>]). The accumulator is
+    the US-delimited symbol string seeded with a lone US sentinel; at each
+    symbol x, if the accumulator ends with `US a US` and x = b the trailing
+    `a US` is rewritten to `a||b US`, else `x US` is appended. A merged
+    token can never re-merge with a following b in the same pass because
+    the rewritten suffix is `a||b` ≠ `a` (b is non-empty) — exactly the
+    non-overlapping scan of _apply_merge, including [l,l,l] -> [ll,l].
+    CTEs are MATERIALIZED: default inlining re-expands each words_k ~4x
+    per round — exponential in rounds. Empty best_k (max pair count below
+    the floor) joins NULL and leaves sym untouched, matching the trainer's
+    break. \\x1f in raw text is mapped to ' ' first, mirroring the engine
+    gate path (ADVICE r8 #4)."""
     us = "chr(31)"
     parts = [
         f"""doc_words AS MATERIALIZED (
@@ -2097,9 +2120,10 @@ def _bpe_oracle_sql(n_merges: int, min_pair_count: int) -> str:
                 SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos
                 FROM (
                     SELECT doc_id,
-                           CASE WHEN len(trim(text)) > 0
+                           CASE WHEN len(trim(replace(text, {us}, ' '))) > 0
                                 THEN list_filter(
-                                    regexp_split_to_array(trim(text), '\\s+'),
+                                    regexp_split_to_array(
+                                        trim(replace(text, {us}, ' ')), '\\s+'),
                                     x -> x <> '')
                                 ELSE [] END AS w
                     FROM documents
@@ -2129,13 +2153,20 @@ def _bpe_oracle_sql(n_merges: int, min_pair_count: int) -> str:
         ),
         words{k + 1} AS MATERIALIZED (
             SELECT word, cnt,
-                   CASE WHEN (SELECT count(*) FROM best{k}) = 0 THEN sym
-                        ELSE replace(sym,
-                             {us} || (SELECT a FROM best{k}) || {us}
-                                  || (SELECT b FROM best{k}) || {us},
-                             {us} || (SELECT a || b FROM best{k}) || {us})
+                   CASE WHEN mb.a IS NULL THEN sym
+                        ELSE list_reduce(
+                            list_prepend({us},
+                                list_filter(str_split(sym, {us}),
+                                            x -> x <> '')),
+                            (acc, x) -> CASE
+                                WHEN ends_with(acc, {us} || mb.a || {us})
+                                     AND x = mb.b
+                                THEN substr(acc, 1,
+                                            len(acc) - len(mb.a) - 1)
+                                     || mb.a || mb.b || {us}
+                                ELSE acc || x || {us} END)
                    END AS sym
-            FROM words{k}
+            FROM words{k} LEFT JOIN best{k} mb ON TRUE
         )"""
         )
     parts.append(

@@ -118,3 +118,83 @@ def test_encode_over_budget_vocab_falls_back_to_shuffle_join(spark):
     got_small = {r.doc_id: r.tokens for r in small.collect()}
     got_big = {r.doc_id: r.tokens for r in big.collect()}
     assert got_small == got_big
+
+
+def test_gate_oracle_fold_matches_engine_on_adjacent_pair_repeats(spark):
+    """ADVICE r8 #1 regression pin: the DuckDB gate oracle's merge fold
+    must replay _apply_merge's left-to-right NON-OVERLAPPING scan on words
+    with ADJACENT occurrences of the winning pair ('banana' under (a,n) is
+    [b,an,an,a,</w>], not [b,an,a,n,a,</w>]). The r8 string-replace fold
+    consumed the shared separator and silently skipped the second
+    occurrence — green only because the fixture corpus lacked such words.
+    Runs the full gate path (engine query + _bpe_oracle_sql re-train) on a
+    corpus built to make (a,n) an early winning merge, and also pins the
+    \\x1f-as-whitespace guard on both sides (ADVICE r8 #4)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (0, "banana banana bandana sorcerer"),
+        (1, "an analyst ran bananas through\x1fthe scanner"),
+        (2, "lll lll llama pineapple banana"),
+        (3, ""),
+    ]
+    docs = _docs(spark, rows)
+    model = train_bpe(
+        docs.withColumn("text", F.regexp_replace("text", "\x1f", " ")),
+        n_merges=entry_mod._BPE_GATE_MERGES,
+        min_pair_count=entry_mod._BPE_GATE_MIN_PAIR,
+    )
+    # the corpus must actually exercise the adjacent-repeat path: some
+    # learned merge (a, b) must occur twice ADJACENTLY inside some word
+    def has_adjacent(word):
+        syms = _word_symbols(word)
+        for a, b in model.merges:
+            n = 0
+            i = 0
+            while i < len(syms) - 1:
+                if (syms[i], syms[i + 1]) == (a, b):
+                    n += 1
+                    i += 2
+                else:
+                    n = 0
+                    i += 1
+                if n >= 2:
+                    return True
+            syms = _apply_merge(syms, a, b)
+        return False
+
+    words = set()
+    for _, t in rows:
+        words.update(t.replace("\x1f", " ").split())
+    assert any(has_adjacent(w) for w in words), "fixture lost its teeth"
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    oracle = con.execute(
+        entry_mod._bpe_oracle_sql(
+            entry_mod._BPE_GATE_MERGES, entry_mod._BPE_GATE_MIN_PAIR
+        )
+    ).df()
+    # run the engine gate body directly on the in-memory docs
+    tmp = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cleaned = tmp.withColumn("text", F.regexp_replace("text", "\x1f", " "))
+    enc = encode_bpe(cleaned, model)
+    eng = (
+        enc.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("tokens", "\x1f")).alias("toks_md5"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle = oracle.sort_values("doc_id").reset_index(drop=True)
+    assert list(eng["n_tokens"]) == list(oracle["n_tokens"])
+    assert list(eng["toks_md5"]) == list(oracle["toks_md5"])
