@@ -135,6 +135,37 @@ def test_hold_back_collector_matches_batch_minus_open_candle(
     assert _rows(got, cols) == _rows(expected, cols)
 
 
+def test_hold_back_emit_mode_equals_drop_mode_on_ordered_replay(
+    spark, sf_dir, staged_events
+):
+    """Wiring pin for late_policy='emit' (the reference-protocol mode,
+    tests/test_reference_updater_protocol.py): on a time-ordered replay
+    with no stale rule the two policies are behaviourally identical (no
+    late data exists to drop, no tombstone to consult), so the emit-mode
+    end-to-end output must equal drop mode's row-for-row. The protocol
+    DIVERGENCES (late never-seen minutes, event-time stale flush) are
+    pinned cycle-by-cycle against live PostgreSQL in the parity module."""
+    from coin_for_rich_spark.streaming.stateful import hold_back_collector
+
+    path, schema = staged_events
+    cols = ["bucket", "symbol", "open", "high", "low", "close", "volume", "n_trades"]
+    outs = {}
+    for policy in ("drop", "emit"):
+        stream = candle_stream(read_file_stream(spark, path, schema))
+        q = (
+            hold_back_collector(stream, late_policy=policy)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"t_hb_{policy}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        outs[policy] = _rows(spark.table(f"t_hb_{policy}"), cols)
+    assert outs["emit"] == outs["drop"]
+    assert len(outs["emit"]) > 0
+
+
 def test_streamed_ingest_pipeline_dedups_on_pk(spark, sf_dir, tmp_path, staged_events):
     """End-to-end S4+S6: chunked replay → foreachBatch ignore-merge ==
     batch dedup_pk over the same input."""
@@ -660,15 +691,19 @@ def test_flush_fn_edge_inputs_and_emit_once():
     assert out6 == []
 
 
-def test_flush_fn_timeout_on_tombstone_only_state_keeps_watermark():
-    """ADVICE r7 (stateful.py:127): a batch whose rows were ALL late-dropped
-    writes a tombstone-only state (no open buckets, emitted_max set) and
-    re-arms the timeout. When that timeout fires, state.remove() would
-    discard emitted_max — a later replay of already-emitted minutes would
-    then re-emit duplicate candles. The timeout must keep the tombstone."""
-    import pandas as pd
-
-    from coin_for_rich_spark.streaming.stateful import _flush_fn
+def test_flush_fn_tombstone_ttl_bounds_state_and_suppression():
+    """ADVICE r7 + r8 (stateful.py tombstone lifecycle): a stale flush
+    leaves the emit-once watermark as a tombstone armed with the LONG TTL
+    (stale_ms x _TOMBSTONE_TTL_FACTOR). Within that horizon replays of
+    emitted minutes stay suppressed and all-late batches re-arm the TTL;
+    when the TTL itself fires on a tombstone-only state the key is
+    RECLAIMED (r8: keeping it forever leaked one state entry per dead key
+    under key churn). Past the horizon a replay re-emits — the downstream
+    idempotent sink is the documented backstop."""
+    from coin_for_rich_spark.streaming.stateful import (
+        _TOMBSTONE_TTL_FACTOR,
+        _flush_fn,
+    )
 
     key = ("sym",)
     state = _FakeState()
@@ -683,26 +718,29 @@ def test_flush_fn_timeout_on_tombstone_only_state_keeps_watermark():
             stale_ms=1000,
         )
     )
-    # stale flush closes 10:01 -> tombstone-only state
+    # stale flush closes 10:01 -> tombstone-only state, long TTL armed
     timed = _FakeState(value=state._value, timed_out=True)
     list(_flush_fn(key, iter([]), timed, stale_ms=1000))
     assert timed.exists and timed.get[0] == []  # no open buckets
-    # an all-late batch: rows for already-emitted minutes only — the data
-    # branch keeps the tombstone and re-arms the timeout
+    assert timed.timeout_set == 1000 * _TOMBSTONE_TTL_FACTOR
+    # an all-late batch within the horizon: suppressed, TTL re-armed
     timed.hasTimedOut = False
+    timed.timeout_set = None
     out = list(_flush_fn(key, _mk_rows([("2024-01-01 10:00:30", 9.0, 1.0)]), timed, stale_ms=1000))
     assert out == [] and timed.exists
-    # THAT timeout fires on the tombstone-only state: the watermark must
-    # survive (pre-fix: state.remove() here)
+    assert timed.timeout_set == 1000 * _TOMBSTONE_TTL_FACTOR
+    # the TTL fires on the tombstone-only state: the key has been dead for
+    # the whole replay horizon — its state is reclaimed, not kept forever
     timed.hasTimedOut = True
     out = list(_flush_fn(key, iter([]), timed, stale_ms=1000))
     assert out == []
-    assert timed.exists and not timed.removed, "tombstone discarded on timeout"
-    assert timed.get[-1] is not None
-    # and the duplicate-suppression contract still holds on replay
+    assert timed.removed and not timed.exists, "dead tombstone not reclaimed"
+    # past the horizon a replay re-aggregates from scratch: held as the
+    # key's newest (only) bucket, then emitted on later data — the
+    # downstream idempotent sink dedups the duplicate (key, bucket)
     timed.hasTimedOut = False
     out = list(_flush_fn(key, _mk_rows([("2024-01-01 10:01:30", 8.0, 1.0)]), timed, stale_ms=1000))
-    assert out == [], "replay of an emitted minute re-emitted after timeout"
+    assert out == [] and timed.exists
 
 
 def test_rollup_interval_and_trigger_guards(spark, tmp_path):
