@@ -400,9 +400,17 @@ def q_chart_read_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_chart_read_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled chart read (J4+A8, readers.py:210-244): spine join +
-    avg-filled dummy candles with volume 0."""
+    avg-filled dummy candles with volume 0, under the reference's exact
+    spine semantics (serve-pass fix, round 10): the spine anchors at
+    min(FETCHED bucket) — never at ``start`` — runs to ``end``, and only
+    its latest ``limit`` grid points survive (the reference DESC-limits
+    its generate_series before the join, `readers.py:228-238`), so real
+    rows older than the clamped spine drop out of the response. ``end``
+    is pinned to max(ts) floored to the minute — the deterministic stand-in
+    for the reference's default now-1min anchor (`readers.py:171-175`)."""
     cv = candles_view(spark, sf_dir)
-    return read_ohlcvs(cv, "click", "1h", limit=500, empty_ts=True)
+    end = cv.agg(F.max("ts")).first()[0]
+    return read_ohlcvs(cv, "click", "1h", end=end, limit=500, empty_ts=True)
 
 
 def q_common_keys_30(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2210,8 +2218,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chart_read_gapfill": f"""
             WITH c AS ({HOURLY}),
+            e AS (SELECT date_trunc('minute', max(ts)) AS end_ts FROM events),
             f AS (
-                SELECT * FROM c WHERE symbol = 'click'
+                SELECT c.* FROM c, e
+                WHERE symbol = 'click' AND bucket <= end_ts
                 ORDER BY bucket DESC LIMIT 500
             ),
             stats AS (
@@ -2220,12 +2230,18 @@ def oracle_sql() -> dict[str, str]:
                     CAST(sum(CAST(high AS DECIMAL(18,2))) AS DOUBLE) / count(high) AS a_high,
                     CAST(sum(CAST(low AS DECIMAL(18,2))) AS DOUBLE) / count(low) AS a_low,
                     CAST(sum(CAST(close AS DECIMAL(18,2))) AS DOUBLE) / count(close) AS a_close,
-                    min(bucket) AS lo, max(bucket) AS hi
+                    min(bucket) AS lo
                 FROM f
             ),
+            -- the spine: anchored at min(fetched), stepping to end, then
+            -- clamped to its latest 500 grid points (readers.py:228-238's
+            -- ORDER BY ts DESC LIMIT over the generated series)
             spine AS (
-                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
-                FROM stats
+                SELECT unnest(generate_series(
+                    greatest(stats.lo,
+                             date_trunc('hour', e.end_ts) - INTERVAL 499 HOUR),
+                    e.end_ts, INTERVAL 1 HOUR)) AS bucket
+                FROM stats, e
             )
             SELECT spine.bucket AS bucket,
                    round(coalesce(f.open, stats.a_open), 4) AS open,

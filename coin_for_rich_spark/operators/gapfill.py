@@ -87,6 +87,7 @@ def gap_fill_series(
     volume_col: str = "volume",
     start=None,
     end=None,
+    series_limit: int | None = None,
 ) -> DataFrame:
     """Fill missing buckets of a single-key candle frame.
 
@@ -95,10 +96,21 @@ def gap_fill_series(
     avg(value over fetched window) for each price column, 0 volume, and
     ``filled = true``. The avg is decimal-summed / count to stay
     deterministic under parallel aggregation.
+
+    ``series_limit`` reproduces the reference's spine clamp
+    (`readers.py:228-238`): its dummy series is ordered DESC and LIMITed
+    before the join, so only the LATEST ``series_limit`` grid points
+    survive — real rows older than the clamped spine are dropped from the
+    output (they join nothing). ``None`` leaves the spine unclamped.
+    ``start``, when given, anchors the spine explicitly; the reference
+    reader never does this (its spine always starts at min(fetched time) —
+    `readers.py:230`), so the parity caller passes ``start=None``.
     """
     width = INTERVAL_SECONDS[interval]
     if width is None:
         raise ValueError("gap fill over calendar months not supported; use fixed widths")
+    if series_limit is not None and series_limit < 1:
+        raise ValueError(f"series_limit must be >= 1, got {series_limit}")
     # explicit bounds SNAP to the bucket grid (an unaligned start would put
     # every spine timestamp off-grid, the join would match nothing, and all
     # real candles would come back as filled dummies); data-derived bounds
@@ -125,13 +137,32 @@ def gap_fill_series(
     # aggregate and emits one (_lo,_hi) row PER candle — duplicating the
     # whole spine (and output) N times; a global agg is one row for any
     # input, including an empty in-range fetch (full dummy series)
-    spine = (
-        candles.agg(lo.alias("_lo"), hi.alias("_hi"))
-        .select(
-            F.explode(
-                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {width} SECOND"))
-            ).alias(bucket_col)
+    bounds = candles.agg(lo.alias("_lo"), hi.alias("_hi"))
+    if series_limit is not None:
+        # both bounds sit on the same grid (lo is a bucket; hi is a
+        # time_bucket floor or a bucket), so stepping back N-1 widths from
+        # hi stays on-grid and greatest() picks the later anchor — the
+        # latest series_limit grid points, exactly the reference's
+        # ORDER BY ts DESC LIMIT over its generate_series
+        clamped = F.greatest(
+            F.col("_lo"),
+            F.col("_hi")
+            - F.expr(f"INTERVAL {width * (series_limit - 1)} SECOND"),
         )
+        # greatest() SKIPS nulls: an empty fetch (NULL _lo) must stay NULL
+        # so the spine stays empty (the reference returns [] — its series
+        # starts at min(fetched time), which does not exist), not become a
+        # full dummy series anchored at the clamp
+        bounds = bounds.select(
+            F.when(F.col("_lo").isNull(), F.lit(None).cast("timestamp"))
+            .otherwise(clamped)
+            .alias("_lo"),
+            "_hi",
+        )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {width} SECOND"))
+        ).alias(bucket_col)
     )
     joined = spine.join(enriched, on=bucket_col, how="left")
     filled_flag = F.col(value_cols[0]).isNull()

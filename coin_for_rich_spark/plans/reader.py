@@ -93,14 +93,30 @@ def read_ohlcvs(
     empty_ts: bool = False,
     key_col: str = "symbol",
     rollups: dict[str, DataFrame] | None = None,
+    now=None,
     **rollup_kwargs,
 ) -> DataFrame:
     """Chart read: candles for one symbol at one interval, ASC by bucket,
     at most ``min(limit, 500)`` rows (the *latest* ones in range), optionally
     gap-filled.
+
+    ``end`` defaults to one minute before ``now`` (`readers.py:171-175` —
+    the reference always bounds the fetch at now-1min, floored to the
+    minute); ``now`` defaults to the wall clock and exists so replays and
+    oracles can pin it (the same determinism parameter as
+    ``weekly_return``'s). The reference clamps only downward
+    (``min(limit, 500)``, no lower bound): ``limit=0`` returns nothing and
+    a negative limit is an error on both sides (PostgreSQL rejects
+    ``LIMIT -1``; Spark rejects ``.limit(-1)``) — unlike the analytics
+    readers (:func:`read_returns`), where -1 explicitly means "all".
     """
     limit = min(int(limit), MAX_LIMIT)  # `readers.py:168`
     start, end = _floor_minute(start), _floor_minute(end)
+    if end is None:
+        # `readers.py:171-175`: end = (now - 1 minute) floored to the minute
+        if now is None:
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        end = _floor_minute(now) - dt.timedelta(minutes=1)
 
     rel = route_interval(ticks.filter(F.col(key_col) == symbol), interval,
                          rollups=rollups, keys=[key_col], **rollup_kwargs)
@@ -136,7 +152,53 @@ def read_ohlcvs(
     result = fetched.orderBy(F.col("bucket").asc())
 
     if empty_ts:
+        # `readers.py:228-244`: the spine starts at min(FETCHED time) — not
+        # at `start`, which only bounds the fetch — runs to `end` (trailing
+        # gaps fill with dummies up to now-1min by default), and only its
+        # latest `limit` grid points survive (the series is DESC-limited
+        # before the join, so real rows older than the clamped spine drop
+        # out). An empty fetch returns [] — there is no min to anchor at.
         single = result.drop(key_col)
-        filled = gap_fill_series(single, interval, start=start, end=end)
+        filled = gap_fill_series(
+            single, interval, end=end, series_limit=limit
+        )
         return filled.withColumn(key_col, F.lit(symbol))
     return result
+
+
+def read_returns(
+    df: DataFrame,
+    value_col: str,
+    cutoff_upper_pct=None,
+    cutoff_lower_pct=None,
+    limit: int = 500,
+) -> DataFrame:
+    """The analytics-view reader (`readers.py:32-118`, ``read_geodr`` /
+    ``read_wr``): optional extreme-value cutoffs, DESC by the return
+    column, ``limit=-1`` returns ALL rows.
+
+    Two reference idiosyncrasies reproduced deliberately (each pinned in
+    tests/test_serve.py):
+
+    - the cutoffs are tested for TRUTHINESS (``if cutoff_upper_pct and
+      ...``), so a cutoff of ``0`` is silently ignored, exactly like
+      ``None`` — a caller wanting "only negative returns" cannot express
+      it, on either side;
+    - unlike the chart reader there is NO 500 clamp: the default is 500
+      but an explicit larger limit is honored, and ``-1`` means all rows
+      (the chart reader would reject -1 — `readers.py:64-68` vs `:168`).
+    """
+    out = df
+    if cutoff_upper_pct and cutoff_lower_pct:
+        out = out.filter(
+            (F.col(value_col) < F.lit(cutoff_upper_pct))
+            & (F.col(value_col) > F.lit(cutoff_lower_pct))
+        )
+    elif cutoff_upper_pct:
+        out = out.filter(F.col(value_col) < F.lit(cutoff_upper_pct))
+    elif cutoff_lower_pct:
+        out = out.filter(F.col(value_col) > F.lit(cutoff_lower_pct))
+    out = out.orderBy(F.col(value_col).desc())
+    if limit == -1:
+        return out
+    return out.limit(int(limit))

@@ -27,3 +27,229 @@ def test_to_json_rows_shape(spark):
     df = spark.createDataFrame([(1, "a", 2.5)], "id int, name string, v double")
     payload = to_json_rows(df).first().payload
     assert json.loads(payload) == {"id": 1, "name": "a", "v": 2.5}
+
+
+# --- round-10 serve/API adversarial pass (VERDICT r8 ask #3) ---------------
+# The reference spec: `web/routes/api/rest/utils/readers.py:32-368` +
+# `parsers.py:9-40`. Each test pins one edge the mirrored oracles could
+# never disagree on because both sides were written from one reading.
+
+
+def _mk_candles(spark, rows):
+    """rows: [(iso_bucket, open, high, low, close, volume)] for one symbol."""
+    df = spark.createDataFrame(
+        [(b, "k", o, h, lo, c, v) for b, o, h, lo, c, v in rows],
+        "bucket string, symbol string, open double, high double, "
+        "low double, close double, volume double",
+    )
+    return df.withColumn("bucket", F.to_timestamp("bucket"))
+
+
+def _ticks_from_candles(spark, rows):
+    """One tick per candle (price=o=h=l=c, volume) so the 1h rollup equals
+    the row exactly — isolates READER semantics from aggregation."""
+    df = spark.createDataFrame(
+        [(i, b, "k", r[1], r[5]) for i, (b, *r_) in enumerate(rows) for r in [rows[i]]],
+        "event_id long, ts string, symbol string, price double, volume double",
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_empty_ts_spine_anchors_at_min_fetched_not_start(spark):
+    """readers.py:230: generate_series starts at min(FETCHED time) — a
+    `start` long before the first row adds NO leading dummies (start only
+    bounds the fetch)."""
+    from coin_for_rich_spark.plans.reader import read_ohlcvs
+
+    rows = [
+        ("2024-01-10 05:00:00", 1.0, 1.0, 1.0, 1.0, 1.0),
+        ("2024-01-10 07:00:00", 3.0, 3.0, 3.0, 3.0, 3.0),
+    ]
+    out = read_ohlcvs(
+        _ticks_from_candles(spark, rows),
+        "k",
+        "1h",
+        start="2024-01-01 00:00:00",
+        end="2024-01-10 07:00:00",
+        empty_ts=True,
+    ).collect()
+    buckets = [r.bucket.isoformat() for r in out]
+    assert buckets == [
+        "2024-01-10T05:00:00",
+        "2024-01-10T06:00:00",
+        "2024-01-10T07:00:00",
+    ]
+    assert [r.filled for r in out] == [False, True, False]
+    # the dummy: avg over the fetched window, volume 0 (readers.py:221-227)
+    dummy = out[1]
+    assert dummy.open == 2.0 and dummy.volume == 0.0
+
+
+def test_empty_ts_fills_trailing_gap_up_to_end(spark):
+    """readers.py:231: the series runs to `end` even past the last real
+    row — trailing dummies chart the quiet tail (by default up to
+    now-1min; here pinned with an explicit end)."""
+    from coin_for_rich_spark.plans.reader import read_ohlcvs
+
+    rows = [("2024-01-10 05:00:00", 1.0, 1.0, 1.0, 1.0, 1.0)]
+    out = read_ohlcvs(
+        _ticks_from_candles(spark, rows),
+        "k",
+        "1h",
+        end="2024-01-10 08:30:00",
+        empty_ts=True,
+    ).collect()
+    buckets = [r.bucket.isoformat() for r in out]
+    assert buckets == [
+        "2024-01-10T05:00:00",
+        "2024-01-10T06:00:00",
+        "2024-01-10T07:00:00",
+        "2024-01-10T08:00:00",
+    ]
+    assert [r.filled for r in out] == [False, True, True, True]
+
+
+def test_empty_ts_spine_clamped_to_latest_limit_points(spark):
+    """readers.py:228-238: the dummy series is DESC-limited to `limit`
+    BEFORE the join, so the response holds the latest `limit` grid points
+    and real rows older than the clamped spine drop out entirely."""
+    from coin_for_rich_spark.plans.reader import read_ohlcvs
+
+    rows = [
+        ("2024-01-10 00:00:00", 1.0, 1.0, 1.0, 1.0, 1.0),  # older than spine
+        ("2024-01-10 06:00:00", 2.0, 2.0, 2.0, 2.0, 2.0),
+        ("2024-01-10 08:00:00", 4.0, 4.0, 4.0, 4.0, 4.0),
+    ]
+    out = read_ohlcvs(
+        _ticks_from_candles(spark, rows),
+        "k",
+        "1h",
+        end="2024-01-10 08:00:00",
+        limit=3,
+        empty_ts=True,
+    ).collect()
+    buckets = [r.bucket.isoformat() for r in out]
+    assert buckets == [
+        "2024-01-10T06:00:00",
+        "2024-01-10T07:00:00",
+        "2024-01-10T08:00:00",
+    ]
+    # 00:00's real row is gone; 06:00 and 08:00 are real, 07:00 a dummy
+    assert [r.filled for r in out] == [False, True, False]
+
+
+def test_empty_ts_empty_fetch_returns_nothing(spark):
+    """readers.py:230: min() over an empty fetch is NULL, generate_series
+    emits nothing — an out-of-range request returns [], never a dummy
+    series (the old start-anchored spine would have fabricated one)."""
+    from coin_for_rich_spark.plans.reader import read_ohlcvs
+
+    rows = [("2024-01-10 05:00:00", 1.0, 1.0, 1.0, 1.0, 1.0)]
+    out = read_ohlcvs(
+        _ticks_from_candles(spark, rows),
+        "k",
+        "1h",
+        start="2023-06-01 00:00:00",
+        end="2023-06-02 00:00:00",
+        empty_ts=True,
+    )
+    assert out.count() == 0
+
+
+def test_default_end_is_now_minus_one_minute(spark):
+    """readers.py:171-175: with no `end`, the fetch is bounded at
+    (now - 1 minute) floored to the minute — rows at or before the bound
+    survive, later rows don't. `now` injected for determinism."""
+    import datetime as dt
+
+    from coin_for_rich_spark.plans.reader import read_ohlcvs
+
+    rows = [
+        ("2024-01-10 05:00:00", 1.0, 1.0, 1.0, 1.0, 1.0),
+        ("2024-01-10 07:00:00", 3.0, 3.0, 3.0, 3.0, 3.0),
+    ]
+    # now = 06:00:45 -> end = 05:59 -> the 05:00 bucket passes, 07:00 not
+    out = read_ohlcvs(
+        _ticks_from_candles(spark, rows),
+        "k",
+        "1h",
+        now=dt.datetime(2024, 1, 10, 6, 0, 45),
+    ).collect()
+    assert [r.bucket.isoformat() for r in out] == ["2024-01-10T05:00:00"]
+
+
+def test_chart_limit_contract_zero_and_negative(spark):
+    """readers.py:168 clamps only DOWNWARD: limit=0 -> LIMIT 0 -> empty;
+    a negative limit errors on both sides (PostgreSQL rejects LIMIT -1,
+    Spark rejects .limit(-1)) — the chart reader has no 'all rows'
+    spelling, unlike the analytics readers."""
+    import pytest
+
+    from coin_for_rich_spark.plans.reader import read_ohlcvs
+
+    rows = [("2024-01-10 05:00:00", 1.0, 1.0, 1.0, 1.0, 1.0)]
+    ticks = _ticks_from_candles(spark, rows)
+    assert read_ohlcvs(ticks, "k", "1h", limit=0).count() == 0
+    with pytest.raises(Exception, match="-1|negative|LIMIT"):
+        read_ohlcvs(ticks, "k", "1h", limit=-1).count()
+
+
+def test_read_returns_cutoff_truthiness_and_limit_all(spark):
+    """readers.py:44-68: cutoffs are tested for TRUTHINESS — cutoff 0 is
+    ignored exactly like None (a 'negative returns only' request cannot be
+    expressed); limit=-1 returns ALL rows; order is value DESC; and there
+    is NO 500 clamp (an explicit larger limit is honored)."""
+    from coin_for_rich_spark.plans.reader import read_returns
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("b", -1.0), ("c", 0.0), ("d", 2.0), ("e", 9.0)],
+        "symbol string, daily_return_pct double",
+    )
+    # both cutoffs: strict (lower, upper) band
+    band = read_returns(df, "daily_return_pct", 9, -5).collect()
+    assert [r.symbol for r in band] == ["d", "c", "b"]
+    # cutoff 0 is FALSY -> ignored: upper=0 alone behaves like no filter
+    zero = read_returns(df, "daily_return_pct", cutoff_upper_pct=0).collect()
+    assert [r.symbol for r in zero] == ["e", "d", "c", "b", "a"]
+    # limit=-1 -> all rows even with a filter
+    alln = read_returns(df, "daily_return_pct", cutoff_lower_pct=-2, limit=-1)
+    assert alln.count() == 4
+    # plain limit honored above 500's chart clamp (no clamp here)
+    assert read_returns(df, "daily_return_pct", limit=2).count() == 2
+
+
+def test_round4_divergence_from_reference_is_documented(spark):
+    """parsers.py:22-34 rounds with Python Decimal's HALF_EVEN over exact
+    NUMERICs; the engine rounds doubles with Spark's round() (HALF_UP on
+    the decimal repr). For every value the ingest contract can store
+    (<= 4 decimal digits, fetchers round at NUM_DECIMALS=4) rounding is
+    the identity on both sides, so the divergence is reachable ONLY
+    through avg-fill dummies whose exact mean lands on a binary-exact
+    4-decimal tie (e.g. 0.03125). Pin the engine's HALF_UP choice there
+    and the shared no-op on stored values, so the contract is explicit."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "k", 0.03125, 1.2345, 1.2345, 1.2345, 1.0)],
+        "bucket string, symbol string, open double, high double, low double,"
+        " close double, volume double",
+    ).withColumn("bucket", F.to_timestamp("bucket"))
+    row = serialize_candles(df).first()
+    # engine: HALF_UP -> 0.0313 (reference parse_ohlcv would emit
+    # Decimal('0.0312') here — banker's rounding on the exact tie)
+    assert row.open == 0.0313
+    # stored-value contract: 4-decimal inputs round to themselves
+    assert row.high == 1.2345
+
+
+def test_parse_ohlcv_null_guard_contract(spark):
+    """parsers.py:36-39: round_decimal(None) -> None, so NULL values
+    serialize as NULL (a TypeError only arises from a NULL time, which the
+    DDL forbids — the reference's catch-all that empties the WHOLE
+    response is unreachable for valid rows; the engine serializes NULLs
+    per-column instead of discarding the response)."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "k", None, 2.0, 0.5, 1.0, None)],
+        "bucket string, symbol string, open double, high double, low double,"
+        " close double, volume double",
+    ).withColumn("bucket", F.to_timestamp("bucket"))
+    row = serialize_candles(df).first()
+    assert row.open is None and row.volume is None and row.time is not None
