@@ -52,6 +52,8 @@ from coin_for_rich_spark.llmdata import (
     cosine_knn,
     knn_join,
     dedup_clusters,
+    score_char_lm,
+    train_char_lm,
     embedding_neardup_pairs,
     doc_profile,
     chunk_documents,
@@ -747,12 +749,64 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "symbol", "close", "ma")
 
 
-def q_serve_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_serve_payload(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r10
+    # swapped for `quality_score` (VERDICT r8 ask #4; mapping in
+    # COVERAGE.md): the round-10 serve adversarial pass left this thin
+    # scalar row's semantics pinned by 11 dedicated pytest cases
+    # (tests/test_serve.py — ms/s conversion, round-4, NULL serialization,
+    # limit contracts), and epoch-ms serialization still executes inside
+    # the oracle-checked chart rows; the char-LM quality scorer was the
+    # largest operator family with no hash-gate row at all
     """M6 — serve serialization (parsers.py:9-40): chart read → epoch-ms
     time + 4-decimal OHLCV, the API's wire contract."""
     cv = candles_view(spark, sf_dir)
     chart = read_ohlcvs(cv, "purchase", "1h", limit=500)
     return serialize_candles(chart, results_mls=True)
+
+
+#: quality-score gate geometry: the classic char-trigram model with
+#: alpha=0.5 smoothing, trained on the doc_id % 4 == 1 reference split
+_QUALITY_GATE_ORDER = 3
+_QUALITY_GATE_ALPHA = 0.5
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char n-gram LM quality scoring, hash-exact (llmdata/quality.py —
+    declared r10, swapped in for `serve_payload` per VERDICT r8 ask #4):
+    trains the trigram model on the doc_id % 4 == 1 reference split and
+    scores EVERY document's cross-entropy under it.
+
+    The oracle does NOT trust the model (the BPE-row discipline): it
+    RE-TRAINS the whole model in DuckDB from the raw documents table —
+    normalization (lower/trim/space→▁), codepoint trigrams, reference
+    counts, alphabet size, context sums, add-alpha smoothing — and
+    re-scores every document through the same coalesce(model, context
+    penalty, 1/V floor) ladder.
+
+    Float contract: every per-doc sum routes through DECIMAL(38,18) (the
+    double→decimal cast is engine-independent — verified against DuckDB —
+    and decimal addition is order-free), so the only residual divergence
+    is the last-ulp freedom of the two engines' ln(); the emitted
+    cross-entropy is rounded to 6 decimals, leaving ~1e-15 of slack
+    against a 1e-6 grid (the geo_daily_return round-4 contract class,
+    green since r1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 4 == 1)
+    lm = train_char_lm(
+        ref, order=_QUALITY_GATE_ORDER, alpha=_QUALITY_GATE_ALPHA
+    )
+    # model relations are persisted by the trainer; register them with the
+    # bench cache registry so min-of-N passes measure the plan, not a
+    # warm model cache, and nothing leaks across passes
+    from coin_for_rich_spark.llmdata.dedup import _INTERMEDIATE_CACHES
+
+    _INTERMEDIATE_CACHES.extend([lm.ngrams, lm.contexts])
+    scored = score_char_lm(docs, lm)
+    return scored.select(
+        "doc_id",
+        "n_ngrams",
+        F.round("cross_entropy", 6).alias("ce6"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1878,7 +1932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": q_brand_revenue,
         "region_supplier_volume": q_region_supplier_volume,
         "moving_avg": q_moving_avg,
-        "serve_payload": q_serve_payload,
+        # char-LM quality scorer (serve_payload → quality_score in r10:
+        # the serve wire contract stays pinned by the 11 test_serve.py
+        # cases from the r10 adversarial pass; epoch-ms serialization
+        # still executes inside the oracle-checked chart rows)
+        "quality_score": q_quality_score,
     }
     assert len(out) <= 50, (
         f"{len(out)} queries declared but the driver correctness gate checks "
@@ -2524,18 +2582,87 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY symbol ORDER BY bucket
                          ROWS BETWEEN 167 PRECEDING AND CURRENT ROW)
         """,
-        "serve_payload": f"""
-            WITH c AS ({HOURLY})
-            SELECT CAST(epoch_ms(bucket) AS BIGINT) AS time,
-                   symbol,
-                   round(open, 4) AS open, round(high, 4) AS high,
-                   round(low, 4) AS low, round(close, 4) AS close,
-                   round(volume, 4) AS volume,
-                   n_trades
-            FROM (
-                SELECT * FROM c WHERE symbol = 'purchase'
-                ORDER BY bucket DESC LIMIT 500
+        # the quality oracle RE-TRAINS the char-trigram model from the raw
+        # documents table (normalization, codepoint trigrams, reference
+        # counts, alphabet, context sums, add-alpha smoothing) and
+        # re-scores every doc — it never sees the engine's model. Framing:
+        # each trigram is its three codepoints space-joined (the engine's
+        # token_ngrams join), spaces remapped to ▁ first so the separator
+        # is unambiguous; context = the first two codepoints; the smoothing
+        # arithmetic mirrors the engine's IEEE expression shape exactly
+        # ((c + 0.5) / (c_ctx + 0.5·V), double all the way), so the ln
+        # ARGUMENT is bit-identical and only ln's last ulp is free — the
+        # round-6 contract absorbs it (see q_quality_score)
+        "quality_score": """
+            WITH norm AS (
+                SELECT doc_id, replace(lower(trim(text)), ' ', '▁') AS s
+                FROM documents
+            ),
+            grams AS MATERIALIZED (
+                SELECT doc_id,
+                       substr(s, i, 1) || ' ' || substr(s, i + 1, 1)
+                           || ' ' || substr(s, i + 2, 1) AS ngram
+                FROM (
+                    SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i
+                    FROM norm
+                )
+            ),
+            ref_counts AS MATERIALIZED (
+                SELECT ngram, count(*) AS c
+                FROM grams WHERE doc_id % 4 = 1
+                GROUP BY ngram
+            ),
+            vsize AS (
+                SELECT greatest(
+                    count(DISTINCT split_part(ngram, ' ', 3)), 1) AS v
+                FROM ref_counts
+            ),
+            ctx_counts AS MATERIALIZED (
+                SELECT substr(ngram, 1, len(ngram) - 2) AS ctx,
+                       sum(c) AS c_ctx
+                FROM ref_counts GROUP BY 1
+            ),
+            model AS (
+                SELECT r.ngram,
+                       ln((r.c + 0.5)
+                          / (cc.c_ctx + 0.5 * (SELECT v FROM vsize))) AS logp
+                FROM ref_counts r
+                JOIN ctx_counts cc
+                  ON substr(r.ngram, 1, len(r.ngram) - 2) = cc.ctx
+            ),
+            ctx_unseen AS (
+                SELECT ctx,
+                       ln(0.5 / (c_ctx + 0.5 * (SELECT v FROM vsize)))
+                           AS logp_unseen
+                FROM ctx_counts
+            ),
+            perdoc AS (
+                SELECT doc_id, ngram, count(*) AS n
+                FROM grams GROUP BY doc_id, ngram
+            ),
+            lps AS (
+                SELECT p.doc_id, p.n,
+                       coalesce(m.logp, cu.logp_unseen,
+                                -ln((SELECT v FROM vsize))) AS lp
+                FROM perdoc p
+                LEFT JOIN model m ON p.ngram = m.ngram
+                LEFT JOIN ctx_unseen cu
+                  ON substr(p.ngram, 1, len(p.ngram) - 2) = cu.ctx
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST(sum(n) AS BIGINT) AS n_ngrams,
+                       round(
+                           CAST(-sum(CAST(lp * n AS DECIMAL(38, 18)))
+                                AS DOUBLE) / sum(n),
+                           6) AS ce6
+                FROM lps GROUP BY doc_id
             )
+            SELECT d.doc_id,
+                   coalesce(s.n_ngrams, 0) AS n_ngrams,
+                   s.ce6
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY doc_id
         """,
         "doc_profile": f"""
             WITH stats AS ({DOC_STATS_SQL}),

@@ -188,7 +188,17 @@ def score_char_lm(
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_ngrams"),
-            (-F.sum(F.col("lp") * F.col("n")) / F.sum("n")).alias("cross_entropy"),
+            # the per-doc sum routes through DECIMAL: a double sum is
+            # partial-aggregation-order-dependent, so two runs (or a
+            # 1000-executor run vs a single-threaded oracle) would disagree
+            # in the last ulps; the decimal(38,18) cast of each product is
+            # an engine-independent function of the double (verified vs
+            # DuckDB) and the decimal sum is exact in any order
+            (
+                -F.sum((F.col("lp") * F.col("n")).cast("decimal(38,18)"))
+                .cast("double")
+                / F.sum("n")
+            ).alias("cross_entropy"),
         )
         .withColumn("perplexity", F.exp("cross_entropy"))
     )

@@ -162,6 +162,34 @@ def _psql(conninfo, sql: str, fetch: bool = False) -> str:
     return p.stdout.decode()
 
 
+#: the dedicated non-superuser role every statement containing verbatim
+#: reference text executes under (ADVICE r8: reference SQL running as the
+#: cluster superuser could reach file primitives callable from SELECT —
+#: lo_export, pg_read_file). NOSUPERUSER, no pg_write_server_files /
+#: pg_execute_server_program membership; objects it creates (the reference
+#: tables and views) are owned by it, so the view bodies also execute under
+#: its privileges at query time.
+REF_ROLE_SQL = """
+CREATE ROLE refexec NOSUPERUSER NOCREATEDB NOCREATEROLE NOREPLICATION;
+GRANT ALL ON SCHEMA public TO refexec;
+GRANT refexec TO CURRENT_USER;
+"""
+
+
+def _psql_ref(conninfo, sql: str, fetch: bool = False) -> str:
+    """Execute ``sql`` (reference-derived text) under the refexec role."""
+    return _psql(conninfo, "SET ROLE refexec;\n" + sql, fetch=fetch)
+
+
+def _fetch_ref(conninfo, sql: str) -> list[list[str]]:
+    """Fetch reference-derived SQL under refexec (the SET command tag psql
+    prints even in tuples-only mode is stripped)."""
+    out = _psql_ref(conninfo, sql, fetch=True)
+    return [
+        line.split("\t") for line in out.splitlines() if line and line != "SET"
+    ]
+
+
 def _fetch(conninfo, sql: str) -> list[list[str]]:
     out = _psql(conninfo, sql, fetch=True)
     return [line.split("\t") for line in out.splitlines() if line]
@@ -225,10 +253,12 @@ def env(spark, sf_dir):
     conninfo, stop = start_cluster(tempfile.mkdtemp(prefix="cfr_refpar_"))
     try:
         _psql(conninfo, POLYFILL_SQL)
-        # reference DDL, executed from the file (PKs omitted: the views
-        # don't read them and both sides consume the identical row set)
-        _psql(conninfo, _table_ddl(create_sql, "ohlcvs"))
-        _psql(conninfo, _table_ddl(create_sql, "symbol_exchange"))
+        _psql(conninfo, REF_ROLE_SQL)
+        # reference DDL, executed from the file under the NON-SUPERUSER
+        # role (PKs omitted: the views don't read them and both sides
+        # consume the identical row set)
+        _psql_ref(conninfo, _table_ddl(create_sql, "ohlcvs"))
+        _psql_ref(conninfo, _table_ddl(create_sql, "symbol_exchange"))
 
         with tempfile.TemporaryDirectory(prefix="cfr_refpar_csv_") as tmp:
             for name, df, cols in (
@@ -246,8 +276,10 @@ def env(spark, sf_dir):
                 )
 
         # materialize the views IN REFERENCE ORDER (geo/top20 read conaggs)
+        # under the non-superuser role — the verbatim reference bodies both
+        # materialize now and execute later as refexec (view owner)
         for name in ("common_basequote_30", *CONAGG_VIEWS):
-            _psql(
+            _psql_ref(
                 conninfo,
                 f"CREATE MATERIALIZED VIEW {name} AS "
                 + _prepare_view(_view_body(create_sql, name), anchor),
@@ -255,7 +287,7 @@ def env(spark, sf_dir):
         for name in ("geo_daily_return", "top_20_quoted_vol", "weekly_return"):
             body = _view_body(create_sql, name)
             assert "CURRENT_DATE" in body, f"{name}: expected CURRENT_DATE anchor"
-            _psql(
+            _psql_ref(
                 conninfo,
                 f"CREATE MATERIALIZED VIEW {name} AS " + _prepare_view(body, anchor),
             )
@@ -464,7 +496,7 @@ def test_latest_symexch_verbatim(env):
 
     pg = {
         (r[0], r[1]): (_pg_ts(r[2]).timestamp(),)
-        for r in _fetch(
+        for r in _fetch_ref(
             env["conninfo"], _py_query(env["queries_py"], "LATEST_SYMEXCH_QUERY")
         )
     }
@@ -490,7 +522,9 @@ def test_ts_gaps_verbatim(env):
         "comparison would be against a nondeterministic subset"
     )
     pg = {}
-    for (line,) in _fetch(env["conninfo"], _py_query(env["queries_py"], "TS_GAPS_QUERY")):
+    for (line,) in _fetch_ref(
+        env["conninfo"], _py_query(env["queries_py"], "TS_GAPS_QUERY")
+    ):
         row = json.loads(line)
         key = (row["exchange"], row["symbol"], _pg_ts(row["time"]).timestamp())
         pg[key] = (_pg_ts(row["next_time"]).timestamp(), float(row["difference"]))
@@ -506,3 +540,60 @@ def test_ts_gaps_verbatim(env):
     }
     assert pg, "no gaps in fixture — threshold comparison is vacuous"
     _diff_keyed(pg, sp, "ts_gaps", tol=1e-6)
+
+
+def test_time_bucket_three_implementation_agreement(env, spark):
+    """VERDICT r8 ask #5: the polyfill is the one primitive in this leg
+    written by the builder (vanilla PG has no Timescale extension). DuckDB
+    ships a NATIVE time_bucket with the same documented 2000-01-03 origin —
+    agreement of (engine, PG polyfill, DuckDB builtin) across widths and
+    awkward instants turns 'origin per documentation' into a
+    three-independent-implementation fact. Inputs include the origin
+    itself, off-grid offsets, a leap day, and PRE-ORIGIN instants (where a
+    plain %-mod would bucket right instead of left)."""
+    import duckdb
+
+    from pyspark.sql import functions as F, types as T
+
+    from coin_for_rich_spark.functions.timeutils import time_bucket
+
+    widths = [("5m", "5 minutes"), ("30m", "30 minutes"), ("12h", "12 hours"),
+              ("1D", "1 day"), ("7D", "7 days")]
+    instants = [
+        "2024-01-10 05:07:31",
+        "2024-01-08 00:00:00",   # a Monday, on-grid for every width
+        "2023-12-31 23:59:59",
+        "2024-02-29 12:00:01",   # leap day
+        "2000-01-03 00:00:00",   # the origin itself
+        "1999-12-27 00:03:00",   # pre-origin, same week as origin - 7D
+        "1999-12-26 23:59:59",   # pre-origin, previous week
+        "1970-01-01 00:00:00",   # epoch (Thursday — the naive-floor trap)
+    ]
+
+    df = spark.createDataFrame([(t,) for t in instants], "t string").select(
+        F.to_timestamp("t").alias("t")
+    )
+    for short, verbose in widths:
+        eng = [
+            r[0].isoformat()
+            for r in df.select(time_bucket("t", short)).collect()
+        ]
+        duck = [
+            duckdb.sql(
+                f"SELECT time_bucket(INTERVAL '{verbose}', TIMESTAMP '{t}')"
+            ).fetchone()[0].isoformat()
+            for t in instants
+        ]
+        pg = [
+            _pg_ts(
+                _fetch(
+                    env["conninfo"],
+                    f"SELECT time_bucket(INTERVAL '{verbose}', "
+                    f"TIMESTAMPTZ '{t}+00')",
+                )[0][0]
+            ).isoformat()
+            for t in instants
+        ]
+        assert eng == duck == pg, (
+            f"width {short}: engine {eng}\n duckdb {duck}\n polyfill {pg}"
+        )

@@ -158,6 +158,21 @@ def _fetch(conninfo, sql: str) -> list[list[str]]:
     return [line.split("\t") for line in out.splitlines() if line]
 
 
+#: reference-derived SQL (the extracted DDL/PK and the verbatim insert
+#: template) executes under a dedicated NOSUPERUSER role — same hardening
+#: as test_reference_sql_parity (ADVICE r8: superuser execution of
+#: untrusted reference text could reach file primitives from SELECT)
+REF_ROLE_SQL = """
+CREATE ROLE refexec NOSUPERUSER NOCREATEDB NOCREATEROLE NOREPLICATION;
+GRANT ALL ON SCHEMA public TO refexec;
+GRANT refexec TO CURRENT_USER;
+"""
+
+
+def _psql_ref(conninfo, sql: str) -> str:
+    return _psql(conninfo, "SET ROLE refexec;\n" + sql)
+
+
 SUB_HASH_DDL = """
 CREATE TABLE sub_hash (
     exchange VARCHAR(100) NOT NULL,
@@ -220,7 +235,7 @@ def _pg_drain_cycle(conninfo, insert_template: str, now_ms: int) -> None:
             f"'{r[2]}', {r[4]}, {r[5]}, {r[6]}, {r[7]}, {r[8]})"
             for r in drained
         )
-        _psql(
+        _psql_ref(
             conninfo,
             insert_template.replace("{table}", "ohlcvs").replace("%s", vals),
         )
@@ -355,8 +370,9 @@ def pg():
     conninfo, stop = start_cluster(tempfile.mkdtemp(prefix="cfr_updpar_"))
     try:
         create_sql = open(CREATE_SQL).read()
-        _psql(conninfo, _table_ddl(create_sql, "ohlcvs"))
-        _psql(conninfo, _pk_ddl(create_sql, "ohlcvs"))
+        _psql(conninfo, REF_ROLE_SQL)
+        _psql_ref(conninfo, _table_ddl(create_sql, "ohlcvs"))
+        _psql_ref(conninfo, _pk_ddl(create_sql, "ohlcvs"))
         _psql(conninfo, SUB_HASH_DDL)
         yield conninfo
     finally:
