@@ -126,18 +126,24 @@ def gap_fill_series(
         else F.max(bucket_col)
     )
 
-    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    avgs = {
-        c: (F.sum(money(c)).over(w).cast("double") / F.count(c).over(w)).alias(f"_avg_{c}")
-        for c in value_cols
-    }
-    enriched = candles.select("*", *avgs.values())
-
-    # agg, never select: with BOTH bounds literal, a select carries no
-    # aggregate and emits one (_lo,_hi) row PER candle — duplicating the
-    # whole spine (and output) N times; a global agg is one row for any
-    # input, including an empty in-range fetch (full dummy series)
-    bounds = candles.agg(lo.alias("_lo"), hi.alias("_hi"))
+    # ONE global agg carries the bounds AND the fill averages (the
+    # reference's dseries computes avg(fetched) alongside its
+    # generate_series, `readers.py:221-238`) — deriving the averages from
+    # the joined frame instead would LOSE them whenever no fetched row
+    # survives the clamped spine (a sparse key whose latest data is older
+    # than the last `series_limit` grid points must still emit avg-filled
+    # dummies, not NULLs — caught by the live-PG reader-shape leg). The
+    # avg is decimal-summed / count to stay deterministic under parallel
+    # aggregation. Agg, never select: with BOTH bounds literal, a select
+    # would emit one row PER candle and duplicate the spine N times.
+    bounds = candles.agg(
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        *[
+            (F.sum(money(c)).cast("double") / F.count(c)).alias(f"_avg_{c}")
+            for c in value_cols
+        ],
+    )
     if series_limit is not None:
         # both bounds sit on the same grid (lo is a bucket; hi is a
         # time_bucket floor or a bucket), so stepping back N-1 widths from
@@ -158,20 +164,21 @@ def gap_fill_series(
             .otherwise(clamped)
             .alias("_lo"),
             "_hi",
+            *[f"_avg_{c}" for c in value_cols],
         )
     spine = bounds.select(
         F.explode(
             F.sequence("_lo", "_hi", F.expr(f"INTERVAL {width} SECOND"))
-        ).alias(bucket_col)
+        ).alias(bucket_col),
+        *[f"_avg_{c}" for c in value_cols],
     )
-    joined = spine.join(enriched, on=bucket_col, how="left")
+    joined = spine.join(candles, on=bucket_col, how="left")
     filled_flag = F.col(value_cols[0]).isNull()
     out_cols = [F.col(bucket_col)]
-    # window-avg columns are NULL on spine-only rows; fill them from any row
-    # via a second unbounded-window max (the avg is constant per frame).
     for c in value_cols:
-        fill = F.max(f"_avg_{c}").over(w)
-        out_cols.append(F.round(F.coalesce(F.col(c), fill), 4).alias(c))
+        out_cols.append(
+            F.round(F.coalesce(F.col(c), F.col(f"_avg_{c}")), 4).alias(c)
+        )
     out_cols.append(F.coalesce(F.col(volume_col), F.lit(0.0)).alias(volume_col))
     out_cols.append(filled_flag.alias("filled"))
     return joined.select(*out_cols)

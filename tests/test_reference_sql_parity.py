@@ -597,3 +597,145 @@ def test_time_bucket_three_implementation_agreement(env, spark):
         assert eng == duck == pg, (
             f"width {short}: engine {eng}\n duckdb {duck}\n polyfill {pg}"
         )
+
+
+def _reader_sql(triple, interval_sql: str, summary: str, end_iso: str,
+                limit: int, start_iso: str | None) -> str:
+    """The reference chart reader's empty_ts query, transcribed from its
+    SQLAlchemy construction (`readers.py:287-362`, summary-table branch):
+    DESC-limited fetch -> generate_series(min(fetched), end) dummy series
+    with window-avg fill values DESC-limited to `limit` -> LEFT JOIN on
+    the bucket -> ASC + limit. (SQLAlchemy renders to SQL at runtime —
+    this is the same statement shape PostgreSQL executes for the API.)"""
+    exch, base, quote = triple
+    start_pred = (
+        f"AND bucket >= TIMESTAMPTZ '{start_iso}+00'" if start_iso else ""
+    )
+    return f"""
+        WITH fromdb AS (
+            SELECT bucket AS time, open, high, low, close, volume
+            FROM {summary}
+            WHERE exchange = '{exch}' AND base_id = '{base}'
+              AND quote_id = '{quote}'
+              AND bucket <= TIMESTAMPTZ '{end_iso}+00' {start_pred}
+            ORDER BY bucket DESC LIMIT {limit}
+        ),
+        dseries AS (
+            SELECT generate_series(
+                       min(fromdb.time),
+                       TIMESTAMPTZ '{end_iso}+00',
+                       CAST('{interval_sql}' AS INTERVAL)) AS time,
+                   avg(fromdb.open) AS open, avg(fromdb.high) AS high,
+                   avg(fromdb.low) AS low, avg(fromdb.close) AS close,
+                   0 AS volume
+            FROM fromdb
+            ORDER BY time DESC LIMIT {limit}
+        )
+        SELECT dseries.time,
+               coalesce(fromdb.open, dseries.open) AS open,
+               coalesce(fromdb.high, dseries.high) AS high,
+               coalesce(fromdb.low, dseries.low) AS low,
+               coalesce(fromdb.close, dseries.close) AS close,
+               coalesce(fromdb.volume, dseries.volume) AS volume
+        FROM dseries LEFT JOIN fromdb ON dseries.time = fromdb.time
+        ORDER BY dseries.time ASC LIMIT {limit}
+    """
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        # (interval, limit, start, end_offset_hours_past_max)
+        ("1h", 500, None, 0),       # the default read
+        ("1h", 7, None, 0),         # spine clamp drops older real rows
+        ("1h", 500, "mid", 0),      # start bounds the fetch, not the spine
+        ("1h", 500, None, 26),      # end past the data: trailing dummies
+        ("7D", 500, None, 0),       # Monday-grid weekly conagg
+        ("1h", 500, "late", 0),     # start beyond all data: empty response
+    ],
+    ids=["default", "clamp", "start-mid", "trailing", "weekly", "empty"],
+)
+def test_chart_reader_empty_ts_against_reference_sql_shape(env, spark, case):
+    """Round-10 serve-pass capstone: the engine's read_ohlcvs(empty_ts=True)
+    vs the reference reader's own SQL shape executing on live PostgreSQL
+    over the SAME rows (the materialized conagg views the r8 leg pinned).
+    This is the leg that would have caught the spine-anchor /
+    trailing-fill / series-clamp divergences the round-10 code reading
+    found — now pinned against PostgreSQL's executor instead of a reading.
+
+    Value contract: engine emits round-half-up-4 of the fill values
+    (parse_ohlcv's serve rounding folded into the gapfill operator), the
+    PG side emits raw averages — each engine value must equal its PG twin
+    to within half a round-4 step (exact for real rows)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.plans.reader import read_ohlcvs
+
+    interval, limit, start_kind, end_off = case
+    summary = {
+        "1h": "ohlcvs_summary_1hour", "7D": "ohlcvs_summary_7day"
+    }[interval]
+    interval_sql = {"1h": "1 hour", "7D": "7 days"}[interval]
+
+    triple = tuple(
+        env["se"].orderBy("exchange", "base_id", "quote_id").first()[0:3]
+    )
+    max_time = env["max_time"]
+    end = (max_time + dt.timedelta(hours=end_off)).replace(
+        second=0, microsecond=0
+    )
+    span_lo = env["ohlcvs"].agg(F.min("time")).first()[0]
+    if start_kind == "mid":
+        start = span_lo + (max_time - span_lo) / 2
+        start = start.replace(second=0, microsecond=0)
+    elif start_kind == "late":
+        start = max_time + dt.timedelta(days=30)
+        end = start + dt.timedelta(days=1)
+    else:
+        start = None
+
+    # engine side: the same rows as ticks keyed by the composite triple
+    ticks = env["ohlcvs"].select(
+        F.col("time").alias("ts"),
+        F.concat_ws("|", *KEYS).alias("sym3"),
+        F.col("close").alias("price"),
+        F.col("volume").alias("volume"),
+    )
+    got = read_ohlcvs(
+        ticks,
+        "|".join(triple),
+        interval,
+        start=start,
+        end=end,
+        limit=limit,
+        empty_ts=True,
+        key_col="sym3",
+    ).collect()
+
+    pg_rows = _fetch(
+        env["conninfo"],
+        _reader_sql(
+            triple,
+            interval_sql,
+            summary,
+            end.isoformat(sep=" "),
+            limit,
+            start.isoformat(sep=" ") if start else None,
+        ),
+    )
+
+    assert len(got) == len(pg_rows), (
+        f"{case}: engine {len(got)} rows vs reference-SQL {len(pg_rows)}"
+    )
+    for eng, pg in zip(got, pg_rows):
+        assert eng.bucket == _pg_ts(pg[0]), (case, eng.bucket, pg[0])
+        for i, col in enumerate(("open", "high", "low", "close"), start=1):
+            e, p = getattr(eng, col), float(pg[i])
+            assert abs(e - p) <= 0.00005 + 1e-9, (case, col, eng, pg)
+        assert abs(eng.volume - float(pg[5])) <= 1e-9, (case, eng, pg)
+    if case[3]:  # trailing dummies requested
+        assert any(r.filled for r in got[-2:])
+    if start_kind == "late":
+        assert len(got) == 0
