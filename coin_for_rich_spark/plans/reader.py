@@ -159,8 +159,13 @@ def read_ohlcvs(
         # before the join, so real rows older than the clamped spine drop
         # out). An empty fetch returns [] — there is no min to anchor at.
         single = result.drop(key_col)
+        # limit=0: the fetch is empty, so the spine anchor (min fetched
+        # time) is NULL and the series is empty either way — the reference's
+        # `... DESC LIMIT 0` spine and this floor-of-1 both return [];
+        # the floor just keeps gap_fill_series's >=1 validation for direct
+        # callers intact
         filled = gap_fill_series(
-            single, interval, end=end, series_limit=limit
+            single, interval, end=end, series_limit=max(limit, 1)
         )
         return filled.withColumn(key_col, F.lit(symbol))
     return result

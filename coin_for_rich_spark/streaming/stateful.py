@@ -326,8 +326,6 @@ def _flush_fn(
         rows = pd.concat(list(pdfs), ignore_index=True)
         if rows.empty and not open_buckets and emitted_max is None:
             return
-        import numpy as np
-
         if not rows.empty:
             _merge_rows(rows, open_buckets, emitted_max)
         if open_buckets:

@@ -190,6 +190,11 @@ def test_chart_limit_contract_zero_and_negative(spark):
     rows = [("2024-01-10 05:00:00", 1.0, 1.0, 1.0, 1.0, 1.0)]
     ticks = _ticks_from_candles(spark, rows)
     assert read_ohlcvs(ticks, "k", "1h", limit=0).count() == 0
+    # empty_ts path too: LIMIT 0 fetch -> no min(fetched time) to anchor
+    # the spine -> the reference's DESC-limited series is empty -> []
+    gap0 = read_ohlcvs(ticks, "k", "1h", limit=0, empty_ts=True)
+    assert gap0.count() == 0
+    assert "filled" in gap0.columns  # schema stays the gap-filled shape
     with pytest.raises(Exception, match="-1|negative|LIMIT"):
         read_ohlcvs(ticks, "k", "1h", limit=-1).count()
 
