@@ -1693,7 +1693,13 @@ def q_stream_latest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ts_unit="us",
     )
-    parsed, _dead = parse_wire_candles(wire, ts_unit="us")
+    # round_decimals=4: the reference updater's ingest rounding
+    # (fetchers/ws/updater.py:84-88, NUM_DECIMALS=4) applied to the wire
+    # fields — value-identical here (testdata measures are ≤2-decimal,
+    # verified across sfs) but the reference-faithful parse is what the
+    # gate row executes; exactness of the rounding itself is pinned
+    # three-ways in tests/test_numbers.py
+    parsed, _dead = parse_wire_candles(wire, ts_unit="us", round_decimals=4)
     candles = parsed.select(
         "symbol", "ts", F.col("close").alias("price"), "volume"
     )

@@ -12,6 +12,8 @@ the only way two runs match each other.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,3 +45,46 @@ def round4(col: Column | str) -> Column:
     """4-decimal serve rounding (`parsers.py:22-34`, `numbers.py:7-23`)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c, 4)
+
+
+def round_decimal_parity(
+    value: float | int | str | Decimal | None, n_decimals: int = 2
+) -> float | None:
+    """Exact scalar twin of the reference's ``round_decimal``
+    (`common/helpers/numbers.py:7-23`): ``round(Decimal(value), n)``,
+    half-even, returned as a double for the engine's candle schema (the
+    reference keeps the Decimal and stores NUMERIC; a ≤4-decimal NUMERIC
+    reads back as exactly this double).
+
+    The input TYPE carries semantics, exactly as it does in the reference:
+    a float rounds its full BINARY expansion (bitfinex's JSON-number
+    candles — ``Decimal(2.675)`` is 2.67499…, so it rounds DOWN where the
+    printed value looks like a tie), while a str rounds the exact decimal
+    it spells (binance/bittrex JSON string prices, and the WS updater's
+    ``;;``-split wire fields, `fetchers/ws/updater.py:84-88`). Callers must
+    therefore pass through whatever type their wire/API layer produced,
+    not pre-coerce to float.
+    """
+    if value is None:
+        return None
+    return float(round(Decimal(value), n_decimals))
+
+
+#: String→decimal landing type for wire-field rounding: scale 18 carries any
+#: realistic exchange tick size exactly; values beyond 38-18 integer digits
+#: (1e20) or 18 fractional digits are outside the candle contract (the cast
+#: try_cast-NULLs the former into the dead-letter path).
+WIRE_DECIMAL = "decimal(38,18)"
+
+
+def round_wire(col: Column | str, n_decimals: int = 4) -> Column:
+    """Column twin of the updater's ingest rounding
+    (`fetchers/ws/updater.py:84-88`, ``round_decimal(field, NUM_DECIMALS)``):
+    the wire field is a STRING, so the reference rounds the exact decimal it
+    spells, half-even — pure decimal arithmetic, which ``cast → bround``
+    reproduces bit-for-bit (pinned against Python's ``round(Decimal(s), n)``
+    and DuckDB's ``round_even`` in tests/test_streaming.py). Malformed or
+    out-of-range strings try_cast to NULL, feeding the caller's dead-letter
+    split instead of raising mid-stream."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.bround(c.try_cast(WIRE_DECIMAL), n_decimals).cast("double")

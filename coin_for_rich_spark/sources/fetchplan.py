@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numbers import round_decimal_parity
+
 #: Per-exchange positional layout of a raw candle record (S1 parse parity:
 #: bitfinex swaps close and high — `fetchers/rest/bitfinex.py:195-245`).
 EXCHANGE_FIELD_ORDER: dict[str, tuple[str, ...]] = {
@@ -49,9 +51,14 @@ CANDLE_SCHEMA = (
     "open double, high double, low double, close double, volume double"
 )
 
+# the reference's ohlcvs_errors shape (`create.sql:32-42`): ohlcv_section
+# (bitfinex's hist/last split, NULL elsewhere) and resp_status_code (the
+# HTTP status when the failure was an HTTP response, `base.py:make_error_
+# tuple` callers) ride along as nullable columns
 ERROR_SCHEMA = (
     "exception_class string, exchange string, symbol string, "
-    "start_ms long, end_ms long, time_frame string, message string"
+    "start_ms long, end_ms long, time_frame string, "
+    "ohlcv_section string, resp_status_code smallint, message string"
 )
 
 # one relation carrying BOTH outcomes of a page fetch: candle rows with the
@@ -60,7 +67,8 @@ ERROR_SCHEMA = (
 COMBINED_SCHEMA = (
     CANDLE_SCHEMA
     + ", exception_class string, start_ms long, end_ms long, "
-    "time_frame string, message string"
+    "time_frame string, ohlcv_section string, resp_status_code smallint, "
+    "message string"
 )
 
 MINUTE_MS = 60_000
@@ -148,6 +156,8 @@ def fetch_pages_combined(
     plan: DataFrame,
     fetcher: Callable[[str, str, int, int], list[tuple]] = synthetic_fetcher,
     time_frame: str = "1m",
+    round_decimals: int | None = 2,
+    ohlcv_section: str | None = None,
 ) -> DataFrame:
     """Execute the fetch plan ONCE, emitting both outcomes as data
     (``COMBINED_SCHEMA``): a page that fetches yields its candle rows
@@ -156,6 +166,18 @@ def fetch_pages_combined(
     never a job abort (the reference's error-table contract,
     `create.sql:32-42`). ``fetch_pages`` / ``dead_letters`` are projections
     of this relation; callers needing both persist it once and split.
+
+    ``round_decimals`` is the reference's REST parse rounding —
+    ``round_decimal(value)`` at its 2-decimal default on every o/h/l/c/v
+    (`rest/binance.py:296-301`, `rest/bitfinex.py:224-232`,
+    `rest/bittrex.py:190-196`; helper `common/helpers/numbers.py:7-23`) —
+    applied with exact type-carried semantics: a fetcher returning floats
+    (bitfinex's JSON numbers) rounds the binary value, one returning
+    decimal STRINGS (binance/bittrex price strings) rounds the exact
+    decimal, both half-even. ``None`` disables. ``ohlcv_section`` fills the
+    error rows' section column (bitfinex's hist/last split); a failure
+    whose exception carries a ``resp_status_code`` attribute (or
+    urllib-style ``code``/``status``) lands it in the status column.
 
     Arrow-batched ``mapInPandas``, one yield per PAGE: output memory is
     bounded by a single page's candles regardless of how many plan rows
@@ -166,8 +188,9 @@ def fetch_pages_combined(
     candle_cols = [
         "exchange", "symbol", "time_ms", "open", "high", "low", "close",
         "volume", "exception_class", "start_ms", "end_ms", "time_frame",
-        "message",
+        "ohlcv_section", "resp_status_code", "message",
     ]
+    value_fields = ("open", "high", "low", "close", "volume")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -181,22 +204,38 @@ def fetch_pages_combined(
                     rows = []
                     for rec in recs:
                         named = dict(zip(order, rec))
+                        if round_decimals is not None:
+                            for f in value_fields:
+                                named[f] = round_decimal_parity(
+                                    named[f], round_decimals
+                                )
                         rows.append(
                             (
-                                r.exchange, r.symbol, named["time_ms"],
+                                r.exchange, r.symbol, int(named["time_ms"]),
                                 named["open"], named["high"], named["low"],
                                 named["close"], named["volume"],
-                                None, None, None, None, None,
+                                None, None, None, None, None, None, None,
                             )
                         )
                 except Exception as exc:  # noqa: BLE001 — dead-letter it
+                    status = next(
+                        (
+                            int(v)
+                            for a in ("resp_status_code", "code", "status")
+                            if isinstance(
+                                (v := getattr(exc, a, None)), (int, float)
+                            )
+                        ),
+                        None,
+                    )
                     rows = [
                         (
                             r.exchange, r.symbol, None,
                             None, None, None, None, None,
                             type(exc).__name__,
                             int(r.page_start_ms), int(r.page_end_ms),
-                            time_frame, str(exc)[:500],
+                            time_frame, ohlcv_section, status,
+                            str(exc)[:500],
                         )
                     ]
                 if rows:
@@ -215,7 +254,7 @@ def split_fetch_results(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     errors = combined.filter(F.col("exception_class").isNotNull()).select(
         "exception_class", "exchange", "symbol", "start_ms", "end_ms",
-        "time_frame", "message",
+        "time_frame", "ohlcv_section", "resp_status_code", "message",
     )
     return candles, errors
 
@@ -239,6 +278,7 @@ def dead_letters(
     plan: DataFrame,
     fetcher: Callable[[str, str, int, int], list[tuple]],
     time_frame: str = "1m",
+    ohlcv_section: str | None = None,
 ) -> DataFrame:
     """Pages whose fetch raises → ``ohlcvs_errors``-shaped rows
     (`create.sql:32-42`): the error log is data, not an exception path.
@@ -246,5 +286,7 @@ def dead_letters(
     errors, persist the combined relation and ``split_fetch_results`` it
     instead of paying the fetch twice."""
     return split_fetch_results(
-        fetch_pages_combined(plan, fetcher, time_frame)
+        fetch_pages_combined(
+            plan, fetcher, time_frame, ohlcv_section=ohlcv_section
+        )
     )[1]

@@ -17,9 +17,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions.numbers import round_wire
 
 
 def stage_stream_chunks(
@@ -109,6 +111,7 @@ def parse_wire_candles(
     wire_col: str = "wire",
     keep_cols: tuple[str, ...] = ("symbol",),
     ts_unit: str = "ms",
+    round_decimals: int | None = None,
 ):
     """Parse the reference's Redis staging wire format —
     ``"t;;o;;h;;l;;c;;v"`` strings (`fetchers/ws/bitfinex.py:176-201`,
@@ -126,20 +129,38 @@ def parse_wire_candles(
     field yields NULL, never an exception), streaming-safe (pure
     projection), and the same expressions work on a batch backfill of a
     dumped staging hash.
+
+    ``round_decimals`` applies the reference updater's ingest rounding
+    (`fetchers/ws/updater.py:84-88`: ``round_decimal(field, NUM_DECIMALS)``
+    with ``NUM_DECIMALS = 4``, `fetchers/config/constants.py:51`) to the
+    five value fields — the wire field is a string, so the reference
+    rounds the exact decimal it spells, half-even; ``round_wire``
+    reproduces that bit-for-bit. Default ``None`` keeps the engine's own
+    lossless round-trip contract (``parse(format(x)) == x``); pass ``4``
+    for reference-faithful ingest. When set, values outside
+    ``decimal(38,18)`` dead-letter instead of parsing (the reference's
+    unbounded Decimal accepts them; a 1e20 price is not a candle).
     """
     ts_of = {"ms": F.timestamp_millis, "us": F.timestamp_micros}[ts_unit]
     parts = F.split(F.col(wire_col), WIRE_SEP)
+
+    def val(i: int) -> Column:
+        raw = F.try_element_at(parts, F.lit(i))
+        if round_decimals is None:
+            return raw.try_cast("double")
+        return round_wire(raw, round_decimals)
+
     # try_element_at, NOT element_at: under ANSI (Spark 4 default) a bare
     # element_at on a short-arity row RAISES, and the dead-letter guarantee
     # would rest on the optimizer happening to evaluate the size()==6
     # conjunct first — try_* makes the NULL contract structural
     fields = {
         "ts": ts_of(F.try_element_at(parts, F.lit(1)).try_cast("bigint")),
-        "open": F.try_element_at(parts, F.lit(2)).try_cast("double"),
-        "high": F.try_element_at(parts, F.lit(3)).try_cast("double"),
-        "low": F.try_element_at(parts, F.lit(4)).try_cast("double"),
-        "close": F.try_element_at(parts, F.lit(5)).try_cast("double"),
-        "volume": F.try_element_at(parts, F.lit(6)).try_cast("double"),
+        "open": val(2),
+        "high": val(3),
+        "low": val(4),
+        "close": val(5),
+        "volume": val(6),
     }
     ok = F.size(parts) == 6
     for name in fields:
