@@ -1,0 +1,155 @@
+"""Full 50-query oracle gate at sf1 — bit-exact correctness at 10x bench scale.
+
+Round 9's scale smoke measured the six most expensive plans at sf1; this
+runs the ENTIRE declared surface (`__spark_entry__.queries()`) at sf1 and
+compares every row against its DuckDB oracle with selfcheck's
+stricter-than-the-driver comparator (bit-for-bit floats). A plan that is
+correct at sf0.01 but silently wrong at 10x the bench scale — a broadcast
+gate flipping, a sampled probe mis-sizing, a state store overflowing —
+fails HERE, not in an argument about plan shape.
+
+The oracle side gets a per-query interrupt budget (default 600 s,
+``SPARK_GRAFT_ORACLE_TIMEOUT_S``): DuckDB re-derives several operators from
+first principles (BPE re-training, char-LM re-training, brute-force kNN),
+and a quadratic oracle priced for sf0.01 may be genuinely unaffordable at
+sf1. A timeout is recorded as ``oracle_timeout`` — the ENGINE leg still
+must complete and its row count is recorded, so the distinction between
+"engine fails at scale" and "oracle is expensive at scale" stays explicit.
+
+Run: ``python scripts/scale_gate.py [query ...]`` (default: all declared).
+Output: table on stderr, full JSON to ``.scale/SCALE_GATE.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from selfcheck import compare  # noqa: E402
+from coin_for_rich_spark.session import get_spark  # noqa: E402
+from coin_for_rich_spark.sources import TABLES  # noqa: E402
+from scripts.sf1_data import SF1, ensure_sf1  # noqa: E402
+
+ORACLE_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT_S", "600"))
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """selfcheck's view registration, extended to Spark-written DIRECTORY
+    parquet (the sf1 generator writes multi-part directories; the driver's
+    own testdata is single files — both shapes register identically)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def run_oracle(con: duckdb.DuckDBPyConnection, sql: str, timeout_s: float):
+    """Execute one oracle query under an interrupt budget."""
+    timer = threading.Timer(timeout_s, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df(), None
+    except duckdb.InterruptException:
+        return None, "timeout"
+    finally:
+        timer.cancel()
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark("coin_for_rich_spark-scale-gate")
+    ensure_sf1(spark)
+    con = duck_connect(SF1)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    results: dict[str, dict] = {}
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        row: dict = {"loadavg_pre": round(os.getloadavg()[0], 2)}
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, SF1).toPandas()
+            row["engine"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "rows": len(sdf),
+            }
+        except Exception as exc:  # noqa: BLE001 — the gate RECORDS cliffs
+            row["engine"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "error": f"{type(exc).__name__}: {exc}"[:500],
+            }
+            row["status"] = "spark_error"
+            results[name] = row
+            n_fail += 1
+            print(json.dumps({name: row}), file=sys.stderr)
+            continue
+        if name not in oracles:
+            row["status"] = "rows_only"
+            n_pass += 1
+            results[name] = row
+            print(json.dumps({name: row}), file=sys.stderr)
+            continue
+        t1 = time.perf_counter()
+        try:
+            odf, to = run_oracle(con, oracles[name], ORACLE_TIMEOUT_S)
+        except Exception as exc:  # noqa: BLE001
+            row["oracle"] = {
+                "sec": round(time.perf_counter() - t1, 3),
+                "error": f"{type(exc).__name__}: {exc}"[:500],
+            }
+            row["status"] = "oracle_error"
+            results[name] = row
+            n_fail += 1
+            print(json.dumps({name: row}), file=sys.stderr)
+            continue
+        row["oracle"] = {"sec": round(time.perf_counter() - t1, 3)}
+        if to == "timeout":
+            row["status"] = "oracle_timeout"
+            # engine completed; oracle couldn't afford the re-derivation
+            n_pass += 1
+        else:
+            row["oracle"]["rows"] = len(odf)
+            problems = compare(name, sdf, odf)
+            if problems:
+                row["status"] = "mismatch"
+                row["problems"] = problems[:5]
+                n_fail += 1
+            else:
+                row["status"] = "pass"
+                n_pass += 1
+        results[name] = row
+        print(json.dumps({name: row}), file=sys.stderr)
+    out = {
+        "sf_dir": SF1,
+        "oracle_timeout_s": ORACLE_TIMEOUT_S,
+        "cpus": os.cpu_count(),
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "results": results,
+    }
+    path = os.path.join(REPO, ".scale", "SCALE_GATE.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    statuses: dict[str, int] = {}
+    for r in results.values():
+        statuses[r["status"]] = statuses.get(r["status"], 0) + 1
+    print(json.dumps({"summary": statuses, "json": path}))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -8,23 +8,13 @@ times along the axis that actually grows at 100 TB — KEY CARDINALITY —
 and (b) runs the six most expensive declared plans at sf0.1 and sf1 in
 ONE session, reporting per-query wall seconds and the 10x scaling ratio.
 
-Replication design (why this is a fair 10x and not a degenerate one):
-
-- ``events``: replica i offsets ``event_id`` by i*(max+1) and ``user_id``
-  by i*(n_users) — 10x rows AND 10x distinct streaming keys (1,500 →
-  15,000), the axis that grows streaming state, shuffle key space, and
-  merge-target cardinality. Timestamps are untouched: the event-time
-  window stays fixed while key density grows, exactly how a bigger
-  exchange universe scales the reference's ingest.
-- ``documents``: replica i offsets ``doc_id`` and suffixes every token
-  with ``_r{i}`` — replicas share NO shingles/words, so the near-dup pair
-  structure, BPE word distribution, and cluster layout replicate exactly
-  10x instead of collapsing into one giant everything-matches component
-  (10 identical copies would measure a pathology, not scale).
-
-Idempotent: generation is skipped when the ident marker matches the
-source files. Output: one JSON line per plan + a summary table on stderr,
-full JSON to ``.scale/SCALE_SMOKE.json``.
+Generation is shared with ``scripts/scale_gate.py`` (the full-gate sf1
+correctness run): ``scripts/sf1_data.py`` replicates ALL ten tables with
+FK-consistent key offsets — see its docstring for the replication design
+(disjoint vocab per document replica, sign-flip reflections per embedding
+replica, fixed dim universes). Idempotent via the ident marker. Output:
+one JSON line per plan + a summary table on stderr, full JSON to
+``.scale/SCALE_SMOKE.json``.
 
 Run: ``python scripts/scale_smoke.py [query ...]`` (default: the top-6).
 """
@@ -40,14 +30,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
 from coin_for_rich_spark.session import get_spark  # noqa: E402
 from coin_for_rich_spark.sources import load_table  # noqa: E402
-
-SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SF1 = os.path.join(REPO, ".scale", "sf1")
-REPLICAS = 10
+from scripts.sf1_data import REPLICAS, SF01, SF1, ensure_sf1  # noqa: E402
 # the six most expensive declared plans (VERDICT r8 ask #1 list + bpe)
 TOP = [
     "stream_upsert_ingest",
@@ -57,84 +44,6 @@ TOP = [
     "dedup_clusters",
     "bpe_encode",
 ]
-
-
-def _ident() -> str:
-    parts = []
-    for name in ("events", "documents"):
-        st = os.stat(os.path.join(SF01, f"{name}.parquet"))
-        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    return f"v1|x{REPLICAS}|" + "|".join(parts)
-
-
-def _replicate_events(spark: SparkSession) -> DataFrame:
-    ev = load_table(spark, SF01, "events")
-    max_id, n_users = ev.agg(
-        F.max("event_id"), F.count_distinct("user_id")
-    ).first()
-    parts = []
-    for i in range(REPLICAS):
-        parts.append(
-            ev.select(
-                (F.col("event_id") + F.lit(i * (max_id + 1))).alias("event_id"),
-                "ts",
-                (F.col("user_id") + F.lit(i * n_users)).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-def _replicate_documents(spark: SparkSession) -> DataFrame:
-    docs = load_table(spark, SF01, "documents")
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    parts = [docs]
-    for i in range(1, REPLICAS):
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(i * (max_id + 1))).alias("doc_id"),
-                # disjoint vocabulary per replica: near-dup/BPE structure
-                # replicates 10x instead of collapsing cross-replica
-                F.regexp_replace("text", r"(\S+)", f"$1_r{i}").alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            ).withColumn("n_chars", F.length("text").cast("long"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-def generate(spark: SparkSession) -> None:
-    marker = os.path.join(SF1, "_ident.txt")
-    want = _ident()
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            if fh.read() == want:
-                print(f"sf1 data up to date at {SF1}", file=sys.stderr)
-                return
-    os.makedirs(SF1, exist_ok=True)
-    t0 = time.perf_counter()
-    _replicate_events(spark).repartition(32).write.mode("overwrite").parquet(
-        os.path.join(SF1, "events.parquet")
-    )
-    _replicate_documents(spark).repartition(16).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(SF1, "documents.parquet"))
-    with open(marker, "w") as fh:
-        fh.write(want)
-    print(
-        f"generated sf1 (x{REPLICAS} sf0.1) in "
-        f"{time.perf_counter() - t0:.1f}s at {SF1}",
-        file=sys.stderr,
-    )
 
 
 def _settle(max_load: float = 2.0, timeout_s: float = 300.0) -> None:
@@ -167,7 +76,7 @@ def run_plan(spark: SparkSession, name: str, sf_dir: str) -> dict:
 def main() -> int:
     names = sys.argv[1:] or TOP
     spark = get_spark("coin_for_rich_spark-scale-smoke")
-    generate(spark)
+    ensure_sf1(spark)
     # warm both dirs so fs-cache effects don't land on the first plan
     for d in (SF01, SF1):
         for t in ("events", "documents"):
