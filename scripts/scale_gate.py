@@ -16,8 +16,12 @@ sf1. A timeout is recorded as ``oracle_timeout`` — the ENGINE leg still
 must complete and its row count is recorded, so the distinction between
 "engine fails at scale" and "oracle is expensive at scale" stays explicit.
 
-Run: ``python scripts/scale_gate.py [query ...]`` (default: all declared).
-Output: table on stderr, full JSON to ``.scale/SCALE_GATE.json``.
+Run: ``python scripts/scale_gate.py [--dir PATH] [query ...]`` (default:
+all declared queries at the generated sf1). ``--dir`` points the same gate
+at ANY dataset directory with the ten driver tables — e.g. the
+adversarially skewed distribution from ``scripts/skew_data.py`` — making
+this the one harness for "full declared surface vs oracle on dataset X".
+Output: table on stderr, full JSON to ``.scale/SCALE_GATE[_<tag>].json``.
 """
 
 from __future__ import annotations
@@ -67,10 +71,23 @@ def run_oracle(con: duckdb.DuckDBPyConnection, sql: str, timeout_s: float):
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    target_dir = None
+    if "--dir" in argv:
+        i = argv.index("--dir")
+        target_dir = os.path.abspath(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
     spark = get_spark("coin_for_rich_spark-scale-gate")
-    ensure_sf1(spark)
-    con = duck_connect(SF1)
+    if target_dir is None:
+        target_dir = SF1
+        ensure_sf1(spark)
+    tag = (
+        ""
+        if target_dir == SF1
+        else "_" + os.path.basename(target_dir.rstrip("/")).upper()
+    )
+    con = duck_connect(target_dir)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     results: dict[str, dict] = {}
     n_pass = n_fail = 0
@@ -80,7 +97,7 @@ def main() -> int:
         row: dict = {"loadavg_pre": round(os.getloadavg()[0], 2)}
         t0 = time.perf_counter()
         try:
-            sdf = fn(spark, SF1).toPandas()
+            sdf = fn(spark, target_dir).toPandas()
             row["engine"] = {
                 "sec": round(time.perf_counter() - t0, 3),
                 "rows": len(sdf),
@@ -132,7 +149,7 @@ def main() -> int:
         results[name] = row
         print(json.dumps({name: row}), file=sys.stderr)
     out = {
-        "sf_dir": SF1,
+        "sf_dir": target_dir,
         "oracle_timeout_s": ORACLE_TIMEOUT_S,
         "cpus": os.cpu_count(),
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -140,7 +157,7 @@ def main() -> int:
         "n_fail": n_fail,
         "results": results,
     }
-    path = os.path.join(REPO, ".scale", "SCALE_GATE.json")
+    path = os.path.join(REPO, ".scale", f"SCALE_GATE{tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     statuses: dict[str, int] = {}
