@@ -72,9 +72,30 @@ def round_decimal_parity(
 
 #: String→decimal landing type for wire-field rounding: scale 18 carries any
 #: realistic exchange tick size exactly; values beyond 38-18 integer digits
-#: (1e20) or 18 fractional digits are outside the candle contract (the cast
-#: try_cast-NULLs the former into the dead-letter path).
+#: (1e20) or 18 significant fractional digits are outside the candle
+#: contract and dead-letter (the try_cast NULLs the former; the explicit
+#: precision guard in ``round_wire`` NULLs the latter).
 WIRE_DECIMAL = "decimal(38,18)"
+
+
+def _wire_frac_digits(c: Column) -> Column:
+    """Significant fractional digits a decimal string actually needs,
+    exponent-aware: ``len(frac) − exp − trailing_zeros(int||frac)``.
+    '5.000000000000001E-5' → 20; '10e-19' → 18 (representable at scale
+    18); '0.50' → 1. Drives the lossless-cast guard below — Spark's
+    decimal cast ROUNDS (half-up) digits beyond the target scale, so
+    without this guard a >18-digit tail could silently manufacture or
+    destroy a half-even tie at ``n_decimals`` instead of dead-lettering."""
+    int_digits = F.regexp_extract(c, r"^[+-]?(\d*)", 1)
+    frac = F.regexp_extract(c, r"\.(\d*)", 1)
+    exp = F.coalesce(
+        F.regexp_extract(c, r"[eE]([+-]?\d+)$", 1).try_cast("int"), F.lit(0)
+    )
+    all_digits = F.concat(int_digits, frac)
+    trailing_zeros = F.length(all_digits) - F.length(
+        F.regexp_replace(all_digits, "0+$", "")
+    )
+    return F.length(frac) - exp - trailing_zeros
 
 
 def round_wire(col: Column | str, n_decimals: int = 4) -> Column:
@@ -83,8 +104,19 @@ def round_wire(col: Column | str, n_decimals: int = 4) -> Column:
     the wire field is a STRING, so the reference rounds the exact decimal it
     spells, half-even — pure decimal arithmetic, which ``cast → bround``
     reproduces bit-for-bit (pinned against Python's ``round(Decimal(s), n)``
-    and DuckDB's ``round_even`` in tests/test_streaming.py). Malformed or
-    out-of-range strings try_cast to NULL, feeding the caller's dead-letter
-    split instead of raising mid-stream."""
+    and DuckDB's ``round_even`` in tests/test_numbers.py). Malformed or
+    out-of-range strings yield NULL, feeding the caller's dead-letter split
+    instead of raising mid-stream.
+
+    Out-of-range INCLUDES strings needing more than ``WIRE_DECIMAL``'s 18
+    fractional digits (e.g. a double's shortest repr like
+    '5.000000000000001E-5'): the decimal cast would half-up-round the tail
+    first, which can flip the half-even decision at ``n_decimals`` — a
+    silent one-tick divergence from the reference's unbounded ``Decimal``.
+    The precision guard dead-letters them instead, keeping the parity claim
+    exact on everything that parses (pinned by
+    ``test_round_wire_deep_fraction_dead_letters``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.bround(c.try_cast(WIRE_DECIMAL), n_decimals).cast("double")
+    exact = _wire_frac_digits(c) <= F.lit(18)
+    d = F.when(exact, c.try_cast(WIRE_DECIMAL))
+    return F.bround(d, n_decimals).cast("double")

@@ -218,16 +218,25 @@ def fetch_pages_combined(
                             )
                         )
                 except Exception as exc:  # noqa: BLE001 — dead-letter it
-                    status = next(
-                        (
-                            int(v)
-                            for a in ("resp_status_code", "code", "status")
-                            if isinstance(
-                                (v := getattr(exc, a, None)), (int, float)
-                            )
-                        ),
-                        None,
-                    )
+                    # clamp the probe to the smallint column's range: .code/
+                    # .status attrs also carry C-library/gRPC-style codes
+                    # (e.g. 4294967295) that would abort the whole job at
+                    # Arrow conversion — a dead-letter path must never raise.
+                    # Non-HTTP-shaped codes still land in `message`.
+                    status = None
+                    for a in ("resp_status_code", "code", "status"):
+                        v = getattr(exc, a, None)
+                        if isinstance(v, bool) or not isinstance(
+                            v, (int, float)
+                        ):
+                            continue
+                        try:
+                            iv = int(v)
+                        except (ValueError, OverflowError):
+                            continue  # nan/inf-shaped codes
+                        if 0 <= iv <= 32767:
+                            status = iv
+                            break
                     rows = [
                         (
                             r.exchange, r.symbol, None,

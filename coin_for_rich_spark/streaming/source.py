@@ -138,8 +138,12 @@ def parse_wire_candles(
     reproduces that bit-for-bit. Default ``None`` keeps the engine's own
     lossless round-trip contract (``parse(format(x)) == x``); pass ``4``
     for reference-faithful ingest. When set, values outside
-    ``decimal(38,18)`` dead-letter instead of parsing (the reference's
-    unbounded Decimal accepts them; a 1e20 price is not a candle).
+    ``decimal(38,18)`` — in magnitude (1e20+) OR in precision (>18
+    significant fractional digits, where the decimal cast's half-up tail
+    rounding could silently flip the half-even decision) — dead-letter
+    instead of parsing (the reference's unbounded Decimal accepts them; a
+    1e20 price is not a candle, and a one-tick silent divergence is worse
+    than a dead letter).
     """
     ts_of = {"ms": F.timestamp_millis, "us": F.timestamp_micros}[ts_unit]
     parts = F.split(F.col(wire_col), WIRE_SEP)

@@ -133,6 +133,64 @@ def test_parse_wire_candles_reference_ingest_rounding(spark):
     assert raw_a.open == 0.12345
 
 
+def test_round_wire_deep_fraction_dead_letters(spark):
+    """Strings needing >18 significant fractional digits must yield NULL,
+    not a silently mis-rounded value: Spark's decimal cast half-up-rounds
+    the tail first, which can MANUFACTURE an exact half-even tie at the
+    target decimal ('5.000000000000001E-5' → cast 0.000050000000000000 →
+    bround 0.0, where the reference's unbounded Decimal gives 0.0001).
+    Exponent-aware: '10e-19' IS representable at scale 18 and must parse."""
+    cases = [
+        # (wire string, expected)
+        ("5.000000000000001E-5", None),  # 20 effective frac digits
+        ("0.0000500000000000000001", None),  # literal deep tail
+        ("0.000050000000000000000000", 0.0),  # trailing zeros: exact tie
+        ("10e-19", 0.0),  # = 1e-18, representable, rounds to 0
+        ("1e-19", None),  # below scale 18: lossy, dead-letter
+        ("1.5e3", 1500.0),  # positive exponent: integral, exact
+        ("0.00005", 0.0),  # the plain tie: half-even DOWN at 4
+        ("0.00015", 0.0002),  # tie: half-even UP
+        ("nonsense", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "v string")
+    got = [
+        r.r for r in df.select(round_wire("v", 4).alias("r")).collect()
+    ]
+    want = [e for _, e in cases]
+    assert got == want, f"{got} != {want}"
+    # parity on everything that parses: same answers as round(Decimal(s), 4)
+    for s, e in cases:
+        if e is not None:
+            assert round_decimal_parity(s, 4) == e
+
+
+def test_dead_letter_status_out_of_smallint_never_aborts(spark):
+    """A fetcher exception carrying a C-library/gRPC-style .code outside
+    int16 (or nan) must still produce a dead-letter ROW — the error path
+    is data, never a job abort (Arrow smallint conversion would raise)."""
+    from coin_for_rich_spark.sources import build_fetch_plan, dead_letters
+
+    class BigCode(RuntimeError):
+        code = 4294967295
+
+    class NanStatus(RuntimeError):
+        status = float("nan")
+
+    for exc_cls in (BigCode, NanStatus):
+
+        def fetcher(exchange, symbol, s, e, _c=exc_cls):
+            raise _c("boom")
+
+        plan = build_fetch_plan(
+            spark, [("binance", "Z")], 0, 60_000, page_minutes=1
+        )
+        rows = dead_letters(plan, fetcher).collect()
+        assert len(rows) == 1
+        assert rows[0].exception_class == exc_cls.__name__
+        assert rows[0].resp_status_code is None
+
+
 def test_fetch_parse_rounds_like_reference_rest(spark):
     """The REST parse rounds o/h/l/c/v to 2 decimals at ingest
     (`rest/binance.py:296-301` et al.) with type-carried semantics; the
