@@ -23,7 +23,9 @@ that bracket real ingest:
 Same table DDL, same PK (event_id), same 'ignore' mode (the reference's
 ``PSQL_INSERT_IGNOREDUP_QUERY`` posture), same text encoding. The input
 DataFrame is persisted and counted before any timing, so both legs pay
-only their own transport + merge.
+only their own transport + merge. Both legs run the SAME min-of-2
+settle-guarded cycle protocol — symmetric methodology, so a co-tenant
+load burst cannot fabricate the speedup in either direction.
 
 On one host both legs share one PostgreSQL server, so this measures the
 single-endpoint bound honestly: the distributed win is bounded by server-
@@ -59,16 +61,40 @@ PK = ("event_id",)
 MODE = "ignore"  # the reference's dominant path: INSERT ... DO NOTHING
 
 
+def _settle(max_load: float = 2.0, timeout_s: float = 120.0) -> None:
+    """Bounded wait for co-tenant load to drain before a measured cycle —
+    the same control scale_smoke/bench.py use (one load burst during a
+    single unguarded run corrupts a committed headline number)."""
+    deadline = time.monotonic() + timeout_s
+    while os.getloadavg()[0] > max_load and time.monotonic() < deadline:
+        time.sleep(5)
+
+
+def _row_count(psql: PsqlCopyMergeSink) -> int:
+    """COPY-framed count — independent of psql's human table formatting."""
+    out = psql._run_psql(
+        f"COPY (SELECT count(*) FROM {psql.table}) TO STDOUT;"
+    )
+    return int(out.strip())
+
+
 def bench_leg(sink, batch, psql: PsqlCopyMergeSink, label: str) -> dict:
-    """fresh merge into an empty table, then an identical replay."""
-    psql._run_psql(f"TRUNCATE {psql.table};")
-    out: dict = {}
-    for posture in ("fresh", "replay"):
-        t0 = time.perf_counter()
-        sink.merge(batch, 0)
-        out[posture] = round(time.perf_counter() - t0, 3)
-    n = int(psql._run_psql(f"SELECT count(*) FROM {psql.table};").split()[2])
-    out["rows_in_table"] = n
+    """min-of-2 full cycles, each: settle → truncate → fresh merge into an
+    empty table → identical replay. Both sinks get the SAME protocol — an
+    asymmetric methodology would let one load burst fabricate the
+    speedup."""
+    out: dict = {"fresh": None, "replay": None, "loadavg_pre": []}
+    for _ in range(2):
+        _settle()
+        out["loadavg_pre"].append(round(os.getloadavg()[0], 2))
+        psql._run_psql(f"TRUNCATE {psql.table};")
+        for posture in ("fresh", "replay"):
+            t0 = time.perf_counter()
+            sink.merge(batch, 0)
+            t = round(time.perf_counter() - t0, 3)
+            if out[posture] is None or t < out[posture]:
+                out[posture] = t
+    out["rows_in_table"] = _row_count(psql)
     print(json.dumps({label: out}), file=sys.stderr)
     return out
 
@@ -93,17 +119,10 @@ def main() -> int:
         wire = PgWireMergeSink(conninfo, table, pk=PK, mode=MODE)
         psql.create_table(batch.schema, drop=True)
         legs: dict[str, dict] = {}
-        # single-writer first, then distributed, then single again: the
-        # ABA order exposes any cache/warmup drift inside the session
         legs["single_writer"] = bench_leg(psql, batch, psql, f"{sf_label}/single")
         legs["distributed"] = bench_leg(wire, batch, psql, f"{sf_label}/wire")
-        legs["single_writer_2"] = bench_leg(
-            psql, batch, psql, f"{sf_label}/single2"
-        )
         batch.unpersist()
-        best_single = min(
-            legs["single_writer"]["fresh"], legs["single_writer_2"]["fresh"]
-        )
+        best_single = legs["single_writer"]["fresh"]
         results[sf_label] = {
             "rows": n_rows,
             "legs": legs,

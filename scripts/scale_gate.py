@@ -59,15 +59,30 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def run_oracle(con: duckdb.DuckDBPyConnection, sql: str, timeout_s: float):
-    """Execute one oracle query under an interrupt budget."""
-    timer = threading.Timer(timeout_s, con.interrupt)
+    """Execute one oracle query under an interrupt budget.
+
+    Isolation matters here: each query runs on its OWN cursor (a separate
+    connection to the shared in-memory catalog) and the timer callback is
+    gated on a done-flag — otherwise a timer firing in the window between
+    the query completing and ``cancel()`` would leave a stray interrupt on
+    a shared connection that spuriously kills the NEXT query."""
+    cur = con.cursor()
+    done = threading.Event()
+
+    def maybe_interrupt() -> None:
+        if not done.is_set():
+            cur.interrupt()
+
+    timer = threading.Timer(timeout_s, maybe_interrupt)
     timer.start()
     try:
-        return con.execute(sql).df(), None
+        return cur.execute(sql).df(), None
     except duckdb.InterruptException:
         return None, "timeout"
     finally:
+        done.set()
         timer.cancel()
+        cur.close()
 
 
 def main() -> int:
@@ -75,9 +90,15 @@ def main() -> int:
     target_dir = None
     if "--dir" in argv:
         i = argv.index("--dir")
+        if i + 1 >= len(argv):
+            raise SystemExit("--dir requires a path argument")
         target_dir = os.path.abspath(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     only = set(argv)
+    unknown = only - set(entry_mod.queries())
+    if unknown:
+        # a typo'd name must not read as a green zero-query gate
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
     spark = get_spark("coin_for_rich_spark-scale-gate")
     if target_dir is None:
         target_dir = SF1
@@ -157,7 +178,9 @@ def main() -> int:
         "n_fail": n_fail,
         "results": results,
     }
-    path = os.path.join(REPO, ".scale", f"SCALE_GATE{tag}.json")
+    # subset runs must not clobber the committed full-gate artifact
+    subset = "_SUBSET" if only else ""
+    path = os.path.join(REPO, ".scale", f"SCALE_GATE{tag}{subset}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     statuses: dict[str, int] = {}

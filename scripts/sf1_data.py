@@ -49,8 +49,6 @@ sizes + mtimes + design version) matches.
 from __future__ import annotations
 
 import os
-import sys
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,16 +72,6 @@ _PARTS = {
     "documents": 16,
     "embeddings": 4,
 }
-
-
-def _ident() -> str:
-    parts = []
-    from coin_for_rich_spark.sources import TABLES
-
-    for name in TABLES:
-        st = os.stat(os.path.join(SF01, f"{name}.parquet"))
-        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    return f"v2|x{REPLICAS}|" + "|".join(parts)
 
 
 def _raw(spark: SparkSession, name: str) -> DataFrame:
@@ -120,8 +108,10 @@ def _union(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
-def _key_span(df: DataFrame, col: str) -> int:
-    return int(df.agg(F.max(col)).first()[0]) + 1
+def _key_spans(df: DataFrame, *cols: str) -> list[int]:
+    """max+1 per key column — ONE scan per table, however many keys."""
+    row = df.agg(*[F.max(c) for c in cols]).first()
+    return [int(v) + 1 for v in row]
 
 
 def replicate_all(spark: SparkSession) -> dict[str, DataFrame]:
@@ -134,16 +124,14 @@ def replicate_all(spark: SparkSession) -> dict[str, DataFrame]:
     docs = _raw(spark, "documents")
     emb = _raw(spark, "embeddings")
 
-    span = {
-        "cust": _key_span(cust, "c_custkey"),
-        "supp": _key_span(supp, "s_suppkey"),
-        "part": _key_span(part, "p_partkey"),
-        "order": _key_span(orders, "o_orderkey"),
-        "event": _key_span(ev, "event_id"),
-        "user": _key_span(ev, "user_id"),
-        "doc": _key_span(docs, "doc_id"),
-        "vec": _key_span(emb, "vec_id"),
-    }
+    span = {}
+    (span["cust"],) = _key_spans(cust, "c_custkey")
+    (span["supp"],) = _key_spans(supp, "s_suppkey")
+    (span["part"],) = _key_spans(part, "p_partkey")
+    (span["order"],) = _key_spans(orders, "o_orderkey")
+    span["event"], span["user"] = _key_spans(ev, "event_id", "user_id")
+    (span["doc"],) = _key_spans(docs, "doc_id")
+    (span["vec"],) = _key_spans(emb, "vec_id")
 
     out: dict[str, DataFrame] = {}
     out["customer"] = _union(
@@ -255,37 +243,15 @@ def replicate_all(spark: SparkSession) -> dict[str, DataFrame]:
 
 def ensure_sf1(spark: SparkSession, log=print) -> str:
     """Generate (or reuse) the full sf1 dataset; returns its directory."""
-    marker = os.path.join(SF1, "_ident.txt")
-    want = _ident()
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            if fh.read() == want:
-                log(f"sf1 data up to date at {SF1}", file=sys.stderr)
-                return SF1
-    os.makedirs(SF1, exist_ok=True)
-    t0 = time.perf_counter()
-    import shutil
+    from scripts.dataset_gen import ensure_dataset
 
-    for name in _FIXED:
-        dst = os.path.join(SF1, f"{name}.parquet")
-        src = os.path.join(SF01, f"{name}.parquet")
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        elif os.path.isfile(dst):
-            os.remove(dst)
-        if os.path.isdir(src):
-            shutil.copytree(src, dst)
-        else:
-            shutil.copyfile(src, dst)
-    for name, df in replicate_all(spark).items():
-        df.repartition(_PARTS[name]).write.mode("overwrite").parquet(
-            os.path.join(SF1, f"{name}.parquet")
-        )
-    with open(marker, "w") as fh:
-        fh.write(want)
-    log(
-        f"generated full sf1 (x{REPLICAS} sf0.1, all tables) in "
-        f"{time.perf_counter() - t0:.1f}s at {SF1}",
-        file=sys.stderr,
+    return ensure_dataset(
+        spark,
+        out_dir=SF1,
+        src_dir=SF01,
+        version=f"sf1-x{REPLICAS}",
+        copy_tables=_FIXED,
+        build_fn=replicate_all,
+        parts=_PARTS,
+        log=log,
     )
-    return SF1

@@ -38,9 +38,7 @@ files byte-identical via filesystem copy.
 from __future__ import annotations
 
 import os
-import shutil
 import sys
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,16 +60,6 @@ _BASE = (
     "warranty of any kind either express or implied including fitness "
     "for a particular purpose"
 )
-
-
-def _ident() -> str:
-    parts = []
-    from coin_for_rich_spark.sources import TABLES
-
-    for name in TABLES:
-        st = os.stat(os.path.join(SF01, f"{name}.parquet"))
-        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    return f"v1|skew|" + "|".join(parts)
 
 
 def _raw(spark: SparkSession, name: str) -> DataFrame:
@@ -157,37 +145,18 @@ def skew_tables(spark: SparkSession) -> dict[str, DataFrame]:
 
 
 def ensure_skew(spark: SparkSession, log=print) -> str:
-    marker = os.path.join(SKEW, "_ident.txt")
-    want = _ident()
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            if fh.read() == want:
-                log(f"skew data up to date at {SKEW}", file=sys.stderr)
-                return SKEW
-    os.makedirs(SKEW, exist_ok=True)
-    t0 = time.perf_counter()
-    for name in _COPY:
-        dst = os.path.join(SKEW, f"{name}.parquet")
-        src = os.path.join(SF01, f"{name}.parquet")
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        elif os.path.isfile(dst):
-            os.remove(dst)
-        if os.path.isdir(src):
-            shutil.copytree(src, dst)
-        else:
-            shutil.copyfile(src, dst)
-    for name, df in skew_tables(spark).items():
-        df.repartition(_PARTS[name]).write.mode("overwrite").parquet(
-            os.path.join(SKEW, f"{name}.parquet")
-        )
-    with open(marker, "w") as fh:
-        fh.write(want)
-    log(
-        f"generated skew dataset in {time.perf_counter() - t0:.1f}s at {SKEW}",
-        file=sys.stderr,
+    from scripts.dataset_gen import ensure_dataset
+
+    return ensure_dataset(
+        spark,
+        out_dir=SKEW,
+        src_dir=SF01,
+        version="skew-v1",
+        copy_tables=_COPY,
+        build_fn=skew_tables,
+        parts=_PARTS,
+        log=log,
     )
-    return SKEW
 
 
 if __name__ == "__main__":
