@@ -115,8 +115,16 @@ def round_wire(col: Column | str, n_decimals: int = 4) -> Column:
     silent one-tick divergence from the reference's unbounded ``Decimal``.
     The precision guard dead-letters them instead, keeping the parity claim
     exact on everything that parses (pinned by
-    ``test_round_wire_deep_fraction_dead_letters``)."""
+    ``test_round_wire_deep_fraction_dead_letters``).
+
+    Hot-path cost: real exchange wires are plain ≤18-decimal strings, so a
+    single ``rlike`` admits them directly; the exponent-aware digit count
+    (four regexp evaluations) runs only on strings that miss the fast
+    pattern — ``CASE WHEN`` evaluates the second condition per-row only
+    when the first is false."""
     c = F.col(col) if isinstance(col, str) else col
-    exact = _wire_frac_digits(c) <= F.lit(18)
-    d = F.when(exact, c.try_cast(WIRE_DECIMAL))
+    simple = c.rlike(r"^[+-]?\d+(\.\d{0,18})?$")
+    d = F.when(simple, c.try_cast(WIRE_DECIMAL)).when(
+        _wire_frac_digits(c) <= F.lit(18), c.try_cast(WIRE_DECIMAL)
+    )
     return F.bround(d, n_decimals).cast("double")
