@@ -77,7 +77,13 @@ def ensure_dataset(
         else:
             shutil.copyfile(src, dst)
     for name, df in build_fn(spark).items():
-        df.repartition(parts[name]).write.mode("overwrite").parquet(
+        # parts[name] is None when the generator controls its own physical
+        # layout (e.g. perm_data's hash-scattered partitioning) — an extra
+        # round-robin repartition here would undo exactly what it built.
+        n = parts[name]
+        if n is not None:
+            df = df.repartition(n)
+        df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
     with open(marker, "w") as fh:
