@@ -1,0 +1,172 @@
+"""Leakage-safe splitting + epoch-shard materialization (llmdata/splits).
+
+The contract under test: split assignment is a pure function of
+(cluster-or-id, seed) — layout-independent, append-stable, composing
+with the other hash draws — and a dedup cluster can never straddle a
+split boundary.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from coin_for_rich_spark.llmdata.dedup import dedup_clusters
+from coin_for_rich_spark.llmdata.pipeline import hash_sample
+from coin_for_rich_spark.llmdata.splits import (
+    cross_split_pairs,
+    leakage_safe_split,
+    write_epoch_shards,
+)
+from coin_for_rich_spark.sources import load_table
+
+FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+
+def test_fraction_validation():
+    from coin_for_rich_spark.llmdata.splits import _split_thresholds
+
+    with pytest.raises(ValueError, match="non-empty"):
+        _split_thresholds({})
+    with pytest.raises(ValueError, match="sum to 1"):
+        _split_thresholds({"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="must be in"):
+        _split_thresholds({"a": 0.0, "b": 1.0})
+    # exact closure: the last threshold is pinned to 65536 despite float
+    # residue in the cumulative sum
+    t = _split_thresholds({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert t[-1] == ("c", 65536)
+
+
+def test_fractions_realized_and_exhaustive(spark, sf_dir):
+    out = leakage_safe_split(_docs(spark, sf_dir), FR, seed=0)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == _docs(spark, sf_dir).count()
+    assert set(counts) <= set(FR)
+    # deterministic draw — bounds are safe once true; exp 400/50/50 at n=500
+    assert counts["train"] > 0.7 * n
+    assert 0.04 * n < counts["val"] < 0.2 * n
+    assert 0.04 * n < counts["test"] < 0.2 * n
+
+
+def test_assignment_is_layout_and_subset_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    base = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, FR, seed=3).collect()
+    }
+    # hostile layout: scattered partitions, scrambled order
+    permuted = docs.repartition(7, F.xxhash64("doc_id")).sortWithinPartitions(
+        F.xxhash64("doc_id", F.lit(9)).desc()
+    )
+    perm = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(permuted, FR, seed=3).collect()
+    }
+    assert perm == base
+    # append stability: splitting any subset reproduces the full run's labels
+    sub = docs.filter(F.col("doc_id") % 5 == 2)
+    subm = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(sub, FR, seed=3).collect()
+    }
+    assert subm == {k: v for k, v in base.items() if k % 5 == 2}
+    # a different seed is a different partition of the corpus
+    reseed = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, FR, seed=4).collect()
+    }
+    assert reseed != base
+
+
+def test_cluster_atomicity_and_leakage_probe(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # synthetic near-dup tiers: chains of 4 over one id range, a mega
+    # cluster over another — both straddle many raw-id hash boundaries
+    ids = docs.select("doc_id")
+    chain = (
+        ids.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 180))
+        .filter(F.col("doc_id") % 4 != 3)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+        )
+    )
+    mega = (
+        ids.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 340))
+        .select(F.lit(300).alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    pairs = chain.unionByName(mega)
+    clusters = dedup_clusters(pairs)
+    out = leakage_safe_split(docs, FR, clusters=clusters, seed=1)
+    # every cluster lands whole
+    widths = (
+        out.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("w"))
+        .agg(F.max("w").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert widths == 1
+    # the audit relation is empty over the pair tier the clusters came from
+    assert cross_split_pairs(out, pairs).count() == 0
+    # and NON-empty for a naive per-doc split over the same pairs (the
+    # failure mode this operator exists to prevent)
+    naive = leakage_safe_split(docs, FR, seed=1)
+    assert cross_split_pairs(naive, pairs).count() > 0
+    # documents outside every cluster get their singleton (own-id) draw —
+    # identical to the cluster-free assignment
+    outside = out.join(clusters.select("doc_id"), "doc_id", "left_anti")
+    naive_map = {r["doc_id"]: r["split"] for r in naive.collect()}
+    for r in outside.select("doc_id", "split").collect():
+        assert naive_map[r["doc_id"]] == r["split"]
+
+
+def test_split_composes_with_holdout_draw(spark, sf_dir):
+    # the split reads md5 digits disjoint from hash_sample's leading digit:
+    # a hash-held-out subset still splits at the requested fractions
+    # (deterministic — pinned once true)
+    held = hash_sample(_docs(spark, sf_dir), id_col="doc_id")
+    out = leakage_safe_split(held, FR, seed=0)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == held.count() and n > 0
+    assert 0 < counts.get("train", 0) < n
+
+
+def test_write_epoch_shards_materializes_epoch_order(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "epoch0")
+    write_epoch_shards(docs, path, n_shards=4, seed=7)
+    dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert [os.path.basename(d) for d in dirs] == [f"shard={i}" for i in range(4)]
+    seen = []
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        # one partition per shard => one file whose row order IS the order
+        assert len(files) == 1
+        pdf = pd.read_parquet(files[0])
+        assert list(pdf["ord"]) == sorted(pdf["ord"])
+        seen.extend(pdf["doc_id"].tolist())
+    assert sorted(seen) == sorted(r["doc_id"] for r in docs.collect())
+    # rewrite under a permuted input layout: byte-order-identical epochs
+    path2 = str(tmp_path / "epoch0b")
+    write_epoch_shards(
+        docs.repartition(5, F.xxhash64("doc_id")), path2, n_shards=4, seed=7
+    )
+    for i in range(4):
+        f1 = glob.glob(os.path.join(path, f"shard={i}", "*.parquet"))[0]
+        f2 = glob.glob(os.path.join(path2, f"shard={i}", "*.parquet"))[0]
+        assert pd.read_parquet(f1)["doc_id"].tolist() == pd.read_parquet(f2)[
+            "doc_id"
+        ].tolist()
