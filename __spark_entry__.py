@@ -2301,11 +2301,18 @@ def oracle_sql() -> dict[str, str]:
             -- clamped to its latest 500 grid points (readers.py:228-238's
             -- ORDER BY ts DESC LIMIT over the generated series)
             spine AS (
+                -- the IS NOT NULL guard carries the empty-fetch contract
+                -- through the clamp: DuckDB's greatest() IGNORES NULL
+                -- arguments (unlike the SQL-standard NULL-poisoning
+                -- comparison), so on an empty fetch the clamp anchor alone
+                -- would fabricate a 500-row all-NULL spine where the
+                -- reference (readers.py:230, pinned on live PG) returns []
                 SELECT unnest(generate_series(
                     greatest(stats.lo,
                              date_trunc('hour', e.end_ts) - INTERVAL 499 HOUR),
                     e.end_ts, INTERVAL 1 HOUR)) AS bucket
                 FROM stats, e
+                WHERE stats.lo IS NOT NULL
             )
             SELECT spine.bucket AS bucket,
                    round(coalesce(f.open, stats.a_open), 4) AS open,

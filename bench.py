@@ -20,8 +20,11 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import __spark_entry__ as entry_mod
 from coin_for_rich_spark.session import get_spark
+from scripts.measure import settle
 
 
 def run_query(spark, fn, sf_dir: str) -> float:
@@ -31,26 +34,11 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def _settle(max_load: float = 3.0, timeout_s: float = 120.0) -> float:
-    """Bounded wait for co-tenant load to drain before measuring — the r7/r8
-    driver benches ran under loadavg 4-6 and produced phantom 15-30% drifts
-    that cost two rounds of adjudication. Returns seconds waited. Disable
-    with SPARK_GRAFT_BENCH_SETTLE=0."""
-    if os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "1") == "0":
-        return 0.0
-    t0 = time.monotonic()
-    while (
-        os.getloadavg()[0] > max_load and time.monotonic() - t0 < timeout_s
-    ):
-        time.sleep(5)
-    return round(time.monotonic() - t0, 1)
-
-
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     only = set(sys.argv[1:])
-    settled_s = _settle()
+    settled_s = settle()
 
     spark = get_spark("coin_for_rich_spark-bench")
     # warm-up: touch every table once so fs cache / codegen / Arrow init don't

@@ -382,8 +382,14 @@ def hold_back_collector(
     ``late_policy`` picks between the two defensible late-data contracts:
 
     - ``'drop'`` (default): watermark discipline — a minute at or below the
-      key's emit-once watermark is dropped, so a bare APPEND sink never
-      sees a duplicate (key, bucket) row. State carries a tombstone.
+      key's emit-once watermark is dropped, so an APPEND sink sees no
+      duplicate (key, bucket) row. State carries a tombstone whose
+      suppression is BOUNDED: the tombstone is reclaimed after
+      ``stale_ms × _TOMBSTONE_TTL_FACTOR`` of key inactivity (state can't
+      grow without bound under key churn), so a source replay arriving
+      AFTER that horizon re-emits — a sink that must be duplicate-proof
+      against arbitrarily old replays needs an idempotent merge
+      (``mode='ignore'``) as the backstop.
     - ``'emit'``: the reference updater's protocol VERBATIM
       (`updater.py:160-185` — see :func:`_flush_fn_emit`): nothing is
       dropped as late, the newest bucket per key is the only held state,

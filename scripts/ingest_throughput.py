@@ -54,20 +54,12 @@ from coin_for_rich_spark.streaming.jdbc import (  # noqa: E402
     PsqlCopyMergeSink,
 )
 from coin_for_rich_spark.streaming.pgserver import ephemeral_pg  # noqa: E402
+from scripts.measure import settle  # noqa: E402
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1 = os.path.join(REPO, ".scale", "sf1")
 PK = ("event_id",)
 MODE = "ignore"  # the reference's dominant path: INSERT ... DO NOTHING
-
-
-def _settle(max_load: float = 2.0, timeout_s: float = 120.0) -> None:
-    """Bounded wait for co-tenant load to drain before a measured cycle —
-    the same control scale_smoke/bench.py use (one load burst during a
-    single unguarded run corrupts a committed headline number)."""
-    deadline = time.monotonic() + timeout_s
-    while os.getloadavg()[0] > max_load and time.monotonic() < deadline:
-        time.sleep(5)
 
 
 def _row_count(psql: PsqlCopyMergeSink) -> int:
@@ -85,7 +77,7 @@ def bench_leg(sink, batch, psql: PsqlCopyMergeSink, label: str) -> dict:
     speedup."""
     out: dict = {"fresh": None, "replay": None, "loadavg_pre": []}
     for _ in range(2):
-        _settle()
+        settle(max_load=2.0, timeout_s=120.0)
         out["loadavg_pre"].append(round(os.getloadavg()[0], 2))
         psql._run_psql(f"TRUNCATE {psql.table};")
         for posture in ("fresh", "replay"):

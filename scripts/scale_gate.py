@@ -88,6 +88,16 @@ def run_oracle(con: duckdb.DuckDBPyConnection, sql: str, timeout_s: float):
 def main() -> int:
     argv = sys.argv[1:]
     target_dir = None
+    tag_override = None
+    if "--tag" in argv:
+        i = argv.index("--tag")
+        if i + 1 >= len(argv):
+            raise SystemExit("--tag requires a name argument")
+        # distinguishes artifacts for runs that vary the ENVIRONMENT rather
+        # than the dataset (e.g. a constrained-memory pass at sf1) so they
+        # can't clobber the committed full-gate record for that dataset
+        tag_override = "_" + argv[i + 1].upper()
+        argv = argv[:i] + argv[i + 2 :]
     if "--dir" in argv:
         i = argv.index("--dir")
         if i + 1 >= len(argv):
@@ -108,6 +118,8 @@ def main() -> int:
         if target_dir == SF1
         else "_" + os.path.basename(target_dir.rstrip("/")).upper()
     )
+    if tag_override is not None:
+        tag = tag_override
     con = duck_connect(target_dir)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     results: dict[str, dict] = {}
@@ -172,6 +184,7 @@ def main() -> int:
     out = {
         "sf_dir": target_dir,
         "oracle_timeout_s": ORACLE_TIMEOUT_S,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "cpus": os.cpu_count(),
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "n_pass": n_pass,

@@ -35,6 +35,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 from coin_for_rich_spark.session import get_spark  # noqa: E402
 from coin_for_rich_spark.sources import load_table  # noqa: E402
 from scripts.sf1_data import REPLICAS, SF01, SF1, ensure_sf1  # noqa: E402
+from scripts.measure import settle  # noqa: E402
 # the six most expensive declared plans (VERDICT r8 ask #1 list + bpe)
 TOP = [
     "stream_upsert_ingest",
@@ -44,14 +45,6 @@ TOP = [
     "dedup_clusters",
     "bpe_encode",
 ]
-
-
-def _settle(max_load: float = 2.0, timeout_s: float = 300.0) -> None:
-    """Wait for co-tenant load to drain so the measurement isn't noise —
-    the r8 driver bench lost adjudication time to exactly this."""
-    deadline = time.monotonic() + timeout_s
-    while os.getloadavg()[0] > max_load and time.monotonic() < deadline:
-        time.sleep(5)
 
 
 def run_plan(spark: SparkSession, name: str, sf_dir: str) -> dict:
@@ -81,7 +74,7 @@ def main() -> int:
     for d in (SF01, SF1):
         for t in ("events", "documents"):
             load_table(spark, d, t).count()
-    _settle()
+    settle(max_load=2.0, timeout_s=300.0)
     results: dict[str, dict] = {}
     for name in names:
         row: dict = {"loadavg_pre": round(os.getloadavg()[0], 2)}

@@ -54,10 +54,17 @@ import datetime as dt
 import json
 import os
 import re
-import subprocess
 import tempfile
 
 import pytest
+
+from tests.pgtools import (
+    REF_ROLE_SQL,
+    _fetch,
+    _fetch_ref,
+    _psql,
+    _psql_ref,
+)
 
 REF_ROOT = "/root/reference"
 CREATE_SQL = os.path.join(REF_ROOT, "scripts/database/init/create.sql")
@@ -147,52 +154,7 @@ def _prepare_view(body: str, anchor: dt.date) -> str:
     return body.replace("CURRENT_DATE", f"DATE '{anchor.isoformat()}'")
 
 
-# --- PG harness -----------------------------------------------------------
-
-
-def _psql(conninfo, sql: str, fetch: bool = False) -> str:
-    flags = ["-A", "-t", "-F", "\t"] if fetch else ["-q"]
-    p = subprocess.run(
-        ["psql", "-X", "-v", "ON_ERROR_STOP=1", *conninfo, *flags],
-        input=sql.encode(),
-        capture_output=True,
-        cwd="/",
-    )
-    assert p.returncode == 0, f"psql failed:\n{p.stderr.decode()}\nSQL:\n{sql[:2000]}"
-    return p.stdout.decode()
-
-
-#: the dedicated non-superuser role every statement containing verbatim
-#: reference text executes under (ADVICE r8: reference SQL running as the
-#: cluster superuser could reach file primitives callable from SELECT —
-#: lo_export, pg_read_file). NOSUPERUSER, no pg_write_server_files /
-#: pg_execute_server_program membership; objects it creates (the reference
-#: tables and views) are owned by it, so the view bodies also execute under
-#: its privileges at query time.
-REF_ROLE_SQL = """
-CREATE ROLE refexec NOSUPERUSER NOCREATEDB NOCREATEROLE NOREPLICATION;
-GRANT ALL ON SCHEMA public TO refexec;
-GRANT refexec TO CURRENT_USER;
-"""
-
-
-def _psql_ref(conninfo, sql: str, fetch: bool = False) -> str:
-    """Execute ``sql`` (reference-derived text) under the refexec role."""
-    return _psql(conninfo, "SET ROLE refexec;\n" + sql, fetch=fetch)
-
-
-def _fetch_ref(conninfo, sql: str) -> list[list[str]]:
-    """Fetch reference-derived SQL under refexec (the SET command tag psql
-    prints even in tuples-only mode is stripped)."""
-    out = _psql_ref(conninfo, sql, fetch=True)
-    return [
-        line.split("\t") for line in out.splitlines() if line and line != "SET"
-    ]
-
-
-def _fetch(conninfo, sql: str) -> list[list[str]]:
-    out = _psql(conninfo, sql, fetch=True)
-    return [line.split("\t") for line in out.splitlines() if line]
+# --- PG harness (shared: tests/pgtools.py) ------------------------------
 
 
 def _pg_ts(text: str) -> dt.datetime:

@@ -39,11 +39,12 @@ from __future__ import annotations
 
 import os
 import re
-import subprocess
 import tempfile
 
 import pandas as pd
 import pytest
+
+from tests.pgtools import REF_ROLE_SQL, _fetch, _psql, _psql_ref
 
 REF_ROOT = "/root/reference"
 CREATE_SQL = os.path.join(REF_ROOT, "scripts/database/init/create.sql")
@@ -138,39 +139,7 @@ def _ignoredup_template(text: str) -> str:
     return m.group(1)
 
 
-# --- PG harness -----------------------------------------------------------
-
-
-def _psql(conninfo, sql: str, fetch: bool = False) -> str:
-    flags = ["-A", "-t", "-F", "\t"] if fetch else ["-q"]
-    p = subprocess.run(
-        ["psql", "-X", "-v", "ON_ERROR_STOP=1", *conninfo, *flags],
-        input=sql.encode(),
-        capture_output=True,
-        cwd="/",
-    )
-    assert p.returncode == 0, f"psql failed:\n{p.stderr.decode()}\nSQL:\n{sql[:2000]}"
-    return p.stdout.decode()
-
-
-def _fetch(conninfo, sql: str) -> list[list[str]]:
-    out = _psql(conninfo, sql, fetch=True)
-    return [line.split("\t") for line in out.splitlines() if line]
-
-
-#: reference-derived SQL (the extracted DDL/PK and the verbatim insert
-#: template) executes under a dedicated NOSUPERUSER role — same hardening
-#: as test_reference_sql_parity (ADVICE r8: superuser execution of
-#: untrusted reference text could reach file primitives from SELECT)
-REF_ROLE_SQL = """
-CREATE ROLE refexec NOSUPERUSER NOCREATEDB NOCREATEROLE NOREPLICATION;
-GRANT ALL ON SCHEMA public TO refexec;
-GRANT refexec TO CURRENT_USER;
-"""
-
-
-def _psql_ref(conninfo, sql: str) -> str:
-    return _psql(conninfo, "SET ROLE refexec;\n" + sql)
+# --- PG harness (shared: tests/pgtools.py) ------------------------------
 
 
 SUB_HASH_DDL = """
