@@ -202,8 +202,15 @@ DOC_STATS_SQL = f"""
         FROM t
     )
     SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
-           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           -- guarded like textstats.doc_stats: a zero-char/zero-token doc
+           -- scores 0.0, never NaN (the engine's documented contract —
+           -- adjudicated green from the r9 edge-gate divergence)
+           CASE WHEN n_chars > 0
+                THEN CAST(n_punct AS DOUBLE) / n_chars
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_stopwords AS DOUBLE) / n_tokens
+                ELSE 0.0 END AS stopword_ratio,
            CASE WHEN n_tokens > 0 THEN
                CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
                / n_tokens
@@ -2686,14 +2693,23 @@ def oracle_sql() -> dict[str, str]:
                            '([\\p{{L}}]+|[\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s])', 1)) AS bpe_tokens
                 FROM documents
             ),
+            -- toks guarded exactly like textstats.tokenize: an empty/
+            -- whitespace doc is ZERO tokens, not SQL split's phantom ['']
+            -- (the r9 edge-gate divergence, adjudicated engine-side-right)
             fp AS (
                 SELECT doc_id,
-                       md5(array_to_string(list_sort(list_distinct(
-                           regexp_split_to_array(trim(text), '\\s+'))), ' '))
+                       -- coalesce: DuckDB array_to_string([]) is NULL where
+                       -- Spark concat_ws gives '' — the empty doc must hash
+                       -- to md5('') on both sides
+                       md5(coalesce(array_to_string(
+                           list_sort(list_distinct(toks)), ' '), ''))
                            AS bag_fingerprint,
-                       len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
-                           AS n_distinct_tokens
-                FROM documents
+                       len(list_distinct(toks)) AS n_distinct_tokens
+                FROM (SELECT doc_id,
+                             CASE WHEN length(trim(text)) > 0
+                                  THEN regexp_split_to_array(trim(text), '\\s+')
+                                  ELSE []::VARCHAR[] END AS toks
+                      FROM documents)
             ),
             rep AS (
                 SELECT doc_id,
@@ -2708,7 +2724,9 @@ def oracle_sql() -> dict[str, str]:
                                AS DOUBLE) / len(toks)
                        ELSE 0.0 END AS top_token_frac
                 FROM (SELECT doc_id,
-                             regexp_split_to_array(trim(text), '\\s+') AS toks
+                             CASE WHEN length(trim(text)) > 0
+                                  THEN regexp_split_to_array(trim(text), '\\s+')
+                                  ELSE []::VARCHAR[] END AS toks
                       FROM documents)
             )
             SELECT stats.*, tok.bpe_tokens,
@@ -2874,8 +2892,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "seq_packing": """
             WITH t AS (
+                -- mirrors pipeline.token_count: split, then DROP empty
+                -- strings — an empty or whitespace-only doc is 0 tokens,
+                -- never SQL split's phantom [''] (r9 edge-gate
+                -- adjudication: a phantom token here shifts EVERY
+                -- downstream cum_before/seq_offset)
                 SELECT doc_id,
-                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+                       len(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')) AS n_tokens
                 FROM documents
             ),
             c AS (
@@ -3028,12 +3053,23 @@ def oracle_sql() -> dict[str, str]:
         # exact kNN join: full pairwise cosine ranking, same tie order
         # (cosine desc, nbr asc) as the blocked-GEMM operator
         "embed_knn_join": """
-            WITH pairs AS (
+            WITH v AS (
+                -- zero-norm contract (r9 edge-gate adjudication): the engine
+                -- clamps zero norms to 1 (_normed_rows), so a zero vector
+                -- scores cosine EXACTLY 0.0 against everything — never NaN,
+                -- never excluded. Encode the same rule here; non-degenerate
+                -- rows keep DuckDB's native cosine (full-precision ranking).
+                SELECT vec_id, embedding::DOUBLE[] AS e,
+                       list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]) = 0 AS is_zero
+                FROM embeddings
+            ),
+            pairs AS (
                 SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
-                       list_cosine_similarity(
-                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]
-                       ) AS cos_full
-                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                       CASE WHEN a.is_zero OR b.is_zero THEN 0.0
+                            ELSE list_cosine_similarity(a.e, b.e)
+                       END AS cos_full
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
             ),
             ranked AS (
                 -- rank on FULL precision (the Spark side ranks unrounded

@@ -1181,12 +1181,24 @@ def lsh_ann_knn(
     n_planes: int = 8,
     n_tables: int = 8,
     multiprobe: bool = True,
+    ensure_k: bool = True,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: a vector is a
     candidate if it lands in the query's bucket (or a Hamming-1 probe, when
     ``multiprobe``) in ANY of ``n_tables`` independent hash tables — the
     standard OR-amplification that turns a per-table catch probability p
     into 1-(1-p)^L — then exact cosine re-rank of candidates only.
+
+    Degenerate-pool contract (``ensure_k``, default on): the operator
+    GUARANTEES ``min(k, N)`` results. The pruned top-k is collected (a
+    top-k serving result is driver-sized by definition — ≤ k rows); if the
+    candidate pool yielded fewer than ``k`` rows — a tiny corpus, or a
+    zero/degenerate query whose buckets are near-empty — the result is the
+    exact full-scan top-k instead (the standard ANN backfill posture). At
+    corpus scale the multiprobe OR across ``n_tables`` tables leaves the
+    fallback probability negligible, so the exact branch is a correctness
+    backstop, not a cost: one extra k-row take decides it, and the pruned
+    scan is never executed twice (the probed rows ARE the returned rows).
 
     Recall/cost knob: more planes → smaller buckets (fewer candidates, lower
     per-table recall); more tables → recall back up at linear candidate
@@ -1216,4 +1228,12 @@ def lsh_ann_knn(
             c = bucket_of(vec_col, planes).isin(probes)
             cond = c if cond is None else (cond | c)
         cands = embeddings.filter(cond)
-    return cosine_knn(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    pruned = cosine_knn(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    if not ensure_k:
+        return pruned
+    rows = pruned.collect()
+    if len(rows) >= k:
+        # localize: deterministic (the plan is an ordered limit-k), and the
+        # pruned scan runs exactly once — the take above IS the result
+        return embeddings.sparkSession.createDataFrame(rows, pruned.schema)
+    return cosine_knn(embeddings, query_vec, k=k, id_col=id_col, vec_col=vec_col)
