@@ -121,7 +121,12 @@ def round_wire(col: Column | str, n_decimals: int = 4) -> Column:
     single ``rlike`` admits them directly; the exponent-aware digit count
     (four regexp evaluations) runs only on strings that miss the fast
     pattern — ``CASE WHEN`` evaluates the second condition per-row only
-    when the first is false."""
+    when the first is false. Callers parsing SEVERAL fields per row must
+    not instantiate this tree per field: evaluate it once inside an array
+    ``transform`` (see ``parse_wire_candles``) — the r9→r10 latest-serve
+    regression was five copies of this tree (plus five more in the
+    dead-letter predicate) blowing up per-micro-batch plan compilation,
+    not the per-row arithmetic (measured equal in batch)."""
     c = F.col(col) if isinstance(col, str) else col
     simple = c.rlike(r"^[+-]?\d+(\.\d{0,18})?$")
     d = F.when(simple, c.try_cast(WIRE_DECIMAL)).when(

@@ -148,30 +148,48 @@ def parse_wire_candles(
     ts_of = {"ms": F.timestamp_millis, "us": F.timestamp_micros}[ts_unit]
     parts = F.split(F.col(wire_col), WIRE_SEP)
 
-    def val(i: int) -> Column:
-        raw = F.try_element_at(parts, F.lit(i))
+    def val(x: Column) -> Column:
         if round_decimals is None:
-            return raw.try_cast("double")
-        return round_wire(raw, round_decimals)
+            return x.try_cast("double")
+        return round_wire(x, round_decimals)
 
-    # try_element_at, NOT element_at: under ANSI (Spark 4 default) a bare
-    # element_at on a short-arity row RAISES, and the dead-letter guarantee
-    # would rest on the optimizer happening to evaluate the size()==6
-    # conjunct first — try_* makes the NULL contract structural
-    fields = {
-        "ts": ts_of(F.try_element_at(parts, F.lit(1)).try_cast("bigint")),
-        "open": val(2),
-        "high": val(3),
-        "low": val(4),
-        "close": val(5),
-        "volume": val(6),
-    }
-    ok = F.size(parts) == 6
-    for name in fields:
-        ok = ok & F.col(name).isNotNull()
+    # The five value fields parse through ONE array `transform`: the value
+    # expression (nontrivial when `round_decimals` brings in round_wire's
+    # guard tree) appears in the plan exactly once as a lambda body, not
+    # five times — and because `transform` is not collapse-cheap, Catalyst
+    # keeps the `_vals` projection instead of inlining a copy per consumer.
+    # The r9 per-field formulation instantiated the tree 10× (5 columns +
+    # the dead-letter predicate re-deriving each) and DOUBLED the streaming
+    # parse — per-MICRO-BATCH plan compile/codegen scales with tree size,
+    # and at a production tick cadence that compile tax is paid every few
+    # seconds, forever. Per-row arithmetic was never the cost (measured
+    # equal in batch).
+    #
+    # try_element_at / slice, NOT element_at: under ANSI (Spark 4 default)
+    # a bare element_at on a short-arity row RAISES, and the dead-letter
+    # guarantee would rest on the optimizer happening to evaluate the
+    # size()==6 conjunct first — try_* makes the NULL contract structural
+    # (slice of a short array just yields a shorter array; the arity
+    # conjunct in _ok catches it).
+    vals = F.transform(F.slice(parts, 2, 5), val)
+    ts = ts_of(F.try_element_at(parts, F.lit(1)).try_cast("bigint"))
+    names = ("open", "high", "low", "close", "volume")
     shaped = df.select(
-        *keep_cols, F.col(wire_col), *[c.alias(n) for n, c in fields.items()]
-    ).withColumn("_ok", ok)
-    parsed = shaped.filter("_ok").drop("_ok", wire_col)
+        *keep_cols,
+        F.col(wire_col),
+        ts.alias("ts"),
+        vals.alias("_vals"),
+        F.size(parts).alias("_arity"),
+    ).withColumn(
+        "_ok",
+        (F.col("_arity") == 6)
+        & F.col("ts").isNotNull()
+        & ~F.exists("_vals", lambda x: x.isNull()),
+    )
+    parsed = shaped.filter("_ok").select(
+        *keep_cols,
+        "ts",
+        *[F.try_element_at("_vals", F.lit(i + 1)).alias(n) for i, n in enumerate(names)],
+    )
     dead = shaped.filter(~F.col("_ok")).select(*keep_cols, wire_col)
     return parsed, dead
