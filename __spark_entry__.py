@@ -83,6 +83,8 @@ from coin_for_rich_spark.llmdata import (
     build_dedup_index,
     incremental_dedup,
     epoch_shuffle,
+    leakage_safe_split,
+    cross_split_pairs,
 )
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
 from coin_for_rich_spark.functions.partitioning import scoped_shuffle_partitions
@@ -1163,13 +1165,62 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-byte literal's hash) in DuckDB via the closed form for fixed-width
     input, then the same pmod — every ord and shard value is hash-exact,
     not a property. The layout-invariance property itself stays pinned in
-    tests/test_pipeline.py. Replaces the former ``embed_knn`` row (r6→r7
+    tests/test_pipeline.py. Replaced the former ``embed_knn`` row (r6→r7
     surface swap, COVERAGE.md): brute cosine top-k remains gate-certified
     by ``embed_knn_join`` (exact ranking for EVERY row vs the full DuckDB
     pairwise oracle) and keeps executing inside ``embed_ann_lsh`` /
-    ``embed_ann_ivf`` as their recall truth set."""
+    ``embed_ann_ivf`` as their recall truth set.
+
+    UNDECLARED since r10 (swapped for ``leakage_split``): the pure-(id,
+    seed) contract stays hash-exact-pinned by the XXH64 closed-form twin in
+    tests/test_pipeline.py (``_epoch_shuffle_oracle_sql`` still runs there)
+    and the layout half ships in ``write_epoch_shards``
+    (tests/test_splits.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return epoch_shuffle(docs, n_shards=8, seed=7).select("doc_id", "shard", "ord")
+
+
+# ordered split fractions for the declared leakage-safe split: 16-bit
+# thresholds round(65536*cum) = 58982 / 62259 / 65536 — the oracle hardcodes
+# the same integers, so the two sides can never disagree by a float ulp
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split, cluster-atomic over the REAL
+    dedup relation (llmdata.splits.leakage_safe_split over
+    dedup_clusters(exact 3-gram Jaccard pairs, threshold 0.2)): every
+    member of a near-dup cluster draws ONE split from 16 bits of
+    md5(cluster_key, seed) against exact integer thresholds — a pure
+    (id, seed) assignment, layout/partitioning/append-stable.
+
+    Declared as the composed oracle row: per-split document counts (DuckDB
+    re-derives the md5-threshold assignment digit-for-digit over its own
+    recursive-CTE connected components) PLUS the ``cross_split_pairs``
+    audit count over the SAME pair tier the clusters came from — leakage a
+    cluster-atomic split makes impossible, so the column is 0 by
+    construction and any nonzero value is a real atomicity bug on either
+    side. Replaces the ``epoch_shuffle`` row (r9→r10 surface swap,
+    COVERAGE.md): epoch_shuffle's pure-(id,seed) contract stays pinned by
+    the XXH64 closed-form twin in tests/test_pipeline.py and its layout
+    half ships in ``write_epoch_shards`` (tests/test_splits.py).
+
+    Plan shape: the cluster join is the only shuffle beyond the pair
+    relation itself; the draw is scan-stage column algebra (no window, no
+    global sort); the audit is two equi-joins on the doc id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _exact_jaccard_pairs(spark, sf_dir)
+    clusters = dedup_clusters(pairs, method="star")
+    assigned = leakage_safe_split(
+        docs, _SPLIT_FRACTIONS, clusters=clusters, seed=7
+    )
+    violations = cross_split_pairs(assigned, pairs).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    counts = assigned.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    # 3-row × 1-row crossJoin: the violation count is a corpus-global scalar
+    return counts.crossJoin(violations)
 
 
 # the brute-force property twin runs on this deterministic md5 prefix sample
@@ -1910,8 +1961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental dedup vs the persisted fingerprint index (r7 swap-in)
         "dedup_index_probe": q_dedup_index_probe,
         "seq_packing": q_seq_packing,
-        # document pipeline (+ the deterministic epoch shuffle, r7 swap-in)
-        "epoch_shuffle": q_epoch_shuffle,
+        # leakage-safe cluster-atomic split (r10 swap-in for epoch_shuffle:
+        # the shuffle's pure-(id,seed) contract stays pinned by the XXH64
+        # closed-form twin in tests/test_pipeline.py; COVERAGE.md maps it)
+        "leakage_split": q_leakage_split,
         "doc_line_dedup": q_doc_line_dedup,
         "doc_profile": q_doc_profile,
         "domain_mix_sample": q_domain_mix_sample,
@@ -2977,9 +3030,56 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p LEFT JOIN ivs i
               ON p.user_id = i.user_id AND p.ts >= i.start AND p.ts < i."end"
         """,
-        # epoch_shuffle: hash-exact twin — ord is Spark's xxhash64(doc_id,
-        # lit(7)) recomputed via the XXH64 closed form, shard its pmod 8
-        "epoch_shuffle": _epoch_shuffle_oracle_sql(seed=7, n_shards=8),
+        # leakage_split: DuckDB re-derives the whole composition — connected
+        # components via recursive transitive closure (same CTE as the
+        # dedup_clusters oracle), the md5-threshold split draw digit-for-
+        # digit (16 bits of md5(unit || chr(31) || seed), exact integer
+        # thresholds 58982/62259 = round(65536*cum) for 0.9/0.05/0.05), and
+        # the cross-split audit count over the same pair tier (0 by
+        # cluster-atomicity construction)
+        "leakage_split": f"""
+            WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+                WHERE e.dst <> r.a
+            ),
+            comp AS (
+                SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
+            ),
+            labeled AS (
+                SELECT d.doc_id,
+                       CASE WHEN h < 58982 THEN 'train'
+                            WHEN h < 62259 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT d0.doc_id,
+                           CAST(concat('0x', substr(md5(concat(
+                               CAST(coalesce(c.cluster_id, d0.doc_id)
+                                    AS VARCHAR),
+                               chr(31), '7')), 9, 4)) AS BIGINT) AS h
+                    FROM documents d0
+                    LEFT JOIN comp c ON d0.doc_id = c.doc_id
+                ) d
+            ),
+            viol AS (
+                SELECT count(*) AS violations
+                FROM pairs p
+                JOIN labeled a ON p.doc_a = a.doc_id
+                JOIN labeled b ON p.doc_b = b.doc_id
+                WHERE a.split <> b.split
+            )
+            SELECT l.split, count(*) AS n_docs, v.violations
+            FROM labeled l CROSS JOIN viol v
+            GROUP BY l.split, v.violations
+        """,
         "embed_neardup": """
             WITH q AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v0,

@@ -14,9 +14,12 @@ Determinism contract (the repo-wide sampling discipline of
 assignment is a pure expression of (id, seed) — engine-independent,
 stable under re-runs, re-partitioning, physical layout, and incremental
 appends (a new document joins a split without moving any existing one).
-The three draws read DISJOINT md5 hex ranges (holdout digit 1,
-stratified digits 5-8, split digits 9-12), so they compose as
-independent samples instead of conditioning each other.
+Independence from the samplers' draws comes from the PREIMAGE: the split
+hashes the seeded ``md5(unit <US> seed)`` while ``hash_sample``/
+``stratified_hash_sample`` hash the unseeded ``md5(id)`` — different
+inputs, so the draws are uncorrelated by construction. Reading distinct
+hex digit ranges (holdout digit 1, stratified digits 5-8, split digits
+9-12) is defense-in-depth on top, not the independence mechanism.
 """
 
 from __future__ import annotations
@@ -52,6 +55,17 @@ def _split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
         cum += f
         out.append((name, round(cum * 65536)))
     out[-1] = (out[-1][0], 65536)  # close the range despite float residue
+    # bounds must be strictly increasing: a fraction too small to represent
+    # in 16 bits (or ties after rounding) would silently give that split a
+    # ZERO-WIDTH range — it passes the (0,1] validation yet never assigns
+    prev = 0
+    for name, bound in out:
+        if bound <= prev:
+            raise ValueError(
+                f"fraction for {name!r} is too small to represent in 16 bits"
+                f" (threshold {bound} does not exceed previous {prev})"
+            )
+        prev = bound
     return out
 
 
@@ -89,10 +103,18 @@ def leakage_safe_split(
         unit = F.col(id_col)
         joined = docs
     else:
+        # dropDuplicates guards the join's row multiplicity: a clusters
+        # relation carrying duplicate membership rows for an id (a retried
+        # union, a pair-tier artifact) would otherwise DUPLICATE document
+        # rows in the output — corruption, not just a label glitch.
+        # Connected-components output is one row per id; dedup on (id,
+        # cluster) keeps that case a no-op while making the contract
+        # structural. Conflicting memberships (same id, two clusters)
+        # remain the caller's bug — that relation is not a partition.
         memb = clusters.select(
             F.col(id_col).alias("__lss_id"),
             F.col(cluster_col).alias("__lss_cluster"),
-        )
+        ).dropDuplicates(["__lss_id", "__lss_cluster"])
         joined = docs.join(memb, docs[id_col] == memb["__lss_id"], "left")
         unit = F.coalesce(F.col("__lss_cluster"), F.col(id_col))
     h = F.conv(

@@ -126,6 +126,15 @@ def edge_tables(spark: SparkSession) -> dict[str, DataFrame]:
     dup_src = emb.filter(F.col("vec_id") == 62).select(
         F.col("embedding").alias("__dup_emb")
     )
+    # fail fast if the duplicate-source row is missing (an override source
+    # without vec 62 would make the broadcast side EMPTY and the whole
+    # embeddings table silently empty — violating this module's own
+    # "every table non-empty" contract)
+    if dup_src.count() != 1:
+        raise ValueError(
+            "edge embeddings need exactly one vec_id==62 row as the "
+            "duplicate source; the configured source dataset lacks it"
+        )
     emb2 = emb.crossJoin(F.broadcast(dup_src))
     out["embeddings"] = emb2.select(
         "vec_id",

@@ -34,7 +34,14 @@ def _psql(conninfo, sql: str, fetch: bool = False) -> str:
         capture_output=True,
         cwd="/",
     )
-    assert p.returncode == 0, f"psql failed:\n{p.stderr.decode()}\nSQL:\n{sql[:2000]}"
+    if p.returncode != 0:
+        # a real exception, not a bare assert: under `python -O` asserts
+        # vanish and a failed reference-SQL execution would return empty
+        # output as success
+        raise RuntimeError(
+            f"psql failed (rc={p.returncode}):\n{p.stderr.decode()}"
+            f"\nSQL:\n{sql[:2000]}"
+        )
     return p.stdout.decode()
 
 

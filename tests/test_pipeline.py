@@ -383,6 +383,23 @@ def test_epoch_shuffle_is_layout_invariant_and_seeded(spark):
         epoch_shuffle(docs, 0)
 
 
+def test_epoch_shuffle_matches_duckdb_xxh64_twin(spark, sf_dir, duck):
+    """The hash-exact DuckDB twin (XXH64 closed form re-deriving Spark's
+    xxhash64(doc_id, seed) chain, then the same pmod) — preserved as a
+    pytest pin after epoch_shuffle rotated OUT of the driver gate in r10
+    (swapped for leakage_split; every ord and shard value stays checked
+    here, not just the layout-invariance property above)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_epoch_shuffle(spark, sf_dir).toPandas()
+    odf = duck.execute(
+        entry_mod._epoch_shuffle_oracle_sql(seed=7, n_shards=8)
+    ).df()
+    problems = compare("epoch_shuffle", sdf, odf)
+    assert not problems, problems
+
+
 def test_epoch_shuffle_composes_with_bpe_packing(spark):
     """The training-prep chain: BPE-tokenize → epoch-shuffle → pack — the
     composition every pretraining pipeline runs, end to end."""
