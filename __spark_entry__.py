@@ -334,6 +334,33 @@ def _promote_staged_dir(built: str, final: str, expect: str) -> None:
         )
 
 
+def _point_symlink(target: str, link: str) -> None:
+    """Atomically (re)point ``link`` at ``target``.
+
+    The oracle SQL strings are generated without an ``sf_dir`` argument,
+    so they read gate artifacts at a FIXED $TMPDIR name. Serving that name
+    through a symlink to a per-source-identity store directory means two
+    processes gating DIFFERENT sources can never rebuild over each other's
+    in-flight state (the r10 failure: a concurrent sf0.001 pytest run
+    rmtree'd the shared ingest dir mid-sf1-stream). Same-source concurrent
+    builds still race only against identical content. A legacy plain
+    directory at ``link`` is removed once."""
+    import os
+    import shutil
+
+    if os.path.islink(link):
+        pass
+    elif os.path.isdir(link):
+        shutil.rmtree(link, ignore_errors=True)
+    tmp = f"{link}.lnk{os.getpid()}"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(target, tmp)
+    os.replace(tmp, link)
+
+
 # materialized rollup-family paths keyed on sf_dir (M4): materialize once
 # per session, serve every materialized-route read from the sink tables.
 # Like the staged stream replay, the store also lives at a deterministic
@@ -994,18 +1021,22 @@ def _dedup_index_gate(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    final = os.path.join(tempfile.gettempdir(), "cfr_dedupidx_gate")
+    import hashlib
+
     try:
         st = os.stat(os.path.join(sf_dir, "documents.parquet"))
         ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|idx4v2"
     except OSError:
         ident = f"{sf_dir}|idx4v2"
-    marker = os.path.join(final, "_ident.txt")
-    current = None
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            current = fh.read()
-    if current != ident:
+    # per-source-identity store + fixed symlink for the oracle: concurrent
+    # gates over different sources build disjoint directories (see
+    # _point_symlink)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"cfr_dedupidx_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    marker = os.path.join(store, "_ident.txt")
+    if not os.path.isfile(marker):
         docs = load_table(spark, sf_dir, "documents")
         history = docs.filter(F.col("doc_id") % 4 != 0)
         batch = _dedup_probe_batch(docs)
@@ -1015,10 +1046,10 @@ def _dedup_index_gate(spark: SparkSession, sf_dir: str) -> str:
         build_dedup_index(batch, os.path.join(built, "probe"), **_DEDUP_GATE_GEOMETRY)
         with open(os.path.join(built, "_ident.txt"), "w") as fh:
             fh.write(ident)
-        shutil.rmtree(final, ignore_errors=True)
-        _promote_staged_dir(built, final, expect=os.path.join(final, "_ident.txt"))
+        _promote_staged_dir(built, store, expect=marker)
         shutil.rmtree(tmp, ignore_errors=True)
-    return final
+    _point_symlink(store, os.path.join(tempfile.gettempdir(), "cfr_dedupidx_gate"))
+    return store
 
 
 def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,25 +1113,33 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_chunks`` row (r7 swap, COVERAGE.md): the pipeline component it
     shared with ``doc_scrub`` stays gate-covered there, and
     chunk_documents keeps its value-checked pytest rows."""
+    import hashlib
     import os
     import shutil
     import tempfile
 
     from coin_for_rich_spark.streaming.source import read_file_stream
 
-    gate = os.path.join(tempfile.gettempdir(), "cfr_corpusingest_gate")
-    os.makedirs(gate, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents")
     batches = _corpus_ingest_batches(docs)
 
     # identity-cached pure inputs: the staged arrival chunks (one file per
     # micro-batch, mtime-ordered so the file source replays in sequence)
-    # and the all-candidates fingerprint dump the oracle reads
+    # and the all-candidates fingerprint dump the oracle reads. The store
+    # directory is per-source-identity with the fixed oracle name served
+    # through a symlink (_point_symlink): the ingest loop MUTATES its index
+    # mid-stream, so two processes gating different sources through one
+    # shared directory corrupt each other (the r10 sf1-vs-pytest race).
     try:
         st = os.stat(os.path.join(sf_dir, "documents.parquet"))
         ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|ingest4v2"
     except OSError:
         ident = f"{sf_dir}|ingest4v2"
+    gate = os.path.join(
+        tempfile.gettempdir(),
+        f"cfr_corpusingest_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(gate, exist_ok=True)
     marker = os.path.join(gate, "_ident.txt")
     current = None
     if os.path.isfile(marker):
@@ -1152,6 +1191,9 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the next call rebuilds instead of serving a partial corpus
         with open(marker, "w") as fh:
             fh.write(ident)
+    _point_symlink(
+        gate, os.path.join(tempfile.gettempdir(), "cfr_corpusingest_gate")
+    )
     return read_ingested_corpus(spark, corpus).select(
         "doc_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
     )
@@ -1719,6 +1761,32 @@ def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/S4 — the SECOND streamed conagg resolution (r10 swap-in), and the
+    one that pins the reference's cadence→watermark translation at a second
+    point: watermark=None derives the delay from the 5m policy's
+    ``end_offset`` ('5 minutes', create.sql:345-381 via
+    streaming.rollup.CONAGG_POLICIES) instead of the explicit 0s the 1h row
+    uses. Append mode therefore emits exactly the buckets whose end clears
+    max(ts) − end_offset — the conagg's publication lag — which is what the
+    oracle filters to (the replay is time-ordered, so the lag only delays
+    publication and can never drop a row). Replaces ``stream_dedup``
+    (COVERAGE.md): exactly-once dedup stays pinned by
+    tests/test_streaming.py's duplicate-delivery suite and the PK-dedup
+    contract by the declared ``dedup_pk``/``stream_upsert_ingest`` rows."""
+    import uuid
+
+    from coin_for_rich_spark.streaming.rollup import run_rollup_to_memory
+
+    stream = candle_stream(_staged_stream(spark, sf_dir))
+    rolled = streaming_ohlcv_rollup(stream, "5m", watermark=None)
+    return run_rollup_to_memory(
+        rolled,
+        f"stream_rollup_5m_{uuid.uuid4().hex}",
+        state_partitions=_STREAM_STATE_PARTITIONS,
+    )
+
+
 def q_stream_latest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 — latest-value serve aggregate (the Redis serve-hash,
     bitfinex.py:202-217): streaming max_by per key in complete mode.
@@ -1796,7 +1864,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 streaming twin — exactly-once dedup under duplicate delivery: the
     replay stream unioned with itself (every event delivered twice, the
     reconnect-replay failure mode) must land each event exactly once via
-    dropDuplicatesWithinWatermark keyed state."""
+    dropDuplicatesWithinWatermark keyed state.
+
+    UNDECLARED since r10 (swapped for ``stream_rollup_5m``): the
+    duplicate-delivery contract stays pinned by
+    tests/test_streaming.py::test_exactly_once_dedup_under_duplicate_delivery
+    and the PK-dedup semantics by the declared ``dedup_pk`` /
+    ``stream_upsert_ingest`` rows."""
     import uuid
 
     stream = _staged_stream(spark, sf_dir)
@@ -1929,7 +2003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1h": q_stream_rollup_1h,
         "stream_latest_serve": q_stream_latest_serve,
         "stream_hold_back": q_stream_hold_back,
-        "stream_dedup": q_stream_dedup,
+        # second streamed conagg resolution (r10 swap-in for stream_dedup:
+        # exactly-once dedup stays pytest-pinned, COVERAGE.md maps it)
+        "stream_rollup_5m": q_stream_rollup_5m,
         "stream_upsert_ingest": q_stream_upsert_ingest,
         # embedding similarity / ANN tier (embed_knn → epoch_shuffle in r7:
         # brute cosine stays certified via embed_knn_join's every-row oracle)
@@ -2548,9 +2624,15 @@ def oracle_sql() -> dict[str, str]:
             FROM n
             GROUP BY user_id, session_id
         """,
-        "stream_dedup": """
-            SELECT event_id, ts, user_id, event_type, value, props
-            FROM events
+        # append mode + policy watermark: a 5m bucket publishes once its
+        # end clears max(ts) - end_offset (5 minutes) - the conagg
+        # publication lag; the time-ordered replay makes the lag pure
+        # delay, never a drop
+        "stream_rollup_5m": f"""
+            WITH c AS ({_candle_sql(_RES_BUCKET_SQL["5m"])})
+            SELECT * FROM c
+            WHERE bucket + INTERVAL 5 MINUTE
+                  <= (SELECT max(ts) - INTERVAL 5 MINUTE FROM events)
         """,
         "asof_join": """
             SELECT l.event_id, l.ts, l.user_id, l.value,

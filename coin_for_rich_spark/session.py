@@ -33,8 +33,14 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+    # SPARK_GRAFT_MASTER overrides the single-JVM default — e.g.
+    # ``local-cluster[2,8,4096]`` runs 2 separate worker JVMs (real task
+    # closure serialization, broadcast lifecycle, cross-process shuffle),
+    # the closest a single host gets to multi-executor topology; the scale
+    # gate's CLUSTER axis uses it
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -60,4 +66,61 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the repo's Python code to executors via ``addPyFile``.
+
+    In single-JVM ``local[...]`` mode executor Python workers inherit the
+    driver's ``sys.path``, which silently hides a real deployment
+    requirement: every cloudpickled function defined at module level is
+    pickled BY REFERENCE, so multi-JVM executors (``local-cluster``,
+    standalone, YARN, k8s) must be able to import
+    ``coin_for_rich_spark`` — and ``__spark_entry__`` — themselves. This
+    is the canonical ``--py-files`` posture, built in so the same session
+    factory works on any topology (found by the r10 local-cluster gate:
+    every applyInPandas/mapInPandas query raised ModuleNotFoundError on
+    executor 0 until the package shipped).
+
+    The zip is content-addressed (md5 over file paths+bytes) and cached in
+    the temp dir, so repeated sessions reuse it and a code edit can never
+    serve a stale package.
+    """
+    import hashlib
+    import os as _os
+    import tempfile
+    import zipfile
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    pkg = _os.path.join(repo, "coin_for_rich_spark")
+    entry = _os.path.join(repo, "__spark_entry__.py")
+    h = hashlib.md5()
+    members: list[tuple[str, str]] = []  # (abs path, arcname)
+    for base, _dirs, files in sorted(_os.walk(pkg)):
+        if "__pycache__" in base:
+            continue
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            p = _os.path.join(base, f)
+            arc = _os.path.relpath(p, repo)
+            members.append((p, arc))
+    if _os.path.isfile(entry):
+        members.append((entry, "__spark_entry__.py"))
+    for p, arc in members:
+        h.update(arc.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    zpath = _os.path.join(
+        tempfile.gettempdir(), f"cfr_pkg_{h.hexdigest()[:12]}.zip"
+    )
+    if not _os.path.isfile(zpath):
+        tmp = zpath + f".tmp{_os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for p, arc in members:
+                zf.write(p, arc)
+        _os.replace(tmp, zpath)  # atomic: concurrent sessions can race here
+    spark.sparkContext.addPyFile(zpath)

@@ -52,7 +52,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = os.environ.get("SPARK_GRAFT_PERM_SRC", "/root/testdata/sf0.01")
-PERM = os.path.join(REPO, ".scale", "perm")
+# output override pairs with the source override: a composed axis (e.g.
+# perm-of-skew) must not clobber the committed canonical perm dataset
+PERM = os.environ.get(
+    "SPARK_GRAFT_PERM_OUT", os.path.join(REPO, ".scale", "perm")
+)
 
 # Partition counts deliberately prime and unrelated to the source layout
 # (driver tables are single files; sf1/skew write 2-16 parts).

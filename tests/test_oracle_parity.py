@@ -46,7 +46,7 @@ def test_query_surface_fits_the_gate_window():
         "stream_rollup_1h",
         "stream_latest_serve",
         "stream_hold_back",
-        "stream_dedup",
+        "stream_rollup_5m",
         "stream_upsert_ingest",
     ], "streaming family must stay at the head of the checked window"
     assert set(entry_mod.oracle_sql()) == set(qs)
