@@ -182,9 +182,16 @@ def parse_wire_candles(
         F.size(parts).alias("_arity"),
     ).withColumn(
         "_ok",
-        (F.col("_arity") == 6)
-        & F.col("ts").isNotNull()
-        & ~F.exists("_vals", lambda x: x.isNull()),
+        # coalesce(False): a NULL wire string makes every conjunct NULL,
+        # and a NULL predicate fails BOTH filter legs — the row would
+        # vanish from parsed AND dead letters, violating the "malformed
+        # rows never disappear" contract on raw batch backfills
+        F.coalesce(
+            (F.col("_arity") == 6)
+            & F.col("ts").isNotNull()
+            & ~F.exists("_vals", lambda x: x.isNull()),
+            F.lit(False),
+        ),
     )
     parsed = shaped.filter("_ok").select(
         *keep_cols,
