@@ -222,14 +222,34 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     single-purpose operators on doc_id would shuffle the corpus once per
     operator for no semantic gain. The single-purpose operators remain the
     composable API; this is their fused scan.
+
+    Plan shape (r10): the token array and the lexicon-normalized token
+    array are STAGED through their own projections — a dozen output
+    columns reference each, and inlining the `split`/per-token
+    `regexp_replace` trees per consumer re-tokenized every document up to
+    12× (higher-order functions sit outside whole-stage codegen's
+    subexpression elimination, so nothing deduplicated them at runtime;
+    measured ~35% of the scan). CollapseProject keeps the boundaries
+    because the aliases are multi-referenced and non-cheap; values are
+    bit-identical — same expressions, evaluated once.
     """
-    toks = tokenize(text_col)
+    staged = docs.select(
+        F.col(id_col), F.col(text_col), tokenize(text_col).alias("__dp_toks")
+    )
+    toks = F.col("__dp_toks")
+    staged = staged.select(
+        F.col(id_col),
+        F.col(text_col),
+        toks,
+        match_tokens(toks).alias("__dp_mtoks"),
+    )
+    mtoks = F.col("__dp_mtoks")
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
     n_punct = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_REGEX), 1)
     )
-    n_stop = _count_in(match_tokens(toks), STOPWORDS)
+    n_stop = _count_in(mtoks, STOPWORDS)
     # guarded ratios: a zero-token/zero-char doc is 0.0, not an ANSI
     # divide-by-zero job failure (tokenize now reports empty docs as 0)
     punct_ratio = F.when(
@@ -239,7 +259,9 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         n_tokens > 0, n_stop.cast("double") / n_tokens
     ).otherwise(F.lit(0.0))
     mean_word_len = _mean_word_len(toks, n_tokens)
-    scores = _lang_scores(toks)
+    scores = {
+        lang: _count_in(mtoks, words) for lang, words in LANG_MARKERS.items()
+    }
     pred = _pred_lang(scores)
     bag = F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))
     total_ngrams = F.greatest(n_tokens - 2, F.lit(0))
@@ -251,7 +273,7 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     top_frac = F.when(
         n_tokens > 0, _max_multiplicity(toks).cast("double") / n_tokens
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
