@@ -44,6 +44,10 @@ def test_fraction_validation():
     # residue in the cumulative sum
     t = _split_thresholds({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     assert t[-1] == ("c", 65536)
+    # zero-width range guard (r10): a fraction below 16-bit resolution
+    # passes the (0,1] check but could never be assigned — fail loud
+    with pytest.raises(ValueError, match="too small to represent"):
+        _split_thresholds({"a": 1e-9, "b": 1 - 1e-9})
 
 
 def test_fractions_realized_and_exhaustive(spark, sf_dir):
@@ -130,6 +134,14 @@ def test_cluster_atomicity_and_leakage_probe(spark, sf_dir):
     naive_map = {r["doc_id"]: r["split"] for r in naive.collect()}
     for r in outside.select("doc_id", "split").collect():
         assert naive_map[r["doc_id"]] == r["split"]
+    # duplicate membership rows in the clusters relation must not multiply
+    # document rows (r10: dropDuplicates on the membership projection)
+    doubled = clusters.unionByName(clusters)
+    out_dup = leakage_safe_split(docs, FR, clusters=doubled, seed=1)
+    assert out_dup.count() == docs.count()
+    assert {(r["doc_id"], r["split"]) for r in out_dup.collect()} == {
+        (r["doc_id"], r["split"]) for r in out.collect()
+    }
 
 
 def test_split_composes_with_holdout_draw(spark, sf_dir):

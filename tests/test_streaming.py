@@ -397,13 +397,21 @@ def test_parse_wire_candles_splits_dead_letters(spark):
         Row(symbol="BAD1", wire="1704067200000;;1.5;;2.0"),          # arity
         Row(symbol="BAD2", wire="notatime;;1;;2;;3;;4;;5"),          # bad ts
         Row(symbol="BAD3", wire="1704067200000;;x;;2;;3;;4;;5"),     # bad num
+        Row(symbol="BAD4", wire=None),  # NULL wire: must NOT vanish (r10)
     ]
     parsed, dead = parse_wire_candles(spark.createDataFrame(rows))
     good = {r.symbol: r for r in parsed.collect()}
     assert set(good) == {"BTC-USD", "ETH-USD"}
     assert good["BTC-USD"].open == 1.5 and good["BTC-USD"].volume == 42.5
     assert good["BTC-USD"].ts.year == 2024
-    assert {r.symbol for r in dead.collect()} == {"BAD1", "BAD2", "BAD3"}
+    assert {r.symbol for r in dead.collect()} == {"BAD1", "BAD2", "BAD3", "BAD4"}
+    # the rounding variant routes the same shapes identically (its guard
+    # tree is evaluated once through the array transform, r10 plan shape)
+    parsed4, dead4 = parse_wire_candles(
+        spark.createDataFrame(rows), round_decimals=4
+    )
+    assert {r.symbol for r in parsed4.collect()} == {"BTC-USD", "ETH-USD"}
+    assert {r.symbol for r in dead4.collect()} == {"BAD1", "BAD2", "BAD3", "BAD4"}
 
 
 def test_parse_wire_round_trips_through_candle_stream_shape(spark):
