@@ -2124,6 +2124,87 @@ def _u64_mix(r: int) -> str:
     return f"xor(v, (v) >> {r})"
 
 
+def _span_dedup_oracle_sql(window: int) -> str:
+    """DuckDB twin of ``llmdata.dedup.repeated_span_dedup`` — the exact
+    repeated-substring (ExactSubstr, Lee et al. 2022) pass: window
+    occurrences via list comprehension, the global (doc, pos) winner per
+    duplicated window value via a ROW min, marked-range merging as
+    gaps-and-islands (running max of span ends), and the token-index
+    filter as a guarded comprehension.
+
+    UNDECLARED (the 50-query gate window is full): executed hash-exact
+    against the engine in tests/test_span_dedup.py at sf0.001 — the
+    documented swap-in candidate if a dedup-family row rotates out.
+    """
+    w = int(window)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        occ0 AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= {w}
+              THEN [{{'w': array_to_string(toks[i:i+{w - 1}], ' '),
+                      'p': i - 1}}
+                    for i in range(1, len(toks) - {w - 2})]
+              ELSE [] END) AS u
+          FROM t
+        ),
+        occ AS (SELECT doc_id, u.p AS pos, u.w AS win FROM occ0),
+        win0 AS (
+          SELECT win, min((doc_id, pos)) AS w0
+          FROM occ GROUP BY win HAVING count(*) >= 2
+        ),
+        marks AS (
+          SELECT o.doc_id, o.pos
+          FROM occ o JOIN win0 ww USING (win)
+          WHERE (o.doc_id, o.pos) <> ww.w0
+        ),
+        ordered AS (
+          SELECT doc_id, pos,
+                 max(pos + {w}) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_e
+          FROM marks
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev_e IS NULL OR pos > prev_e
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS iid
+          FROM ordered
+        ),
+        ranges AS (
+          SELECT doc_id, min(pos) AS s, max(pos + {w}) AS e
+          FROM isl GROUP BY doc_id, iid
+        ),
+        rng AS (
+          SELECT doc_id, list({{'s': s, 'e': e}} ORDER BY s) AS ranges
+          FROM ranges GROUP BY doc_id
+        ),
+        final AS (
+          SELECT t.doc_id, t.toks, coalesce(r.ranges, []) AS ranges
+          FROM t LEFT JOIN rng r USING (doc_id)
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(
+                   [toks[i] for i in range(1, len(toks) + 1)
+                    if len(list_filter(ranges,
+                           rr -> rr.s <= i - 1 AND i - 1 < rr.e)) = 0],
+                   ' '), '') AS text,
+               len(toks) AS n_tokens_before,
+               len(toks) - len(
+                   [toks[i] for i in range(1, len(toks) + 1)
+                    if len(list_filter(ranges,
+                           rr -> rr.s <= i - 1 AND i - 1 < rr.e)) = 0])
+                   AS n_tokens_removed,
+               len(ranges) AS n_spans_removed
+        FROM final
+    """
+
+
 def _epoch_shuffle_oracle_sql(seed: int, n_shards: int) -> str:
     init = (42 + _XXH_P5 + 8) & _U64  # hashLong's seeded accumulator
     seed_mult = ((seed & 0xFFFFFFFF) * _XXH_P1) & _U64  # hashInt's k1

@@ -203,6 +203,126 @@ def line_dedup(
     )
 
 
+def repeated_span_dedup(
+    docs: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-SUBSTRING dedup: every ``window``-token span that
+    occurs two or more times anywhere in the corpus (across documents OR
+    within one) is removed from every occurrence except one — the
+    sequence-level tier of the dedup ladder (doc-level: exact_dedup /
+    near-dups; line-level: line_dedup; THIS: verbatim passages shorter
+    than a line-structure unit — quoted boilerplate, templated paragraphs,
+    lifted text — the 'deduplicating training data' ExactSubstr pass of
+    Lee et al. 2022, expressed as token windows instead of a suffix
+    array).
+
+    Semantics (pinned by the Python-reference twin in tests):
+    - tokens are the whitespace tokens of the trimmed text, empty strings
+      dropped (pipeline.token_count's rule);
+    - every consecutive ``window``-token span is keyed by its space-joined
+      string; a span value occurring >= 2 times corpus-wide is
+      'duplicated';
+    - the GLOBAL winner per span value — minimum (doc, position) — keeps
+      its occurrence; every other occurrence marks its token range
+      [pos, pos+window) for removal;
+    - per document, marked ranges are merged (overlaps + adjacency) and
+      the covered tokens dropped; the cleaned text is the surviving
+      tokens joined by single spaces (token-level rebuild is inherently
+      whitespace-normalizing, same as the segment tier);
+    - documents shorter than ``window`` tokens pass through untouched
+      (modulo the same whitespace normalization, so the output column is
+      uniformly normalized);
+    - removal is GREEDY over the union of marked ranges: a winner span can
+      still lose tokens to a DIFFERENT span's removal overlapping it —
+      the same artifact the suffix-array formulation has, documented
+      rather than hidden.
+
+    Scale shape (100 TB): occurrence rows are linear in corpus tokens
+    (one per window start); the only corpus-global statistic is the
+    per-span-value (count, min-(doc,pos)) hash aggregate — map-side
+    combinable, keyed on a single 64-bit hash, so a boilerplate span
+    repeated 10⁹ times is ONE reduced row, not a skew cliff. The
+    join-back carries only values that cleared count >= 2 (AQE broadcasts
+    it when small), the per-doc merge is bounded by document length, and
+    the interval merge + token filter are pure array algebra — no window
+    over the corpus, no all-pairs, no Python in the row path.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    w = int(window)
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    base = narrow.select(
+        F.col(id_col),
+        F.filter(tokenize(text_col), lambda t: t != "").alias("_toks"),
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(token_ngrams(F.col("_toks"), w)).alias("_pos", "_win"),
+    ).select(F.col(id_col), "_pos", F.xxhash64("_win").alias("_wh"))
+    dup = (
+        occ.groupBy("_wh")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))).alias("_w0"),
+        )
+        .filter(F.col("_c") >= 2)
+        .select("_wh", "_w0")
+    )
+    removals = (
+        occ.join(dup, "_wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_w0.d"))
+                & (F.col("_pos") == F.col("_w0.p"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_starts"))
+    )
+    # fold the sorted starts into merged [s, e) ranges — adjacency (p ==
+    # last.e) merges too, so the range list is minimal
+    empty_ranges = F.array().cast("array<struct<s:int,e:int>>")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    merged = F.aggregate(
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+        empty_ranges,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= last(acc)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(last(acc)["e"], p + w).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + w).alias("e"))))
+        ),
+    )
+    joined = base.join(removals, id_col, "left").select(
+        F.col(id_col), "_toks", merged.alias("_ranges")
+    )
+    # a token survives iff no merged range covers its 0-based index
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_ranges"), lambda r: (r["s"] <= i) & (i < r["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text"),
+        F.size("_toks").alias("n_tokens_before"),
+        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
+        F.size("_ranges").alias("n_spans_removed"),
+    )
+
+
 def ngram_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct token n-gram shingles of a text column (empty if < n tokens).
 
