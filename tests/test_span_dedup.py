@@ -117,6 +117,22 @@ def test_matches_reference_on_real_documents(spark, sf_dir):
     _assert_matches(spark, rows, window=6)
 
 
+def test_matches_reference_on_randomized_dense_corpus(spark):
+    """Seeded randomized corpus from a 6-word alphabet (dense duplicated-
+    window regime: many cross-doc AND intra-doc repeats, chained overlaps,
+    winner ties broken only by (doc, pos)) — full-column equality with the
+    Python twin. One Spark job; deterministic by seed."""
+    import random
+
+    rng = random.Random(20260815)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = {
+        d: " ".join(rng.choice(words) for _ in range(rng.randrange(0, 41)))
+        for d in range(60)
+    }
+    _assert_matches(spark, rows, window=5)
+
+
 def test_matches_duckdb_oracle_twin(spark, sf_dir, duck):
     """Hash-exact cross-engine pin: the DuckDB twin
     (__spark_entry__._span_dedup_oracle_sql) re-derives window occurrences,
