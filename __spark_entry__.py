@@ -62,6 +62,7 @@ from coin_for_rich_spark.llmdata import (
     line_dedup,
     extract_media_features,
     hash_sample,
+    repeated_span_dedup,
     materialize_ann_index,
     pick_canonical,
     pq_train,
@@ -344,14 +345,26 @@ def _point_symlink(target: str, link: str) -> None:
     in-flight state (the r10 failure: a concurrent sf0.001 pytest run
     rmtree'd the shared ingest dir mid-sf1-stream). Same-source concurrent
     builds still race only against identical content. A legacy plain
-    directory at ``link`` is removed once."""
+    directory at ``link`` is removed once — and if any of it survives the
+    first sweep (a file being written into it concurrently), the second
+    rmtree raises instead of letting ``os.replace`` die later with a
+    less-actionable EISDIR/ENOTEMPTY.
+
+    Residual cross-SOURCE race (r10 ADVICE): the link name itself is a
+    shared mutable pointer, so a concurrent gate on a DIFFERENT source
+    could repoint it between this repoint and an oracle read through the
+    bare link name. Closed on the read side: ``_gate_store_path`` embeds
+    the RESOLVED target (realpath) into the oracle SQL at generation time,
+    so the SQL reads this process's per-identity store regardless of where
+    the link points later. (The harness additionally never runs gates
+    concurrently — this keeps the artifact correct even if it did.)"""
     import os
     import shutil
 
-    if os.path.islink(link):
-        pass
-    elif os.path.isdir(link):
+    if not os.path.islink(link) and os.path.isdir(link):
         shutil.rmtree(link, ignore_errors=True)
+        if os.path.isdir(link):
+            shutil.rmtree(link)  # fail loud with the root-cause OSError
     tmp = f"{link}.lnk{os.getpid()}"
     try:
         os.remove(tmp)
@@ -359,6 +372,19 @@ def _point_symlink(target: str, link: str) -> None:
         pass
     os.symlink(target, tmp)
     os.replace(tmp, link)
+
+
+def _gate_store_path(link_name: str) -> str:
+    """Resolve a gate-artifact path for oracle SQL generation: the fixed
+    $TMPDIR link name if it is not (yet) a symlink, else its RESOLVED
+    target — pinning the oracle to the per-source-identity store this
+    process built even if another process repoints the shared link
+    afterwards (see _point_symlink's cross-source note)."""
+    import os
+    import tempfile
+
+    link = os.path.join(tempfile.gettempdir(), link_name)
+    return os.path.realpath(link) if os.path.islink(link) else link
 
 
 # materialized rollup-family paths keyed on sf_dir (M4): materialize once
@@ -616,9 +642,27 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r11
+    # swapped for `span_dedup` (COVERAGE.md): the scrub pass is pure
+    # regexp column algebra, fully value-pinned in tests/test_pipeline.py,
+    # and it still EXECUTES inside the declared corpus_curation pipeline
     """PII/noise redaction pass + per-doc audit counts."""
     return scrub_text(load_table(spark, sf_dir, "documents"))
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (the ExactSubstr tier of the dedup
+    ladder, Lee et al. 2022) over the full documents table: every 8-token
+    span occurring >= 2 times corpus-wide is removed from every occurrence
+    but the global (min doc, min pos) winner, marked ranges merged per doc
+    (llmdata.dedup.repeated_span_dedup — r11 swap-in for ``doc_scrub``).
+    The oracle re-derives the whole pass from first principles in DuckDB:
+    list-comprehension window occurrences keyed by the span STRING (so a
+    green row also bounds the engine's 128-bit hash-key trade), ROW-min
+    global winners, gaps-and-islands range merging, and the token-index
+    rebuild — proven hash-exact at sf0.1 AND sf1 before declaration
+    (tests/test_span_dedup.py, .scale/SPAN_DEDUP_SCALING.json)."""
+    return repeated_span_dedup(load_table(spark, sf_dir, "documents"), window=8)
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r7
@@ -2044,7 +2088,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "doc_profile": q_doc_profile,
         "domain_mix_sample": q_domain_mix_sample,
-        "doc_scrub": q_doc_scrub,
+        # ExactSubstr dedup tier (doc_scrub → span_dedup in r11: the scrub
+        # pass is pure regexp column algebra value-pinned in
+        # tests/test_pipeline.py and still executes inside the declared
+        # corpus_curation row; span_dedup's oracle was committed and
+        # sf1-proven one round before declaration per the swap discipline)
+        "span_dedup": q_span_dedup,
         # overlapping chunking (doc_chunks → corpus_ingest in r7: the
         # scrub+chunk pipeline component stays gate-covered by doc_scrub)
         "corpus_ingest": q_corpus_ingest,
@@ -2124,6 +2173,33 @@ def _u64_mix(r: int) -> str:
     return f"xor(v, (v) >> {r})"
 
 
+def _doc_scrub_oracle_sql() -> str:
+    """DuckDB twin of llmdata.pipeline.scrub_text — preserved as a pytest
+    pin after ``doc_scrub`` rotated OUT of the driver gate in r11 (swapped
+    for ``span_dedup``; every scrubbed string and audit count stays checked
+    in tests/test_pipeline.py, and the scrub still executes inside the
+    declared ``corpus_curation`` row)."""
+    return """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\\s]+', '<URL>', 'g'),
+                   '[0-9]{7,}', '<NUM>', 'g') AS scrubbed_text,
+               len(regexp_extract_all(text,
+                   '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})', 1)) AS n_email,
+               len(regexp_extract_all(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '(https?://[^\\s]+)', 1)) AS n_url,
+               len(regexp_extract_all(
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                   '([0-9]{7,})', 1)) AS n_num
+        FROM documents
+    """
+
+
 def _span_dedup_oracle_sql(window: int) -> str:
     """DuckDB twin of ``llmdata.dedup.repeated_span_dedup`` — the exact
     repeated-substring (ExactSubstr, Lee et al. 2022) pass: window
@@ -2132,9 +2208,10 @@ def _span_dedup_oracle_sql(window: int) -> str:
     gaps-and-islands (running max of span ends), and the token-index
     filter as a guarded comprehension.
 
-    UNDECLARED (the 50-query gate window is full): executed hash-exact
-    against the engine in tests/test_span_dedup.py at sf0.001 — the
-    documented swap-in candidate if a dedup-family row rotates out.
+    DECLARED as of r11 (``span_dedup``, swapped in for ``doc_scrub`` per
+    the rotation discipline): proven hash-exact at sf0.001/sf0.1/sf1 in
+    tests/test_span_dedup.py and .scale/SPAN_DEDUP_SCALING.json one round
+    before declaration.
     """
     w = int(window)
     return f"""
@@ -2251,16 +2328,14 @@ def _epoch_shuffle_oracle_sql(seed: int, n_shards: int) -> str:
 
 def _dedup_probe_oracle_sql() -> str:
     """DuckDB twin of the incremental-dedup probe: reads the index + probe
-    fingerprint legs that ``q_dedup_index_probe`` materializes (fixed
-    $TMPDIR path — computed here at call time so both sides resolve the
-    same directory) and REDOES the classification: md5-exact equi-join,
+    fingerprint legs that ``q_dedup_index_probe`` materializes (the fixed
+    $TMPDIR link, RESOLVED to its per-identity target at call time —
+    ``_gate_store_path`` — so both sides read the same store even under a
+    concurrent cross-source repoint) and REDOES the classification: md5-exact equi-join,
     band-bucket candidate join, matching-position Jaccard estimate over the
     signature arrays, the ≥ threshold filter, and the (max estimate,
     min doc) tie contract, with exact taking precedence over near."""
-    import os
-    import tempfile
-
-    gate = os.path.join(tempfile.gettempdir(), "cfr_dedupidx_gate")
+    gate = _gate_store_path("cfr_dedupidx_gate")
     return f"""
         WITH idx_exact AS (SELECT * FROM read_parquet('{gate}/index/exact/*.parquet')),
         new_exact AS (SELECT * FROM read_parquet('{gate}/probe/exact/*.parquet')),
@@ -2322,10 +2397,7 @@ def _corpus_ingest_oracle_sql() -> str:
     against the union of all PRIOR batches' survivors — over the
     fingerprint dump ``q_corpus_ingest`` materializes (same fixed $TMPDIR
     resolution as the dedup-probe twin)."""
-    import os
-    import tempfile
-
-    gate = os.path.join(tempfile.gettempdir(), "cfr_corpusingest_gate")
+    gate = _gate_store_path("cfr_corpusingest_gate")
     est = (
         "list_sum(list_transform(list_zip(ns.signature, isg.signature), "
         "x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) / 32.0"
@@ -2724,25 +2796,10 @@ def oracle_sql() -> dict[str, str]:
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
-        "doc_scrub": """
-            SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       'https?://[^\\s]+', '<URL>', 'g'),
-                       '[0-9]{7,}', '<NUM>', 'g') AS scrubbed_text,
-                   len(regexp_extract_all(text,
-                       '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})', 1)) AS n_email,
-                   len(regexp_extract_all(
-                       regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       '(https?://[^\\s]+)', 1)) AS n_url,
-                   len(regexp_extract_all(
-                       regexp_replace(regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                           'https?://[^\\s]+', '<URL>', 'g'),
-                       '([0-9]{7,})', 1)) AS n_num
-            FROM documents
-        """,
+        # the ExactSubstr tier, re-derived string-keyed from first
+        # principles (r11 swap-in; doc_scrub's regexp SQL twin moved with
+        # its query to tests/test_pipeline.py)
+        "span_dedup": _span_dedup_oracle_sql(window=8),
         # replays the whole 4-batch ingest protocol from the fingerprint dump
         "corpus_ingest": _corpus_ingest_oracle_sql(),
         "count_distinct": """

@@ -243,8 +243,17 @@ def repeated_span_dedup(
     Scale shape (100 TB): occurrence rows are linear in corpus tokens
     (one per window start); the only corpus-global statistic is the
     per-span-value (count, min-(doc,pos)) hash aggregate — map-side
-    combinable, keyed on a single 64-bit hash, so a boilerplate span
-    repeated 10⁹ times is ONE reduced row, not a skew cliff. The
+    combinable, keyed on a 128-BIT hash (two independent xxhash64
+    lanes, 16 bytes — not the span string, whose shuffle weight is
+    ~10× that), so a boilerplate span repeated 10⁹ times is ONE
+    reduced row, not a skew cliff. Hash-key trade, quantified: two
+    DISTINCT span values colliding in both lanes would merge their
+    duplicate sets (spuriously deleting a non-duplicated span); the
+    birthday bound is ~n²/2¹²⁹, i.e. ~1e-13 at the 100 TB posture's
+    ~1e13 windows — where a single 64-bit key would already expect
+    millions of collisions (~n²/2⁶⁵ ≈ 3e6), which is why the key is
+    128-bit. The string-keyed semantics the docstring, Python twin,
+    and DuckDB oracle pin are therefore exact up to that bound. The
     join-back carries only values that cleared count >= 2 (AQE broadcasts
     it when small), the per-doc merge is bounded by document length, and
     the interval merge + token filter are pure array algebra — no window
@@ -261,18 +270,26 @@ def repeated_span_dedup(
     occ = base.select(
         F.col(id_col),
         F.posexplode(token_ngrams(F.col("_toks"), w)).alias("_pos", "_win"),
-    ).select(F.col(id_col), "_pos", F.xxhash64("_win").alias("_wh"))
+    ).select(
+        F.col(id_col),
+        "_pos",
+        # 128-bit key: two independent xxhash64 lanes (the second seeds the
+        # hash stream with a literal, so the lanes share no collision
+        # structure) — see the docstring's collision-bound paragraph
+        F.xxhash64("_win").alias("_wh"),
+        F.xxhash64(F.lit(0x5EED), "_win").alias("_wh2"),
+    )
     dup = (
-        occ.groupBy("_wh")
+        occ.groupBy("_wh", "_wh2")
         .agg(
             F.count(F.lit(1)).alias("_c"),
             F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))).alias("_w0"),
         )
         .filter(F.col("_c") >= 2)
-        .select("_wh", "_w0")
+        .select("_wh", "_wh2", "_w0")
     )
     removals = (
-        occ.join(dup, "_wh")
+        occ.join(dup, ["_wh", "_wh2"])
         .filter(
             ~(
                 (F.col(id_col) == F.col("_w0.d"))

@@ -1190,15 +1190,20 @@ def lsh_ann_knn(
     into 1-(1-p)^L — then exact cosine re-rank of candidates only.
 
     Degenerate-pool contract (``ensure_k``, default on): the operator
-    GUARANTEES ``min(k, N)`` results. The pruned top-k is collected (a
-    top-k serving result is driver-sized by definition — ≤ k rows); if the
-    candidate pool yielded fewer than ``k`` rows — a tiny corpus, or a
-    zero/degenerate query whose buckets are near-empty — the result is the
-    exact full-scan top-k instead (the standard ANN backfill posture). At
+    GUARANTEES ``min(k, N)`` results. The backfill decision is a BOUNDED
+    PROBE, not a materialization: one ``limit(k).count()`` on the candidate
+    set (early-terminating — the scan stops as soon as k candidates are
+    seen) decides whether the pruned plan already has ``k`` rows; if the
+    pool is short — a tiny corpus, or a zero/degenerate query whose
+    buckets are near-empty — the result is the exact full-scan top-k
+    instead (the standard ANN backfill posture). NOTE: with ``ensure_k``
+    on, calling this function runs that one probe job eagerly; the
+    RETURNED relation stays a lazy plan either way (nothing is collected
+    or localized — the r10 version collected the top-k to the driver,
+    which re-entered the driver inside otherwise-lazy pipelines). At
     corpus scale the multiprobe OR across ``n_tables`` tables leaves the
     fallback probability negligible, so the exact branch is a correctness
-    backstop, not a cost: one extra k-row take decides it, and the pruned
-    scan is never executed twice (the probed rows ARE the returned rows).
+    backstop, not a cost.
 
     Recall/cost knob: more planes → smaller buckets (fewer candidates, lower
     per-table recall); more tables → recall back up at linear candidate
@@ -1231,9 +1236,10 @@ def lsh_ann_knn(
     pruned = cosine_knn(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
     if not ensure_k:
         return pruned
-    rows = pruned.collect()
-    if len(rows) >= k:
-        # localize: deterministic (the plan is an ordered limit-k), and the
-        # pruned scan runs exactly once — the take above IS the result
-        return embeddings.sparkSession.createDataFrame(rows, pruned.schema)
+    # bounded probe: k candidates existing <=> the pruned ordered-limit-k
+    # plan has exactly k rows (top-k of >= k inputs). limit-k count
+    # early-terminates, so the probe touches the candidate scan only until
+    # k hits are found; the returned plan itself is never executed here.
+    if cands.limit(k).count() >= k:
+        return pruned
     return cosine_knn(embeddings, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -383,6 +383,21 @@ def test_epoch_shuffle_is_layout_invariant_and_seeded(spark):
         epoch_shuffle(docs, 0)
 
 
+def test_doc_scrub_matches_duckdb_twin(spark, sf_dir, duck):
+    """The full doc_scrub gate contract (scrubbed strings + all three audit
+    counts, every document, bit-exact) — preserved as a pytest pin after
+    doc_scrub rotated OUT of the driver gate in r11 (swapped for
+    span_dedup; the scrub still executes inside the declared
+    corpus_curation row)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_doc_scrub(spark, sf_dir).toPandas()
+    odf = duck.execute(entry_mod._doc_scrub_oracle_sql()).df()
+    problems = compare("doc_scrub", sdf, odf)
+    assert not problems, problems
+
+
 def test_epoch_shuffle_matches_duckdb_xxh64_twin(spark, sf_dir, duck):
     """The hash-exact DuckDB twin (XXH64 closed form re-deriving Spark's
     xxhash64(doc_id, seed) chain, then the same pmod) — preserved as a
