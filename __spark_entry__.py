@@ -1786,12 +1786,99 @@ def _staged_stream(spark: SparkSession, sf_dir: str):
     return read_file_stream(spark, path, schema)
 
 
+_LATECORR_STAGE_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _late_correction_stream(spark: SparkSession, sf_dir: str):
+    """Replay `events` as 4 time-ordered chunks PLUS one trailing
+    late-correction chunk — the reference's defining ingest topology
+    (`celery_tasks.py:73-84`): the WS feed builds candles live, then a
+    periodic REST re-fetch re-delivers the exchange's OFFICIAL rows for
+    already-closed minutes, which must overwrite the live-built candles.
+
+    The correction chunk re-delivers, for every minute with epoch-minute
+    index % 7 == 3 that is strictly below its symbol's newest minute, the
+    FULL tick set of that minute with ``value + 0.5`` (a deterministic
+    "the exchange's books differed" transform — both price and volume
+    shift, since the candle projection derives both from ``value``). It
+    is staged as one file with an mtime strictly after every original
+    chunk, so the file source replays it as the final micro-batch —
+    arriving at the hold-back collector long after those minutes were
+    emitted and at the merge sink after their rows landed.
+
+    Identity-cached on disk like ``_staged_stream`` (same staged-promote
+    protocol), keyed separately so the two replays never collide."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from coin_for_rich_spark.streaming.source import read_file_stream
+
+    if sf_dir not in _LATECORR_STAGE_CACHE:
+        ev = load_table(spark, sf_dir, "events")
+        try:
+            st = os.stat(os.path.join(sf_dir, "events.parquet"))
+            ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+        except OSError:
+            ident = sf_dir
+        ident += "|" + ev.schema.simpleString() + "|latecorr1"
+        key = hashlib.md5(ident.encode()).hexdigest()[:12]
+        final = os.path.join(
+            tempfile.gettempdir(), f"cfr_latecorr_{key}", "events"
+        )
+        if not os.path.isdir(final):
+            tmp_parent = tempfile.mkdtemp(prefix="cfr_latecorr_stage_")
+            tmp = os.path.join(tmp_parent, "events")
+            stage_stream_chunks(ev, tmp, n_chunks=_STREAM_N_CHUNKS)
+            evm = ev.withColumn(
+                "_m", F.floor(F.unix_micros("ts") / F.lit(60_000_000))
+            )
+            mx = evm.groupBy("event_type").agg(F.max("_m").alias("_max_m"))
+            corr = (
+                evm.join(mx, "event_type")
+                .filter((F.col("_m") % 7 == 3) & (F.col("_m") < F.col("_max_m")))
+                .withColumn("value", F.col("value") + F.lit(0.5))
+                .select(*ev.columns)
+            )
+            sub = os.path.join(tmp_parent, "corr")
+            corr.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = next(
+                f
+                for f in os.listdir(sub)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            last = max(
+                os.stat(os.path.join(tmp, f)).st_mtime
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet")
+            )
+            dest = os.path.join(tmp, "zz-late-corrections.parquet")
+            os.replace(os.path.join(sub, part), dest)
+            os.utime(dest, (last + 10.0,) * 2)
+            shutil.rmtree(sub, ignore_errors=True)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            _promote_staged_dir(tmp, final, expect=final)
+            shutil.rmtree(tmp_parent, ignore_errors=True)
+        _LATECORR_STAGE_CACHE[sf_dir] = (final, ev.schema)
+    path, schema = _LATECORR_STAGE_CACHE[sf_dir]
+    return read_file_stream(spark, path, schema)
+
+
 def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/S4 — watermarked streaming hourly rollup (continuous-aggregate
     analog, create.sql:161-174 + policies :345-381). Append mode emits only
     watermark-closed candles — the open candle is held back exactly like the
     updater (updater.py:177-184); with delay 0 the closed set is every bucket
-    whose end <= max(ts), which is what the oracle filters to."""
+    whose end <= max(ts), which is what the oracle filters to.
+
+    UNDECLARED since r11 (swapped for ``stream_late_correction``, whose
+    rollup-cascade stage subsumes the streamed-hourly semantics over a
+    HARDER input — a replay with conflicting late corrections): the
+    explicit-watermark contract stays pinned hash-exact by
+    tests/test_streaming.py::test_stream_rollup_1h_matches_duckdb_twin via
+    the preserved ``_stream_rollup_1h_oracle_sql``; the policy-derived
+    watermark keeps its declared ``stream_rollup_5m`` row."""
     import uuid
 
     from coin_for_rich_spark.streaming.rollup import run_rollup_to_memory
@@ -1828,6 +1915,63 @@ def q_stream_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled,
         f"stream_rollup_5m_{uuid.uuid4().hex}",
         state_partitions=_STREAM_STATE_PARTITIONS,
+    )
+
+
+def q_stream_late_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4+S7+A2 COMPOSED — the reference's full ingest pipeline as one
+    oracle-checked row (r11 swap-in for ``stream_rollup_1h``): WS replay
+    WITH conflicting late corrections (`celery_tasks.py:73-84` — the
+    periodic REST re-fetch that re-delivers exchange-official rows for
+    already-closed minutes) driven through
+
+    1. the hold-back collector in the reference updater's verbatim emit
+       protocol (`updater.py:160-185`): every closed 1m candle emits once
+       a later minute arrives; the correction batch RE-OPENS and re-emits
+       its minutes from the corrected ticks alone (the aggregates of an
+       emitted minute are discarded at emission — exactly the updater,
+       whose Redis sub-hash drops drained candles);
+    2. the idempotent merge sink with upsert semantics (ON CONFLICT DO
+       UPDATE, `queries.py:12-15`): the re-emitted corrected candles
+       arrive in a LATER micro-batch, so newest-batch-wins resolves every
+       corrected (symbol, bucket) to the correction — the parquet
+       merge-on-read twin of the live-PG leg ``stream_upsert_ingest``
+       already certifies (winner rule shared via within_batch_order,
+       value-identical by the twin-parity capstone);
+    3. the batch rollup cascade 1m → 5m → 1h (A2, bucket nesting twice)
+       over the RESOLVED state.
+
+    The oracle re-derives the final corrected hourly family from the raw
+    events alone: apply the correction transform to the corrected minutes,
+    drop each symbol's newest minute (hold-back), aggregate straight to 1h
+    — so a green row proves end-to-end that a late correction lands in the
+    served rollups, the pipeline the reference exists to run. The direct
+    1h aggregation is the valid twin of the two-stage cascade by bucket
+    nesting (proven in tests/test_properties.py), and volume stays on the
+    decimal accumulator through both cascade steps."""
+    import tempfile
+    import uuid
+
+    from coin_for_rich_spark.operators.candles import cascade_rollup
+    from coin_for_rich_spark.streaming.stateful import hold_back_collector
+
+    stream = candle_stream(_late_correction_stream(spark, sf_dir))
+    candles_1m = hold_back_collector(stream, late_policy="emit")
+    sink = ParquetMergeSink(
+        tempfile.mkdtemp(prefix="cfr_latecorr_sink_") + "/tbl",
+        pk=("symbol", "bucket"),
+        mode="upsert",
+    )
+    run_ingest(
+        candles_1m,
+        sink,
+        tempfile.mkdtemp(prefix="cfr_ckpt_"),
+        state_partitions=_STREAM_STATE_PARTITIONS,
+    )
+    resolved = sink.read(spark)
+    hourly = cascade_rollup(cascade_rollup(resolved, "5m"), "1h")
+    return hourly.select(
+        "bucket", "symbol", "open", "high", "low", "close", "volume", "n_trades"
     )
 
 
@@ -2044,7 +2188,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past the window FAIL LOUDLY instead of silently shedding a row."""
     out = {
         # streaming semantics (S3-S8) — the ingest path's north star
-        "stream_rollup_1h": q_stream_rollup_1h,
+        # (stream_rollup_1h → stream_late_correction in r11: the composed
+        # WS-replay + late-REST-correction pipeline — hold-back emit
+        # protocol → upsert merge → rollup cascade — oracle-checked on the
+        # final corrected hourly rollup; the explicit-watermark hourly
+        # contract stays pinned hash-exact in tests/test_streaming.py)
+        "stream_late_correction": q_stream_late_correction,
         "stream_latest_serve": q_stream_latest_serve,
         "stream_hold_back": q_stream_hold_back,
         # second streamed conagg resolution (r10 swap-in for stream_dedup:
@@ -2171,6 +2320,20 @@ def _u64_rotl(r: int) -> str:
 
 def _u64_mix(r: int) -> str:
     return f"xor(v, (v) >> {r})"
+
+
+def _stream_rollup_1h_oracle_sql() -> str:
+    """DuckDB twin of the watermark-0 streamed hourly rollup — preserved as
+    a pytest pin after ``stream_rollup_1h`` rotated OUT of the driver gate
+    in r11 (swapped for ``stream_late_correction``, whose cascade stage
+    covers hourly rollup semantics over a harder input): append mode +
+    watermark 0 emits exactly the buckets whose window end precedes the
+    stream's max event time (the open candle is withheld)."""
+    return f"""
+        WITH c AS ({HOURLY})
+        SELECT * FROM c
+        WHERE bucket + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+    """
 
 
 def _doc_scrub_oracle_sql() -> str:
@@ -3528,12 +3691,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST((time_ms // 60000) % 100 AS DOUBLE) AS volume
             FROM mins
         """,
-        # append mode + watermark 0 ⇒ exactly the buckets whose window end
-        # precedes the stream's max event time (the open candle is withheld).
-        "stream_rollup_1h": f"""
-            WITH c AS ({HOURLY})
-            SELECT * FROM c
-            WHERE bucket + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        # the composed late-correction pipeline, re-derived from the raw
+        # events alone (r11 swap-in; the explicit-watermark hourly twin
+        # moved with its query to tests/test_streaming.py): corrected
+        # minutes (epoch-minute % 7 == 3, strictly below the symbol's
+        # newest) take the value+0.5 transform, each symbol's newest
+        # minute is withheld (hold-back), then ONE hour-level aggregation
+        # — the valid twin of the engine's 1m → 5m → 1h cascade by bucket
+        # nesting (first/last distribute over nested buckets; the decimal
+        # volume accumulator makes the sum order-free).
+        "stream_late_correction": """
+            WITH t AS (
+                SELECT event_type AS symbol, ts, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m
+                FROM events
+            ),
+            mm AS (SELECT symbol, max(m) AS max_m FROM t GROUP BY symbol),
+            eff AS (
+                SELECT t.symbol, t.ts, t.m,
+                       CASE WHEN t.m % 7 = 3 THEN t.value + 0.5
+                            ELSE t.value END AS value
+                FROM t JOIN mm USING (symbol)
+                WHERE t.m < mm.max_m
+            )
+            SELECT make_timestamp(((m * 60 // 3600) * 3600) * 1000000) AS bucket,
+                   symbol,
+                   arg_min(value, ts) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, ts) AS close,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+                   count(*) AS n_trades
+            FROM eff
+            GROUP BY 1, 2
         """,
         "stream_latest_serve": """
             SELECT event_type AS symbol, ts, value AS price, value AS volume

@@ -593,11 +593,30 @@ class PgWireMergeSink:
         # FULL qualified name, sanitized — keying on the bare table name
         # would let a.t and b.t trample each other's staging
         self.staging = "_cfr_wstage_" + table.replace(".", "__")
+        # fault-injection seam (None in production): a picklable callable
+        # invoked on the EXECUTOR after a partition's COPY commits — the
+        # fault-gate axis uses it to fail a task AFTER its rows are staged,
+        # proving the docstring's retry-safety claim (the retried task
+        # re-COPYs, staging holds exact duplicates, DISTINCT ON collapses
+        # them) with a real retried COPY instead of an argument
+        self._post_copy_fault = None
 
     def _dedup_order(self, columns: list[str]) -> list[str]:
         return pg_dedup_order(self.mode, self.pk, self.tiebreak_col, columns)
 
     def merge(self, batch: DataFrame, batch_id: int) -> None:
+        from .pgwire import PgWireClient
+
+        # two actions follow (isEmpty probe + the staging foreachPartition);
+        # inside foreachBatch the batch is a plan, so without persist the
+        # upstream micro-batch computation would execute twice per batch
+        batch.persist()
+        try:
+            self._merge_persisted(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _merge_persisted(self, batch: DataFrame, batch_id: int) -> None:
         from .pgwire import PgWireClient
 
         if batch.isEmpty():
@@ -607,6 +626,7 @@ class PgWireMergeSink:
         staging = self.staging
         chunk_bytes = self.copy_chunk_bytes
         copy_sql = f"COPY {staging} ({', '.join(columns)}) FROM STDIN"
+        post_copy_fault = self._post_copy_fault
 
         with PgWireClient(**params) as c:
             c.query(
@@ -644,6 +664,8 @@ class PgWireMergeSink:
 
             with PgWireClient(**params) as conn:
                 conn.copy_in(copy_sql, chunks())
+            if post_copy_fault is not None:
+                post_copy_fault()  # test seam — see __init__
 
         batch.foreachPartition(copy_partition)
 

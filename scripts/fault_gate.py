@@ -1,0 +1,250 @@
+"""Fault-injection gate: injected TASK failures under real retries.
+
+Every prior gate axis runs failure-free, so the engine's retry-safety
+claims — "a retried partition re-COPYs the same rows and DISTINCT ON
+collapses them" (streaming/jdbc.PgWireMergeSink), "the fetcher's
+mapInPandas batch is a pure function of its plan rows" — were proven only
+by argument. This axis proves them by execution: a deterministic fault
+(first attempt of a chosen partition raises AFTER its work is done) is
+injected into live tasks under ``local-cluster`` mode with
+``spark.task.maxFailures=4``, and the faulted run must be value-identical
+to the clean run, with the retry OBSERVED (attempt markers on shared disk,
+one file per (scenario, partition, attempt)).
+
+``local[...]`` cannot run this: local mode pins ``spark.task.maxFailures``
+to 1, so a task failure fails the job instead of retrying — the axis runs
+in ``local-cluster[2,4,2048]`` (2 worker JVMs), the same topology the
+CLUSTER gate uses, which also makes the retry cross a real process
+boundary.
+
+Scenarios:
+
+- ``batch_shuffle`` — a mapInPandas pass-through ahead of a
+  groupBy/decimal-sum shuffle fails its first partition-0 attempt: the
+  retried map task must re-produce identical shuffle blocks (deterministic
+  source scan), leaving the aggregate bit-identical.
+- ``fetch_mapinpandas`` — the REST fetcher plan (``q_fetch_backfill``,
+  mapInPandas over the page relation) with the same pass-through fault
+  fused into its output stage: a retried fetch task re-runs the fetch for
+  its partition; the result must equal the clean run (the reference
+  re-fetches pages on failure the same way, `celery_tasks.py` retry args).
+- ``pgwire_copy_retry`` — THE claim this axis exists for: the distributed
+  COPY staging of ``PgWireMergeSink`` with a post-COPY fault (the task
+  fails AFTER its staging rows are committed — the worst crash point).
+  The retried task re-COPYs the same rows, so staging holds exact
+  duplicates; the merge's ``DISTINCT ON`` must collapse them and the
+  final PostgreSQL table must be row-identical to a clean ingest into a
+  separate table. Attempt markers prove the first attempt completed its
+  COPY before dying (the duplicate really was staged).
+
+Run: ``python scripts/fault_gate.py [--sf DIR]`` (default sf0.001 — the
+fault mechanics are size-invariant; the VALUES still go through the full
+comparator). Output: ``.scale/SCALE_GATE_FAULTS.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MASTER = os.environ.setdefault("SPARK_GRAFT_MASTER", "local-cluster[2,4,2048]")
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from selfcheck import compare  # noqa: E402
+from coin_for_rich_spark.session import get_spark  # noqa: E402
+from coin_for_rich_spark.sources import load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+MARKER_ROOT = tempfile.mkdtemp(prefix="cfr_fault_markers_")
+
+
+def _mark_and_maybe_fail(scenario: str, fail_partition: int = 0) -> None:
+    """Executor-side: record this task attempt, raise on the first attempt
+    of ``fail_partition``. Markers land on shared disk (local-cluster
+    workers share the host), so the driver can assert the retry HAPPENED
+    — a gate that silently never injected would otherwise read as green.
+    """
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is None or ctx.partitionId() != fail_partition:
+        return
+    attempt = ctx.attemptNumber()
+    path = os.path.join(MARKER_ROOT, f"{scenario}_p{fail_partition}_a{attempt}")
+    with open(path, "a") as fh:
+        fh.write("x")
+    if attempt == 0:
+        raise RuntimeError(
+            f"injected fault: {scenario} partition {fail_partition} attempt 0"
+        )
+
+
+def _attempts(scenario: str) -> int:
+    return len(
+        [f for f in os.listdir(MARKER_ROOT) if f.startswith(scenario + "_")]
+    )
+
+
+def _passthrough_with_fault(schema, scenario: str):
+    def fn(it):
+        first = True
+        for pdf in it:
+            if first:
+                _mark_and_maybe_fail(scenario)
+                first = False
+            yield pdf
+        if first:  # empty partition: still exercise the fault point
+            _mark_and_maybe_fail(scenario)
+
+    return fn
+
+
+def _verdict(name: str, clean_df, faulted_df) -> dict:
+    """selfcheck's full comparator (row count, columns, bit-exact values)
+    between the clean and faulted runs of the same plan."""
+    clean = clean_df.toPandas()
+    faulted = faulted_df.toPandas()
+    problems = compare(name, faulted, clean)
+    return {
+        "match": not problems,
+        "problems": problems or None,
+        "rows": int(len(clean)),
+        "task_attempts_observed": _attempts(name),
+    }
+
+
+def scenario_batch_shuffle(spark, sf_dir: str) -> dict:
+    ev = load_table(spark, sf_dir, "events").repartition(8, "event_id")
+    agg_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    ]
+    clean = ev.groupBy("event_type").agg(*agg_cols)
+    faulted = (
+        ev.mapInPandas(
+            _passthrough_with_fault(ev.schema, "batch_shuffle"), ev.schema
+        )
+        .groupBy("event_type")
+        .agg(*agg_cols)
+    )
+    return _verdict("batch_shuffle", clean, faulted)
+
+
+def scenario_fetch_mapinpandas(spark, sf_dir: str) -> dict:
+    clean = entry_mod.q_fetch_backfill(spark, sf_dir)
+    out = entry_mod.q_fetch_backfill(spark, sf_dir)
+    faulted = out.mapInPandas(
+        _passthrough_with_fault(out.schema, "fetch_mapinpandas"), out.schema
+    )
+    return _verdict("fetch_mapinpandas", clean, faulted)
+
+
+def scenario_pgwire_copy_retry(spark, sf_dir: str) -> dict:
+    from coin_for_rich_spark.streaming.jdbc import (
+        PgWireMergeSink,
+        PsqlCopyMergeSink,
+    )
+    from coin_for_rich_spark.streaming.pgserver import ephemeral_pg
+    from coin_for_rich_spark.streaming.sink import run_ingest
+
+    conninfo = ephemeral_pg()
+    if conninfo is None:
+        return {"match": None, "skipped": "no runnable PostgreSQL server"}
+
+    stream = entry_mod._staged_stream(spark, sf_dir)
+    schema = stream.schema
+    pk = ("user_id", "event_type")
+    results = {}
+    for leg, fault in (("clean", False), ("faulted", True)):
+        table = f"cfr_fault_{leg}"
+        ddl = PsqlCopyMergeSink(
+            conninfo, table, pk=pk, mode="upsert", tiebreak_col="ts"
+        )
+        ddl.create_table(schema, drop=True)
+        sink = PgWireMergeSink(
+            conninfo, table, pk=pk, mode="upsert", tiebreak_col="ts"
+        )
+        if fault:
+            # post-COPY: the task dies AFTER its staging rows committed,
+            # so the retry re-COPYs and staging holds exact duplicates
+            sink._post_copy_fault = lambda: _mark_and_maybe_fail(
+                "pgwire_copy_retry"
+            )
+        run_ingest(
+            entry_mod._staged_stream(spark, sf_dir),
+            sink,
+            tempfile.mkdtemp(prefix="cfr_fault_ckpt_"),
+            state_partitions=entry_mod._STREAM_STATE_PARTITIONS,
+        )
+        results[leg] = ddl.read(spark, schema)
+    out = _verdict("pgwire_copy_retry", results["clean"], results["faulted"])
+    # the duplicate really was staged: attempt 0 wrote its marker (i.e. its
+    # COPY had already committed) before raising, and attempt >= 1 ran
+    marker0 = os.path.join(MARKER_ROOT, "pgwire_copy_retry_p0_a0")
+    out["first_attempt_copied_before_dying"] = os.path.exists(marker0)
+    return out
+
+
+def main() -> int:
+    sf_dir = SF_DIR
+    if "--sf" in sys.argv:
+        sf_dir = os.path.abspath(sys.argv[sys.argv.index("--sf") + 1])
+    spark = get_spark(
+        "coin_for_rich_spark-fault-gate",
+        extra_conf={"spark.task.maxFailures": "4"},
+    )
+    scenarios = {}
+    for name, fn in (
+        ("batch_shuffle", scenario_batch_shuffle),
+        ("fetch_mapinpandas", scenario_fetch_mapinpandas),
+        ("pgwire_copy_retry", scenario_pgwire_copy_retry),
+    ):
+        try:
+            scenarios[name] = fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — record, keep gating
+            scenarios[name] = {"match": False, "error": repr(exc)}
+        status = scenarios[name].get("match")
+        retried = scenarios[name].get("task_attempts_observed", 0)
+        print(
+            f"{name:24s} match={status} attempts={retried}",
+            file=sys.stderr,
+        )
+    ok = all(
+        s.get("match") is True or "skipped" in s for s in scenarios.values()
+    )
+    injected = all(
+        s.get("task_attempts_observed", 0) >= 2
+        for s in scenarios.values()
+        if s.get("match") is True
+    )
+    artifact = {
+        "master": MASTER,
+        "max_failures": 4,
+        "sf_dir": sf_dir,
+        "all_match": ok,
+        "all_retries_observed": injected,
+        "scenarios": scenarios,
+    }
+    out_path = os.path.join(REPO, ".scale", "SCALE_GATE_FAULTS.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=2)
+    print(json.dumps({"all_match": ok, "all_retries_observed": injected}))
+    spark.stop()
+    return 0 if (ok and injected) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

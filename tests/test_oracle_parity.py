@@ -43,7 +43,7 @@ def test_query_surface_fits_the_gate_window():
     qs = list(entry_mod.queries())
     assert len(qs) <= 50, f"{len(qs)} queries declared; gate checks only 50"
     assert qs[:5] == [
-        "stream_rollup_1h",
+        "stream_late_correction",
         "stream_latest_serve",
         "stream_hold_back",
         "stream_rollup_5m",

@@ -809,3 +809,18 @@ def test_latest_value_serve_deterministic_ts_tie(spark):
     for _ in range(3):  # stable under repeated evaluation
         row = latest_value_serve(df).collect()[0]
         assert (row.price, row.ts) == (9.0, t)
+
+
+def test_stream_rollup_1h_matches_duckdb_twin(spark, sf_dir, duck):
+    """The full explicit-watermark streamed-hourly gate contract (every
+    closed bucket, bit-exact) — preserved as a pytest pin after
+    stream_rollup_1h rotated OUT of the driver gate in r11 (swapped for
+    stream_late_correction; the policy-derived watermark keeps its
+    declared stream_rollup_5m row)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_stream_rollup_1h(spark, sf_dir).toPandas()
+    odf = duck.execute(entry_mod._stream_rollup_1h_oracle_sql()).df()
+    problems = compare("stream_rollup_1h", sdf, odf)
+    assert not problems, problems
