@@ -75,27 +75,35 @@ def main() -> int:
         for t in ("events", "documents"):
             load_table(spark, d, t).count()
     settle(max_load=2.0, timeout_s=300.0)
+    # labels follow the dir basenames so the env-composed next-decade run
+    # (SPARK_GRAFT_SF_DIR=.scale/sf1 + SPARK_GRAFT_SF1_OUT=.scale/sf10,
+    # i.e. sf1 -> sf10) reads honestly in the artifact
+    lab_a = os.path.basename(SF01.rstrip("/"))
+    lab_b = os.path.basename(SF1.rstrip("/"))
     results: dict[str, dict] = {}
     for name in names:
         row: dict = {"loadavg_pre": round(os.getloadavg()[0], 2)}
-        for label, d in (("sf0.1", SF01), ("sf1", SF1)):
+        for label, d in ((lab_a, SF01), (lab_b, SF1)):
             try:
                 row[label] = run_plan(spark, name, d)
             except Exception as exc:  # noqa: BLE001 — the smoke RECORDS cliffs
                 row[label] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
-        a, b = row.get("sf0.1", {}).get("sec"), row.get("sf1", {}).get("sec")
+        a, b = row.get(lab_a, {}).get("sec"), row.get(lab_b, {}).get("sec")
         row["ratio_10x"] = round(b / a, 2) if a and b else None
         results[name] = row
         print(json.dumps({name: row}), file=sys.stderr)
     out = {
-        "sf0.1_dir": SF01,
-        "sf1_dir": SF1,
+        "base_dir": SF01,
+        "target_dir": SF1,
         "replicas": REPLICAS,
         "cpus": os.cpu_count(),
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "results": results,
     }
-    path = os.path.join(REPO, ".scale", "SCALE_SMOKE.json")
+    # a non-default target writes a TAGGED artifact — the committed
+    # sf0.1-vs-sf1 record must never be clobbered by a composed run
+    tag = "" if lab_b == "sf1" else "_" + lab_b.upper()
+    path = os.path.join(REPO, ".scale", f"SCALE_SMOKE{tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

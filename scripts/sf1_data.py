@@ -55,7 +55,13 @@ from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SF1 = os.path.join(REPO, ".scale", "sf1")
+# output override composes the replicator: pointing SPARK_GRAFT_SF_DIR at
+# a generated sf1 with SPARK_GRAFT_SF1_OUT=.scale/sf10 produces the next
+# decade (sf10) — the key-offset/suffix/sign-flip design is span-generic,
+# so a second application preserves every structural property
+SF1 = os.environ.get(
+    "SPARK_GRAFT_SF1_OUT", os.path.join(REPO, ".scale", "sf1")
+)
 REPLICAS = 10
 
 #: tables copied verbatim (fixed dimension universes)
