@@ -353,11 +353,14 @@ def _point_symlink(target: str, link: str) -> None:
     Residual cross-SOURCE race (r10 ADVICE): the link name itself is a
     shared mutable pointer, so a concurrent gate on a DIFFERENT source
     could repoint it between this repoint and an oracle read through the
-    bare link name. Closed on the read side: ``_gate_store_path`` embeds
-    the RESOLVED target (realpath) into the oracle SQL at generation time,
-    so the SQL reads this process's per-identity store regardless of where
-    the link points later. (The harness additionally never runs gates
-    concurrently — this keeps the artifact correct even if it did.)"""
+    bare link name. This is ACCEPTED and documented rather than closed:
+    the read side cannot pin the target at SQL-generation time, because
+    every harness generates all oracle SQL before any engine leg runs
+    (see _gate_store_path — an r11 realpath-at-generation attempt read
+    the PREVIOUS process's store and the edge axis caught it), and the
+    harness convention is one gate at a time. Same-source concurrency
+    stays safe: builds land in disjoint per-identity stores and the
+    repoint is atomic."""
     import os
     import shutil
 
@@ -375,16 +378,24 @@ def _point_symlink(target: str, link: str) -> None:
 
 
 def _gate_store_path(link_name: str) -> str:
-    """Resolve a gate-artifact path for oracle SQL generation: the fixed
-    $TMPDIR link name if it is not (yet) a symlink, else its RESOLVED
-    target — pinning the oracle to the per-source-identity store this
-    process built even if another process repoints the shared link
-    afterwards (see _point_symlink's cross-source note)."""
+    """The fixed $TMPDIR link name a gate-artifact oracle reads through.
+
+    Deliberately NOT resolved to its target here: every harness (driver,
+    selfcheck, scale_gate) generates ALL oracle SQL once, BEFORE any query
+    runs — at that point the link still targets whatever the PREVIOUS
+    process gated, so realpath-at-generation would pin the oracle to a
+    stale store (an r11 attempt did exactly that; the edge axis caught it
+    because edge stores differ in VALUES, while same-value stores made it
+    look green). Lazy resolution at oracle EXECUTION time reads the store
+    the engine leg just built and repointed. The residual exposure — a
+    gate on a DIFFERENT source repointing the shared link between this
+    process's engine run and its oracle read — is accepted and documented:
+    the harness never runs gates concurrently, and _point_symlink keeps
+    same-source concurrency safe (disjoint per-identity stores)."""
     import os
     import tempfile
 
-    link = os.path.join(tempfile.gettempdir(), link_name)
-    return os.path.realpath(link) if os.path.islink(link) else link
+    return os.path.join(tempfile.gettempdir(), link_name)
 
 
 # materialized rollup-family paths keyed on sf_dir (M4): materialize once
@@ -2492,9 +2503,9 @@ def _epoch_shuffle_oracle_sql(seed: int, n_shards: int) -> str:
 def _dedup_probe_oracle_sql() -> str:
     """DuckDB twin of the incremental-dedup probe: reads the index + probe
     fingerprint legs that ``q_dedup_index_probe`` materializes (the fixed
-    $TMPDIR link, RESOLVED to its per-identity target at call time —
-    ``_gate_store_path`` — so both sides read the same store even under a
-    concurrent cross-source repoint) and REDOES the classification: md5-exact equi-join,
+    $TMPDIR link name, resolved lazily at oracle EXECUTION — see
+    ``_gate_store_path`` for why generation-time resolution is wrong)
+    and REDOES the classification: md5-exact equi-join,
     band-bucket candidate join, matching-position Jaccard estimate over the
     signature arrays, the ≥ threshold filter, and the (max estimate,
     min doc) tie contract, with exact taking precedence over near."""

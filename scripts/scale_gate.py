@@ -49,8 +49,24 @@ ORACLE_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT_S", "600"))
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """selfcheck's view registration, extended to Spark-written DIRECTORY
     parquet (the sf1 generator writes multi-part directories; the driver's
-    own testdata is single files — both shapes register identically)."""
+    own testdata is single files — both shapes register identically).
+
+    Memory posture: the oracle shares the box with a 48 GiB Spark JVM, and
+    DuckDB's default limit (80% of RAM) ignores that neighbor — the r11
+    span-dedup oracle at sf1 (a ~25M-window string aggregation) grew to
+    96 GiB RSS and drew the OOM killer. Cap the oracle at a fixed budget
+    and give it a spill directory: grouped aggregations then spill to disk
+    instead of dying, which is the correct posture for a first-principles
+    re-derivation whose working set scales with the data."""
+    import tempfile
+
     con = duckdb.connect()
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '24GB')}'"
+    )
+    con.execute(
+        f"SET temp_directory='{tempfile.mkdtemp(prefix='cfr_duck_spill_')}'"
+    )
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
