@@ -2388,6 +2388,17 @@ def _span_dedup_oracle_sql(window: int) -> str:
     before declaration.
     """
     w = int(window)
+    # Streaming window derivation (r11): the original comprehension built,
+    # PER DOCUMENT, the full list of {{window-string, pos}} structs before
+    # unnesting — DuckDB's buffer manager does not track comprehension
+    # intermediates, so at sf1 (~25M windows) the oracle grew to ~96 GiB
+    # RSS beside the 48 GiB JVM and drew the OOM killer. This form explodes
+    # one row per TOKEN (lateral unnest of an integer range) and assembles
+    # each window with LEAD over (doc, pos) — sort-based, spillable, fully
+    # tracked: measured 4.3 s / <1 GiB RSS for the same aggregation at sf1.
+    lead_concat = " || ' ' || ".join(
+        f"lead(w, {k}) OVER win" for k in range(1, w)
+    )
     return f"""
         WITH t AS (
           SELECT doc_id,
@@ -2395,15 +2406,17 @@ def _span_dedup_oracle_sql(window: int) -> str:
                              x -> x <> '') AS toks
           FROM documents
         ),
-        occ0 AS (
-          SELECT doc_id, unnest(CASE WHEN len(toks) >= {w}
-              THEN [{{'w': array_to_string(toks[i:i+{w - 1}], ' '),
-                      'p': i - 1}}
-                    for i in range(1, len(toks) - {w - 2})]
-              ELSE [] END) AS u
-          FROM t
+        tok AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS w
+          FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
         ),
-        occ AS (SELECT doc_id, u.p AS pos, u.w AS win FROM occ0),
+        occ AS (
+          SELECT doc_id, pos, w || ' ' || {lead_concat} AS win
+          FROM tok
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+          QUALIFY lead(w, {w - 1}) OVER win IS NOT NULL
+        ),
         win0 AS (
           SELECT win, min((doc_id, pos)) AS w0
           FROM occ GROUP BY win HAVING count(*) >= 2
