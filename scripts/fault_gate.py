@@ -36,6 +36,14 @@ Scenarios:
   final PostgreSQL table must be row-identical to a clean ingest into a
   separate table. Attempt markers prove the first attempt completed its
   COPY before dying (the duplicate really was staged).
+- ``foreachbatch_replay`` — the OTHER at-least-once seam: the driver
+  crashes AFTER a micro-batch's merge transaction committed to
+  PostgreSQL but BEFORE Spark records the batch's offset commit (a
+  wrapper raises right after ``merge()`` returns for batch 1 on the
+  first run). The restarted query replays batch 1 into the sink a second
+  time — the same batch merged TWICE — and the final table must be
+  row-identical to a single clean ingest: batch-replay idempotence of
+  the upsert merge executed through a real checkpoint restart.
 
 Run: ``python scripts/fault_gate.py [--sf DIR]`` (default sf0.001 — the
 fault mechanics are size-invariant; the VALUES still go through the full
@@ -197,6 +205,94 @@ def scenario_pgwire_copy_retry(spark, sf_dir: str) -> dict:
     return out
 
 
+def scenario_foreachbatch_replay(spark, sf_dir: str) -> dict:
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from coin_for_rich_spark.streaming.jdbc import (
+        PgWireMergeSink,
+        PsqlCopyMergeSink,
+    )
+    from coin_for_rich_spark.streaming.pgserver import ephemeral_pg
+    from coin_for_rich_spark.streaming.sink import run_ingest
+
+    conninfo = ephemeral_pg()
+    if conninfo is None:
+        return {"match": None, "skipped": "no runnable PostgreSQL server"}
+
+    stream = entry_mod._staged_stream(spark, sf_dir)
+    schema = stream.schema
+    pk = ("user_id", "event_type")
+
+    class CrashAfterCommit:
+        """foreachBatch wrapper: the merge transaction for batch 1 COMMITS,
+        then the driver 'crashes' before Spark writes the batch's offset
+        commit — so the restart MUST replay batch 1 into the sink."""
+
+        def __init__(self, sink) -> None:
+            self.sink = sink
+            self.crashed = False
+            self.merged_batches: list[int] = []
+
+        def merge(self, batch, batch_id) -> None:
+            self.sink.merge(batch, batch_id)
+            self.merged_batches.append(int(batch_id))
+            if batch_id == 1 and not self.crashed:
+                self.crashed = True
+                raise RuntimeError(
+                    "injected crash: after batch 1's merge commit, "
+                    "before its offset commit"
+                )
+
+    results = {}
+    replay_proof = {}
+    for leg in ("clean", "replayed"):
+        table = f"cfr_replay_{leg}"
+        ddl = PsqlCopyMergeSink(
+            conninfo, table, pk=pk, mode="upsert", tiebreak_col="ts"
+        )
+        ddl.create_table(schema, drop=True)
+        sink = PgWireMergeSink(
+            conninfo, table, pk=pk, mode="upsert", tiebreak_col="ts"
+        )
+        ckpt = tempfile.mkdtemp(prefix=f"cfr_replay_ckpt_{leg}_")
+        if leg == "clean":
+            run_ingest(
+                entry_mod._staged_stream(spark, sf_dir),
+                sink,
+                ckpt,
+                state_partitions=entry_mod._STREAM_STATE_PARTITIONS,
+            )
+        else:
+            wrapper = CrashAfterCommit(sink)
+            try:
+                run_ingest(
+                    entry_mod._staged_stream(spark, sf_dir),
+                    wrapper,
+                    ckpt,
+                    state_partitions=entry_mod._STREAM_STATE_PARTITIONS,
+                )
+            except StreamingQueryException:
+                pass  # the injected crash — restart from the checkpoint
+            else:
+                return {"match": False, "error": "injected crash never fired"}
+            run_ingest(
+                entry_mod._staged_stream(spark, sf_dir),
+                wrapper,
+                ckpt,
+                state_partitions=entry_mod._STREAM_STATE_PARTITIONS,
+            )
+            # the replay really happened: batch 1 merged twice
+            replay_proof = {
+                "merged_batch_ids": wrapper.merged_batches,
+                "batch_1_merged_twice": wrapper.merged_batches.count(1) == 2,
+            }
+        results[leg] = ddl.read(spark, schema)
+    out = _verdict("foreachbatch_replay", results["clean"], results["replayed"])
+    out.update(replay_proof)
+    out["match"] = out["match"] and replay_proof.get("batch_1_merged_twice", False)
+    return out
+
+
 def main() -> int:
     sf_dir = SF_DIR
     if "--sf" in sys.argv:
@@ -210,6 +306,7 @@ def main() -> int:
         ("batch_shuffle", scenario_batch_shuffle),
         ("fetch_mapinpandas", scenario_fetch_mapinpandas),
         ("pgwire_copy_retry", scenario_pgwire_copy_retry),
+        ("foreachbatch_replay", scenario_foreachbatch_replay),
     ):
         try:
             scenarios[name] = fn(spark, sf_dir)
@@ -225,7 +322,11 @@ def main() -> int:
         s.get("match") is True or "skipped" in s for s in scenarios.values()
     )
     injected = all(
+        # task-fault scenarios prove the retry via attempt markers; the
+        # checkpoint-restart scenario proves its replay via the doubled
+        # batch-1 merge
         s.get("task_attempts_observed", 0) >= 2
+        or s.get("batch_1_merged_twice") is True
         for s in scenarios.values()
         if s.get("match") is True
     )
