@@ -676,6 +676,25 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_dedup(load_table(spark, sf_dir, "documents"), window=8)
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r12 swap-in candidate (rotation discipline: oracle committed and
+    # proven one round before declaration — see _span_corruption_oracle_sql)
+    """T5-style span corruption over the documents table, serialized to
+    hash-comparable strings (sentinel-marked encoder input + decoder
+    target + per-doc mask count)."""
+    from coin_for_rich_spark.llmdata.pipeline import span_corruption
+
+    out = span_corruption(
+        load_table(spark, sf_dir, "documents"), density=0.15, span_len=3, seed=0
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("input_tokens", " ").alias("input_text"),
+        F.array_join("target_tokens", " ").alias("target_text"),
+        "n_masked",
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r7
     # swapped for `corpus_ingest` (COVERAGE.md): the scrub+chunk pipeline
     # component stays gate-covered by `doc_scrub`, and chunk_documents keeps
@@ -2510,6 +2529,133 @@ def _epoch_shuffle_oracle_sql(seed: int, n_shards: int) -> str:
                CAST(((ord % {n_shards}) + {n_shards}) % {n_shards} AS INT) AS shard,
                ord
         FROM fin
+    """
+
+
+def _span_corruption_oracle_sql(
+    density: float = 0.15, span_len: int = 3, seed: int = 0
+) -> str:
+    """DuckDB twin of ``llmdata.pipeline.span_corruption`` — the T5-style
+    denoising constructor, re-derived from first principles: the mask draw
+    recomputes Spark's ``xxhash64(doc_id BIGINT, block BIGINT, seed INT)``
+    chain in closed form (hashLong → hashLong → hashInt, each a complete
+    seeded XXH64 with final avalanche, as one-op UHUGEINT-mod-2⁶⁴ CTE
+    steps over the token rows — the epoch-shuffle twin's machinery
+    extended to a three-element, per-row-varying input), then rebuilds
+    run numbering (gaps-and-islands), sentinel interleave, ordered
+    reassembly, and the closing sentinel.
+
+    UNDECLARED (the 50-query gate window is full): executed hash-exact
+    against the engine in tests/test_pipeline.py — the documented r12
+    swap-in candidate per the rotation discipline (committed and proven
+    one round before declaration, like span_dedup was in r10)."""
+    d_thresh = int(density * 1_000_000)
+    fmix = [_u64_mix(33), _u64_mul(_XXH_P2), _u64_mix(29), _u64_mul(_XXH_P3), _u64_mix(32)]
+    init1 = (42 + _XXH_P5 + 8) & _U64  # hashLong(doc_id, seed=42) accumulator
+    seed_mult = ((seed & 0xFFFFFFFF) * _XXH_P1) & _U64  # hashInt's k1
+    k1_steps = [_u64_mul(_XXH_P2), _u64_rotl(31), _u64_mul(_XXH_P1)]
+    hash_long_tail = [_u64_rotl(27), _u64_mul(_XXH_P1), _u64_add(_XXH_P4), *fmix]
+    carry = "doc_id, pos, tok"
+    ctes = [
+        # streaming token explosion (same form as the span-dedup twin)
+        """t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        )""",
+        # MATERIALIZED: DuckDB 1.0 inlines single-use CTEs, which drags the
+        # LATERAL unnest into the downstream per-doc aggregate and trips
+        # "LATERAL join cannot contain aggregates"
+        f"""t0 AS MATERIALIZED (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok,
+                 CAST(CAST((i - 1) // {int(span_len)} AS BIGINT) AS UBIGINT) AS v
+          FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        )""",
+    ]
+    n = 0
+    # phase A: k1 of the block value
+    for expr in k1_steps:
+        ctes.append(f"a{n} AS (SELECT {carry}, {expr} AS v FROM {'t0' if n == 0 else f'a{n-1}'})")
+        n += 1
+    # phase B: v = hashLong(doc_id, 42), carrying kb
+    steps_b = [
+        *k1_steps,
+        f"xor({init1}::UBIGINT, v)",
+        *hash_long_tail,
+    ]
+    ctes.append(
+        f"b0 AS (SELECT {carry}, v AS kb, CAST(CAST(doc_id AS BIGINT) AS UBIGINT) AS v FROM a{n-1})"
+    )
+    m = 0
+    for expr in steps_b:
+        ctes.append(f"b{m+1} AS (SELECT {carry}, kb, {expr} AS v FROM b{m})")
+        m += 1
+    # phase C: v = hashLong(block, v) — init = v + P5 + 8, k1 = kb
+    steps_c = [_u64_add(_XXH_P5 + 8), "xor(v, kb)", *hash_long_tail]
+    # phase D: v = hashInt(seed, v)
+    steps_d = [
+        _u64_add(_XXH_P5 + 4),
+        f"xor(v, {seed_mult}::UBIGINT)",
+        _u64_rotl(23),
+        _u64_mul(_XXH_P2),
+        _u64_add(_XXH_P3),
+        *fmix,
+    ]
+    for expr in steps_c + steps_d:
+        ctes.append(f"b{m+1} AS (SELECT {carry}, kb, {expr} AS v FROM b{m})")
+        m += 1
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined},
+        flag AS (
+          SELECT doc_id, pos, tok,
+                 ((CASE WHEN v >= 9223372036854775808::UBIGINT
+                        THEN (v::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                        ELSE v::BIGINT END % 1000000 + 1000000) % 1000000)
+                     < {d_thresh} AS masked
+          FROM b{m}
+        ),
+        runs AS (
+          SELECT *, masked AND NOT coalesce(
+                   lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE
+                 ) AS start
+          FROM flag
+        ),
+        ks AS (
+          SELECT *, sum(CASE WHEN start THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos) AS k
+          FROM runs
+        ),
+        elems AS (
+          SELECT doc_id, pos,
+                 CASE WHEN NOT masked THEN [tok]
+                      WHEN start THEN ['<extra_id_' || CAST(k - 1 AS VARCHAR) || '>']
+                      ELSE []::VARCHAR[] END AS inp,
+                 CASE WHEN masked AND start
+                        THEN ['<extra_id_' || CAST(k - 1 AS VARCHAR) || '>', tok]
+                      WHEN masked THEN [tok]
+                      ELSE []::VARCHAR[] END AS tgt,
+                 CASE WHEN masked THEN 1 ELSE 0 END AS msk,
+                 k
+          FROM ks
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 flatten(list(inp ORDER BY pos)) AS input_toks,
+                 flatten(list(tgt ORDER BY pos)) AS tgt_toks,
+                 CAST(sum(msk) AS BIGINT) AS n_masked,
+                 max(k) AS nspans
+          FROM elems GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(array_to_string(p.input_toks, ' '), '') AS input_text,
+               coalesce(array_to_string(
+                   p.tgt_toks ||
+                   ['<extra_id_' || CAST(p.nspans AS VARCHAR) || '>'], ' '),
+                   '') AS target_text,
+               coalesce(p.n_masked, 0) AS n_masked
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
 
 

@@ -11,6 +11,7 @@ Usage: python selfcheck.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -24,7 +25,19 @@ from coin_for_rich_spark.sources import TABLES
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import tempfile
+
     con = duckdb.connect()
+    # same oracle memory posture as scripts/scale_gate.duck_connect: the
+    # oracle shares the box with the Spark JVM, and DuckDB's default limit
+    # (80% of RAM) ignores that neighbor — cap it and let grouped
+    # aggregations spill to disk instead of drawing the OOM killer
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '24GB')}'"
+    )
+    con.execute(
+        f"SET temp_directory='{tempfile.mkdtemp(prefix='cfr_duck_spill_')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
