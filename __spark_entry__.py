@@ -676,9 +676,9 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_dedup(load_table(spark, sf_dir, "documents"), window=8)
 
 
-def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
-    # r12 swap-in candidate (rotation discipline: oracle committed and
-    # proven one round before declaration — see _span_corruption_oracle_sql)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECLARED r12 (rotation discipline: oracle committed and proven at
+    # three scales in r11 BEFORE declaration — _span_corruption_oracle_sql)
     """T5-style span corruption over the documents table, serialized to
     hash-comparable strings (sentinel-marked encoder input + decoder
     target + per-doc mask count)."""
@@ -1346,7 +1346,13 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_SAMPLE_CHARS = ("0", "1", "2", "3")
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r12
+    # rotated OUT of the gate for span_corruption (COVERAGE.md r12 mapping):
+    # this query's oracle row was a constant (the engine computes
+    # n_missing/n_extra internally), so the gate lost nothing checkable; the
+    # full pigeonhole-vs-brute completeness contract is pinned in
+    # tests/test_llmdata.py::test_simhash_gate_contract_pinned and the raw
+    # pair listing stays value-checked in test_llmdata.py
     """SimHash Hamming-≤3 pairs via chunk pigeonhole banding, declared as the
     oracle-checkable completeness property: pigeonhole banding (4 chunks,
     distance < 4) provably finds every pair the all-pairs brute-force scan
@@ -1852,7 +1858,15 @@ def _late_correction_stream(spark: SparkSession, sf_dir: str):
             ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
         except OSError:
             ident = sf_dir
-        ident += "|" + ev.schema.simpleString() + "|latecorr1"
+        # the ident embeds EVERY constant that shapes the staged bytes —
+        # chunk count and the correction transform (%7==3, +0.5) — so
+        # changing any of them can never serve a stale staged replay from
+        # $TMPDIR (the chunk count lives in _staged_stream's dir NAME; here
+        # it must live in the hash because the dir name carries only `key`)
+        ident += (
+            "|" + ev.schema.simpleString()
+            + f"|latecorr1|n={_STREAM_N_CHUNKS}|minute%7==3|value+0.5"
+        )
         key = hashlib.md5(ident.encode()).hexdigest()[:12]
         final = os.path.join(
             tempfile.gettempdir(), f"cfr_latecorr_{key}", "events"
@@ -1944,6 +1958,35 @@ def q_stream_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_rollup_to_memory(
         rolled,
         f"stream_rollup_5m_{uuid.uuid4().hex}",
+        state_partitions=_STREAM_STATE_PARTITIONS,
+    )
+
+
+def q_stream_rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    """A2/S4 — the THIRD streamed conagg resolution (r12): the reference's
+    most-served family includes daily (create.sql:105-118, its policy
+    create.sql:345-381 → CONAGG_POLICIES['1D'] = start '3 days' / end
+    '1 day' / schedule '1 day'). watermark=None derives the delay from the
+    1D policy's end_offset exactly like the declared ``stream_rollup_5m``
+    row, pinning the cadence→watermark translation at a THIRD point — and
+    the first where the window spans many micro-batches (every replay chunk
+    lands inside open daily windows, so state survives across all batches
+    and only the watermark's final advance publishes). Append mode emits
+    exactly the buckets whose end clears max(ts) − end_offset.
+
+    UNDECLARED (gate window full): pinned hash-exact by
+    tests/test_streaming.py::test_stream_rollup_1d_matches_duckdb_twin via
+    ``_stream_rollup_1d_oracle_sql`` — a documented swap-in candidate per
+    the rotation discipline."""
+    import uuid
+
+    from coin_for_rich_spark.streaming.rollup import run_rollup_to_memory
+
+    stream = candle_stream(_staged_stream(spark, sf_dir))
+    rolled = streaming_ohlcv_rollup(stream, "1D", watermark=None)
+    return run_rollup_to_memory(
+        rolled,
+        f"stream_rollup_1d_{uuid.uuid4().hex}",
         state_partitions=_STREAM_STATE_PARTITIONS,
     )
 
@@ -2250,7 +2293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucketed range join (token_quantiles → range_join in r8: the
         # sketch-vs-exact contract stays pytest-pinned)
         "range_join": q_range_join,
-        "simhash_pairs": q_simhash_pairs,
+        # T5 denoising constructor (simhash_pairs → span_corruption in r12:
+        # the pigeonhole-vs-brute completeness contract stays pinned
+        # hash-exact in tests/test_llmdata.py — its oracle row was a
+        # constant-TRUE degenerate, while span_corruption's twin re-derives
+        # the full mask/sentinel/reassembly output string-exact; oracle
+        # committed and three-scale-proven in r11 per the swap discipline)
+        "span_corruption": q_span_corruption,
         # ngram_jaccard precedes minhash_pairs deliberately: it computes the
         # exact-pair relation both reuse, so each query's bench cost is its
         # own work (the base relation's cost lands on the query that owns it)
@@ -2363,6 +2412,21 @@ def _stream_rollup_1h_oracle_sql() -> str:
         WITH c AS ({HOURLY})
         SELECT * FROM c
         WHERE bucket + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+    """
+
+
+def _stream_rollup_1d_oracle_sql() -> str:
+    """DuckDB twin of the policy-derived streamed DAILY rollup (r12, the
+    third streamed conagg resolution): append mode with the 1D policy's
+    end_offset ('1 day') emits exactly the buckets whose window end clears
+    max(ts) − 1 day — the conagg's publication lag, which on a time-ordered
+    replay only delays publication and can never drop a row. UNDECLARED
+    (gate window full): executed hash-exact in tests/test_streaming.py."""
+    return f"""
+        WITH c AS ({DAILY})
+        SELECT * FROM c
+        WHERE bucket + INTERVAL 1 DAY
+              <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
     """
 
 
@@ -3453,11 +3517,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS precision_ok
             FROM ({NGRAM_JACCARD_SQL})
         """,
-        "simhash_pairs": """
-            SELECT TRUE AS pigeonhole_exact,
-                   CAST(0 AS BIGINT) AS n_missing,
-                   CAST(0 AS BIGINT) AS n_extra
-        """,
+        "span_corruption": _span_corruption_oracle_sql(),
         "embed_ann_lsh": """
             SELECT 10 AS k, TRUE AS recall_ok
         """,

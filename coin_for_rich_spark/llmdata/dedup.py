@@ -368,6 +368,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     method: str = "auto",
     pair_budget: int = 50_000_000,
+    candidate_cap: int = 2_000_000_000,
+    on_over_cap: str = "error",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, sim ≥ threshold).
 
@@ -402,6 +404,24 @@ def ngram_jaccard_pairs(
       correct behavior, since a corpus with ≲8 documents is benign for
       either plan.
 
+    Over-cap contract (``candidate_cap`` / ``on_over_cap``, auto mode only):
+    the exact-pair tier is inherently quadratic in its worst case — on a
+    duplicate-heavy corpus even the prefix plan's candidate join approaches
+    n²/2 pairs, and no per-shingle budget can bound it. When the sampled
+    estimate of the prefix plan's candidate volume
+    (:func:`_estimate_prefix_candidates`) exceeds ``candidate_cap``, the
+    operator refuses to START the join instead of leaving the cliff to a
+    cluster timeout: ``on_over_cap='error'`` (default) raises a loud
+    actionable error naming both estimates; ``on_over_cap='lsh'`` degrades
+    to the MinHash-LSH tier with THIS function's exact 6-column schema and
+    per-pair exact verification (recall over true pairs becomes
+    probabilistic — the standard production posture at corpus scale). The
+    default cap (2×10⁹ pre-distinct candidates, each a ~32-byte id pair →
+    a ~64 GB candidate shuffle before the array-verify join fans in) is
+    sized to what a large cluster finishes in minutes, not to the local
+    harness; explicit ``method='count'``/``'prefix'`` remain caller
+    assertions that bypass all probes, as before.
+
     Count-plan shape: ONE wide shuffle builds the inverted index
     ``shingle → sorted doc list`` (persisted — it is only materialized
     after the probe has certified ``Σ df² ≤ pair_budget``, so every doc
@@ -417,18 +437,23 @@ def ngram_jaccard_pairs(
             f"unknown method {method!r} (auto | count | prefix) — a typo "
             "must not silently bypass the quadratic-safety probe"
         )
+    if on_over_cap not in ("error", "lsh"):
+        raise ValueError(
+            f"unknown on_over_cap {on_over_cap!r} (error | lsh) — a typo "
+            "must not silently disable the over-cap contract"
+        )
     if method == "auto":
         from .pipeline import hash_sample
 
         p = 2.0 / 16.0
+        sample_idx = _shingle_index(
+            hash_sample(docs, id_col=id_col, hex_chars=("0", "1")),
+            text_col,
+            id_col,
+            n,
+        )
         probe = (
-            _shingle_index(
-                hash_sample(docs, id_col=id_col, hex_chars=("0", "1")),
-                text_col,
-                id_col,
-                n,
-            )
-            .groupBy("shingle")
+            sample_idx.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .agg(
                 F.sum(F.col("df") * F.col("df")).alias("s2"),
@@ -437,7 +462,51 @@ def ngram_jaccard_pairs(
             .first()
         )
         est_df2 = ((probe["s2"] or 0) - (1.0 - p) * (probe["s1"] or 0)) / (p * p)
-        method = "count" if est_df2 <= pair_budget else "prefix"
+        if est_df2 <= pair_budget:
+            method = "count"
+        else:
+            # the count plan is out; before committing to the prefix plan,
+            # bound ITS worst case too. Prefix filtering caps df per indexed
+            # shingle only probabilistically — a duplicate-heavy corpus (the
+            # exact situation a dedup pass exists for) makes every copy index
+            # the SAME rarest prefix shingles and the candidate join goes
+            # ~n²/2 no matter the budget. Estimate the pre-distinct candidate
+            # volume from the same sample and refuse to build a relation the
+            # cluster cannot shuffle. This re-tokenizes the 1/8 sample (the
+            # probe index is deliberately never persisted — see the docstring
+            # memory posture) but only on this already-over-budget branch.
+            method = "prefix"
+            est_cand = _estimate_prefix_candidates(sample_idx, threshold, p)
+            if est_cand > candidate_cap:
+                if on_over_cap == "lsh":
+                    import warnings
+
+                    warnings.warn(
+                        "ngram_jaccard_pairs: estimated exact-pair "
+                        f"candidate volume {est_cand:,.0f} exceeds "
+                        f"candidate_cap={candidate_cap:,}; degrading to "
+                        "the MinHash-LSH tier (same schema and exact "
+                        "per-pair verification, but recall over true "
+                        "pairs is probabilistic, not exhaustive)",
+                        stacklevel=2,
+                    )
+                    return _minhash_pairs_wide(
+                        docs, text_col, id_col, n, threshold=threshold
+                    )
+                raise RuntimeError(
+                    "ngram_jaccard_pairs: the exact-pair tier would "
+                    f"build ~{est_cand:,.0f} candidate pairs "
+                    f"(sampled estimate; Σdf² estimate {est_df2:,.0f}), "
+                    f"over candidate_cap={candidate_cap:,} — refusing "
+                    "to start a join the cluster cannot finish. "
+                    "Options: (a) use the scalable near-dup tiers "
+                    "(minhash_pairs / simhash_pairs), or pass "
+                    "on_over_cap='lsh' to degrade to MinHash-LSH with "
+                    "this function's schema; (b) raise candidate_cap "
+                    "if the cluster genuinely has the shuffle headroom; "
+                    "(c) pass method='prefix' to explicitly assert the "
+                    "corpus is benign and bypass the probe."
+                )
     if method == "prefix":
         return _jaccard_prefix(docs, text_col, id_col, n, threshold)
     # inverted index, one row per distinct shingle. The doc list is sorted
@@ -493,6 +562,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
     )
+
+
+def _estimate_prefix_candidates(
+    sidx: DataFrame, threshold: float, p: float
+) -> float:
+    """Unbiased estimate of the prefix plan's PRE-distinct candidate-pair
+    volume, from the already-sampled shingle index ``sidx`` (sampling rate
+    ``p`` over documents).
+
+    Mirrors `_jaccard_prefix`'s candidate construction on the sample: per-doc
+    rarest-first prefixes (sample-local dfs — shifts which shingles are
+    prefix members, never how many), then Σ_s c_s·(c_s−1)/2 over per-shingle
+    prefix counts. A pair of documents survives doc sampling with probability
+    p², a single document with p, so E[Σ c(c−1)/2 | sample] ≈ p²·true_pairs
+    and the estimator is simply sampled_pairs / p² (the c(c−1)/2 form has no
+    linear df term to remove, unlike the Σdf² probe). Relative error
+    concentrates over distinct prefix shingles; the duplicate-heavy cliff
+    this guard exists for (df ~ corpus size on the shared prefix shingles)
+    shows up in the sample at ~p·df — impossible to miss."""
+    t_loose = max(0.0, threshold - 1e-9)
+    dfreq = sidx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sets = (
+        sidx.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("sh")
+        )
+        .withColumn("sz", F.size("sh"))
+    )
+    prefix = sets.select(
+        F.explode(
+            F.slice(
+                "sh", 1, F.col("sz") - F.ceil(F.lit(t_loose) * F.col("sz")) + 1
+            )
+        ).alias("shingle"),
+    )
+    row = (
+        prefix.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
+        .first()
+    )
+    return float(row["pairs"] or 0) / (p * p)
 
 
 def _jaccard_prefix(
@@ -907,6 +1022,26 @@ def minhash_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
+    See :func:`_minhash_pairs_wide` for the full plan description; this
+    public form projects the (doc_a, doc_b, jaccard) contract columns.
+    """
+    return _minhash_pairs_wide(
+        docs, text_col, id_col, n, num_perm, bands, threshold, shingled
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def _minhash_pairs_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
     Pipeline: signatures → split into ``bands`` bands of num_perm/bands rows
     → explode (band_idx, band_hash) → equi-join on the band bucket →
     candidate pairs → exact shingle-set Jaccard on candidates only.
@@ -987,14 +1122,18 @@ def minhash_pairs(
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("sz_a", F.size("sh_a"))
+        .withColumn("sz_b", F.size("sh_b"))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    # the wide projection matches ngram_jaccard_pairs' exact schema so the
+    # over-cap guard there can degrade to this tier without a schema change
+    return verified.select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
 
 
 # packed-lane SimHash accumulator geometry: 3 bit-counters per BIGINT in

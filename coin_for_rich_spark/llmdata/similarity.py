@@ -1233,13 +1233,23 @@ def lsh_ann_knn(
             c = bucket_of(vec_col, planes).isin(probes)
             cond = c if cond is None else (cond | c)
         cands = embeddings.filter(cond)
-    pruned = cosine_knn(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
     if not ensure_k:
-        return pruned
+        return cosine_knn(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
     # bounded probe: k candidates existing <=> the pruned ordered-limit-k
     # plan has exactly k rows (top-k of >= k inputs). limit-k count
     # early-terminates, so the probe touches the candidate scan only until
     # k hits are found; the returned plan itself is never executed here.
+    # The candidate relation is PERSISTED across the probe and the returned
+    # plan (registered for unpersist_intermediates cleanup) so the filter
+    # scan runs once, not twice — at corpus scale candidates are the small
+    # LSH-pruned fraction, so the footprint is bounded by design, and
+    # MEMORY_AND_DISK recomputes harmlessly if the caller unpersists before
+    # consuming.
+    from .dedup import _INTERMEDIATE_CACHES
+
+    cands = cands.persist()
+    _INTERMEDIATE_CACHES.append(cands)
+    pruned = cosine_knn(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
     if cands.limit(k).count() >= k:
         return pruned
     return cosine_knn(embeddings, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -293,13 +293,172 @@ def scenario_foreachbatch_replay(spark, sf_dir: str) -> dict:
     return out
 
 
+EVENTLOG_DIR = tempfile.mkdtemp(prefix="cfr_fault_eventlog_")
+
+
+def _executor_removed_count() -> int:
+    """Count SparkListenerExecutorRemoved events in the session's event log
+    (written with a 1 KB buffer so events surface promptly mid-session) —
+    the proof that a kill scenario really lost an executor, not just a
+    task attempt."""
+    n = 0
+    for fname in os.listdir(EVENTLOG_DIR):
+        path = os.path.join(EVENTLOG_DIR, fname)
+        try:
+            with open(path, errors="replace") as fh:
+                n += sum(
+                    1
+                    for line in fh
+                    if '"Event":"SparkListenerExecutorRemoved"' in line
+                )
+        except OSError:
+            continue
+    return n
+
+
+def _kill_one_executor(spark, grace_s: float = 1.0) -> int | None:
+    """Driver-side: wait until tasks are actively RUNNING, then SIGKILL one
+    of this app's CoarseGrainedExecutorBackend JVMs — a real process death
+    mid-stage, not an in-task raise. Returns the killed pid (None if no
+    executor process was found — local[] mode, or the job finished first).
+    """
+    import signal
+    import subprocess
+    import time
+
+    tracker = spark.sparkContext.statusTracker()
+    app_id = spark.sparkContext.applicationId
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if tracker.getActiveStageIds():
+            break
+        time.sleep(0.1)
+    time.sleep(grace_s)
+    # match executors of THIS app only (the launch command carries the app
+    # id) — a concurrent Spark session's executors must never be collateral
+    out = subprocess.run(
+        ["pgrep", "-f", f"CoarseGrainedExecutorBackend.*{app_id}"],
+        capture_output=True,
+        text=True,
+    )
+    pids = [int(p) for p in out.stdout.split()]
+    if not pids:
+        return None
+    os.kill(pids[0], signal.SIGKILL)
+    return pids[0]
+
+
+def _run_with_executor_kill(spark, name: str, clean_pdf, run_fn) -> dict:
+    """Execute ``run_fn`` (which materializes the faulted plan — armed this
+    way because some query functions run streaming ingest EAGERLY inside
+    construction) while a watcher thread SIGKILLs one executor mid-run;
+    compare against the already-materialized clean result and attach the
+    process-death evidence (dead pid + executor-removed event observed in
+    the event log)."""
+    import threading
+    import time
+
+    before = _executor_removed_count()
+    killed: dict = {}
+
+    def _killer() -> None:
+        killed["pid"] = _kill_one_executor(spark)
+
+    th = threading.Thread(target=_killer, daemon=True)
+    th.start()
+    faulted_pdf = run_fn()
+    th.join(timeout=150)
+    problems = compare(name, faulted_pdf, clean_pdf)
+    pid = killed.get("pid")
+    pid_dead = pid is not None and not os.path.exists(f"/proc/{pid}")
+    # the event log flushes on a 1 KB buffer; give the listener bus a
+    # bounded window to drain before declaring the loss unobserved
+    removed = False
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if _executor_removed_count() > before:
+            removed = True
+            break
+        time.sleep(0.5)
+    return {
+        "match": (not problems) and pid is not None,
+        "problems": problems or None,
+        "rows": int(len(clean_pdf)),
+        "executor_killed_pid": pid,
+        "killed_process_gone": pid_dead,
+        "executor_loss_in_event_log": removed,
+    }
+
+
+def scenario_executor_kill_shuffle(spark, sf_dir: str) -> dict:
+    """Process-level fault during a shuffle-heavy batch query: one executor
+    JVM is SIGKILLed while map tasks run, so its finished shuffle blocks die
+    with it — Spark must re-run lost map tasks (FetchFailed → stage
+    resubmit) and/or reschedule live ones, and the aggregate must stay
+    bit-identical to the clean run."""
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events").repartition(8, "event_id")
+    agg_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    ]
+    clean_pdf = ev.groupBy("event_type").agg(*agg_cols).toPandas()
+
+    def slow_passthrough(it):
+        first = True
+        for pdf in it:
+            if first:
+                # widen the map stage so the SIGKILL lands mid-stage — the
+                # pause is a pure delay, never a value change
+                _time.sleep(1.5)
+                first = False
+            yield pdf
+
+    faulted = (
+        ev.mapInPandas(slow_passthrough, ev.schema)
+        .groupBy("event_type")
+        .agg(*agg_cols)
+    )
+    return _run_with_executor_kill(
+        spark, "executor_kill_shuffle", clean_pdf, faulted.toPandas
+    )
+
+
+def scenario_executor_kill_stream_replay(spark, sf_dir: str) -> dict:
+    """Process-level fault during the composed late-correction replay (the
+    r11 gate row `stream_late_correction`): one executor JVM dies while the
+    5-micro-batch stateful replay runs — hold-back state commits, merge-sink
+    batch dirs, and the rollup cascade must all survive the loss and the
+    final corrected hourly family must be value-identical to a clean run."""
+    clean_pdf = entry_mod.q_stream_late_correction(spark, sf_dir).toPandas()
+    # q_stream_late_correction runs its streaming ingest EAGERLY (run_ingest
+    # returns after availableNow drains), so the kill thread must already be
+    # armed when the call starts — hand the whole call in as the run_fn
+    return _run_with_executor_kill(
+        spark, "executor_kill_stream_replay", clean_pdf,
+        lambda: entry_mod.q_stream_late_correction(spark, sf_dir).toPandas(),
+    )
+
+
 def main() -> int:
     sf_dir = SF_DIR
     if "--sf" in sys.argv:
         sf_dir = os.path.abspath(sys.argv[sys.argv.index("--sf") + 1])
     spark = get_spark(
         "coin_for_rich_spark-fault-gate",
-        extra_conf={"spark.task.maxFailures": "4"},
+        extra_conf={
+            "spark.task.maxFailures": "4",
+            # the executor-kill scenarios prove the process death via the
+            # event log; the 1 KB buffer makes events visible mid-session
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": EVENTLOG_DIR,
+            "spark.eventLog.buffer.kb": "1",
+        },
     )
     scenarios = {}
     for name, fn in (
@@ -307,6 +466,8 @@ def main() -> int:
         ("fetch_mapinpandas", scenario_fetch_mapinpandas),
         ("pgwire_copy_retry", scenario_pgwire_copy_retry),
         ("foreachbatch_replay", scenario_foreachbatch_replay),
+        ("executor_kill_shuffle", scenario_executor_kill_shuffle),
+        ("executor_kill_stream_replay", scenario_executor_kill_stream_replay),
     ):
         try:
             scenarios[name] = fn(spark, sf_dir)
@@ -318,24 +479,34 @@ def main() -> int:
             f"{name:24s} match={status} attempts={retried}",
             file=sys.stderr,
         )
+    executed = [s for s in scenarios.values() if "skipped" not in s]
+    n_skipped = len(scenarios) - len(executed)
     ok = all(
         s.get("match") is True or "skipped" in s for s in scenarios.values()
     )
     injected = all(
-        # task-fault scenarios prove the retry via attempt markers; the
-        # checkpoint-restart scenario proves its replay via the doubled
-        # batch-1 merge
+        # task-fault scenarios prove the injection via attempt markers, the
+        # checkpoint-restart scenario via the doubled batch-1 merge, and
+        # process-kill scenarios via the executor-removed event-log record
         s.get("task_attempts_observed", 0) >= 2
         or s.get("batch_1_merged_twice") is True
+        or s.get("executor_loss_in_event_log") is True
         for s in scenarios.values()
         if s.get("match") is True
     )
+    # a run where EVERY scenario skipped must not read green: `all([])` is
+    # vacuously true for both predicates above, so a PostgreSQL-less box
+    # that skipped everything would otherwise exit 0 with all_match=true
+    if not executed:
+        ok = injected = False
     artifact = {
         "master": MASTER,
         "max_failures": 4,
         "sf_dir": sf_dir,
         "all_match": ok,
         "all_retries_observed": injected,
+        "n_executed": len(executed),
+        "n_skipped": n_skipped,
         "scenarios": scenarios,
     }
     out_path = os.path.join(REPO, ".scale", "SCALE_GATE_FAULTS.json")

@@ -142,6 +142,21 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_gate_contract_pinned(spark, sf_dir):
+    """The full simhash_pairs gate contract — banded pigeonhole pairs vs the
+    sampled brute-force twin, n_missing == n_extra == 0 on the real
+    documents table — preserved as a pytest pin after simhash_pairs rotated
+    OUT of the driver gate in r12 (swapped for span_corruption; its oracle
+    row was a constant, so the checkable content always lived in the engine
+    side pinned here)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.q_simhash_pairs(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["pigeonhole_exact"] is True
+    assert rows[0]["n_missing"] == 0 and rows[0]["n_extra"] == 0
+
+
 def test_ann_recall_on_planted_cluster(spark):
     """Random-hyperplane LSH must recover planted near-duplicates of the
     query vector: vectors at small angular distance share the query's bucket
@@ -250,6 +265,80 @@ def test_jaccard_auto_probe_picks_plan_by_skew(docs):
     assert sorted(tuple(r) for r in benign.select(*cols).collect()) == sorted(
         tuple(r) for r in forced.select(*cols).collect()
     )
+
+
+@pytest.fixture()
+def dup_heavy_docs(spark):
+    """64 identical documents — the worst case for BOTH exact plans: every
+    doc shares every shingle, so Σdf² and the prefix candidate join are each
+    ~n². The deterministic 1/8 hash sample keeps several of the 64 ids, so
+    the probes always see the duplication."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=text) for i in range(64)]
+    )
+
+
+def test_jaccard_over_cap_raises_actionable(dup_heavy_docs):
+    """Over-cap side of the candidate_cap contract: on a duplicate-heavy
+    corpus the guard must refuse to BUILD the pair join — a loud error
+    naming the estimate, the cap, and the remediation options — instead of
+    leaving a quadratic join to a cluster timeout."""
+    from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(RuntimeError, match="candidate pairs"):
+        # pair_budget=1 forces past the count plan; candidate_cap=1 makes
+        # any observed duplication trip the prefix-volume guard
+        ngram_jaccard_pairs(
+            dup_heavy_docs, threshold=0.2, pair_budget=1, candidate_cap=1
+        )
+    # the error is actionable: it names the scalable tiers and the overrides
+    with pytest.raises(RuntimeError, match="minhash_pairs"):
+        ngram_jaccard_pairs(
+            dup_heavy_docs, threshold=0.2, pair_budget=1, candidate_cap=1
+        )
+
+
+def test_jaccard_over_cap_degrades_to_lsh(dup_heavy_docs):
+    """on_over_cap='lsh': same 6-column schema, exact per-pair verification,
+    pairs a subset of the exact tier's — and on identical docs (identical
+    MinHash signatures) recall is total, so the sets are EQUAL here."""
+    from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(dup_heavy_docs, threshold=0.2, method="prefix")
+    with pytest.warns(UserWarning, match="MinHash-LSH"):
+        degraded = ngram_jaccard_pairs(
+            dup_heavy_docs,
+            threshold=0.2,
+            pair_budget=1,
+            candidate_cap=1,
+            on_over_cap="lsh",
+        )
+    assert degraded.columns == exact.columns
+    assert sorted(tuple(r) for r in degraded.collect()) == sorted(
+        tuple(r) for r in exact.collect()
+    )
+
+
+def test_jaccard_under_cap_proceeds(dup_heavy_docs):
+    """Under-cap side: the same duplicate-heavy corpus with a sufficient cap
+    builds the exact relation — the guard gates, it does not distort."""
+    from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        dup_heavy_docs, threshold=0.2, pair_budget=1, candidate_cap=10_000_000
+    )
+    rows = out.collect()
+    # 64 identical docs → C(64,2) ordered pairs, all jaccard 1.0
+    assert len(rows) == 64 * 63 // 2
+    assert all(r["jaccard"] == 1.0 for r in rows)
+
+
+def test_jaccard_on_over_cap_typo_raises(dup_heavy_docs):
+    from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="on_over_cap"):
+        ngram_jaccard_pairs(dup_heavy_docs, on_over_cap="LSH")
 
 
 def test_embed_neardup_lsh_is_subset_of_exact(spark, sf_dir):

@@ -602,8 +602,9 @@ def test_span_corruption_matches_duckdb_xxh64_twin(spark, sf_dir, duck):
     """The full span-corruption contract vs a first-principles DuckDB twin
     (closed-form XXH64 over the (doc_id, block, seed) chain, run numbering,
     sentinel interleave, ordered reassembly, closing sentinel) — committed
-    one round before any gate declaration per the rotation discipline;
-    this is the documented r12 swap-in candidate."""
+    and proven in r11, one round BEFORE declaration per the rotation
+    discipline; DECLARED in the driver gate as of r12 (swapped in for
+    simhash_pairs), where the oracle runs side-by-side per round."""
     import __spark_entry__ as entry_mod
     from selfcheck import compare
 

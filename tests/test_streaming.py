@@ -824,3 +824,21 @@ def test_stream_rollup_1h_matches_duckdb_twin(spark, sf_dir, duck):
     odf = duck.execute(entry_mod._stream_rollup_1h_oracle_sql()).df()
     problems = compare("stream_rollup_1h", sdf, odf)
     assert not problems, problems
+
+
+def test_stream_rollup_1d_matches_duckdb_twin(spark, sf_dir, duck):
+    """The THIRD streamed conagg resolution (r12): the daily tier with its
+    policy-derived watermark (CONAGG_POLICIES['1D'] end_offset '1 day'),
+    hash-exact against a DuckDB twin that applies the same publication-lag
+    filter — a swap-in candidate per the rotation discipline. The daily
+    window is the first whose span covers MANY micro-batches, so this also
+    pins cross-batch state survival (every replay chunk updates open daily
+    windows; only the final watermark advance publishes)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_stream_rollup_1d(spark, sf_dir).toPandas()
+    assert len(sdf) > 0, "daily policy must emit closed buckets on a 30-day replay"
+    odf = duck.execute(entry_mod._stream_rollup_1d_oracle_sql()).df()
+    problems = compare("stream_rollup_1d", sdf, odf)
+    assert not problems, problems
