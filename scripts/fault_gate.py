@@ -302,17 +302,18 @@ def _executor_removed_count() -> int:
     the proof that a kill scenario really lost an executor, not just a
     task attempt."""
     n = 0
-    for fname in os.listdir(EVENTLOG_DIR):
-        path = os.path.join(EVENTLOG_DIR, fname)
-        try:
-            with open(path, errors="replace") as fh:
-                n += sum(
-                    1
-                    for line in fh
-                    if '"Event":"SparkListenerExecutorRemoved"' in line
-                )
-        except OSError:
-            continue
+    for root, _dirs, files in os.walk(EVENTLOG_DIR):
+        for fname in files:
+            path = os.path.join(root, fname)
+            try:
+                with open(path, errors="replace") as fh:
+                    n += sum(
+                        1
+                        for line in fh
+                        if '"Event":"SparkListenerExecutorRemoved"' in line
+                    )
+            except OSError:
+                continue
     return n
 
 
@@ -454,10 +455,15 @@ def main() -> int:
         extra_conf={
             "spark.task.maxFailures": "4",
             # the executor-kill scenarios prove the process death via the
-            # event log; the 1 KB buffer makes events visible mid-session
+            # event log; the 1 KB buffer makes events visible mid-session,
+            # and compression/rolling are disabled so the mid-session scan
+            # reads plain JSON lines (the default writes a zstd-compressed
+            # rolling directory the scanner cannot stream)
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVENTLOG_DIR,
             "spark.eventLog.buffer.kb": "1",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     scenarios = {}
