@@ -695,6 +695,83 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic HTML/URL synthesis shared VERBATIM by q_web_preprocess and
+# its oracle: documents.text wrapped in adversarial markup (script/style/
+# template blocks whose CONTENT must vanish, a comment hiding list markup,
+# double-escaped and numeric entities), plus four URL shapes per doc_id mod
+# 4 (uppercase scheme+www+default port+fragment+tracking mix; a second '?'
+# gluing a tracking param; an all-tracking query; a scheme-less opaque id)
+_WEB_HTML_P1 = "<html><head><title>Doc "
+_WEB_HTML_P2 = (
+    '</title><style>p{margin:0}</style>'
+    '<script type="text/javascript">var trap = "<p>not text</p>";</script>'
+    "</head><body><!-- nav <ul><li>menu</li></ul> -->"
+    "<h1>Title &amp;amp; &#169; "
+)
+_WEB_HTML_P3 = "</h1> <p>"
+_WEB_HTML_P4 = (
+    "</p><div>tail &lt;b&gt;&nbsp;rest</div>"
+    "<template><p>ghost</p></template></body></html>"
+)
+
+
+def q_web_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r13 swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next — see _web_preprocess_oracle_sql)
+    """Web preprocessing (llmdata/web.py): HTML→text extraction + URL
+    canonicalization over a deterministic adversarial wrapping of the
+    documents table — script/style/template content dropped wholesale,
+    block tags → line structure, entity decode order, tracking-param
+    strip with the second-'?' disguise, scheme-specific default ports,
+    param sort, opaque-id passthrough. Every output string oracle-exact."""
+    from coin_for_rich_spark.llmdata.web import (
+        canonicalize_urls,
+        extract_html_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_WEB_HTML_P1), sid, F.lit(_WEB_HTML_P2), sid,
+        F.lit(_WEB_HTML_P3), F.coalesce(F.col("text"), F.lit("")),
+        F.lit(_WEB_HTML_P4),
+    )
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Shop"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".COM:443/Items/"), sid,
+                F.lit("/?utm_source=feed&ref=home&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("http://News"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.org:80/read?a="),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("?utm_campaign=x"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://example"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".net/p/"), sid, F.lit("/?utm_medium=email&fbclid=ZZ"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("URN:doc:"), sid))
+    )
+    base = docs.select("doc_id", html.alias("html"), url.alias("url"))
+    txt = extract_html_text(base, html_col="html")
+    urls = canonicalize_urls(base).select(
+        "doc_id", "url", "canonical_url", "domain"
+    )
+    return txt.join(urls, "doc_id")
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r7
     # swapped for `corpus_ingest` (COVERAGE.md): the scrub+chunk pipeline
     # component stays gate-covered by `doc_scrub`, and chunk_documents keeps
@@ -2454,6 +2531,138 @@ def _doc_scrub_oracle_sql() -> str:
                        'https?://[^\\s]+', '<URL>', 'g'),
                    '([0-9]{7,})', 1)) AS n_num
         FROM documents
+    """
+
+
+def _web_preprocess_oracle_sql() -> str:
+    """DuckDB twin of ``q_web_preprocess`` — the html_text and
+    canonical_url column chains re-derived step-for-step (same synthesis
+    constants, same replace ORDER): block-content drops with 'gis' RE2
+    flags, whitespace flatten BEFORE block-break conversion, tag strip,
+    entity decode in the pinned order, numeric entities, line collapse;
+    then scheme/host lowering, scheme-specific default-port strip,
+    fragment drop, FIRST-'?' split (instr, not a global regex — a '?'
+    inside a parameter value is data), the second-'?'-tracking-param
+    disguise (RE2 has no lookahead, so the twin uses a capture-group
+    rewrite — semantically identical), tracking filter + param sort,
+    trailing-slash and www. strip, opaque passthrough.
+
+    UNDECLARED (r13 rotation fuel per the swap discipline): executed
+    string-exact in tests/test_web.py this round, one round before any
+    declaration."""
+    trk = "(?:utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)"
+    block_break = (
+        r"</(?:p|div|li|tr|h[1-6]|ul|ol|table|section|article|header|footer|"
+        r"blockquote|pre|figure)>|<br\s*/?>|<hr\s*/?>"
+    )
+    # html_text chain over the synthesized column, innermost-first
+    t = "html"
+    for tag in ("script", "style", "noscript", "template"):
+        t = f"regexp_replace({t}, '<{tag}\\b[^>]*>.*?</{tag}>', ' ', 'gis')"
+    t = f"regexp_replace({t}, '<!--.*?-->', ' ', 'gs')"
+    t = f"regexp_replace({t}, '\\s+', ' ', 'g')"
+    t = f"regexp_replace({t}, '{block_break}', chr(10), 'gi')"
+    t = f"regexp_replace({t}, '<[^>]+>', ' ', 'gs')"
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&apos;", "''"), ("&amp;", "&"),
+    ):
+        t = f"replace({t}, '{ent}', '{rep}')"
+    t = f"regexp_replace({t}, '&#(\\d+);', ' ', 'g')"
+    t = f"regexp_replace({t}, '[ \\t\\r\\f]+', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n ?', chr(10), 'g')"
+    t = f"regexp_replace({t}, '\\n{{2,}}', chr(10), 'g')"
+    t = f"trim({t})"
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 '{_WEB_HTML_P1}' || CAST(doc_id AS VARCHAR) ||
+                 '{_WEB_HTML_P2}' || CAST(doc_id AS VARCHAR) ||
+                 '{_WEB_HTML_P3}' || coalesce(text, '') ||
+                 '{_WEB_HTML_P4}' AS html,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'HTTPS://WWW.Shop' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.COM:443/Items/' || CAST(doc_id AS VARCHAR)
+                        || '/?utm_source=feed&ref=home&b=2&a=1#frag'
+                   WHEN 1 THEN 'http://News' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.example.org:80/read?a=' || CAST(doc_id % 3 AS VARCHAR)
+                        || '?utm_campaign=x'
+                   WHEN 2 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.net/p/' || CAST(doc_id AS VARCHAR)
+                        || '/?utm_medium=email&fbclid=ZZ'
+                   ELSE 'URN:doc:' || CAST(doc_id AS VARCHAR)
+                 END AS url
+          FROM documents
+        ),
+        txt AS (
+          SELECT doc_id, {t} AS extracted_text FROM base
+        ),
+        u0 AS (
+          SELECT doc_id, trim(url) AS c FROM base
+        ),
+        u1 AS (
+          SELECT doc_id, c,
+                 lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(regexp_replace(c, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                                '#.*$', '') AS rest
+          FROM u0
+        ),
+        u2 AS (
+          SELECT *, regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                                   '^www\\.', '') AS host0,
+                 regexp_replace(rest, '^[^/?]+', '') AS raw_tail
+          FROM u1
+        ),
+        u3 AS (
+          SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                         ELSE host0 END AS host,
+                 instr(raw_tail, '?') AS qpos
+          FROM u2
+        ),
+        u4 AS (
+          SELECT *, regexp_replace(
+                   CASE WHEN qpos > 0 THEN substr(raw_tail, 1, qpos - 1)
+                        ELSE raw_tail END, '/$', '') AS path,
+                 CASE WHEN qpos > 0
+                      THEN regexp_replace(substr(raw_tail, qpos + 1),
+                                          '\\?({trk}=)', '&\\1', 'g')
+                 END AS query
+          FROM u3
+        ),
+        u5 AS (
+          SELECT *, list_sort(list_filter(string_split(query, '&'),
+                     p -> p <> '' AND NOT regexp_matches(p, '^{trk}=')))
+                 AS kept
+          FROM u4
+        ),
+        u6 AS (
+          SELECT doc_id, c, scheme, host,
+                 CASE WHEN kept IS NOT NULL AND len(kept) > 0
+                      THEN path || '?' || array_to_string(kept, '&')
+                      ELSE path END AS tail
+          FROM u5
+        ),
+        canon AS (
+          SELECT doc_id,
+                 CASE WHEN c IS NULL THEN NULL
+                      WHEN scheme = '' THEN lower(c)
+                      ELSE scheme || '://' || host || tail END AS canonical_url
+          FROM u6
+        )
+        SELECT b.doc_id,
+               t.extracted_text,
+               CASE WHEN t.extracted_text IS NULL OR t.extracted_text = ''
+                    THEN 0
+                    ELSE len(string_split(t.extracted_text, chr(10))) END
+                   AS n_lines,
+               b.url,
+               k.canonical_url,
+               coalesce(regexp_extract(k.canonical_url,
+                        '^[a-z0-9+.-]+://([^/?]+)', 1), '') AS domain
+        FROM base b
+        JOIN txt t USING (doc_id)
+        JOIN canon k USING (doc_id)
     """
 
 
