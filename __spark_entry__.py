@@ -2507,6 +2507,49 @@ def _stream_rollup_1d_oracle_sql() -> str:
     """
 
 
+def _stream_rollup_oracle_sql(interval: str) -> str:
+    """Generic DuckDB twin for ANY fixed-width streamed conagg resolution
+    (r12): candles over the resolution's origin-aligned bucket expression,
+    published exactly when the window end clears max(ts) − end_offset (the
+    policy's publication lag, `create.sql:345-381` →
+    ``CONAGG_POLICIES[interval][1]``). With the 5m/1h/1d twins this closes
+    the per-resolution gap: the reference's full fixed-width conagg family
+    streams through ``streaming_ohlcv_rollup`` with its policy-derived
+    watermark and every resolution is pinned against this twin in
+    tests/test_streaming.py (the calendar '1M' tier is batch-only by
+    design — calendar months have no fixed streaming window width)."""
+    from coin_for_rich_spark.functions.timeutils import INTERVAL_SECONDS
+    from coin_for_rich_spark.streaming.rollup import CONAGG_POLICIES
+
+    width = INTERVAL_SECONDS[interval]
+    end_offset = CONAGG_POLICIES[interval][1]
+    return f"""
+        WITH c AS ({_candle_sql(_RES_BUCKET_SQL[interval])})
+        SELECT * FROM c
+        WHERE bucket + INTERVAL {width} SECOND
+              <= (SELECT max(ts) - INTERVAL '{end_offset}' FROM events)
+    """
+
+
+def q_stream_rollup(
+    spark: SparkSession, sf_dir: str, interval: str
+) -> DataFrame:
+    """Policy-watermarked streamed rollup at ANY fixed resolution — the
+    parameterized form behind the declared ``stream_rollup_5m`` row and the
+    pytest-pinned 1h/1d/15m/30m/6h/12h/7D tiers."""
+    import uuid
+
+    from coin_for_rich_spark.streaming.rollup import run_rollup_to_memory
+
+    stream = candle_stream(_staged_stream(spark, sf_dir))
+    rolled = streaming_ohlcv_rollup(stream, interval, watermark=None)
+    return run_rollup_to_memory(
+        rolled,
+        f"stream_rollup_{interval.lower()}_{uuid.uuid4().hex}",
+        state_partitions=_STREAM_STATE_PARTITIONS,
+    )
+
+
 def _doc_scrub_oracle_sql() -> str:
     """DuckDB twin of llmdata.pipeline.scrub_text — preserved as a pytest
     pin after ``doc_scrub`` rotated OUT of the driver gate in r11 (swapped

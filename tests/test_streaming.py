@@ -826,6 +826,27 @@ def test_stream_rollup_1h_matches_duckdb_twin(spark, sf_dir, duck):
     assert not problems, problems
 
 
+@pytest.mark.parametrize("interval", ["15m", "30m", "6h", "12h", "7D"])
+def test_stream_rollup_all_fixed_resolutions_match_duckdb_twin(
+    spark, sf_dir, duck, interval
+):
+    """EVERY remaining fixed-width conagg resolution streamed and pinned
+    (r12): with the declared 5m row and the 1h/1d pins this covers the
+    reference's full fixed-width policy family (create.sql:345-381) —
+    each resolution's policy-derived watermark publishes exactly the
+    buckets whose end clears max(ts) − end_offset, hash-exact against the
+    generic twin. '1M' stays batch-only by design (calendar months have no
+    fixed streaming window width — see streaming_ohlcv_rollup's guard)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_stream_rollup(spark, sf_dir, interval).toPandas()
+    assert len(sdf) > 0, f"{interval}: the 30-day replay must close buckets"
+    odf = duck.execute(entry_mod._stream_rollup_oracle_sql(interval)).df()
+    problems = compare(f"stream_rollup_{interval}", sdf, odf)
+    assert not problems, problems
+
+
 def test_stream_rollup_1d_matches_duckdb_twin(spark, sf_dir, duck):
     """The THIRD streamed conagg resolution (r12): the daily tier with its
     policy-derived watermark (CONAGG_POLICIES['1D'] end_offset '1 day'),
