@@ -724,10 +724,7 @@ def q_web_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLAR
     block tags → line structure, entity decode order, tracking-param
     strip with the second-'?' disguise, scheme-specific default ports,
     param sort, opaque-id passthrough. Every output string oracle-exact."""
-    from coin_for_rich_spark.llmdata.web import (
-        canonicalize_urls,
-        extract_html_text,
-    )
+    from coin_for_rich_spark.llmdata.web import canonical_url, html_text
 
     docs = load_table(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
@@ -764,12 +761,23 @@ def q_web_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLAR
         )
         .otherwise(F.concat(F.lit("URN:doc:"), sid))
     )
-    base = docs.select("doc_id", html.alias("html"), url.alias("url"))
-    txt = extract_html_text(base, html_col="html")
-    urls = canonicalize_urls(base).select(
-        "doc_id", "url", "canonical_url", "domain"
+    # both operators are row-wise projections of the same synthesized row,
+    # so they fuse into ONE select over one pruned scan — zero exchanges
+    # (the DataFrame wrappers extract_html_text/canonicalize_urls joined
+    # here would shuffle both legs on doc_id for nothing; their column
+    # forms html_text/canonical_url ARE the operators, one definition)
+    t = html_text(html)
+    canon = canonical_url(url)
+    return docs.select(
+        "doc_id",
+        t.alias("extracted_text"),
+        F.when(t.isNull() | (t == ""), 0)
+        .otherwise(F.size(F.split(t, "\n")))
+        .alias("n_lines"),
+        url.alias("url"),
+        canon.alias("canonical_url"),
+        F.regexp_extract(canon, r"^[a-z0-9+.-]+://([^/?]+)", 1).alias("domain"),
     )
-    return txt.join(urls, "doc_id")
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r7
