@@ -521,7 +521,12 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key(ev, ["user_id"], "ts", "event_id")
 
 
-def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r13
+    # swapped for `stream_rollup_1d` (COVERAGE.md): W1's LEAD-gap contract
+    # stays pinned hash-exact by tests/test_operators.py::
+    # test_gap_detect_matches_duckdb_twin via _gap_detect_oracle_sql, and
+    # the LEAD window family keeps gate coverage through geo_daily_return /
+    # chart_read_gapfill (W2 rides the same bounded-LEAD plan)
     """W1 — LEAD-based gap detection (queries.py:54-61), 12h threshold."""
     ev = load_table(spark, sf_dir, "events")
     return detect_gaps(ev, ["user_id"], "ts", min_gap_seconds=43200)
@@ -715,9 +720,10 @@ _WEB_HTML_P4 = (
 )
 
 
-def q_web_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
-    # r13 swap-in candidate (rotation discipline: committed + proven this
-    # round, declared no earlier than next — see _web_preprocess_oracle_sql)
+def q_web_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECLARED r13 (swap-in for media_decode; oracle committed + proven at
+    # five datasets in r12, one round before declaration per the rotation
+    # discipline — see _web_preprocess_oracle_sql)
     """Web preprocessing (llmdata/web.py): HTML→text extraction + URL
     canonicalization over a deterministic adversarial wrapping of the
     documents table — script/style/template content dropped wholesale,
@@ -1776,7 +1782,12 @@ def q_embed_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, k=5, n_blocks=4)
 
 
-def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r13
+    # swapped for `web_preprocess` (COVERAGE.md): the codec round trip stays
+    # pinned hash-exact by tests/test_codecs.py::
+    # test_media_decode_matches_duckdb_twin via _media_decode_oracle_sql,
+    # and the attach→mapInPandas→stats plumbing keeps its gate row through
+    # frame_sample (same codec bytes, same Arrow batch shape)
     """REAL codec round trip, oracle-checked: per document, a valid 8-bit
     grayscale PNG (even ids), PCM16 mono WAV (ids ≡ 1 mod 4), or G.711
     mu-law COMPRESSED WAV (ids ≡ 3 mod 4, fmt tag 7) is ENCODED from
@@ -2047,33 +2058,23 @@ def q_stream_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
-    """A2/S4 — the THIRD streamed conagg resolution (r12): the reference's
-    most-served family includes daily (create.sql:105-118, its policy
-    create.sql:345-381 → CONAGG_POLICIES['1D'] = start '3 days' / end
-    '1 day' / schedule '1 day'). watermark=None derives the delay from the
-    1D policy's end_offset exactly like the declared ``stream_rollup_5m``
-    row, pinning the cadence→watermark translation at a THIRD point — and
-    the first where the window spans many micro-batches (every replay chunk
-    lands inside open daily windows, so state survives across all batches
-    and only the watermark's final advance publishes). Append mode emits
-    exactly the buckets whose end clears max(ts) − end_offset.
+def q_stream_rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/S4 — the THIRD streamed conagg resolution (r12; DECLARED r13):
+    the reference's most-served family includes daily (create.sql:105-118,
+    its policy create.sql:345-381 → CONAGG_POLICIES['1D'] = start '3 days' /
+    end '1 day' / schedule '1 day'). watermark=None derives the delay from
+    the 1D policy's end_offset exactly like the declared ``stream_rollup_5m``
+    row, pinning the cadence→watermark translation at a SECOND gate point —
+    and the first where the window spans many micro-batches (every replay
+    chunk lands inside open daily windows, so state survives across all
+    batches and only the watermark's final advance publishes). Append mode
+    emits exactly the buckets whose end clears max(ts) − end_offset.
 
-    UNDECLARED (gate window full): pinned hash-exact by
-    tests/test_streaming.py::test_stream_rollup_1d_matches_duckdb_twin via
-    ``_stream_rollup_1d_oracle_sql`` — a documented swap-in candidate per
-    the rotation discipline."""
-    import uuid
-
-    from coin_for_rich_spark.streaming.rollup import run_rollup_to_memory
-
-    stream = candle_stream(_staged_stream(spark, sf_dir))
-    rolled = streaming_ohlcv_rollup(stream, "1D", watermark=None)
-    return run_rollup_to_memory(
-        rolled,
-        f"stream_rollup_1d_{uuid.uuid4().hex}",
-        state_partitions=_STREAM_STATE_PARTITIONS,
-    )
+    Thin wrapper over the parameterized ``q_stream_rollup`` (r12 ADVICE:
+    one definition per tier — the oracle is likewise
+    ``_stream_rollup_oracle_sql('1D')``), proven hash-exact at three sfs in
+    r12 before declaration per the rotation discipline."""
+    return q_stream_rollup(spark, sf_dir, "1D")
 
 
 def q_stream_late_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2358,6 +2359,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly-once dedup stays pytest-pinned, COVERAGE.md maps it)
         "stream_rollup_5m": q_stream_rollup_5m,
         "stream_upsert_ingest": q_stream_upsert_ingest,
+        # third streamed conagg resolution (r13 swap-in, gap_detect →
+        # stream_rollup_1d: W1's LEAD-gap contract stays pinned hash-exact
+        # by tests/test_operators.py::test_gap_detect_matches_duckdb_twin,
+        # and detect_gaps still executes inside the maintenance suite; the
+        # daily tier is the first streamed window spanning MANY
+        # micro-batches — cross-batch state survival under the
+        # policy-derived watermark, proven at three sfs in r12 before
+        # declaration per the rotation discipline)
+        "stream_rollup_1d": q_stream_rollup_1d,
         # embedding similarity / ANN tier (embed_knn → epoch_shuffle in r7:
         # brute cosine stays certified via embed_knn_join's every-row oracle)
         "embed_ann_lsh": q_embed_ann_lsh,
@@ -2370,10 +2380,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its fake tier is superseded by the real decode/resample/frame rows)
         "frame_sample": q_frame_sample,
         "embed_knn_join": q_embed_knn_join,
-        "media_decode": q_media_decode,
+        # web preprocessing (r13 swap-in, media_decode → web_preprocess:
+        # the full encode→bytes→decode codec round trip stays pinned
+        # hash-exact by tests/test_codecs.py::test_media_decode_matches_
+        # duckdb_twin, and the attach→mapInPandas→stats plumbing keeps its
+        # gate row via frame_sample; web_preprocess's five-dataset
+        # string-exact twin was committed and proven in r12 before
+        # declaration per the rotation discipline — HTML→text + URL
+        # canonicalization was the one operator family with zero gate
+        # presence)
+        "web_preprocess": q_web_preprocess,
         # BPE tokenizer (media_resample → bpe_encode in r8: the per-pixel
-        # NN contract stays pytest-pinned; the codec round trip keeps its
-        # media_decode gate row)
+        # NN contract stays pytest-pinned; the codec round trip is pinned
+        # by the media_decode twin in tests/test_codecs.py since r13)
         "bpe_encode": q_bpe_encode,
         # bucketed range join (token_quantiles → range_join in r8: the
         # sketch-vs-exact contract stays pytest-pinned)
@@ -2422,7 +2441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_daily_return": q_geo_daily_return,
         # window / maintenance operators
         "latest_per_key": q_latest_per_key,
-        "gap_detect": q_gap_detect,
         "is_trading": q_is_trading,
         "retention_summary": q_retention_summary,
         "dedup_pk": q_dedup_pk,
@@ -2502,17 +2520,14 @@ def _stream_rollup_1h_oracle_sql() -> str:
 
 def _stream_rollup_1d_oracle_sql() -> str:
     """DuckDB twin of the policy-derived streamed DAILY rollup (r12, the
-    third streamed conagg resolution): append mode with the 1D policy's
-    end_offset ('1 day') emits exactly the buckets whose window end clears
-    max(ts) − 1 day — the conagg's publication lag, which on a time-ordered
-    replay only delays publication and can never drop a row. UNDECLARED
-    (gate window full): executed hash-exact in tests/test_streaming.py."""
-    return f"""
-        WITH c AS ({DAILY})
-        SELECT * FROM c
-        WHERE bucket + INTERVAL 1 DAY
-              <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
-    """
+    third streamed conagg resolution; DECLARED r13): append mode with the
+    1D policy's end_offset ('1 day') emits exactly the buckets whose window
+    end clears max(ts) − 1 day — the conagg's publication lag, which on a
+    time-ordered replay only delays publication and can never drop a row.
+    Thin wrapper over the parameterized twin (r12 ADVICE: a dedicated
+    hand-written daily oracle and the generic one can drift apart — one
+    definition)."""
+    return _stream_rollup_oracle_sql("1D")
 
 
 def _stream_rollup_oracle_sql(interval: str) -> str:
@@ -3208,6 +3223,118 @@ def _bpe_oracle_sql(n_merges: int, min_pair_count: int) -> str:
     return "WITH " + ",\n        ".join(parts)
 
 
+def _gap_detect_oracle_sql() -> str:
+    """DuckDB twin of ``q_gap_detect`` (W1) — rotated OUT of the driver
+    gate in r13 (swapped for ``stream_rollup_1d``): executed hash-exact
+    by tests/test_operators.py::test_gap_detect_matches_duckdb_twin.
+    Fractional seconds: EXTRACT(EPOCH FROM (next - time)) in the
+    reference (queries.py:54-75) keeps the µs fraction; the same
+    integer-µs diff / 1e6 double division runs on both engines."""
+    return """
+        SELECT user_id, ts AS gap_start, next_time AS gap_end,
+               (epoch_us(next_time) - epoch_us(ts)) / 1000000.0 AS gap_seconds
+        FROM (
+            SELECT user_id, ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_time
+            FROM events
+        )
+        WHERE (epoch_us(next_time) - epoch_us(ts)) / 1000000.0 > 43200
+    """
+
+
+def _media_decode_oracle_sql() -> str:
+    """DuckDB twin of ``q_media_decode`` — recomputes the statistics of
+    the DECODED values straight from the generation formulas
+    (attach_real_media docstring): it can't parse PNG/WAV and doesn't
+    need to — the Spark side must arrive at the same integers THROUGH
+    the bytes (for the mu-law leg it evaluates the G.711 expansion
+    per codeword). Rotated OUT of the driver gate in r13 (swapped for
+    ``web_preprocess``): executed hash-exact by
+    tests/test_codecs.py::test_media_decode_matches_duckdb_twin."""
+    return """
+            WITH png_px AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           0, (doc_id % 31 + 1) * (doc_id % 23 + 1) - 1)) AS k
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            png_v AS (
+                SELECT doc_id,
+                       ((k % (doc_id % 31 + 1)) * 7
+                        + (k // (doc_id % 31 + 1)) * 13 + doc_id) % 256 AS v
+                FROM png_px
+            ),
+            png_feats AS (
+                SELECT doc_id AS media_id, 'png' AS kind,
+                       CAST(min(doc_id) % 31 + 1 AS INT) AS width,
+                       CAST(min(doc_id) % 23 + 1 AS INT) AS height,
+                       count(*) AS n_values,
+                       CAST(sum(v) AS BIGINT) AS value_sum,
+                       CAST(min(v) AS BIGINT) AS value_min,
+                       CAST(max(v) AS BIGINT) AS value_max
+                FROM png_v GROUP BY doc_id
+            ),
+            wav_s AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, doc_id % 977 + 99)) AS t
+                FROM documents WHERE doc_id % 4 = 1
+            ),
+            wav_v AS (
+                SELECT doc_id, (t * 31 + doc_id * 17) % 65521 - 32760 AS v
+                FROM wav_s
+            ),
+            wav_feats AS (
+                SELECT doc_id AS media_id, 'wav' AS kind,
+                       CAST(NULL AS INT) AS width,
+                       CAST(NULL AS INT) AS height,
+                       count(*) AS n_values,
+                       CAST(sum(v) AS BIGINT) AS value_sum,
+                       CAST(min(v) AS BIGINT) AS value_min,
+                       CAST(max(v) AS BIGINT) AS value_max
+                FROM wav_v GROUP BY doc_id
+            ),
+            -- mu-law leg: codeword c(t) = (13t + 17i) % 256, expanded by
+            -- the G.711 integer expansion (u = complement; t = biased
+            -- mantissa << exponent; sign from bit 7) — the same closed
+            -- form the Spark-side decoder implements in numpy.
+            ulaw_c AS (
+                SELECT doc_id,
+                       (t * 13 + doc_id * 17) % 256 AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(generate_series(0, doc_id % 977 + 99)) AS t
+                    FROM documents WHERE doc_id % 4 = 3
+                )
+            ),
+            ulaw_v AS (
+                SELECT doc_id,
+                       CASE WHEN (255 - c) >= 128
+                            THEN 132 - (((255 - c) % 16) * 8 + 132)
+                                       * (1 << (((255 - c) // 16) % 8))
+                            ELSE (((255 - c) % 16) * 8 + 132)
+                                 * (1 << (((255 - c) // 16) % 8)) - 132
+                       END AS v
+                FROM ulaw_c
+            ),
+            ulaw_feats AS (
+                SELECT doc_id AS media_id, 'wav_ulaw' AS kind,
+                       CAST(NULL AS INT) AS width,
+                       CAST(NULL AS INT) AS height,
+                       count(*) AS n_values,
+                       CAST(sum(v) AS BIGINT) AS value_sum,
+                       CAST(min(v) AS BIGINT) AS value_min,
+                       CAST(max(v) AS BIGINT) AS value_max
+                FROM ulaw_v GROUP BY doc_id
+            )
+            SELECT * FROM png_feats
+            UNION ALL
+            SELECT * FROM wav_feats
+            UNION ALL
+            SELECT * FROM ulaw_feats
+        """
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "candles_all": CANDLES_ALL_SQL,
@@ -3359,19 +3486,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-        """,
-        "gap_detect": """
-            -- fractional seconds: EXTRACT(EPOCH FROM (next - time)) in the
-            -- reference (queries.py:54-75) keeps the µs fraction; the same
-            -- integer-µs diff / 1e6 double division runs on both engines
-            SELECT user_id, ts AS gap_start, next_time AS gap_end,
-                   (epoch_us(next_time) - epoch_us(ts)) / 1000000.0 AS gap_seconds
-            FROM (
-                SELECT user_id, ts,
-                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_time
-                FROM events
-            )
-            WHERE (epoch_us(next_time) - epoch_us(ts)) / 1000000.0 > 43200
         """,
         "is_trading": """
             WITH latest AS (
@@ -4057,95 +4171,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, rank, nbr, round(cos_full, 6) AS cosine
             FROM ranked WHERE rank <= 5
         """,
-        # the decode oracle recomputes the statistics of the DECODED values
-        # straight from the generation formulas (attach_real_media docstring)
-        # — it can't parse PNG/WAV, and doesn't need to: the Spark side must
-        # arrive at the same integers THROUGH the bytes.
-        "media_decode": """
-            WITH png_px AS (
-                SELECT doc_id,
-                       unnest(generate_series(
-                           0, (doc_id % 31 + 1) * (doc_id % 23 + 1) - 1)) AS k
-                FROM documents WHERE doc_id % 2 = 0
-            ),
-            png_v AS (
-                SELECT doc_id,
-                       ((k % (doc_id % 31 + 1)) * 7
-                        + (k // (doc_id % 31 + 1)) * 13 + doc_id) % 256 AS v
-                FROM png_px
-            ),
-            png_feats AS (
-                SELECT doc_id AS media_id, 'png' AS kind,
-                       CAST(min(doc_id) % 31 + 1 AS INT) AS width,
-                       CAST(min(doc_id) % 23 + 1 AS INT) AS height,
-                       count(*) AS n_values,
-                       CAST(sum(v) AS BIGINT) AS value_sum,
-                       CAST(min(v) AS BIGINT) AS value_min,
-                       CAST(max(v) AS BIGINT) AS value_max
-                FROM png_v GROUP BY doc_id
-            ),
-            wav_s AS (
-                SELECT doc_id,
-                       unnest(generate_series(0, doc_id % 977 + 99)) AS t
-                FROM documents WHERE doc_id % 4 = 1
-            ),
-            wav_v AS (
-                SELECT doc_id, (t * 31 + doc_id * 17) % 65521 - 32760 AS v
-                FROM wav_s
-            ),
-            wav_feats AS (
-                SELECT doc_id AS media_id, 'wav' AS kind,
-                       CAST(NULL AS INT) AS width,
-                       CAST(NULL AS INT) AS height,
-                       count(*) AS n_values,
-                       CAST(sum(v) AS BIGINT) AS value_sum,
-                       CAST(min(v) AS BIGINT) AS value_min,
-                       CAST(max(v) AS BIGINT) AS value_max
-                FROM wav_v GROUP BY doc_id
-            ),
-            -- mu-law leg: codeword c(t) = (13t + 17i) % 256, expanded by
-            -- the G.711 integer expansion (u = complement; t = biased
-            -- mantissa << exponent; sign from bit 7) — the same closed
-            -- form the Spark-side decoder implements in numpy.
-            ulaw_c AS (
-                SELECT doc_id,
-                       (t * 13 + doc_id * 17) % 256 AS c
-                FROM (
-                    SELECT doc_id,
-                           unnest(generate_series(0, doc_id % 977 + 99)) AS t
-                    FROM documents WHERE doc_id % 4 = 3
-                )
-            ),
-            ulaw_v AS (
-                SELECT doc_id,
-                       CASE WHEN (255 - c) >= 128
-                            THEN 132 - (((255 - c) % 16) * 8 + 132)
-                                       * (1 << (((255 - c) // 16) % 8))
-                            ELSE (((255 - c) % 16) * 8 + 132)
-                                 * (1 << (((255 - c) // 16) % 8)) - 132
-                       END AS v
-                FROM ulaw_c
-            ),
-            ulaw_feats AS (
-                SELECT doc_id AS media_id, 'wav_ulaw' AS kind,
-                       CAST(NULL AS INT) AS width,
-                       CAST(NULL AS INT) AS height,
-                       count(*) AS n_values,
-                       CAST(sum(v) AS BIGINT) AS value_sum,
-                       CAST(min(v) AS BIGINT) AS value_min,
-                       CAST(max(v) AS BIGINT) AS value_max
-                FROM ulaw_v GROUP BY doc_id
-            )
-            SELECT * FROM png_feats
-            UNION ALL
-            SELECT * FROM wav_feats
-            UNION ALL
-            SELECT * FROM ulaw_feats
-        """,
-        # output pixel (x, y) of the NN downscale is source pixel
-        # ((x*w)//tw, (y*h)//th), and source pixel (sx, sy) of image i is
-        # (7sx + 13sy + i) % 256 — so the oracle enumerates the output grid
-        # and predicts every decoded value without running any codec.
+        # r13 swap-ins: the five-dataset-proven web twin and the daily
+        # streamed-conagg twin (both committed + proven one round before
+        # declaration per the rotation discipline)
+        "web_preprocess": _web_preprocess_oracle_sql(),
+        "stream_rollup_1d": _stream_rollup_1d_oracle_sql(),
         "fetch_plan": f"""
             WITH syms(exchange, symbol) AS (VALUES {_FETCH_SYMS_SQL})
             SELECT exchange, symbol, page_start_ms,

@@ -479,3 +479,19 @@ def test_operator_core_review_hardening(spark):
     ).first()
     assert b.w == dt.datetime(2024, 1, 8)  # Monday of that week
     assert b.d == dt.datetime(2024, 1, 10) and b.h == dt.datetime(2024, 1, 10)
+
+
+def test_gap_detect_matches_duckdb_twin(spark, sf_dir, duck):
+    """W1's exact-µs LEAD gap contract, hash-exact against its DuckDB twin
+    — preserved as a pytest pin after ``gap_detect`` rotated OUT of the
+    driver gate in r13 (swapped for ``stream_rollup_1d``; the bounded-LEAD
+    window family keeps gate coverage through ``geo_daily_return`` and
+    ``chart_read_gapfill``)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_gap_detect(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    odf = duck.execute(entry_mod._gap_detect_oracle_sql()).df()
+    problems = compare("gap_detect", sdf, odf)
+    assert not problems, problems
