@@ -44,6 +44,19 @@ Scenarios:
   time — the same batch merged TWICE — and the final table must be
   row-identical to a single clean ingest: batch-replay idempotence of
   the upsert merge executed through a real checkpoint restart.
+- ``executor_kill_shuffle`` / ``executor_kill_stream_replay`` — real
+  process deaths: one executor JVM SIGKILLed mid-stage (shuffle blocks
+  die with it) / mid-stateful-replay, with the loss proven by the dead
+  pid, a ``SparkListenerExecutorRemoved`` event-log record, AND the kill
+  landing while a stage was active and the run in flight (r13).
+- ``driver_kill_replay`` — the DRIVER JVM itself SIGKILLed (whole process
+  group of a subprocess running the upsert-ingest replay) mid-micro-batch
+  — between a batch's start record and its merge/offset commit, proven by
+  an S-without-E progress line at kill time — then restarted from the
+  same checkpoint; the resumed run must commit the killed batch and the
+  final merge-on-read state must be value-identical to a clean ingest
+  (the reference's crash-recovery processing-set,
+  `fetchers/ws/updater.py:127-138`).
 
 Run: ``python scripts/fault_gate.py [--sf DIR]`` (default sf0.001 — the
 fault mechanics are size-invariant; the VALUES still go through the full
@@ -317,12 +330,15 @@ def _executor_removed_count() -> int:
     return n
 
 
-def _kill_one_executor(spark, grace_s: float = 1.0) -> int | None:
+def _kill_one_executor(spark, done_event, grace_s: float = 1.0) -> dict:
     """Driver-side: wait until tasks are actively RUNNING, then SIGKILL one
     of this app's CoarseGrainedExecutorBackend JVMs — a real process death
-    mid-stage, not an in-task raise. Returns the killed pid (None if no
-    executor process was found — local[] mode, or the job finished first).
-    """
+    mid-stage, not an in-task raise. Returns the kill evidence dict: the
+    pid (None if no executor process exists — local[] mode), plus whether
+    an active stage was still running at the instant of the kill and
+    whether ``run_fn`` had already returned (r12 ADVICE: a SIGKILL landing
+    on an idle executor after the job finished must not read as an
+    observed injection)."""
     import signal
     import subprocess
     import time
@@ -331,7 +347,7 @@ def _kill_one_executor(spark, grace_s: float = 1.0) -> int | None:
     app_id = spark.sparkContext.applicationId
     deadline = time.time() + 120
     while time.time() < deadline:
-        if tracker.getActiveStageIds():
+        if tracker.getActiveStageIds() or done_event.is_set():
             break
         time.sleep(0.1)
     time.sleep(grace_s)
@@ -344,9 +360,17 @@ def _kill_one_executor(spark, grace_s: float = 1.0) -> int | None:
     )
     pids = [int(p) for p in out.stdout.split()]
     if not pids:
-        return None
+        return {"pid": None, "no_executor_processes": True}
+    # sample the mid-run predicates at the last instant BEFORE the signal
+    active = bool(tracker.getActiveStageIds())
+    completed = done_event.is_set()
     os.kill(pids[0], signal.SIGKILL)
-    return pids[0]
+    return {
+        "pid": pids[0],
+        "no_executor_processes": False,
+        "active_stage_at_kill": active,
+        "run_completed_before_kill": completed,
+    }
 
 
 def _run_with_executor_kill(spark, name: str, clean_pdf, run_fn) -> dict:
@@ -355,23 +379,41 @@ def _run_with_executor_kill(spark, name: str, clean_pdf, run_fn) -> dict:
     construction) while a watcher thread SIGKILLs one executor mid-run;
     compare against the already-materialized clean result and attach the
     process-death evidence (dead pid + executor-removed event observed in
-    the event log)."""
+    the event log + the kill provably landing mid-run)."""
     import threading
     import time
 
     before = _executor_removed_count()
     killed: dict = {}
+    done = threading.Event()
 
     def _killer() -> None:
-        killed["pid"] = _kill_one_executor(spark)
+        killed.update(_kill_one_executor(spark, done))
 
     th = threading.Thread(target=_killer, daemon=True)
     th.start()
     faulted_pdf = run_fn()
+    done.set()
     th.join(timeout=150)
+    if killed.get("no_executor_processes"):
+        # r12 ADVICE: a master with no executor JVMs (local[*]) cannot run
+        # this scenario — mark it skipped like the PostgreSQL-dependent
+        # scenarios instead of failing the whole gate red
+        return {
+            "match": None,
+            "skipped": "no executor JVMs under this master",
+            "master": MASTER,
+        }
     problems = compare(name, faulted_pdf, clean_pdf)
     pid = killed.get("pid")
     pid_dead = pid is not None and not os.path.exists(f"/proc/{pid}")
+    # r12 ADVICE: "injection observed" requires the SIGKILL to have landed
+    # while the faulted run was actually in flight — an active stage at
+    # kill time AND run_fn not yet returned — not merely a dead pid
+    mid_run = bool(
+        killed.get("active_stage_at_kill")
+        and not killed.get("run_completed_before_kill")
+    )
     # the event log flushes on a 1 KB buffer; give the listener bus a
     # bounded window to drain before declaring the loss unobserved
     removed = False
@@ -382,12 +424,15 @@ def _run_with_executor_kill(spark, name: str, clean_pdf, run_fn) -> dict:
             break
         time.sleep(0.5)
     return {
-        "match": (not problems) and pid is not None,
+        "match": (not problems) and pid is not None and mid_run,
         "problems": problems or None,
         "rows": int(len(clean_pdf)),
         "executor_killed_pid": pid,
         "killed_process_gone": pid_dead,
         "executor_loss_in_event_log": removed,
+        "active_stage_at_kill": killed.get("active_stage_at_kill"),
+        "run_completed_before_kill": killed.get("run_completed_before_kill"),
+        "kill_landed_mid_run": mid_run,
     }
 
 
@@ -446,6 +491,181 @@ def scenario_executor_kill_stream_replay(spark, sf_dir: str) -> dict:
     )
 
 
+def _driver_kill_child() -> int:
+    """Child mode (``--driver-kill-child``): run the upsert-ingest replay
+    as a REAL Spark driver process, recording per-batch progress to a
+    shared file (``S <id>`` before the merge, ``E <id>`` after it, ``DONE``
+    at clean exit). The parent SIGKILLs this whole process group between a
+    batch's S record and its E record — a driver death mid-micro-batch —
+    then relaunches with the same checkpoint + sink, and structured
+    streaming must resume from the committed offsets and converge to the
+    clean run's exact state (the reference's crash-recovery processing-set,
+    `fetchers/ws/updater.py:127-138`)."""
+    import time
+
+    from coin_for_rich_spark.streaming.sink import ParquetMergeSink, run_ingest
+
+    args = sys.argv[sys.argv.index("--driver-kill-child") + 1:]
+    sf_dir, sink_path, ckpt, progress_path, slow_s = args[:5]
+
+    def _record(line: str) -> None:
+        with open(progress_path, "a") as fh:
+            fh.write(line + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    spark = get_spark("coin_for_rich_spark-driver-kill-child")
+    sink = ParquetMergeSink(
+        sink_path, pk=("user_id", "event_type"), mode="upsert",
+        tiebreak_col="ts",
+    )
+
+    class ProgressSink:
+        """The kill window is the sleep between the S record and the
+        merge: a SIGKILL there dies with the batch started but neither
+        merged nor offset-committed, so the restart MUST replay it."""
+
+        def merge(self, batch, batch_id) -> None:
+            _record(f"S {int(batch_id)}")
+            time.sleep(float(slow_s))
+            sink.merge(batch, batch_id)
+            _record(f"E {int(batch_id)}")
+
+    run_ingest(
+        entry_mod._staged_stream(spark, sf_dir),
+        ProgressSink(),
+        ckpt,
+        state_partitions=entry_mod._STREAM_STATE_PARTITIONS,
+    )
+    _record("DONE")
+    spark.stop()
+    return 0
+
+
+def scenario_driver_kill_replay(spark, sf_dir: str) -> dict:
+    """Process-level DRIVER fault: the upsert-ingest replay runs in a
+    subprocess (its own Spark driver + executors), the parent SIGKILLs the
+    entire process group mid-micro-batch (after the batch's start record,
+    before its merge/offset commit — proven by an S line with no matching
+    E at kill time), relaunches from the same checkpoint, and the final
+    merge-on-read state must be value-identical to a clean in-process
+    ingest. This is the one process-level failure mode the executor-kill
+    scenarios can't reach: the checkpoint itself is the survivor."""
+    import signal
+    import subprocess
+    import tempfile as _tempfile
+    import time
+
+    from coin_for_rich_spark.streaming.sink import ParquetMergeSink, run_ingest
+
+    # clean leg, in-process (same sink class, same stream, same PK rules)
+    clean_sink = ParquetMergeSink(
+        _tempfile.mkdtemp(prefix="cfr_dk_clean_") + "/tbl",
+        pk=("user_id", "event_type"), mode="upsert", tiebreak_col="ts",
+    )
+    run_ingest(
+        entry_mod._staged_stream(spark, sf_dir),
+        clean_sink,
+        _tempfile.mkdtemp(prefix="cfr_dk_clean_ckpt_"),
+        state_partitions=entry_mod._STREAM_STATE_PARTITIONS,
+    )
+    clean_pdf = clean_sink.read(spark).toPandas()
+
+    sink_path = _tempfile.mkdtemp(prefix="cfr_dk_faulted_") + "/tbl"
+    ckpt = _tempfile.mkdtemp(prefix="cfr_dk_faulted_ckpt_")
+    progress = os.path.join(
+        _tempfile.mkdtemp(prefix="cfr_dk_progress_"), "progress.txt"
+    )
+    open(progress, "w").close()
+    slow_s = "3.0"
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--driver-kill-child",
+        sf_dir, sink_path, ckpt, progress, slow_s,
+    ]
+
+    def _progress_lines() -> list[str]:
+        with open(progress) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+
+    # run 1: kill the whole process group (python driver + its JVM + its
+    # executors — start_new_session gives the child its own pgid) once a
+    # batch PAST the first is started but not yet merged, so the
+    # checkpoint provably holds committed progress AND an in-flight batch
+    child = subprocess.Popen(cmd, start_new_session=True)
+    kill_batch = None
+    deadline = time.time() + 300
+    while time.time() < deadline and child.poll() is None:
+        lines = _progress_lines()
+        started = [int(l.split()[1]) for l in lines if l.startswith("S ")]
+        ended = {int(l.split()[1]) for l in lines if l.startswith("E ")}
+        in_flight = [b for b in started if b not in ended and b >= 1]
+        if in_flight:
+            kill_batch = in_flight[0]
+            break
+        time.sleep(0.05)
+    if kill_batch is None:
+        child.kill()
+        child.wait()
+        return {
+            "match": False,
+            "error": "no in-flight batch >= 1 observed before the run ended",
+            "progress": _progress_lines(),
+        }
+    os.killpg(child.pid, signal.SIGKILL)
+    child.wait(timeout=60)
+    run1 = _progress_lines()
+    kill_landed_mid_batch = (
+        f"S {kill_batch}" in run1
+        and f"E {kill_batch}" not in run1
+        and "DONE" not in run1
+    )
+    committed_before_kill = sorted(
+        int(l.split()[1]) for l in run1 if l.startswith("E ")
+    )
+
+    # run 2: same checkpoint, same sink — must resume and converge
+    open(progress, "w").close()
+    child2 = subprocess.Popen(cmd, start_new_session=True)
+    try:
+        rc2 = child2.wait(timeout=600)
+    except subprocess.TimeoutExpired:
+        os.killpg(child2.pid, signal.SIGKILL)
+        return {"match": False, "error": "restarted child timed out"}
+    run2 = _progress_lines()
+    committed_after_restart = sorted(
+        int(l.split()[1]) for l in run2 if l.startswith("E ")
+    )
+
+    faulted_pdf = ParquetMergeSink(
+        sink_path, pk=("user_id", "event_type"), mode="upsert",
+        tiebreak_col="ts",
+    ).read(spark).toPandas()
+    problems = compare("driver_kill_replay", faulted_pdf, clean_pdf)
+    killed_batch_committed_after_restart = (
+        kill_batch in committed_after_restart
+    )
+    return {
+        "match": (
+            not problems
+            and kill_landed_mid_batch
+            and rc2 == 0
+            and "DONE" in run2
+            and killed_batch_committed_after_restart
+        ),
+        "problems": problems or None,
+        "rows": int(len(clean_pdf)),
+        "killed_mid_batch_id": kill_batch,
+        "kill_landed_mid_batch": kill_landed_mid_batch,
+        "child_exit_code_run1": child.returncode,
+        "committed_batches_before_kill": committed_before_kill,
+        "committed_batches_after_restart": committed_after_restart,
+        "killed_batch_committed_after_restart":
+            killed_batch_committed_after_restart,
+        "restart_exit_code": rc2,
+        "restart_reached_done": "DONE" in run2,
+    }
+
+
 def main() -> int:
     sf_dir = SF_DIR
     if "--sf" in sys.argv:
@@ -474,6 +694,7 @@ def main() -> int:
         ("foreachbatch_replay", scenario_foreachbatch_replay),
         ("executor_kill_shuffle", scenario_executor_kill_shuffle),
         ("executor_kill_stream_replay", scenario_executor_kill_stream_replay),
+        ("driver_kill_replay", scenario_driver_kill_replay),
     ):
         try:
             scenarios[name] = fn(spark, sf_dir)
@@ -492,11 +713,18 @@ def main() -> int:
     )
     injected = all(
         # task-fault scenarios prove the injection via attempt markers, the
-        # checkpoint-restart scenario via the doubled batch-1 merge, and
-        # process-kill scenarios via the executor-removed event-log record
+        # checkpoint-restart scenario via the doubled batch-1 merge,
+        # executor-kill scenarios via the executor-removed event-log record
+        # PLUS the kill provably landing mid-run (r12 ADVICE — an idle-
+        # executor kill after the job finished must not count), and the
+        # driver-kill scenario via the S-without-E mid-batch proof
         s.get("task_attempts_observed", 0) >= 2
         or s.get("batch_1_merged_twice") is True
-        or s.get("executor_loss_in_event_log") is True
+        or (
+            s.get("executor_loss_in_event_log") is True
+            and s.get("kill_landed_mid_run") is True
+        )
+        or s.get("kill_landed_mid_batch") is True
         for s in scenarios.values()
         if s.get("match") is True
     )
@@ -525,4 +753,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--driver-kill-child" in sys.argv:
+        raise SystemExit(_driver_kill_child())
     raise SystemExit(main())

@@ -96,16 +96,34 @@ def main() -> int:
         time.sleep(0.05)
 
     during: list[float] = []
+    read_failures = 0
+    consecutive_failures = 0
+    last_read_error: str | None = None
     while not ingest_done.is_set():
         try:
             sec, _ = _timed_read(spark, sink)
             during.append(round(sec, 3))
-        except Exception:
-            # a read can race the very first batch dir creation; retry
+            consecutive_failures = 0
+        except Exception as exc:  # noqa: BLE001 — counted, surfaced below
+            # a read can race the very first batch dir creation — but a
+            # SYSTEMATIC reader failure must not silently produce n=0
+            # (r12 ADVICE): count every failure, keep the last message,
+            # and give up after a bounded streak instead of spinning
+            read_failures += 1
+            consecutive_failures += 1
+            last_read_error = repr(exc)
+            if consecutive_failures >= 20:
+                break
             time.sleep(0.1)
     th.join()
     if ingest_err:
         raise ingest_err[0]
+    if not during:
+        print(
+            f"WARNING: zero successful reads during ingest "
+            f"({read_failures} failures; last: {last_read_error})",
+            file=sys.stderr,
+        )
 
     n_batches = len(
         [d for d in os.listdir(sink.path) if d.startswith("batch=")]
@@ -137,6 +155,8 @@ def main() -> int:
             "n": len(during),
             "median_sec": round(statistics.median(during), 3) if during else None,
             "all_sec": during,
+            "read_failures": read_failures,
+            "last_read_error": last_read_error,
         },
         "reads_post_ingest_precompact": {
             "n": N_READS,

@@ -251,6 +251,47 @@ def test_merge_sink_compact_preserves_state_and_semantics(spark, tmp_path):
     ]
 
 
+def test_merge_sink_compact_if_worthwhile_rule(spark, tmp_path):
+    """The compaction-payoff rule is executable, not documentation (r12
+    VERDICT #7): compact iff the log is deep enough for the resolve window
+    to hurt AND enough reads are expected to amortize the fold — the rule
+    READ_UNDER_INGEST.json measured (payoff after ~3 reads on a 24-batch
+    log). Either failing leg must leave the log untouched; firing must
+    fold to one partition without changing the resolved state."""
+    from coin_for_rich_spark.streaming import ParquetMergeSink
+
+    sink = ParquetMergeSink(
+        str(tmp_path / "tbl"), pk=("k",), mode="upsert", tiebreak_col="seq"
+    )
+    for i in range(5):
+        sink.merge(
+            spark.createDataFrame([("a", i, float(i)), (f"k{i}", 0, 1.0)],
+                                  "k string, seq int, v double"),
+            i,
+        )
+    before = sorted(map(tuple, sink.read(spark).collect()))
+    assert sink.batch_log_length() == 5
+    # too few expected reads: the fold would cost more than it saves
+    assert sink.compact_if_worthwhile(spark, expected_reads=2) is False
+    assert sink.batch_log_length() == 5
+    # deep log + enough reads: fires, read-amp -> 1, state unchanged
+    assert sink.compact_if_worthwhile(spark, expected_reads=10) is True
+    assert sink.batch_log_length() == 1
+    assert sorted(map(tuple, sink.read(spark).collect())) == before
+    # a freshly compacted table is never re-folded (below min_batches)
+    assert sink.compact_if_worthwhile(spark, expected_reads=10) is False
+    # shallow-log guard: a new sink with fewer than min_batches partitions
+    # stays merge-on-read even when many reads are expected
+    shallow = ParquetMergeSink(
+        str(tmp_path / "tbl2"), pk=("k",), mode="upsert", tiebreak_col="seq"
+    )
+    shallow.merge(
+        spark.createDataFrame([("a", 1, 1.0)], "k string, seq int, v double"), 0
+    )
+    assert shallow.compact_if_worthwhile(spark, expected_reads=100) is False
+    assert shallow.batch_log_length() == 1
+
+
 def test_exactly_once_dedup_under_duplicate_delivery(spark, sf_dir, staged_events):
     from coin_for_rich_spark.streaming import exactly_once_dedup
 
