@@ -1760,6 +1760,65 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r14 swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next — see _video_keyframes_oracle_sql)
+    """Keyframe index WITHOUT decode (r13, llmdata/multimodal.py
+    video_keyframe_index + llmdata/mp4.py stss/stsd parsing — the honest
+    close of the avc1 residual): per video container, the stsd decoder
+    configuration (codec/RFC-6381/profile/level from the avcC record when
+    present) and one row per sync sample with its timestamp and ABSOLUTE
+    byte range — exactly the (file, offset, length) slice list a 100 TB
+    curation pipeline ships to a decode service, computed from container
+    math alone. The gry8 fixtures carry no stss (every sample sync per
+    ISO 14496-12 §8.6.2) and no decoder config, so the oracle predicts
+    every row — offsets included — straight from the generation formulas
+    and the muxer's fixed header sizes; the Spark side must arrive at the
+    same integers THROUGH the container bytes. The avc1/avcC leg is pinned
+    on hand-muxed compressed containers in tests/test_mp4.py."""
+    from coin_for_rich_spark.llmdata.multimodal import video_keyframe_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_keyframe_index(attach_real_video(docs))
+
+
+def _video_keyframes_oracle_sql() -> str:
+    """DuckDB twin of ``q_video_keyframes`` — never parses a byte: for the
+    video-assigned rows (doc_id % 3 = 2) it re-derives dims/frame-count
+    from the attach_real_video formulas, sample timestamps from the fixed
+    250 ms tick, and ABSOLUTE byte offsets from the muxer's layout contract
+    (20-byte ftyp + 8-byte mdat header → first sample at 28, then
+    cumulative w·h frame sizes — mp4.mp4_mux_gray's first_sample_off)."""
+    return """
+        WITH v AS (
+            SELECT doc_id AS media_id,
+                   doc_id % 13 + 1 AS w,
+                   doc_id % 11 + 1 AS h,
+                   doc_id % 7 + 2 AS n
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        k AS (
+            SELECT media_id, w, h, n,
+                   unnest(generate_series(0, n - 1)) AS sample_idx
+            FROM v
+        )
+        SELECT media_id,
+               'gry8' AS sample_format,
+               CAST(NULL AS VARCHAR) AS codec,
+               CAST(NULL AS VARCHAR) AS rfc6381,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(n AS INT) AS n_samples,
+               CAST(n AS INT) AS n_keyframes,
+               FALSE AS has_stss,
+               CAST(sample_idx AS INT) AS sample_idx,
+               CAST(sample_idx * 250 AS BIGINT) AS keyframe_ts_ms,
+               CAST(28 + sample_idx * w * h AS BIGINT) AS byte_offset,
+               CAST(w * h AS BIGINT) AS n_bytes
+        FROM k
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

@@ -170,7 +170,16 @@ def mp4_mux_gray(
 
 @dataclass
 class Mp4Video:
-    """Demuxed single-track video: per-sample timestamps and byte ranges."""
+    """Demuxed single-track video: per-sample timestamps and byte ranges.
+
+    ``sync_samples`` is the stss keyframe table as 0-based sample indices;
+    ``None`` means the file has no stss box, which per ISO/IEC 14496-12
+    §8.6.2 declares EVERY sample a sync sample. ``codec`` carries the
+    stsd-level decoder configuration for compressed entries (the avcC
+    record for ``avc1``/``avc3``) — extracted WITHOUT any codec library,
+    which is the part a curation pipeline needs before it ever decodes:
+    what codec, what profile, and which byte ranges are independently
+    decodable."""
 
     width: int
     height: int
@@ -180,6 +189,42 @@ class Mp4Video:
     sample_dur: list[int]
     sample_offsets: list[int]  # absolute byte offsets into the file
     sample_sizes: list[int]
+    sync_samples: list[int] | None = None  # 0-based; None = all sync
+    codec: dict | None = None  # stsd decoder config (avcC profile/level/..)
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.sample_sizes)
+
+    def keyframe_indices(self) -> list[int]:
+        """Concrete 0-based keyframe sample indices (absent stss → all)."""
+        if self.sync_samples is None:
+            return list(range(self.n_samples))
+        return list(self.sync_samples)
+
+    def keyframe_byte_ranges(self) -> list[tuple[int, int, int]]:
+        """(sample_idx, absolute_offset, size) per keyframe — the slices a
+        sample-without-decode pipeline ships to a decode service. Container
+        math only; the sample payloads are never touched."""
+        return [
+            (i, self.sample_offsets[i], self.sample_sizes[i])
+            for i in self.keyframe_indices()
+        ]
+
+    def nearest_keyframe(self, t: int) -> int:
+        """The latest keyframe at or before time ``t`` (timescale units) —
+        the seek preroll point: decoding must start here to show ``t``.
+        Before the first keyframe, the first keyframe."""
+        keys = self.keyframe_indices()
+        if not keys:
+            raise ValueError("no sync samples in track")
+        best = keys[0]
+        for i in keys:
+            if self.sample_ts[i] <= t:
+                best = i
+            else:
+                break
+        return best
 
     def frame_gray(self, data: bytes, idx: int) -> np.ndarray:
         """Slice sample ``idx`` out of the file bytes and view it as the
@@ -224,10 +269,66 @@ def _find(data: bytes, start: int, end: int, *path: bytes) -> tuple[int, int]:
     return start, end
 
 
+#: VisualSampleEntry fixed part: 8 (box header) + 78 (6 reserved, 2 dref
+#: index, 16 predefined, 2+2 dims, 4+4 dpi, 4, 2 frame count, 32 compressor
+#: name, 2 depth, 2 predefined) — child boxes (avcC/hvcC/...) follow it.
+_VISUAL_ENTRY_FIXED = 86
+
+
+def _parse_codec_config(
+    data: bytes, entry_start: int, entry_end: int, fmt: str
+) -> dict | None:
+    """Decoder configuration from the stsd sample entry's child boxes —
+    container math only, no codec library: for ``avc1``/``avc2``/``avc3``
+    the AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3.1) yields
+    profile/level and the RFC 6381 codec string (``avc1.PPCCLL``); for
+    ``hvc1``/``hev1`` the HEVCDecoderConfigurationRecord's leading fields.
+    Unknown/uncompressed entries (``gry8``) have no config → None."""
+    child_start = entry_start + _VISUAL_ENTRY_FIXED
+    if child_start >= entry_end:
+        return None
+    children: dict[bytes, tuple[int, int]] = {}
+    try:
+        for typ, body, box_end in _iter_boxes(data, child_start, entry_end):
+            children[typ] = (body, box_end)
+    except ValueError:
+        return None  # malformed/absent extension area: no config, not a crash
+    if fmt in ("avc1", "avc2", "avc3") and b"avcC" in children:
+        body, box_end = children[b"avcC"]
+        if box_end - body < 4:
+            return None
+        profile, compat, level = data[body + 1], data[body + 2], data[body + 3]
+        return {
+            "codec": "h264",
+            "rfc6381": f"{fmt}.{profile:02X}{compat:02X}{level:02X}",
+            "profile_idc": profile,
+            "profile_compat": compat,
+            "level_idc": level,
+            "config_bytes": box_end - body,
+        }
+    if fmt in ("hvc1", "hev1") and b"hvcC" in children:
+        body, box_end = children[b"hvcC"]
+        if box_end - body < 13:
+            return None
+        b1 = data[body + 1]
+        return {
+            "codec": "h265",
+            "rfc6381": f"{fmt}.{b1 & 0x1F}.L{data[body + 12]}",
+            "profile_idc": b1 & 0x1F,
+            "tier": (b1 >> 5) & 1,
+            "level_idc": data[body + 12],
+            "config_bytes": box_end - body,
+        }
+    return None
+
+
 def mp4_demux(data: bytes) -> Mp4Video:
     """Parse a single-video-track MP4 and resolve every sample's timestamp
     and byte range from the stbl tables. General over run-length stts and
-    the stsc chunk map (not just the shapes :func:`mp4_mux_gray` writes)."""
+    the stsc chunk map (not just the shapes :func:`mp4_mux_gray` writes).
+    Compressed tracks (``avc1`` etc.) demux fully — format, dimensions,
+    decoder config, keyframe table, per-sample byte ranges — with only
+    ``frame_gray`` (the actual pixel view) behind the codec boundary."""
     moov_s, moov_e = _find(data, 0, len(data), b"moov")
     trak_s, trak_e = _find(data, moov_s, moov_e, b"trak")
     mdhd_s, _ = _find(data, trak_s, trak_e, b"mdia", b"mdhd")
@@ -244,14 +345,19 @@ def mp4_demux(data: bytes) -> Mp4Video:
         if req not in tables:
             raise ValueError(f"missing {req!r} table")
 
-    # stsd → sample format + visual dimensions
+    # stsd → sample format + visual dimensions + decoder config
     p = tables[b"stsd"][0] + 4  # fullbox header
     n_entries = _U32.unpack_from(data, p)[0]
     if n_entries < 1:
         raise ValueError("empty stsd")
+    entry_start = p + 4
+    entry_size = _U32.unpack_from(data, entry_start)[0]
     entry_fmt = data[p + 8 : p + 12].decode("latin1")
     width = _U16.unpack_from(data, p + 4 + 8 + 8 + 16)[0]
     height = _U16.unpack_from(data, p + 4 + 8 + 8 + 18)[0]
+    codec = _parse_codec_config(
+        data, entry_start, entry_start + entry_size, entry_fmt
+    )
 
     # stts → per-sample durations and cumulative timestamps
     p = tables[b"stts"][0] + 4
@@ -302,6 +408,19 @@ def mp4_demux(data: bytes) -> Mp4Video:
     if sample_i != n_samples:
         raise ValueError("stsc chunk map does not cover every sample")
 
+    # stss → keyframe table (1-based sample numbers; ABSENT box means every
+    # sample is sync per ISO/IEC 14496-12 §8.6.2 — keep that as None so the
+    # two cases stay distinguishable)
+    sync: list[int] | None = None
+    if b"stss" in tables:
+        p = tables[b"stss"][0] + 4
+        n_sync = _U32.unpack_from(data, p)[0]
+        sync = [
+            s - 1 for s in struct.unpack_from(f">{n_sync}I", data, p + 4)
+        ]
+        if any(s < 0 or s >= n_samples for s in sync):
+            raise ValueError("stss sample number out of range")
+
     return Mp4Video(
         width=width,
         height=height,
@@ -311,4 +430,6 @@ def mp4_demux(data: bytes) -> Mp4Video:
         sample_dur=durations,
         sample_offsets=offsets,
         sample_sizes=sizes,
+        sync_samples=sync,
+        codec=codec,
     )

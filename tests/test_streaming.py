@@ -892,7 +892,8 @@ def test_stream_rollup_1d_matches_duckdb_twin(spark, sf_dir, duck):
     """The THIRD streamed conagg resolution (r12): the daily tier with its
     policy-derived watermark (CONAGG_POLICIES['1D'] end_offset '1 day'),
     hash-exact against a DuckDB twin that applies the same publication-lag
-    filter — a swap-in candidate per the rotation discipline. The daily
+    filter — DECLARED in the driver gate since r13 (swap-in for
+    gap_detect); this pin stays as the local fast replica. The daily
     window is the first whose span covers MANY micro-batches, so this also
     pins cross-batch state survival (every replay chunk updates open daily
     windows; only the final watermark advance publishes)."""

@@ -145,9 +145,10 @@ def test_web_preprocess_matches_duckdb_twin(spark, sf_dir, duck):
     (html_text + canonical_url re-derived step-for-step; RE2 has no
     lookahead, so the second-'?' tracking-param disguise is a capture-group
     rewrite on the oracle side) over a deterministic adversarial HTML/URL
-    wrapping of the documents table. Committed and proven this round at
-    sf0.001/sf0.01/sf0.1/edge/sf1 BEFORE any gate declaration per the
-    rotation discipline — the documented r13 swap-in candidate."""
+    wrapping of the documents table. Committed and proven in r12 at
+    sf0.001/sf0.01/sf0.1/edge/sf1 BEFORE declaration per the rotation
+    discipline; DECLARED in the driver gate since r13 (swap-in for
+    media_decode) — this pin stays as the local fast replica."""
     import __spark_entry__ as entry_mod
     from selfcheck import compare
 
