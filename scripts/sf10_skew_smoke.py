@@ -14,6 +14,15 @@ that one table, and replicating sf10's other tables for an axis they never
 touch would be dead weight (the full-surface skew correctness gate already
 runs at sf0.1 scale via ``scale_gate.py --dir .scale/skew``).
 
+The exact-pair tier (``ngram_jaccard`` / ``dedup_clusters``) is measured
+on this twin as a GUARD scenario, not a wall-clock row: a 25k-doc mega
+near-duplicate cluster makes the TRUE answer itself quadratic
+(~25k²/2 ≈ 3.1×10⁸ pairs), so no exact-schema plan — count, prefix, or
+LSH-verified — can return it in bounded output. The correct engine
+behavior is the candidate-cap probe REFUSING in probe time (seconds) with
+a box-sized cap, and that refusal latency + its estimate is what
+``ngram_jaccard_guard`` records.
+
 Run quiet, after other gates: ``python scripts/sf10_skew_smoke.py``.
 Output: ``.scale/SCALE_SMOKE_SF10_SKEW.json``.
 """
@@ -96,6 +105,43 @@ def run_plan(spark, name: str, sf_dir: str) -> dict:
     return {"sec": round(wall, 3), "rows": rows}
 
 
+def run_guard_probe(spark) -> dict:
+    """The exact-pair tier on the skewed twin: assert the candidate-cap
+    probe refuses in probe time with a box-sized cap (50M — what local[32]
+    shuffles in minutes), instead of starting a ~3.1e8-candidate join whose
+    OUTPUT is itself quadratic. Records refusal latency + the estimates the
+    error names."""
+    import re
+
+    from coin_for_rich_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF10_SKEW, "documents")
+    cap = 50_000_000
+    t0 = time.perf_counter()
+    try:
+        # .first() would force the join; the probe fires eagerly inside the
+        # call, so reaching a DataFrame at all means the guard passed it.
+        df = ngram_jaccard_pairs(docs, candidate_cap=cap, on_over_cap="error")
+        wall = time.perf_counter() - t0
+        return {
+            "refused": False,
+            "probe_wall_s": round(wall, 3),
+            "note": "guard did NOT refuse — plan was certified; join not executed",
+            "plan_columns": df.columns,
+        }
+    except RuntimeError as exc:
+        wall = time.perf_counter() - t0
+        msg = str(exc)
+        nums = [int(s.replace(",", "")) for s in re.findall(r"[\d,]{4,}", msg)]
+        return {
+            "refused": True,
+            "probe_wall_s": round(wall, 3),
+            "candidate_cap": cap,
+            "estimates_in_error": nums[:3],
+            "error_head": msg[:300],
+        }
+
+
 def main() -> int:
     names = sys.argv[1:] or PLANS
     spark = get_spark("coin_for_rich_spark-sf10-skew-smoke")
@@ -120,6 +166,16 @@ def main() -> int:
         row["ratio_skew_vs_uniform"] = round(b / a, 2) if a and b else None
         results[name] = row
         print(json.dumps({name: row}), file=sys.stderr)
+    if not sys.argv[1:]:  # default run: include the guard scenario
+        results["ngram_jaccard_guard"] = run_guard_probe(spark)
+        results["ngram_jaccard_guard"]["why_not_a_wall_row"] = (
+            "the 25k-doc mega cluster makes the TRUE exact answer "
+            "~3.1e8 pairs — quadratic OUTPUT, so no exact-schema plan is "
+            "runnable at any cap; the measured contract is the probe "
+            "refusing in seconds instead of a cluster timeout"
+        )
+        print(json.dumps({"ngram_jaccard_guard": results["ngram_jaccard_guard"]}),
+              file=sys.stderr)
     out = {
         "uniform_dir": SF10,
         "skew_dir": SF10_SKEW,
