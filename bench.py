@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
 from coin_for_rich_spark.session import get_spark
+from scripts.host_probe import probe
 from scripts.measure import settle
 
 
@@ -47,6 +48,13 @@ def main() -> int:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+
+    # fixed-workload host probe brackets the measurement (r13 VERDICT ask
+    # #1): identical engine code drifted 1.21x round-over-round with no
+    # engine diff, and without a denominator that number is unanswerable.
+    # The probe's spark_shuffle leg is the best single proxy for what the
+    # bench itself exercises (codegen + shuffle + scheduler).
+    probe_pre = probe(spark, tag="bench_pre")
 
     # two measured passes, per-query MIN: wall-clock on a shared host is
     # noisy (co-tenant bursts inflate single runs 2-3×); the min of two runs
@@ -73,6 +81,14 @@ def main() -> int:
             )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    probe_post = probe(spark, tag="bench_post")
+    # probe-normalized sum: wall seconds per unit of host shuffle speed —
+    # dimensionless across sessions, so r-over-r ratios of THIS number
+    # subtract host drift. Denominator = mean bracketing spark_shuffle_s.
+    shuffle_ref = (
+        probe_pre["spark_shuffle_s"] + probe_post["spark_shuffle_s"]
+    ) / 2.0
+    norm = round(total / shuffle_ref, 2) if shuffle_ref > 0 else None
     # self-describing environment: host load at measurement time, so a
     # round-over-round comparison can tell plan regressions from co-tenant
     # noise without a controlled re-run (the r6 adjudication cost)
@@ -92,6 +108,9 @@ def main() -> int:
                 "loadavg": [load1, load5, load15],
                 "settled_s": settled_s,
                 "cpus": os.cpu_count(),
+                "probe_pre": probe_pre,
+                "probe_post": probe_post,
+                "value_per_shuffle_unit": norm,
             }
         )
     )

@@ -1,26 +1,39 @@
 """Fixed-workload host probe — separates "the engine changed" from "the box
 changed".
 
-This round measured identical bench code+data drifting 70→84 s within one
-session while the guest was verifiably idle (zero steal, 120 GiB free,
-disk at 247 MB/s) — host-level variance invisible to guest metrics. Every
+r13 measured identical bench code+data drifting 70→84 s within one session
+while the guest was verifiably idle (zero steal, 120 GiB free, disk at
+247 MB/s) — host-level variance invisible to guest metrics. Every
 wall-clock artifact in `.scale/` is only interpretable against the host
-speed AT THE TIME IT WAS TAKEN, so this script measures three fixed
+speed AT THE TIME IT WAS TAKEN, so this module measures three fixed
 reference workloads whose cost cannot depend on any engine code:
 
 - **gemm**: 10× numpy 2000×2000 float64 matmul — CPU FLOPS + memory
   bandwidth (the resource a noisy co-tenant host steals first; BLAS here
   is single-process, so contention shows directly).
-- **disk**: 512 MiB O_DIRECT-free sequential write + cold-ish re-read
-  through the page cache — the shuffle-spill/scan path's substrate.
+- **disk**: 512 MiB sequential fsync'd write + an immediate cached
+  re-read. The write leg exercises the shuffle-spill/scan substrate; the
+  re-read is page-cache-warm BY DESIGN (it measures memory-bandwidth copy
+  throughput, not device reads — named honestly after the r13 ADVICE).
+  The scratch file lives under the repo's ``.scale/`` so it hits the same
+  filesystem the engine's spill/scan artifacts use, never a tmpfs /tmp.
 - **spark_shuffle**: one fixed Spark job (sum of xxhash64 over a 20M-row
   range, repartitioned 64 ways) — JVM boot excluded, captures codegen +
   shuffle + scheduler throughput end-to-end.
 
-Output: one JSON line + append to ``.scale/HOST_PROBE.jsonl`` (timestamped
-history, one row per invocation). Run it immediately before/after a bench
-to bracket the host state; compare rows to normalize cross-session
-wall-clock artifacts. Protocol: min-of-3 per component, settle-guarded.
+Library use (bench.py / scale scripts bracket their measurements):
+
+    from scripts.host_probe import probe
+    pre = probe(spark, tag="bench_pre")    # returns the row dict
+    ... measured work ...
+    post = probe(spark, tag="bench_post")
+
+Every call appends one timestamped row to ``.scale/HOST_PROBE.jsonl`` so
+the history stays queryable across sessions. CLI: ``python
+scripts/host_probe.py [--no-spark]`` prints one JSON line. Protocol:
+min-of-N per component, settle-guarded only in CLI mode (library callers
+own their settle policy — a post-bench probe must measure the box AS THE
+BENCH SAW IT, not after a drain).
 """
 
 from __future__ import annotations
@@ -35,9 +48,8 @@ sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
 
-from scripts.measure import settle  # noqa: E402
-
 OUT = os.path.join(REPO, ".scale", "HOST_PROBE.jsonl")
+SCRATCH_DIR = os.path.join(REPO, ".scale", "scratch")
 
 
 def _min_of(n: int, fn) -> float:
@@ -60,7 +72,15 @@ def probe_gemm() -> float:
     return _min_of(3, work)
 
 
-def probe_disk(tmp_dir: str = "/tmp") -> float:
+def probe_disk(tmp_dir: str | None = None) -> float:
+    """512 MiB fsync'd write + cached re-read on the ``.scale/`` filesystem.
+
+    The default scratch dir deliberately shares a filesystem with the
+    engine's own spill/scan artifacts (`.scale/`), NOT /tmp — on many
+    hosts /tmp is tmpfs and the 'disk' leg would silently measure RAM.
+    """
+    tmp_dir = tmp_dir or SCRATCH_DIR
+    os.makedirs(tmp_dir, exist_ok=True)
     path = os.path.join(tmp_dir, f"host_probe_{os.getpid()}.bin")
     blob = np.random.RandomState(1).bytes(512 * 1024 * 1024)
 
@@ -76,7 +96,12 @@ def probe_disk(tmp_dir: str = "/tmp") -> float:
     try:
         return _min_of(2, work)
     finally:
-        os.unlink(path)
+        # the first write attempt may die before the file exists (ENOSPC):
+        # never let the cleanup mask the original exception
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
 
 
 def probe_spark_shuffle(spark) -> float:
@@ -93,27 +118,43 @@ def probe_spark_shuffle(spark) -> float:
     return _min_of(3, work)
 
 
-def main() -> int:
-    settled_s = settle()
+def probe(spark=None, tag: str | None = None, append: bool = True) -> dict:
+    """One full probe row. Pass a live SparkSession to include the shuffle
+    leg without paying a JVM boot; ``tag`` labels the row's context in
+    HOST_PROBE.jsonl (e.g. ``bench_pre`` / ``bench_post``)."""
     row = {
         "ts": time.time(),
         "iso": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "settled_s": settled_s,
         "loadavg_pre": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
         "gemm_s": probe_gemm(),
         "disk_s": probe_disk(),
     }
+    if tag:
+        row["tag"] = tag
+    if spark is not None:
+        row["spark_shuffle_s"] = probe_spark_shuffle(spark)
+    row["loadavg_post"] = round(os.getloadavg()[0], 2)
+    if append:
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        with open(OUT, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+    return row
+
+
+def main() -> int:
+    from scripts.measure import settle
+
+    settled_s = settle()
+    spark = None
     if "--no-spark" not in sys.argv:
         from coin_for_rich_spark.session import get_spark
 
         spark = get_spark("coin_for_rich_spark-host-probe")
-        row["spark_shuffle_s"] = probe_spark_shuffle(spark)
+    row = probe(spark, tag="cli")
+    row["settled_s"] = settled_s
+    if spark is not None:
         spark.stop()
-    row["loadavg_post"] = round(os.getloadavg()[0], 2)
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "a") as fh:
-        fh.write(json.dumps(row) + "\n")
     print(json.dumps(row))
     return 0
 

@@ -54,6 +54,7 @@ from coin_for_rich_spark.streaming.jdbc import (  # noqa: E402
     PsqlCopyMergeSink,
 )
 from coin_for_rich_spark.streaming.pgserver import ephemeral_pg  # noqa: E402
+from scripts.host_probe import probe  # noqa: E402
 from scripts.measure import settle  # noqa: E402
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,6 +98,7 @@ def main() -> int:
     if conninfo is None:
         print("no runnable PostgreSQL in this environment", file=sys.stderr)
         return 2
+    probe_pre = probe(spark, tag="ingest_tput_pre")
     results: dict[str, dict] = {}
     for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
         if not os.path.isdir(os.path.join(sf_dir, "events.parquet")) and not (
@@ -129,6 +131,8 @@ def main() -> int:
         "mode": MODE,
         "cpus": os.cpu_count(),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "probe_pre": probe_pre,
+        "probe_post": probe(spark, tag="ingest_tput_post"),
         "results": results,
     }
     path = os.path.join(REPO, ".scale", "INGEST_THROUGHPUT.json")

@@ -67,6 +67,9 @@ def main() -> int:
     if "--sf" in sys.argv:
         sf_dir = os.path.abspath(sys.argv[sys.argv.index("--sf") + 1])
     spark = get_spark("coin_for_rich_spark-read-under-ingest")
+    from scripts.host_probe import probe
+
+    probe_pre = probe(spark, tag="read_under_ingest_pre")
     ev = load_table(spark, sf_dir, "events")
     stage = os.path.join(tempfile.mkdtemp(prefix="cfr_rui_stage_"), "events")
     schema = stage_stream_chunks(ev, stage, n_chunks=N_CHUNKS)
@@ -169,6 +172,8 @@ def main() -> int:
             "median_sec": round(statistics.median(post_compact), 3),
             "all_sec": post_compact,
         },
+        "probe_pre": probe_pre,
+        "probe_post": probe(spark, tag="read_under_ingest_post"),
     }
     path = os.path.join(REPO, ".scale", "READ_UNDER_INGEST.json")
     with open(path, "w") as fh:

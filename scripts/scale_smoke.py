@@ -35,6 +35,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 from coin_for_rich_spark.session import get_spark  # noqa: E402
 from coin_for_rich_spark.sources import load_table  # noqa: E402
 from scripts.sf1_data import REPLICAS, SF01, SF1, ensure_sf1  # noqa: E402
+from scripts.host_probe import probe  # noqa: E402
 from scripts.measure import settle  # noqa: E402
 # the six most expensive declared plans (VERDICT r8 ask #1 list + bpe)
 TOP = [
@@ -75,6 +76,7 @@ def main() -> int:
         for t in ("events", "documents"):
             load_table(spark, d, t).count()
     settle(max_load=2.0, timeout_s=300.0)
+    probe_pre = probe(spark, tag="scale_smoke_pre")
     # labels follow the dir basenames so the env-composed next-decade run
     # (SPARK_GRAFT_SF_DIR=.scale/sf1 + SPARK_GRAFT_SF1_OUT=.scale/sf10,
     # i.e. sf1 -> sf10) reads honestly in the artifact
@@ -103,6 +105,8 @@ def main() -> int:
         "replicas": REPLICAS,
         "cpus": os.cpu_count(),
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "probe_pre": probe_pre,
+        "probe_post": probe(spark, tag="scale_smoke_post"),
         "results": results,
     }
     # a non-default target writes a TAGGED artifact — the committed
@@ -119,6 +123,10 @@ def main() -> int:
         if prior.get("base_dir") == SF01 and prior.get("target_dir") == SF1:
             prior.setdefault("results", {}).update(out["results"])
             prior["loadavg_end"] = out["loadavg_end"]
+            # the probe bracket belongs to THIS invocation's rows; the
+            # full history stays queryable in .scale/HOST_PROBE.jsonl
+            prior["probe_pre"] = out["probe_pre"]
+            prior["probe_post"] = out["probe_post"]
             omitted = prior.get("omitted")
             if isinstance(omitted, dict):
                 for name in out["results"]:

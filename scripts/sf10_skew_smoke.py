@@ -43,6 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from coin_for_rich_spark.llmdata.dedup import release_intermediate_caches  # noqa: E402
 from coin_for_rich_spark.session import get_spark  # noqa: E402
 from coin_for_rich_spark.sources import load_table  # noqa: E402
+from scripts.host_probe import probe  # noqa: E402
 from scripts.measure import settle  # noqa: E402
 from scripts.skew_data import _BASE  # noqa: E402 — ONE mega-cluster definition
 
@@ -152,9 +153,13 @@ def main() -> int:
     ensure_sf10_skew_docs(spark)
     for d in (SF10, SF10_SKEW):
         load_table(spark, d, "documents").count()  # warm fs cache
-    settle(max_load=2.0, timeout_s=300.0)
+    probe_pre = probe(spark, tag="sf10_skew_pre")
     results: dict[str, dict] = {}
     for name in names:
+        # settle at the TOP of each plan iteration (r13 ADVICE): a single
+        # settle before the loop left later plans starting on a hot box
+        # (committed artifact recorded loadavg_pre 21.5 for doc_profile)
+        settle(max_load=2.0, timeout_s=300.0)
         row: dict = {"loadavg_pre": round(os.getloadavg()[0], 2)}
         for label, d in (("sf10_uniform", SF10), ("sf10_skew", SF10_SKEW)):
             try:
@@ -163,11 +168,31 @@ def main() -> int:
                 row[label] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         a = row.get("sf10_uniform", {}).get("sec")
         b = row.get("sf10_skew", {}).get("sec")
-        row["ratio_skew_vs_uniform"] = round(b / a, 2) if a and b else None
+        # explicit None/zero guard (r13 ADVICE): truthiness turned a
+        # 0.0-rounded wall into ratio None, and a genuinely 0.0 uniform
+        # leg would have divided by zero
+        row["ratio_skew_vs_uniform"] = (
+            round(b / a, 2)
+            if a is not None and b is not None and a > 0
+            else None
+        )
         results[name] = row
         print(json.dumps({name: row}), file=sys.stderr)
+    guard_ok = True
     if not sys.argv[1:]:  # default run: include the guard scenario
         results["ngram_jaccard_guard"] = run_guard_probe(spark)
+        # COVERAGE.md defines refusal as the CORRECT engine behavior for
+        # this adversary — a run where the guard certifies the quadratic
+        # plan is a contract regression and must not exit clean (r13
+        # ADVICE)
+        guard_ok = results["ngram_jaccard_guard"]["refused"]
+        if not guard_ok:
+            print(
+                "GUARD-REGRESSION: candidate-cap probe did NOT refuse the "
+                "sf10-skew mega-cluster adversary — exact-pair admission "
+                "contract broken",
+                file=sys.stderr,
+            )
         results["ngram_jaccard_guard"]["why_not_a_wall_row"] = (
             "the 25k-doc mega cluster makes the TRUE exact answer "
             "~3.1e8 pairs — quadratic OUTPUT, so no exact-schema plan is "
@@ -188,6 +213,8 @@ def main() -> int:
         ),
         "cpus": os.cpu_count(),
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "probe_pre": probe_pre,
+        "probe_post": probe(spark, tag="sf10_skew_post"),
         "results": results,
     }
     if os.path.exists(ARTIFACT):
@@ -199,12 +226,14 @@ def main() -> int:
         ):
             prior.setdefault("results", {}).update(out["results"])
             prior["loadavg_end"] = out["loadavg_end"]
+            prior["probe_pre"] = out["probe_pre"]
+            prior["probe_post"] = out["probe_post"]
             out = prior
     with open(ARTIFACT, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
     spark.stop()
-    return 0
+    return 0 if guard_ok else 2
 
 
 if __name__ == "__main__":
