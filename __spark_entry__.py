@@ -1373,9 +1373,10 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     input, then the same pmod — every ord and shard value is hash-exact,
     not a property. The layout-invariance property itself stays pinned in
     tests/test_pipeline.py. Replaced the former ``embed_knn`` row (r6→r7
-    surface swap, COVERAGE.md): brute cosine top-k remains gate-certified
-    by ``embed_knn_join`` (exact ranking for EVERY row vs the full DuckDB
-    pairwise oracle) and keeps executing inside ``embed_ann_lsh`` /
+    surface swap, COVERAGE.md): brute cosine top-k remains certified by
+    ``embed_knn_join``'s exact every-row ranking vs the full DuckDB
+    pairwise oracle (a gate row r7-r13; pytest-twin-pinned since the r14
+    rotation) and keeps executing inside ``embed_ann_lsh`` /
     ``embed_ann_ivf`` as their recall truth set.
 
     UNDECLARED since r10 (swapped for ``leakage_split``): the pure-(id,
@@ -1602,8 +1603,9 @@ def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around the vec_id=0 embedding.
 
     UNDECLARED since r7 (swapped for ``epoch_shuffle``): exact brute-force
-    cosine ranking stays gate-certified by ``embed_knn_join`` (top-k for
-    EVERY row vs the full DuckDB pairwise oracle), and cosine_knn itself
+    cosine ranking stays certified by ``embed_knn_join`` (top-k for EVERY
+    row vs the full DuckDB pairwise oracle — a gate row r7-r13,
+    pytest-twin-pinned since the r14 rotation), and cosine_knn itself
     keeps executing inside the declared ``embed_ann_lsh`` /
     ``embed_ann_ivf`` rows as their recall truth set; value-checked in
     tests/test_llmdata.py."""
@@ -1760,9 +1762,10 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
-    # r14 swap-in candidate (rotation discipline: committed + proven this
-    # round, declared no earlier than next — see _video_keyframes_oracle_sql)
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECLARED r14 (swap-in for embed_knn_join per the rotation discipline:
+    # oracle committed + three-scale-proven in r13, one round before
+    # declaration — see _video_keyframes_oracle_sql)
     """Keyframe index WITHOUT decode (r13, llmdata/multimodal.py
     video_keyframe_index + llmdata/mp4.py stss/stsd parsing — the honest
     close of the avc1 residual): per video container, the stsd decoder
@@ -1830,7 +1833,13 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(media, max_w=256, max_h=256)
 
 
-def q_embed_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embed_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r14
+    # swapped for `video_keyframes` (COVERAGE.md): the every-row exact-kNN
+    # oracle stays pinned hash-exact by tests/test_llmdata.py::
+    # test_embed_knn_join_matches_duckdb_twin via
+    # _embed_knn_join_oracle_sql, and the exact-cosine family keeps its
+    # gate presence through embed_neardup (same GEMM-blocked kernel) plus
+    # the ANN recall contracts (embed_ann_lsh / embed_ann_ivf) it certifies
     """Exact cosine kNN JOIN: top-5 neighbors for EVERY embedding row over
     the blocked-GEMM grid (llmdata.similarity.knn_join — per-block partial
     top-k both directions, ≤ n·B·k shuffle rows, bounded per-id final
@@ -2428,7 +2437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declaration per the rotation discipline)
         "stream_rollup_1d": q_stream_rollup_1d,
         # embedding similarity / ANN tier (embed_knn → epoch_shuffle in r7:
-        # brute cosine stays certified via embed_knn_join's every-row oracle)
+        # brute cosine stays certified via embed_knn_join's every-row
+        # oracle, a pytest twin pin since the r14 rotation)
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
         "embed_neardup": q_embed_neardup,
@@ -2438,7 +2448,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (media_features → dedup_index_probe in r7:
         # its fake tier is superseded by the real decode/resample/frame rows)
         "frame_sample": q_frame_sample,
-        "embed_knn_join": q_embed_knn_join,
+        # keyframe index without decode (r14 swap-in, embed_knn_join →
+        # video_keyframes: the every-row exact-kNN oracle stays pinned
+        # hash-exact by tests/test_llmdata.py::
+        # test_embed_knn_join_matches_duckdb_twin, and the exact-cosine
+        # family keeps gate presence via embed_neardup — same GEMM-blocked
+        # kernel; video_keyframes's formula oracle — offsets included —
+        # was committed and three-scale-proven in r13 before declaration
+        # per the rotation discipline)
+        "video_keyframes": q_video_keyframes,
         # web preprocessing (r13 swap-in, media_decode → web_preprocess:
         # the full encode→bytes→decode codec round trip stays pinned
         # hash-exact by tests/test_codecs.py::test_media_decode_matches_
@@ -3298,6 +3316,48 @@ def _gap_detect_oracle_sql() -> str:
             FROM events
         )
         WHERE (epoch_us(next_time) - epoch_us(ts)) / 1000000.0 > 43200
+    """
+
+
+def _embed_knn_join_oracle_sql() -> str:
+    """DuckDB twin of ``q_embed_knn_join`` — full pairwise cosine ranking,
+    same tie order (cosine desc, nbr asc) as the blocked-GEMM operator.
+    Rotated OUT of the driver gate in r14 (swapped for
+    ``video_keyframes``): executed hash-exact by
+    tests/test_llmdata.py::test_embed_knn_join_matches_duckdb_twin. The
+    exact-cosine family keeps gate presence via ``embed_neardup`` (same
+    GEMM-blocked kernel) and the ANN recall rows it certifies."""
+    return """
+        WITH v AS (
+            -- zero-norm contract (r9 edge-gate adjudication): the engine
+            -- clamps zero norms to 1 (_normed_rows), so a zero vector
+            -- scores cosine EXACTLY 0.0 against everything — never NaN,
+            -- never excluded. Encode the same rule here; non-degenerate
+            -- rows keep DuckDB's native cosine (full-precision ranking).
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) = 0 AS is_zero
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+                   CASE WHEN a.is_zero OR b.is_zero THEN 0.0
+                        ELSE list_cosine_similarity(a.e, b.e)
+                   END AS cos_full
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            -- rank on FULL precision (the Spark side ranks unrounded
+            -- BLAS cosines); round only for the emitted column
+            SELECT vec_id, nbr, cos_full,
+                   CAST(row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_full DESC, nbr
+                   ) AS INT) AS rank
+            FROM pairs
+        )
+        SELECT vec_id, rank, nbr, round(cos_full, 6) AS cosine
+        FROM ranked WHERE rank <= 5
     """
 
 
@@ -4196,40 +4256,11 @@ def oracle_sql() -> dict[str, str]:
                    s.value_min, s.value_max
             FROM ticks t JOIN stats s ON t.i = s.i AND t.f = s.f
         """,
-        # exact kNN join: full pairwise cosine ranking, same tie order
-        # (cosine desc, nbr asc) as the blocked-GEMM operator
-        "embed_knn_join": """
-            WITH v AS (
-                -- zero-norm contract (r9 edge-gate adjudication): the engine
-                -- clamps zero norms to 1 (_normed_rows), so a zero vector
-                -- scores cosine EXACTLY 0.0 against everything — never NaN,
-                -- never excluded. Encode the same rule here; non-degenerate
-                -- rows keep DuckDB's native cosine (full-precision ranking).
-                SELECT vec_id, embedding::DOUBLE[] AS e,
-                       list_dot_product(embedding::DOUBLE[],
-                                        embedding::DOUBLE[]) = 0 AS is_zero
-                FROM embeddings
-            ),
-            pairs AS (
-                SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
-                       CASE WHEN a.is_zero OR b.is_zero THEN 0.0
-                            ELSE list_cosine_similarity(a.e, b.e)
-                       END AS cos_full
-                FROM v a JOIN v b ON a.vec_id <> b.vec_id
-            ),
-            ranked AS (
-                -- rank on FULL precision (the Spark side ranks unrounded
-                -- BLAS cosines); round only for the emitted column
-                SELECT vec_id, nbr, cos_full,
-                       CAST(row_number() OVER (
-                           PARTITION BY vec_id
-                           ORDER BY cos_full DESC, nbr
-                       ) AS INT) AS rank
-                FROM pairs
-            )
-            SELECT vec_id, rank, nbr, round(cos_full, 6) AS cosine
-            FROM ranked WHERE rank <= 5
-        """,
+        # r14 swap-in: the keyframe-index formula twin (committed + proven
+        # at three scales in r13 before declaration per the rotation
+        # discipline; the rotated-out embed_knn_join twin lives in
+        # _embed_knn_join_oracle_sql, pinned in tests/test_llmdata.py)
+        "video_keyframes": _video_keyframes_oracle_sql(),
         # r13 swap-ins: the five-dataset-proven web twin and the daily
         # streamed-conagg twin (both committed + proven one round before
         # declaration per the rotation discipline)

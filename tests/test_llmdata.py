@@ -1220,3 +1220,20 @@ def test_sample_frames_half_open_duration(spark):
     # exact-multiple duration: no tick at duration_ms (half-open, matching
     # sample_real_frames)
     assert out == [0, 1000, 2000]
+
+
+def test_embed_knn_join_matches_duckdb_twin(spark, sf_dir, duck):
+    """The exact-cosine kNN JOIN's every-row oracle, hash-exact against its
+    DuckDB twin — preserved as a pytest pin after ``embed_knn_join``
+    rotated OUT of the driver gate in r14 (swapped for
+    ``video_keyframes``; the exact-cosine family keeps gate coverage
+    through ``embed_neardup``'s GEMM-blocked kernel and the ANN recall
+    rows this join certifies)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_embed_knn_join(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    odf = duck.execute(entry_mod._embed_knn_join_oracle_sql()).df()
+    problems = compare("embed_knn_join", sdf, odf)
+    assert not problems, problems
