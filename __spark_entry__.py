@@ -3819,25 +3819,25 @@ def oracle_sql() -> dict[str, str]:
                            AS logp_unseen
                 FROM ctx_counts
             ),
-            perdoc AS (
-                SELECT doc_id, ngram, count(*) AS n
-                FROM grams GROUP BY doc_id, ngram
-            ),
+            -- PER-OCCURRENCE, mirroring the engine's r14 plan (no
+            -- (doc, ngram) pre-aggregate): each occurrence contributes
+            -- CAST(lp AS DECIMAL) once, and the exact decimal sum of n
+            -- copies equals n x dec(lp) — bit-identical to any grouping
             lps AS (
-                SELECT p.doc_id, p.n,
+                SELECT g.doc_id,
                        coalesce(m.logp, cu.logp_unseen,
                                 -ln((SELECT v FROM vsize))) AS lp
-                FROM perdoc p
-                LEFT JOIN model m ON p.ngram = m.ngram
+                FROM grams g
+                LEFT JOIN model m ON g.ngram = m.ngram
                 LEFT JOIN ctx_unseen cu
-                  ON substr(p.ngram, 1, len(p.ngram) - 2) = cu.ctx
+                  ON substr(g.ngram, 1, len(g.ngram) - 2) = cu.ctx
             ),
             scored AS (
                 SELECT doc_id,
-                       CAST(sum(n) AS BIGINT) AS n_ngrams,
+                       CAST(count(*) AS BIGINT) AS n_ngrams,
                        round(
-                           CAST(-sum(CAST(lp * n AS DECIMAL(38, 18)))
-                                AS DOUBLE) / sum(n),
+                           CAST(-sum(CAST(lp AS DECIMAL(38, 18)))
+                                AS DOUBLE) / count(*),
                            6) AS ce6
                 FROM lps GROUP BY doc_id
             )

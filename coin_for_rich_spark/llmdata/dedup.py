@@ -267,17 +267,28 @@ def repeated_span_dedup(
         F.col(id_col),
         F.filter(tokenize(text_col), lambda t: t != "").alias("_toks"),
     )
-    occ = base.select(
-        F.col(id_col),
-        F.posexplode(token_ngrams(F.col("_toks"), w)).alias("_pos", "_win"),
-    ).select(
-        F.col(id_col),
-        "_pos",
-        # 128-bit key: two independent xxhash64 lanes (the second seeds the
-        # hash stream with a literal, so the lanes share no collision
-        # structure) — see the docstring's collision-bound paragraph
-        F.xxhash64("_win").alias("_wh"),
-        F.xxhash64(F.lit(0x5EED), "_win").alias("_wh2"),
+    occ = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(token_ngrams(F.col("_toks"), w)).alias("_pos", "_win"),
+        )
+        .select(
+            F.col(id_col),
+            "_pos",
+            # 128-bit key: two independent xxhash64 lanes (the second seeds
+            # the hash stream with a literal, so the lanes share no collision
+            # structure) — see the docstring's collision-bound paragraph
+            F.xxhash64("_win").alias("_wh"),
+            F.xxhash64(F.lit(0x5EED), "_win").alias("_wh2"),
+        )
+        # ONE explicit span-key exchange, shared by both consumers (r13
+        # VERDICT ask #4): the duplicate-count aggregate requires this
+        # partitioning anyway, and the occurrence side of the join-back
+        # reuses the identical exchange (ReusedExchange) instead of
+        # re-scanning and re-tokenizing the whole corpus a second time.
+        # Halves the corpus-sized work and pins the spill surface to one
+        # exchange; no partition count is forced, so AQE still sizes it.
+        .repartition(F.col("_wh"), F.col("_wh2"))
     )
     dup = (
         occ.groupBy("_wh", "_wh2")
@@ -446,11 +457,13 @@ def ngram_jaccard_pairs(
         from .pipeline import hash_sample
 
         p = 2.0 / 16.0
-        sample_idx = _shingle_index(
-            hash_sample(docs, id_col=id_col, hex_chars=("0", "1")),
-            text_col,
-            id_col,
-            n,
+        sample_idx = _intern_shingles(
+            _shingle_index(
+                hash_sample(docs, id_col=id_col, hex_chars=("0", "1")),
+                text_col,
+                id_col,
+                n,
+            )
         )
         probe = (
             sample_idx.groupBy("shingle")
@@ -514,7 +527,7 @@ def ngram_jaccard_pairs(
     # bounded at √pair_budget elements by the probe (or the caller's explicit
     # method='count' assertion that the corpus is benign).
     grouped = (
-        _shingle_index(docs, text_col, id_col, n)
+        _intern_shingles(_shingle_index(docs, text_col, id_col, n))
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .select("docs", F.size("docs").alias("df"))
@@ -562,6 +575,22 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
     )
+
+
+def _intern_shingles(idx: DataFrame) -> DataFrame:
+    """Intern shingle strings to int64 via xxhash64 BEFORE every exchange
+    in the exact-pair tier (r13 VERDICT ask #3): the posting/prefix
+    shuffles then move fixed-width longs instead of n-gram strings (8
+    bytes vs tens per shingle), and the hot per-candidate verify compares
+    LONG arrays, not string arrays. Exactness: a result can change only if
+    two DISTINCT shingles collide in 64-bit space inside one document
+    (shrinks its set size by 1) or across one verified candidate pair
+    (inflates n_inter by 1). With per-doc sets of ~10⁴ shingles, the
+    per-pair collision mass is ~10⁸/2⁶⁴ ≈ 5×10⁻¹²; even 10¹⁰ verified
+    pairs at 100 TB carry < 0.1 expected collisions — far below the
+    corpus-noise floor of any dedup decision. Both exact plans intern with
+    the same function, so count/prefix stay result-identical."""
+    return idx.select("doc", F.xxhash64("shingle").alias("shingle"))
 
 
 def _estimate_prefix_candidates(
@@ -619,7 +648,7 @@ def _jaccard_prefix(
     idx: DataFrame | None = None,
 ) -> DataFrame:
     if idx is None:
-        idx = _shingle_index(docs, text_col, id_col, n)
+        idx = _intern_shingles(_shingle_index(docs, text_col, id_col, n))
     # candidate-pruning bounds use a hair-loosened threshold: threshold*sz
     # in doubles can exceed the true rational product (0.28*25 =
     # 7.000000000000001), which would drop a pair whose Jaccard is EXACTLY

@@ -169,16 +169,20 @@ def score_char_lm(
     operator).
     """
     narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-    per_doc = (
-        narrow.select(
-            F.col(id_col), F.explode(_char_ngrams(text_col, lm.order)).alias("ngram")
-        )
-        .groupBy(id_col, "ngram")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # PER-OCCURRENCE probe, no (doc, ngram) pre-aggregate (r13 VERDICT ask
+    # #5): the model and context relations are bounded (≈ alphabet^order
+    # rows) and broadcast, so every occurrence row probes two broadcast
+    # hash maps PIPELINED inside the scan stage — zero corpus-sized
+    # exchanges. The old plan's groupBy(doc, ngram) + regroup-by-doc cost
+    # two shuffles each carrying ~distinct-(doc,trigram) rows; now the
+    # only exchange is the final doc-keyed aggregate, whose map-side
+    # partial combine shrinks it to |docs-per-partition| rows.
+    occ = narrow.select(
+        F.col(id_col), F.explode(_char_ngrams(text_col, lm.order)).alias("ngram")
     )
     floor = F.lit(-math.log(lm.vocab_size)) if lm.vocab_size > 1 else F.lit(0.0)
     scored = (
-        per_doc.join(F.broadcast(lm.ngrams), "ngram", "left")
+        occ.join(F.broadcast(lm.ngrams), "ngram", "left")
         .withColumn("ctx", _ctx_of(F.col("ngram"), lm.order))
         .join(F.broadcast(lm.contexts), "ctx", "left")
         .withColumn(
@@ -187,17 +191,21 @@ def score_char_lm(
         )
         .groupBy(id_col)
         .agg(
-            F.sum("n").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_ngrams"),
             # the per-doc sum routes through DECIMAL: a double sum is
             # partial-aggregation-order-dependent, so two runs (or a
             # 1000-executor run vs a single-threaded oracle) would disagree
-            # in the last ulps; the decimal(38,18) cast of each product is
-            # an engine-independent function of the double (verified vs
-            # DuckDB) and the decimal sum is exact in any order
+            # in the last ulps; the decimal(38,18) cast of each lp is an
+            # engine-independent function of the double (verified vs
+            # DuckDB) and the decimal sum is exact in any order — summing
+            # n occurrences of dec(lp) equals n·dec(lp) exactly, so the
+            # per-occurrence plan and a per-(doc,ngram) oracle agree
+            # bit-for-bit as long as the oracle multiplies the DECIMAL
+            # (not the double product) by n
             (
-                -F.sum((F.col("lp") * F.col("n")).cast("decimal(38,18)"))
+                -F.sum(F.col("lp").cast("decimal(38,18)"))
                 .cast("double")
-                / F.sum("n")
+                / F.count(F.lit(1))
             ).alias("cross_entropy"),
         )
         .withColumn("perplexity", F.exp("cross_entropy"))
