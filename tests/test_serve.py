@@ -258,3 +258,100 @@ def test_parse_ohlcv_null_guard_contract(spark):
     ).withColumn("bucket", F.to_timestamp("bucket"))
     row = serialize_candles(df).first()
     assert row.open is None and row.volume is None and row.time is not None
+
+
+# ---------------------------------------------------------------------------
+# WS serve-loop cadence contract (reference senders.py:38-167) — the last
+# reader-visible serving behavior without a twin (r13 VERDICT ask #6).
+# Pure-arithmetic pins; no Spark session needed.
+# ---------------------------------------------------------------------------
+
+def _loop():
+    from coin_for_rich_spark.plans.serve import ServeLoop
+
+    return ServeLoop()
+
+
+def test_serve_loop_1m_pushes_every_second_from_latest_store():
+    sl = _loop()
+    sid = sl.subscribe("binance", "BTC", "USDT", "1m", at_s=0.0)
+    sends = sl.sends_between(0.0, 5.0)
+    assert [t for t, _, _ in sends] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert all(s == sid for _, s, _ in sends)
+    # '1m' serves FRESH data from the latest-value store, not the rollup
+    # read path (senders.py:71-84)
+    assert {src for _, _, src in sends} == {"latest"}
+
+
+def test_serve_loop_rollup_cadence_is_interval_minutes_in_seconds():
+    from coin_for_rich_spark.plans.serve import SERVE_POLL_SECONDS
+
+    # the reference's exact sleep table (senders.py:103-119)
+    assert SERVE_POLL_SECONDS["5m"] == 5
+    assert SERVE_POLL_SECONDS["15m"] == 15
+    assert SERVE_POLL_SECONDS["30m"] == 30
+    assert SERVE_POLL_SECONDS["1h"] == 60
+    assert SERVE_POLL_SECONDS["6h"] == 360
+    assert SERVE_POLL_SECONDS["12h"] == 720
+    assert SERVE_POLL_SECONDS["1D"] == 1440
+    assert SERVE_POLL_SECONDS["7D"] == 10080
+    # the three intervals the reference lists but busy-loops on
+    # (constants.py:2-4 vs the sleep chain) — extended by the same
+    # minutes→seconds rule, adjudicated engine-side-right
+    assert SERVE_POLL_SECONDS["3h"] == 180
+    assert SERVE_POLL_SECONDS["14D"] == 20160
+    assert SERVE_POLL_SECONDS["1M"] == 43200
+
+
+def test_serve_loop_rollup_source_and_schedule():
+    sl = _loop()
+    sl.subscribe("binance", "BTC", "USDT", "1h", at_s=0.0)
+    sends = sl.sends_between(0.0, 200.0)
+    assert [t for t, _, _ in sends] == [0.0, 60.0, 120.0, 180.0]
+    assert {src for _, _, src in sends} == {"rollup"}
+
+
+def test_serve_loop_unsubscribe_stops_future_sends():
+    sl = _loop()
+    sl.subscribe("binance", "BTC", "USDT", "1m", at_s=0.0)
+    sl.unsubscribe("binance", "BTC", "USDT", "1m", at_s=2.0)
+    # the tick AT the unsubscribe time is already suppressed (the loop's
+    # membership check runs before the send)
+    assert [t for t, _, _ in sl.sends_between(0.0, 10.0)] == [0.0, 1.0]
+
+
+def test_serve_loop_duplicate_subscription_multiplicity():
+    """The reference's serving_id is deliberately not client-unique
+    (senders.py:62 TODO): two subscriptions to one series share a key, and
+    ONE unsubscribe leaves BOTH loops serving (each checks membership, and
+    one copy of the key remains); only the second unsubscribe stops them.
+    """
+    sl = _loop()
+    sl.subscribe("binance", "BTC", "USDT", "1m", at_s=0.0)
+    sl.subscribe("binance", "BTC", "USDT", "1m", at_s=0.5)
+    sl.unsubscribe("binance", "BTC", "USDT", "1m", at_s=2.1)
+    sends = [t for t, _, _ in sl.sends_between(0.0, 4.0)]
+    # both loops still ticking after the first unsubscribe
+    assert sends == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5]
+    sl2 = _loop()
+    sl2.subscribe("binance", "BTC", "USDT", "1m", at_s=0.0)
+    sl2.subscribe("binance", "BTC", "USDT", "1m", at_s=0.5)
+    sl2.unsubscribe("binance", "BTC", "USDT", "1m", at_s=2.1)
+    sl2.unsubscribe("binance", "BTC", "USDT", "1m", at_s=2.2)
+    # multiplicity zero: every loop dies at its next tick
+    assert [t for t, _, _ in sl2.sends_between(0.0, 4.0)] == [0.0, 0.5, 1.0, 1.5, 2.0]
+
+
+def test_serve_loop_invalid_interval_errors_without_loop():
+    import pytest as _pytest
+
+    sl = _loop()
+    assert sl.subscribe("binance", "BTC", "USDT", "2m") is None
+    assert sl.error_events == [
+        {"message": "interval must be in the determined list"}
+    ]
+    assert sl.sends_between(0.0, 10.0) == []
+    # unsubscribe of a never-subscribed key surfaces the reference's
+    # hidden list.remove ValueError (senders.py:135)
+    with _pytest.raises(ValueError):
+        sl.unsubscribe("binance", "ETH", "USDT", "1m")
