@@ -1822,6 +1822,87 @@ def _video_keyframes_oracle_sql() -> str:
     """
 
 
+def q_video_keyframes_avc(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r15 swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next — see
+    # _video_keyframes_avc_oracle_sql)
+    """Keyframe index over COMPRESSED (avc1) containers (r14 — the
+    formula-oracle close of the avc1/avcC leg, previously pytest-only):
+    per document-assigned video, a hand-muxed H.264-shaped container —
+    avcC decoder config + stss sync table over opaque payloads
+    (llmdata/mp4.py mp4_mux_avc1, llmdata/multimodal.py
+    attach_real_avc_video) — is indexed WITHOUT decode by the same
+    video_keyframe_index tier as the gate's gry8 row. The generation
+    formulas are the contract: the oracle re-derives every row — codec,
+    RFC 6381 string, stss membership, timestamps, ABSOLUTE byte offsets —
+    from doc_id alone, so a green row certifies the stsd/avcC/stss parse
+    path THROUGH real container bytes."""
+    from coin_for_rich_spark.llmdata.multimodal import (
+        attach_real_avc_video,
+        video_keyframe_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_keyframe_index(attach_real_avc_video(docs))
+
+
+def _video_keyframes_avc_oracle_sql() -> str:
+    """DuckDB twin of ``q_video_keyframes_avc`` — never parses a byte: it
+    re-derives sample counts/sizes/sync membership from the
+    attach_real_avc_video formulas, the decoder config (profile/level
+    pools → printf'd RFC 6381 string) from doc_id, and ABSOLUTE byte
+    offsets from mp4_mux_avc1's layout contract (20-byte ftyp + 8-byte
+    mdat header → sample 0 at 28, then cumulative payload sizes)."""
+    return """
+        WITH v AS (
+            SELECT doc_id AS media_id,
+                   doc_id % 5 + 3 AS n,
+                   doc_id % 16 + 16 AS w,
+                   doc_id % 9 + 8 AS h,
+                   CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+                        ELSE 100 END AS profile,
+                   CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
+                        WHEN 2 THEN 40 ELSE 51 END AS level
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        s AS (
+            SELECT media_id, n, w, h, profile, level,
+                   unnest(generate_series(0, n - 1)) AS k
+            FROM v
+        ),
+        sz AS (
+            SELECT *,
+                   10 + media_id % 17 + (media_id + 7 * k) % 23 AS sample_sz,
+                   (k = 0 OR (media_id + k) % 3 = 0) AS is_key
+            FROM s
+        ),
+        laid AS (
+            SELECT *,
+                   28 + coalesce(sum(sample_sz) OVER (
+                       PARTITION BY media_id ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS byte_offset,
+                   sum(CASE WHEN is_key THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY media_id) AS n_keys
+            FROM sz
+        )
+        SELECT media_id,
+               'avc1' AS sample_format,
+               'h264' AS codec,
+               printf('avc1.%02X00%02X', profile, level) AS rfc6381,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(n AS INT) AS n_samples,
+               CAST(n_keys AS INT) AS n_keyframes,
+               TRUE AS has_stss,
+               CAST(k AS INT) AS sample_idx,
+               CAST(k * 500 AS BIGINT) AS keyframe_ts_ms,
+               CAST(byte_offset AS BIGINT) AS byte_offset,
+               CAST(sample_sz AS BIGINT) AS n_bytes
+        FROM laid WHERE is_key
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

@@ -168,6 +168,104 @@ def mp4_mux_gray(
     return ftyp + mdat + moov
 
 
+def mp4_mux_avc1(
+    payloads: list[bytes],
+    key_samples: list[int],
+    width: int,
+    height: int,
+    profile: int = 0x64,
+    compat: int = 0x00,
+    level: int = 0x1F,
+    frame_duration_ms: int = 500,
+    timescale: int = 1000,
+) -> bytes:
+    """Mux opaque COMPRESSED sample payloads into an avc1 MP4 track: an
+    avcC decoder-configuration child box in the stsd sample entry
+    (ISO/IEC 14496-15 §5.3.3.1 — version/profile/compat/level + empty
+    parameter sets) and an stss sync-sample table — the container shapes a
+    real H.264 encoder writes, with zero codec bytes that mean anything.
+    The keyframe-index tier (``multimodal.video_keyframe_index``) reads
+    everything it emits from THIS structure alone, so the layout is a
+    formula-oracle contract: 20-byte ftyp + 8-byte mdat header → first
+    sample at byte 28, then cumulative payload sizes (the same
+    first-sample offset as ``mp4_mux_gray``)."""
+    if not payloads:
+        raise ValueError("mp4_mux_avc1 needs at least one sample payload")
+    n = len(payloads)
+    if any(k < 0 or k >= n for k in key_samples):
+        raise ValueError("key_samples must be 0-based sample indices")
+    duration = n * frame_duration_ms
+
+    ftyp = _box(b"ftyp", b"isom" + _U32.pack(0) + b"isom")
+    mdat = _box(b"mdat", b"".join(payloads))
+    first_sample_off = len(ftyp) + 8
+
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        _U32.pack(0) * 2 + _U32.pack(timescale) + _U32.pack(duration)
+        + _U32.pack(0x00010000) + _U16.pack(0x0100) + b"\x00" * 10
+        + _IDENTITY_MATRIX + b"\x00" * 24 + _U32.pack(2),
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 7,
+        _U32.pack(0) * 2 + _U32.pack(1) + _U32.pack(0) + _U32.pack(duration)
+        + b"\x00" * 8 + _U16.pack(0) * 3 + _U16.pack(0)
+        + _IDENTITY_MATRIX
+        + _U32.pack(width << 16) + _U32.pack(height << 16),
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        _U32.pack(0) * 2 + _U32.pack(timescale) + _U32.pack(duration)
+        + _U16.pack(0x55C4) + _U16.pack(0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0, _U32.pack(0) + b"vide" + b"\x00" * 12 + b"h264\x00"
+    )
+    vmhd = _full_box(b"vmhd", 0, 1, _U16.pack(0) * 4)
+    dinf = _box(
+        b"dinf", _full_box(b"dref", 0, 0, _U32.pack(1) + _full_box(b"url ", 0, 1, b""))
+    )
+    # AVCDecoderConfigurationRecord: version, profile, compat, level,
+    # lengthSizeMinusOne|0xFC, numSPS|0xE0, then empty parameter sets
+    avcc = _box(
+        b"avcC",
+        bytes([1, profile, compat, level, 0xFF, 0xE1])
+        + _U16.pack(0) + bytes([1]) + _U16.pack(0),
+    )
+    sample_entry = _box(
+        b"avc1",
+        b"\x00" * 6 + _U16.pack(1) + b"\x00" * 16
+        + _U16.pack(width) + _U16.pack(height)
+        + _U32.pack(0x00480000) * 2 + _U32.pack(0) + _U16.pack(1)
+        + b"\x00" * 32 + _U16.pack(0x0018) + struct.pack(">h", -1)
+        + avcc,
+    )
+    stsd = _full_box(b"stsd", 0, 0, _U32.pack(1) + sample_entry)
+    stts = _full_box(
+        b"stts", 0, 0, _U32.pack(1) + _U32.pack(n) + _U32.pack(frame_duration_ms)
+    )
+    stsc = _full_box(
+        b"stsc", 0, 0, _U32.pack(1) + _U32.pack(1) + _U32.pack(n) + _U32.pack(1)
+    )
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        _U32.pack(0) + _U32.pack(n)
+        + b"".join(_U32.pack(len(p)) for p in payloads),
+    )
+    stco = _full_box(b"stco", 0, 0, _U32.pack(1) + _U32.pack(first_sample_off))
+    stss = _full_box(
+        b"stss", 0, 0,
+        _U32.pack(len(key_samples))
+        + b"".join(_U32.pack(k + 1) for k in sorted(key_samples)),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 @dataclass
 class Mp4Video:
     """Demuxed single-track video: per-sample timestamps and byte ranges.

@@ -457,6 +457,81 @@ def attach_real_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(gen, schema=schema)
 
 
+#: H.264 profile/level pools for the formula-generated avc1 containers —
+#: realistic values (Baseline/Main/High; levels 3.0/3.1/4.0/5.1), chosen so
+#: the oracle can re-derive the RFC 6381 string from doc_id alone
+_AVC_PROFILES = (0x42, 0x4D, 0x64)
+_AVC_LEVELS = (0x1E, 0x1F, 0x28, 0x33)
+
+
+def attach_real_avc_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate a REAL avc1 (H.264-shaped) MP4 container per video-assigned
+    document (the same ``id % 3 == 2`` rows as ``attach_real_video``),
+    muxed by ``llmdata.mp4.mp4_mux_avc1``: an avcC decoder-config box and
+    an stss sync-sample table over opaque compressed payloads — the
+    compressed-container leg of the keyframe-index tier, with formulas as
+    the contract so an oracle predicts every index row (byte offsets
+    included) without parsing a byte:
+
+    - id i: ``i % 5 + 3`` samples of ``(i % 16 + 16) × (i % 9 + 8)``,
+      500 ms per sample;
+    - sample k's payload size: ``10 + i % 17 + (i + 7k) % 23`` bytes
+      (content is opaque filler — a keyframe index never reads it);
+    - sample k is a sync sample iff ``k == 0`` or ``(i + k) % 3 == 0``;
+    - profile ``_AVC_PROFILES[i % 3]``, compat 0, level
+      ``_AVC_LEVELS[i % 4]`` → rfc6381 ``avc1.PP00LL``;
+    - layout: 20-byte ftyp + 8-byte mdat header → sample 0 at byte 28,
+      then cumulative payload sizes (``mp4_mux_avc1``'s contract).
+
+    Bytes are born in executor Arrow batches and never visit the driver.
+    """
+    from .mp4 import mp4_mux_avc1
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["media_id"]:
+                i = int(i)
+                n = i % 5 + 3
+                sizes = [10 + i % 17 + (i + 7 * k) % 23 for k in range(n)]
+                keys = [k for k in range(n) if k == 0 or (i + k) % 3 == 0]
+                ids.append(i)
+                payloads.append(
+                    mp4_mux_avc1(
+                        [
+                            bytes(((k * 7 + j) % 256) for j in range(sz))
+                            for k, sz in enumerate(sizes)
+                        ],
+                        keys,
+                        width=i % 16 + 16,
+                        height=i % 9 + 8,
+                        profile=_AVC_PROFILES[i % 3],
+                        compat=0x00,
+                        level=_AVC_LEVELS[i % 4],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mime": ["video/mp4"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    src = docs.filter(F.col(id_col) % 3 == 2).select(
+        F.col(id_col).alias("media_id")
+    )
+    return src.mapInPandas(gen, schema=schema)
+
+
 def demux_video_frames(media: DataFrame) -> DataFrame:
     """REAL MP4 demux (llmdata.mp4 — box walk + stts/stsc/stsz/stco sample
     resolution, no media libraries): one row per container sample with its

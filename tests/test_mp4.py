@@ -401,3 +401,40 @@ def test_video_keyframes_matches_duckdb_twin(spark, sf_dir, duck):
     odf = duck.execute(entry_mod._video_keyframes_oracle_sql()).df()
     problems = compare("video_keyframes", sdf, odf)
     assert not problems, problems
+
+
+def test_mp4_mux_avc1_package_muxer_roundtrip():
+    """The package muxer (mp4.mp4_mux_avc1, promoted from this file's
+    hand-mux helper in r14) produces containers the demuxer reads back
+    exactly: codec config, sync table, and size-exact absolute ranges."""
+    from coin_for_rich_spark.llmdata.mp4 import mp4_mux_avc1
+
+    sizes = [50, 20, 30, 60, 10, 40, 25]
+    keys = [0, 3, 6]
+    payloads = [bytes((k * 7 + j) % 256 for j in range(sz))
+                for k, sz in enumerate(sizes)]
+    data = mp4_mux_avc1(payloads, keys, width=32, height=24)
+    vid = mp4_demux(data)
+    assert vid.sample_format == "avc1"
+    assert vid.codec["rfc6381"] == "avc1.64001F"
+    assert vid.sync_samples == keys
+    offs = [r[1] for r in vid.keyframe_byte_ranges()]
+    assert offs == [28, 28 + 50 + 20 + 30, 28 + 50 + 20 + 30 + 60 + 10 + 40]
+    assert [r[2] for r in vid.keyframe_byte_ranges()] == [50, 60, 25]
+
+
+def test_video_keyframes_avc_matches_duckdb_twin(spark, sf_dir, duck):
+    """The r15 swap-in candidate, committed + proven one round before any
+    declaration per the rotation discipline: the keyframe index over REAL
+    avc1 containers (avcC decoder config + stss sync table) vs a
+    formula-only DuckDB twin that predicts every row — RFC 6381 strings
+    and ABSOLUTE byte offsets included — without parsing a byte."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_video_keyframes_avc(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    assert set(sdf["rfc6381"].str[:5]) == {"avc1."}
+    odf = duck.execute(entry_mod._video_keyframes_avc_oracle_sql()).df()
+    problems = compare("video_keyframes_avc", sdf, odf)
+    assert not problems, problems
