@@ -1001,7 +1001,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warm model cache, and nothing leaks across passes
     from coin_for_rich_spark.llmdata.dedup import _INTERMEDIATE_CACHES
 
-    _INTERMEDIATE_CACHES.extend([lm.ngrams, lm.contexts])
+    _INTERMEDIATE_CACHES.extend(
+        [lm.ngrams_enc, lm.contexts_enc]
+        if lm.ngrams_enc is not None
+        else [lm.ngrams, lm.contexts]
+    )
     scored = score_char_lm(docs, lm)
     return scored.select(
         "doc_id",

@@ -66,6 +66,68 @@ def _ctx_of(ngram: Column, order: int) -> Column:
     return F.substring_index(ngram, " ", order - 1)
 
 
+# ---------------------------------------------------------------------------
+# Packed-codepoint n-gram encoding (r14): a character n-gram is ONE int64,
+# 21 bits per character (every Unicode codepoint < 2^21, and `split('')`
+# yields single code units, so char → codepoint is injective). The packing
+# is a BIJECTION — not a hash — so the encoded plan is exactly the string
+# plan with all per-occurrence string construction/hashing removed; the
+# corpus-side explode/aggregate/broadcast-probe path moves fixed-width
+# longs instead of allocating ~n_chars short strings per document. Fits
+# orders 2 and 3 (3·21 = 63 bits, top char < 2^20.1 keeps it positive);
+# order ≥ 4 falls back to the string path.
+# ---------------------------------------------------------------------------
+
+_CODE_BITS = 21
+_CODE_MASK = (1 << _CODE_BITS) - 1
+_ENC_MAX_ORDER = 3
+
+
+def _norm_codes(text_col: str) -> Column:
+    chars = F.split(F.lower(F.trim(F.col(text_col))), "")
+    return F.transform(
+        F.filter(chars, lambda c: c != ""),
+        lambda c: F.when(c == " ", F.lit(ord(_SPACE_SYM)))
+        .otherwise(F.ascii(c))
+        .cast("long"),
+    )
+
+
+def _code_ngrams(text_col: str, order: int) -> Column:
+    """Packed int64 n-grams, same shifted-zip_with build (and the same
+    trailing-window null handling) as the string path."""
+    codes = _norm_codes(text_col)
+    n_tokens = F.size(codes)
+    arr = codes
+    for j in range(1, order):
+        shifted = F.slice(codes, j + 1, F.greatest(n_tokens - j, F.lit(1)))
+        arr = F.zip_with(
+            arr, shifted, lambda a, b: F.shiftleft(a, _CODE_BITS) + b
+        )
+    return F.when(
+        n_tokens >= order, F.slice(arr, 1, n_tokens - (order - 1))
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _decode_udf(n_chars: int):
+    """Arrow-vectorized decode of packed codes back to the space-joined
+    string form — used ONLY to derive the model-sized string views of the
+    CharLM relations (hundreds of rows), never on the corpus path."""
+    from pyspark.sql.functions import pandas_udf
+
+    def dec(codes):
+        def one(code):
+            code = int(code)
+            return " ".join(
+                chr((code >> (_CODE_BITS * (n_chars - 1 - i))) & _CODE_MASK)
+                for i in range(n_chars)
+            )
+
+        return codes.map(one)
+
+    return pandas_udf(dec, "string")
+
+
 @dataclass
 class CharLM:
     """A trained character n-gram model: three small relations + scalars.
@@ -80,6 +142,13 @@ class CharLM:
     vocab_size: int
     order: int
     alpha: float
+    #: packed-int64-keyed twins of ngrams/contexts (r14) — what scoring
+    #: actually probes for orders ≤ 3; None on the string fallback path.
+    #: The public string relations above are model-sized DECODED views of
+    #: these, so the dataclass contract (and every test that inspects it)
+    #: is unchanged.
+    ngrams_enc: DataFrame | None = None
+    contexts_enc: DataFrame | None = None
 
 
 def train_char_lm(
@@ -101,6 +170,59 @@ def train_char_lm(
         # changes semantics with no error anywhere downstream
         raise ValueError("smoothing alpha must be > 0 (add-alpha mass)")
     narrow = ensure_parallelism(ref_docs.select(F.col(text_col)))
+    if order <= _ENC_MAX_ORDER:
+        # packed-codepoint path (r14): the corpus pass explodes and
+        # aggregates fixed-width longs — the per-occurrence string
+        # construction was the training constant, not the (tiny) shuffle
+        counts = (
+            narrow.select(F.explode(_code_ngrams(text_col, order)).alias("code"))
+            .groupBy("code")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        # alphabet = distinct final characters across the model rows
+        # (model-sized job); contexts likewise derive from the counts
+        vocab_size = (
+            counts.select((F.col("code").bitwiseAND(F.lit(_CODE_MASK))).alias("ch"))
+            .distinct()
+            .count()
+        )
+        v = max(vocab_size, 1)
+        ctx = counts.groupBy(
+            F.shiftright("code", _CODE_BITS).alias("ctxc")
+        ).agg(F.sum("c").alias("c_ctx"))
+        denom_off = F.lit(float(alpha * v))
+        ngrams_enc = counts.join(
+            ctx, F.shiftright("code", _CODE_BITS) == F.col("ctxc")
+        ).select(
+            "code",
+            F.log(
+                (F.col("c") + F.lit(alpha)) / (F.col("c_ctx") + denom_off)
+            ).alias("logp"),
+        )
+        contexts_enc = ctx.select(
+            "ctxc",
+            F.log(F.lit(alpha) / (F.col("c_ctx") + denom_off)).alias("logp_unseen"),
+        )
+        lm = CharLM(
+            # model-sized decoded string views over the persisted encoded
+            # relations — same public schema as always
+            ngrams=ngrams_enc.select(
+                _decode_udf(order)("code").alias("ngram"), "logp"
+            ),
+            contexts=contexts_enc.select(
+                _decode_udf(order - 1)("ctxc").alias("ctx"), "logp_unseen"
+            ),
+            vocab_size=v,
+            order=order,
+            alpha=alpha,
+            ngrams_enc=ngrams_enc.persist(),
+            contexts_enc=contexts_enc.persist(),
+        )
+        lm.ngrams_enc.count()  # materialize before releasing raw counts
+        lm.contexts_enc.count()
+        counts.unpersist()
+        return lm
     counts = (
         narrow.select(F.explode(_char_ngrams(text_col, order)).alias("ngram"))
         .groupBy("ngram")
@@ -147,7 +269,9 @@ def train_char_lm(
 
 def release_char_lm(lm: CharLM) -> None:
     """Unpersist the model relations (pair with train_char_lm)."""
-    for df in (lm.ngrams, lm.contexts):
+    for df in (lm.ngrams, lm.contexts, lm.ngrams_enc, lm.contexts_enc):
+        if df is None:
+            continue
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — best-effort cache drop
@@ -177,15 +301,31 @@ def score_char_lm(
     # two shuffles each carrying ~distinct-(doc,trigram) rows; now the
     # only exchange is the final doc-keyed aggregate, whose map-side
     # partial combine shrinks it to |docs-per-partition| rows.
-    occ = narrow.select(
-        F.col(id_col), F.explode(_char_ngrams(text_col, lm.order)).alias("ngram")
-    )
     floor = F.lit(-math.log(lm.vocab_size)) if lm.vocab_size > 1 else F.lit(0.0)
+    if lm.ngrams_enc is not None:
+        # packed-codepoint probe (bijective encoding — identical results
+        # to the string path, minus every per-occurrence string)
+        occ = narrow.select(
+            F.col(id_col),
+            F.explode(_code_ngrams(text_col, lm.order)).alias("code"),
+        )
+        probe = (
+            occ.join(F.broadcast(lm.ngrams_enc), "code", "left")
+            .withColumn("ctxc", F.shiftright("code", _CODE_BITS))
+            .join(F.broadcast(lm.contexts_enc), "ctxc", "left")
+        )
+    else:
+        occ = narrow.select(
+            F.col(id_col),
+            F.explode(_char_ngrams(text_col, lm.order)).alias("ngram"),
+        )
+        probe = (
+            occ.join(F.broadcast(lm.ngrams), "ngram", "left")
+            .withColumn("ctx", _ctx_of(F.col("ngram"), lm.order))
+            .join(F.broadcast(lm.contexts), "ctx", "left")
+        )
     scored = (
-        occ.join(F.broadcast(lm.ngrams), "ngram", "left")
-        .withColumn("ctx", _ctx_of(F.col("ngram"), lm.order))
-        .join(F.broadcast(lm.contexts), "ctx", "left")
-        .withColumn(
+        probe.withColumn(
             "lp",
             F.coalesce(F.col("logp"), F.col("logp_unseen"), floor),
         )
