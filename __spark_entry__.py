@@ -1907,6 +1907,164 @@ def _video_keyframes_avc_oracle_sql() -> str:
     """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r15 swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next — see _winnow_overlap_oracle_sql;
+    # pytest twins: tests/test_winnow.py)
+    """Winnowing passage-overlap pairs (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS tier; llmdata/winnow.py): token 4-gram md5 hashes,
+    window w = t−k+1 = 5, rightmost-minimal selection, then document pairs
+    sharing ≥ 2 distinct fingerprints with per-doc fingerprint counts
+    carried. The POSITIONAL complement to the set-similarity dedup tiers:
+    it finds shared PASSAGES (any common run of ≥ 8 tokens is guaranteed
+    caught), not near-identical documents. max_df=50 drops boilerplate
+    fingerprints before the self-join — the tier's quadratic-blowup guard."""
+    from coin_for_rich_spark.llmdata.winnow import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=4, t=8, min_shared=2, max_df=50,
+    )
+
+
+def _winnow_overlap_oracle_sql() -> str:
+    """DuckDB twin of ``q_winnow_overlap`` — re-derives the full winnowing
+    selection from first principles (list-comprehension k-gram md5 hashes,
+    per-window rightmost-minimal pick via the same
+    ``wl − position(reverse(s), min(s))`` formula, row-level DISTINCT for
+    the neighbouring-window dedupe) and the pair layer including the
+    max_df boilerplate cap. Fingerprints are compared as fixed-width
+    lowercase-hex strings in both engines, so selection ties resolve
+    identically."""
+    return r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) > 0
+                        THEN regexp_split_to_array(trim(text), '\s+')
+                        ELSE [] END AS tk
+            FROM documents
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(tk) - 4 + 2),
+                       i -> substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 16)) AS h
+            FROM toks WHERE len(tk) >= 4
+        ),
+        wins AS (
+            SELECT doc_id, h,
+                   greatest(1, len(h) - 5 + 1) AS nwin,
+                   least(5, len(h)) AS wl
+            FROM hs
+        ),
+        sel AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, nwin + 1),
+                       i -> {'pos': i - 1 + wl
+                                    - list_position(list_reverse(h[i:i+wl-1]),
+                                                    list_min(h[i:i+wl-1])),
+                             'fp': list_min(h[i:i+wl-1])})) AS u
+            FROM wins
+        ),
+        fpd AS (
+            SELECT DISTINCT doc_id, u.fp AS fp FROM sel
+        ),
+        nf AS (
+            SELECT doc_id, count(*) AS n_fp FROM fpd GROUP BY 1
+        ),
+        keep AS (
+            SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 50
+        ),
+        fpk AS (
+            SELECT f.doc_id, f.fp FROM fpd f JOIN keep USING (fp)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared,
+               min(na.n_fp) AS n_fp_a, min(nb.n_fp) AS n_fp_b
+        FROM fpk a
+        JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN nf na ON na.doc_id = a.doc_id
+        JOIN nf nb ON nb.doc_id = b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # pytest-twin coverage this round (tests/test_winnow.py); future
+    # rotation-fuel candidate once a queue slot frees (≤2 discipline)
+    """DSIR-style domain-targeted selection (Xie et al., NeurIPS 2023;
+    llmdata/dsir.py): hashed unigram+bigram bucket models (B=4096) fit on
+    the en/non-en split of the pool, add-one-smoothed log importance
+    ratios, per-doc DECIMAL-routed weight sums, and the deterministic
+    top-200 non-target selection (TakeOrdered, no global sort). Output
+    weight and ordering key are the 6-decimal-rounded ``logw6`` — the
+    quality tier's ce6 convention for cross-engine double parity."""
+    from coin_for_rich_spark.llmdata.dsir import dsir_select
+
+    return dsir_select(
+        load_table(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        top_k=200,
+    )
+
+
+def _dsir_select_oracle_sql() -> str:
+    """DuckDB twin of ``q_dsir_select`` — re-derives the bucket models
+    (same md5-prefix bucket hash), the smoothed log ratios (libm ln ==
+    the engine's driver-side math.log bit-for-bit), and the per-occurrence
+    decimal sum. The double→decimal cast goes THROUGH VARCHAR to replicate
+    Spark's shortest-repr cast semantics; the final round(…, 6) absorbs
+    the scale-18 rounding-mode residue (quality_score's ce6 pattern)."""
+    return r"""
+        WITH toks AS (
+            SELECT doc_id, (lang = 'en') AS is_t,
+                   CASE WHEN length(trim(text)) > 0
+                        THEN regexp_split_to_array(trim(text), '\s+')
+                        ELSE [] END AS tk
+            FROM documents
+        ),
+        gr AS (
+            SELECT doc_id, is_t,
+                   list_concat(tk,
+                       list_transform(range(1, greatest(len(tk), 1)),
+                           i -> tk[i] || ' ' || tk[i+1])) AS grams
+            FROM toks
+        ),
+        occ AS (
+            SELECT doc_id, is_t,
+                   ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket
+            FROM gr, unnest(grams) AS t(g)
+        ),
+        counts AS (
+            SELECT bucket,
+                   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                   sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+            FROM occ GROUP BY 1
+        ),
+        tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM counts),
+        model AS (
+            SELECT bucket,
+                   ln((ct + 1.0) / (CAST(t_tot AS DOUBLE) + 4096.0))
+                   - ln((cr + 1.0) / (CAST(r_tot AS DOUBLE) + 4096.0))
+                       AS logratio
+            FROM counts, tot
+        ),
+        scored AS (
+            SELECT o.doc_id, count(*) AS n_feats,
+                   round(CAST(sum(CAST(CAST(m.logratio AS VARCHAR)
+                                       AS DECIMAL(38,18))) AS DOUBLE),
+                         6) AS logw6
+            FROM occ o JOIN model m USING (bucket)
+            GROUP BY 1
+        )
+        SELECT doc_id, n_feats, logw6,
+               row_number() OVER (ORDER BY logw6 DESC, doc_id) AS rank
+        FROM scored s JOIN toks USING (doc_id)
+        WHERE NOT is_t
+        ORDER BY logw6 DESC, doc_id LIMIT 200
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

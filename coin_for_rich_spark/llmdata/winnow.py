@@ -1,0 +1,206 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003) —
+the MOSS-style POSITIONAL overlap tier of the dedup ladder.
+
+Every other near-dup tier in this package treats a document as a SET
+(shingle sets for Jaccard/MinHash/SimHash, one vector for embeddings):
+they answer "are these two documents mostly the same?". Winnowing answers
+the complementary curation question — "do these two documents SHARE A
+PASSAGE?" — with the paper's two guarantees:
+
+- any common token run of at least ``t`` tokens is caught by at least one
+  shared fingerprint (the detection threshold), and
+- no common run shorter than ``k`` tokens (the noise threshold) is ever
+  matched.
+
+The algorithm: hash every token ``k``-gram, slide a window of
+``w = t − k + 1`` consecutive hashes, and in each window select the
+RIGHTMOST minimal hash; the selected (position, hash) pairs — expected
+density 2/(w+1) of all k-grams — are the document's fingerprints. Both
+selection rules (minimum, rightmost tie-break) are load-bearing: they make
+neighbouring windows usually re-select the SAME hash, which is where the
+w-fold row reduction comes from.
+
+Scale posture (100 TB): fingerprint selection is pure per-row column
+algebra inside the scan stage — the corpus-sized relation that leaves the
+scan is the SELECTED fingerprints (w-fold fewer rows than a full k-gram
+posting list), already `(doc, pos, fp)`-shaped. The pair layer is one
+equi-join on the 16-hex-char fingerprint key with a document-frequency cap
+(``max_df``) filtering boilerplate fingerprints BEFORE the join — the same
+hot-key guard discipline as the exact-Jaccard tier's candidate cap: a
+fingerprint shared by thousands of documents (a license header, a
+navigation bar) would otherwise contribute a quadratic blow-up all by
+itself.
+
+Engine-portability: the k-gram hash is the first 16 hex chars of md5 —
+computed identically by Spark and DuckDB — and hashes are compared as
+fixed-width lowercase-hex STRINGS (lexicographic order == numeric order),
+so the DuckDB oracle re-derives the selection bit-for-bit. Two O(len·w)
+per-row passes; the hash array is materialized as a column between them so
+lambda capture re-reads a bound attribute, not the tokenization tree (the
+quadratic-capture trap documented at textstats.token_ngrams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _INTERMEDIATE_CACHES
+from .textstats import token_ngrams, tokenize
+
+# fingerprint = first 16 hex chars of md5 (64 bits): wide enough that a
+# corpus-scale collision is ~birthday(2^64), cheap enough to shuffle
+_FP_HEX = 16
+
+
+def kgram_hashes(text_col: Column | str, k: int) -> Column:
+    """Array of k-gram fingerprint hashes, one per window start (linear
+    build via token_ngrams' zip_with ladder; empty for docs under k
+    tokens)."""
+    toks = tokenize(text_col)
+    return F.transform(
+        token_ngrams(toks, k),
+        lambda g: F.substring(F.md5(g), 1, _FP_HEX),
+    )
+
+
+def _winnow_select(hs_expr: Column, w: int) -> Column:
+    """Winnowing selection over the hash array: for each of the
+    ``max(1, H−w+1)`` windows pick the rightmost-minimal hash, dedupe
+    identical (pos, fp) picks from neighbouring windows.
+
+    The hash array is bound as a LAMBDA VARIABLE (``transform`` over a
+    one-element array) rather than referenced as a projected column:
+    CollapseProject re-inlines a projected expression into every lambda
+    reference, which here re-hashes all n k-grams once per window —
+    O(n²·w) md5 calls per row (measured 80 ms/doc). A lambda variable is
+    a bound value the optimizer cannot substitute into, so the k-gram
+    hashing runs exactly once per row.
+
+    The rightmost tie-break is ``wl − array_position(reverse(s), min(s))``
+    — position of the LAST occurrence of the minimum — written with the
+    exact same formula the DuckDB twin uses so ties (same hash twice in
+    one window, i.e. a repeated k-gram within w tokens) resolve
+    identically."""
+
+    def body(hs: Column) -> Column:
+        H = F.size(hs)
+        nwin = F.greatest(F.lit(1), H - (w - 1))
+        wl = F.least(F.lit(w), H)
+
+        def pick(i: Column) -> Column:
+            s = F.slice(hs, i + 1, wl)
+            minv = F.array_min(s)
+            pos = i + wl - F.array_position(F.reverse(s), minv)
+            return F.struct(pos.cast("long").alias("pos"), minv.alias("fp"))
+
+        return F.when(
+            H > 0,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(0), nwin - 1), pick)
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:long,fp:string>>"))
+
+    return F.get(F.transform(F.array(hs_expr), body), 0)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    t: int = 8,
+) -> DataFrame:
+    """Per-document winnowed fingerprints: (id, pos, fp) with ``pos`` the
+    0-based token index where the selected k-gram starts. Guarantees per
+    the paper: every shared run of ≥ t tokens yields ≥ 1 shared fp; no
+    shared run < k tokens ever matches."""
+    if not (1 <= k <= t):
+        raise ValueError(f"need 1 <= k <= t, got k={k} t={t}")
+    w = t - k + 1
+    staged = docs.select(
+        F.col(id_col),
+        _winnow_select(kgram_hashes(text_col, k), w).alias("__sel"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode("__sel").alias("__f"),
+    ).select(F.col(id_col), F.col("__f.pos").alias("pos"), F.col("__f.fp").alias("fp"))
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    t: int = 8,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` distinct winnowed
+    fingerprints — the candidate passage-overlap relation, with per-doc
+    fingerprint counts carried so callers can turn ``n_shared`` into a
+    containment score without another join.
+
+    ``max_df`` drops fingerprints present in more than that many documents
+    BEFORE the self-join (boilerplate guard): a single corpus-wide
+    fingerprint otherwise contributes ~df²/2 pairs on its own. The dropped
+    mass is boilerplate by definition — exactly what a passage-overlap
+    miner wants to ignore — and the cap is the tier's skew guard at 100 TB
+    (same discipline as the exact-Jaccard candidate cap)."""
+    if not (1 <= k <= t):
+        raise ValueError(f"need 1 <= k <= t, got k={k} t={t}")
+    w = t - k + 1
+    # distinct fps AND the per-doc distinct-fp count both come out of the
+    # per-row selection array — (id, fp, n_fp) is distinct by construction
+    # and carries n_fp on every row, so the pair aggregate reads it back
+    # with min() instead of window-counting or re-joining a per-doc
+    # relation (zero exchanges before the pair join itself)
+    fpd = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    _winnow_select(kgram_hashes(text_col, k), w),
+                    lambda x: x["fp"],
+                )
+            ).alias("__fps"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__fps").alias("n_fp"),
+            F.explode("__fps").alias("fp"),
+        )
+        # fp-keyed shuffle + persist: the relation has FOUR consumers (the
+        # hot-fp aggregate and both self-join sides, each with its
+        # anti-join guard), and the optimizer's anti-join push-down breaks
+        # the subplan identity exchange-reuse would need — without the
+        # persist the plan re-runs the scan→winnow→explode pipeline four
+        # times. Registered in the dedup tier's cache registry (drained by
+        # release_intermediate_caches once results are materialized). The
+        # persisted relation is the SELECTED fingerprints — w-fold smaller
+        # than the k-gram postings — already partitioned on the join key.
+        .repartition(F.col("fp"))
+        .persist()
+    )
+    _INTERMEDIATE_CACHES.append(fpd)
+    hot = fpd.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > max_df
+    )
+    fpk = fpd.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a, b = fpk.alias("a"), fpk.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("a.n_fp").alias("n_fp_a"),
+            F.min("b.n_fp").alias("n_fp_b"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
