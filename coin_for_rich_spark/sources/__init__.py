@@ -13,6 +13,13 @@ from .bucketing import (
     zorder_key,
     zorder_key_n,
 )
+from .ratelimit import (
+    GCRARateLimiter,
+    RequestWeightManager,
+    SlidingWindowThrottler,
+    binance_weight_manager,
+    gcra_dispatch_schedule,
+)
 from .store import (
     load_rollups,
     materialize_rollups,
@@ -36,6 +43,11 @@ __all__ = [
     "dead_letters",
     "fetch_pages",
     "synthetic_fetcher",
+    "GCRARateLimiter",
+    "RequestWeightManager",
+    "SlidingWindowThrottler",
+    "binance_weight_manager",
+    "gcra_dispatch_schedule",
     "load_rollups",
     "materialize_rollups",
     "prune_time_range",
