@@ -1,3 +1,9 @@
+from .cache import (
+    NO_VALUE,
+    ResultCacheRegion,
+    WouldBlock,
+    orm_cache_get,
+)
 from .reader import read_ohlcvs, route_interval, VALID_INTERVALS
 from .serve import serialize_candles, to_json_rows
 
@@ -7,4 +13,8 @@ __all__ = [
     "VALID_INTERVALS",
     "serialize_candles",
     "to_json_rows",
+    "NO_VALUE",
+    "ResultCacheRegion",
+    "WouldBlock",
+    "orm_cache_get",
 ]
