@@ -2065,6 +2065,137 @@ def _dsir_select_oracle_sql() -> str:
     """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # pytest-twin coverage this round (tests/test_semdedup.py); future
+    # rotation-fuel candidate once a queue slot frees (≤2 discipline)
+    """SemDeDup — semantic dedup in embedding space (Abbas et al. 2023;
+    llmdata/semdedup.py): hash-ranked centroids (k=8), per-vector cell
+    assignment + centroid cosine on the INT8 code tier (every dot an
+    exact integer — the embed_neardup convention), ascending-centroid-
+    cosine keep ranking, and within-cell dominance at tau=0.45 via the
+    blocked-GEMM pair kernel. The oracle re-derives ALL of it: the XXH64
+    closed form ranks the same centroid ids, the same clamped/unclamped
+    norm split reproduces every cosine, and the keep flag is the same
+    EXISTS over higher-ranked same-cell neighbours."""
+    from coin_for_rich_spark.llmdata.semdedup import semdedup
+
+    return semdedup(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, tau=0.45
+    )
+
+
+def _semdedup_oracle_sql(n_clusters: int = 8, tau: float = 0.45) -> str:
+    """DuckDB twin of ``q_semdedup`` — full value re-derivation: int8
+    codes (embed_neardup's quantize arithmetic), centroid ids via the
+    XXH64-of-bigint closed form (hashLong(vec_id, 42), the same chain the
+    epoch-shuffle twin pins), assignment cosine with the CLAMPED row norm
+    (`_nearest_centroid_expr`'s 1e-150 guard) and python-`or` centroid
+    norm fallback, pair cosine with UNCLAMPED norms (the verify fold),
+    and the rank/dominance relations."""
+    init = (42 + _XXH_P5 + 8) & _U64
+    fmix = [
+        _u64_mix(33),
+        _u64_mul(_XXH_P2),
+        _u64_mix(29),
+        _u64_mul(_XXH_P3),
+        _u64_mix(32),
+    ]
+    steps = [
+        _u64_mul(_XXH_P2),
+        _u64_rotl(31),
+        _u64_mul(_XXH_P1),
+        f"xor({init}::UBIGINT, v)",
+        _u64_rotl(27),
+        _u64_mul(_XXH_P1),
+        _u64_add(_XXH_P4),
+        *fmix,
+    ]
+    ctes = [
+        "x0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS v FROM embeddings)"
+    ]
+    for i, expr in enumerate(steps, 1):
+        ctes.append(f"x{i} AS (SELECT vec_id, {expr} AS v FROM x{i - 1})")
+    xxh = ",\n            ".join(ctes)
+    return f"""
+        WITH {xxh},
+        hord AS (
+            SELECT vec_id,
+                   CASE WHEN v >= 9223372036854775808::UBIGINT
+                        THEN (v::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                        ELSE v::BIGINT END AS ord
+            FROM x{len(steps)}
+        ),
+        q AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v0,
+                   greatest(list_max(list_transform(
+                       embedding::DOUBLE[], x -> abs(x))) / 127.0,
+                       1e-30) AS scale
+            FROM embeddings
+        ),
+        e AS (
+            SELECT vec_id,
+                   list_transform(v0, x ->
+                       CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE))
+                       AS v
+            FROM q
+        ),
+        n AS (
+            SELECT vec_id, v,
+                   sqrt(list_dot_product(v, v)) AS nrm,
+                   greatest(sqrt(list_dot_product(v, v)), 1e-150) AS nrmc
+            FROM e
+        ),
+        cent AS (
+            SELECT row_number() OVER (ORDER BY h.ord, h.vec_id) - 1 AS cid,
+                   n.v AS cv,
+                   CASE WHEN sqrt(list_dot_product(n.v, n.v)) = 0
+                        THEN 1e-150
+                        ELSE sqrt(list_dot_product(n.v, n.v)) END AS cnorm
+            FROM hord h JOIN n ON n.vec_id = h.vec_id
+            ORDER BY h.ord, h.vec_id LIMIT {n_clusters}
+        ),
+        assign AS (
+            SELECT n.vec_id, c.cid,
+                   list_dot_product(n.v, c.cv) / (n.nrmc * c.cnorm) AS cos
+            FROM n CROSS JOIN cent c
+        ),
+        best AS (
+            SELECT vec_id, cid AS cell, cos AS cos_centroid
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS brn
+                FROM assign
+            ) WHERE brn = 1
+        ),
+        ranked AS (
+            SELECT vec_id, cell, cos_centroid,
+                   row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY cos_centroid ASC, vec_id ASC) AS rank
+            FROM best
+        ),
+        prs AS (
+            SELECT ra.vec_id AS id_a, rb.vec_id AS id_b,
+                   ra.rank AS rank_a, rb.rank AS rank_b
+            FROM ranked ra
+            JOIN ranked rb ON ra.cell = rb.cell AND ra.vec_id < rb.vec_id
+            JOIN n na ON na.vec_id = ra.vec_id
+            JOIN n nb ON nb.vec_id = rb.vec_id
+            WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+                  >= {tau!r}
+        ),
+        dom AS (
+            SELECT DISTINCT CASE WHEN rank_a < rank_b THEN id_b
+                                 ELSE id_a END AS vec_id
+            FROM prs
+        )
+        SELECT r.vec_id, r.cell,
+               round(r.cos_centroid, 6) AS cos_centroid,
+               r.rank, (d.vec_id IS NULL) AS keep
+        FROM ranked r LEFT JOIN dom d USING (vec_id)
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 
