@@ -2196,6 +2196,79 @@ def _semdedup_oracle_sql(n_clusters: int = 8, tau: float = 0.45) -> str:
     """
 
 
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # pytest-twin coverage this round (tests/test_bloom.py); future
+    # rotation-fuel candidate once a queue slot frees (≤2 discipline)
+    """Bloom-prefilter contamination probe (llmdata/bloom.py): the
+    reference-corpus split (doc_id % 4 = 1) sketches its content keys
+    (md5 of lower(trim(text)) — the content_hash convention) into a
+    64 Kbit / 5-hash Bloom bitmap held as a sparse (word_idx, bits)
+    relation; EVERY document then probes scan-side with no corpus×corpus
+    join. The oracle re-derives the bitmap word-for-word and the
+    membership column bit-for-bit — including the deterministic false
+    positives — because the bit positions are the same md5-prefix hash
+    family as the winnowing/DSIR tiers."""
+    from coin_for_rich_spark.llmdata.bloom import bloom_build, bloom_probe
+    from coin_for_rich_spark.llmdata.dedup import content_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", content_hash("text").alias("ck"))
+    ref = keyed.filter(F.col("doc_id") % 4 == 1)
+    bloom = bloom_build(ref, "ck", n_bits=1 << 16, k=5)
+    return bloom_probe(
+        keyed, bloom, "ck", n_bits=1 << 16, k=5
+    ).select("doc_id", "member")
+
+
+def _bloom_probe_oracle_sql() -> str:
+    """DuckDB twin of ``q_bloom_probe`` — rebuilds the sparse bitmap with
+    the same md5-prefix positions and probes it: the sign-bit word (bit
+    63) computes in HUGEINT and wraps by 2⁶⁴ to match Java's shiftleft;
+    NULL content keys probe False through the same coalesce path."""
+    return r"""
+        WITH keyed AS (
+            SELECT doc_id, md5(lower(trim(text))) AS ck FROM documents
+        ),
+        ins AS (
+            SELECT DISTINCT ck FROM keyed
+            WHERE doc_id % 4 = 1 AND ck IS NOT NULL
+        ),
+        ipos AS (
+            SELECT ('0x' || substr(md5(ck || ':' || i), 1, 15))::BIGINT
+                       % 65536 AS pos
+            FROM ins, range(5) t(i)
+        ),
+        words AS (
+            SELECT pos // 64 AS word_idx,
+                   bit_or(CASE WHEN pos % 64 = 63
+                          THEN ((1::HUGEINT << 63)
+                                - 18446744073709551616::HUGEINT)::BIGINT
+                          ELSE (1::HUGEINT << (pos % 64))::BIGINT
+                          END) AS bits
+            FROM ipos GROUP BY 1
+        ),
+        qpos AS (
+            SELECT k.doc_id,
+                   ('0x' || substr(md5(k.ck || ':' || i), 1, 15))::BIGINT
+                       % 65536 AS pos
+            FROM keyed k, range(5) t(i)
+        ),
+        hits AS (
+            SELECT q.doc_id,
+                   coalesce(
+                       (w.bits & (CASE WHEN q.pos % 64 = 63
+                                  THEN ((1::HUGEINT << 63)
+                                        - 18446744073709551616::HUGEINT)::BIGINT
+                                  ELSE (1::HUGEINT << (q.pos % 64))::BIGINT
+                                  END)) != 0,
+                       false) AS hit
+            FROM qpos q LEFT JOIN words w ON w.word_idx = q.pos // 64
+        )
+        SELECT doc_id, coalesce(bool_and(hit), false) AS member
+        FROM hits GROUP BY doc_id
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 
