@@ -1,0 +1,80 @@
+"""Scale measurement for the round-14 expansion operators.
+
+Runs the four new oracle-checked operators (winnow_overlap, dsir_select,
+semdedup, bloom_probe) at the generated sf1 text scale (documents ×10 of
+sf0.1; embeddings as generated) and at sf0.1, min-of-N walls with the
+standard settle guard and host-probe bracketing, and records per-query
+rows so the decade ratios are interpretable. Artifact:
+``.scale/R14_NEWOPS_SCALE.json``.
+
+Run: ``python scripts/newops_scale.py [--runs N]`` (sf1 dir must exist —
+``scripts/scale_gate.py`` / ``sf1_data.ensure_sf1`` builds it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from coin_for_rich_spark.session import get_spark  # noqa: E402
+from coin_for_rich_spark.llmdata.dedup import (  # noqa: E402
+    release_intermediate_caches,
+)
+from scripts.host_probe import probe  # noqa: E402
+from scripts.measure import settle  # noqa: E402
+
+QUERIES = {
+    "winnow_overlap": entry_mod.q_winnow_overlap,
+    "dsir_select": entry_mod.q_dsir_select,
+    "semdedup": entry_mod.q_semdedup,
+    "bloom_probe": entry_mod.q_bloom_probe,
+}
+
+
+def main() -> int:
+    runs = 3
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    sf1 = os.path.join(REPO, ".scale", "sf1")
+    dirs = {"sf0.1": "/root/testdata/sf0.1"}
+    if os.path.isdir(sf1):
+        dirs["sf1"] = sf1
+    else:
+        print(f"sf1 dir missing ({sf1}) — measuring sf0.1 only", file=sys.stderr)
+    spark = get_spark("newops-scale")
+    out: dict = {"runs": runs, "probe_pre": probe(spark, tag="newops_pre")}
+    for tag, d in dirs.items():
+        for name, fn in QUERIES.items():
+            waited = settle()
+            walls, rows = [], None
+            for _ in range(runs):
+                t0 = time.monotonic()
+                rows = fn(spark, d).count()
+                walls.append(round(time.monotonic() - t0, 3))
+                release_intermediate_caches()
+            out[f"{tag}:{name}"] = {
+                "rows": rows,
+                "walls": walls,
+                "min_wall": min(walls),
+                "settle_waited_s": waited,
+                "loadavg": round(os.getloadavg()[0], 2),
+            }
+            print(json.dumps({f"{tag}:{name}": out[f"{tag}:{name}"]}),
+                  file=sys.stderr)
+    out["probe_post"] = probe(spark, tag="newops_post")
+    path = os.path.join(REPO, ".scale", "R14_NEWOPS_SCALE.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"json": path}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
