@@ -41,12 +41,19 @@ def main() -> int:
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
-    sf1 = os.path.join(REPO, ".scale", "sf1")
-    dirs = {"sf0.1": "/root/testdata/sf0.1"}
-    if os.path.isdir(sf1):
-        dirs["sf1"] = sf1
+    explicit = [a for a in sys.argv[1:] if "=" in a]
+    if explicit:  # e.g. sf10=/root/repo/.scale/sf10 — measure only these
+        dirs = dict(a.split("=", 1) for a in explicit)
     else:
-        print(f"sf1 dir missing ({sf1}) — measuring sf0.1 only", file=sys.stderr)
+        sf1 = os.path.join(REPO, ".scale", "sf1")
+        dirs = {"sf0.1": "/root/testdata/sf0.1"}
+        if os.path.isdir(sf1):
+            dirs["sf1"] = sf1
+        else:
+            print(
+                f"sf1 dir missing ({sf1}) — measuring sf0.1 only",
+                file=sys.stderr,
+            )
     spark = get_spark("newops-scale")
     out: dict = {"runs": runs, "probe_pre": probe(spark, tag="newops_pre")}
     for tag, d in dirs.items():
@@ -68,7 +75,8 @@ def main() -> int:
             print(json.dumps({f"{tag}:{name}": out[f"{tag}:{name}"]}),
                   file=sys.stderr)
     out["probe_post"] = probe(spark, tag="newops_post")
-    path = os.path.join(REPO, ".scale", "R14_NEWOPS_SCALE.json")
+    suffix = "_" + "_".join(sorted(dirs)).upper().replace(".", "") if explicit else ""
+    path = os.path.join(REPO, ".scale", f"R14_NEWOPS_SCALE{suffix}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"json": path}))
