@@ -30,23 +30,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import md5_bucket, md5_bucket_sql
+
 __all__ = ["bloom_build", "bloom_probe", "bloom_positions"]
 
 
 def bloom_positions(item: Column | str, n_bits: int, k: int) -> Column:
-    """Array of the item's ``k`` bit positions in [0, n_bits) — md5-prefix
-    hashes of ``item:i``, identical in Spark and DuckDB."""
+    """Array of the item's ``k`` bit positions in [0, n_bits) — the shared
+    md5-prefix family (llmdata/hashing.py) over ``item:i`` salts,
+    identical in Spark and DuckDB."""
     c = F.col(item) if isinstance(item, str) else item
     return F.array(
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(c, F.lit(f":{i}"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-            % n_bits
-            for i in range(k)
-        ]
+        *[md5_bucket(F.concat(c, F.lit(f":{i}")), n_bits) for i in range(k)]
     )
 
 
@@ -94,25 +89,32 @@ def bloom_probe(
     """Annotate ``queries`` with a ``member`` boolean: True iff all k of
     the item's bits are set (no false negatives by construction; false
     positives at the standard (1−e^{−kn/m})^k rate go to the exact
-    verifier). The bitmap broadcasts (≤ n_bits/64 rows); each query row
-    probes via k exploded positions and a ``bool_and`` re-aggregate —
-    scan-side work only, no corpus×corpus join. NULL items probe False."""
+    verifier). NULL items probe False.
+
+    The sparse bitmap relation COLLECTS into a dense ``n_bits/64``-long
+    array literal (a bounded ≤1024-longs-at-64Kbit collect — index
+    metadata, same budget class as the k-means centroids) and the probe
+    is then pure per-row column algebra over it: ``forall`` of the k
+    positions against ``get(bitmap, pos>>6)``. Zero joins, zero shuffles,
+    zero re-aggregation — an earlier explode+regroup draft k-plicated the
+    full query row through a shuffle AND collapsed duplicate query rows
+    (groupBy over all columns), which is wrong for the duplicate-heavy
+    corpora this probe exists to scan; the literal-bitmap probe preserves
+    input cardinality exactly."""
     _validate(n_bits, k)
-    occ = queries.select(
-        "*", F.posexplode(bloom_positions(item_col, n_bits, k)).alias("_i", "_pos")
+    words = {int(r["word_idx"]): int(r["bits"]) for r in bloom.collect()}
+    dense = [words.get(i, 0) for i in range(n_bits // 64)]
+    # SQL text rather than python combinators: the probe's bit test needs
+    # an expression-valued shift count, which SQL shiftleft accepts but
+    # the pyspark wrapper restricts to literals
+    arr_sql = "array(" + ", ".join(f"{w}L" for w in dense) + ")"
+    pos_sql = ", ".join(
+        md5_bucket_sql(f"concat(`{item_col}`, ':{i}')", n_bits)
+        for i in range(k)
     )
-    probed = (
-        occ.withColumn("_word_idx", (F.col("_pos") / 64).cast("long"))
-        .withColumn("_mask", F.expr("shiftleft(1L, cast(_pos % 64 as int))"))
-        .join(F.broadcast(bloom), F.col("_word_idx") == F.col("word_idx"), "left")
-        .withColumn(
-            "_hit",
-            F.coalesce(
-                (F.col("bits").bitwiseAND(F.col("_mask")) != 0), F.lit(False)
-            ),
-        )
+    hit_sql = (
+        f"coalesce(forall(array({pos_sql}), p -> "
+        f"(get({arr_sql}, cast(p div 64 as int)) & "
+        f"shiftleft(1L, cast(p % 64 as int))) != 0), false)"
     )
-    group_cols = queries.columns
-    return probed.groupBy(*group_cols).agg(
-        F.expr("bool_and(_hit)").alias(out_col)
-    )
+    return queries.withColumn(out_col, F.expr(hit_sql))

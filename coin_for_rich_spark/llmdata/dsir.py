@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import md5_bucket
 from .textstats import token_ngrams, tokenize
 
 
@@ -42,14 +43,11 @@ def hashed_gram_buckets(
     text_col: Column | str, n_buckets: int = 4096
 ) -> Column:
     """Array of hashed-ngram bucket ids (word unigrams + bigrams), one per
-    occurrence — the DSIR feature map as a single column expression."""
+    occurrence — the DSIR feature map as a single column expression (the
+    shared md5-prefix family, llmdata/hashing.py)."""
     toks = tokenize(text_col)
     grams = F.concat(toks, token_ngrams(toks, 2))
-    return F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-        % n_buckets,
-    )
+    return F.transform(grams, lambda g: md5_bucket(g, n_buckets))
 
 
 def dsir_bucket_model(

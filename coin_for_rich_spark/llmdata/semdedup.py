@@ -45,6 +45,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _INTERMEDIATE_CACHES
 from .similarity import (
     _MAX_SQL_LITERALS,
     _dot_sql,
@@ -128,10 +129,20 @@ def semdedup(
     the whole pass closed-form re-derivable by the DuckDB twin."""
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
-    codes = quantize_embeddings(embeddings, id_col, vec_col).select(
-        F.col(id_col),
-        F.transform("qvec", lambda q: q.cast("double")).alias("v"),
+    # persist: the code relation has THREE consumers (the eager centroid
+    # collect, the rank branch, and the GEMM pair kernel's candidate +
+    # verify sides) — without it the quantize pipeline re-scans the
+    # corpus per consumer (same registry/release discipline as the
+    # winnowing tier's shared fingerprint relation)
+    codes = (
+        quantize_embeddings(embeddings, id_col, vec_col)
+        .select(
+            F.col(id_col),
+            F.transform("qvec", lambda q: q.cast("double")).alias("v"),
+        )
+        .persist()
     )
+    _INTERMEDIATE_CACHES.append(codes)
     cents = (
         [list(map(float, c)) for c in centroids]
         if centroids is not None

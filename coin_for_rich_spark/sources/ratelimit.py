@@ -96,19 +96,27 @@ class SlidingWindowThrottler:
     timestamps lie within the trailing ``period`` seconds.
 
     The reference keeps the admission timestamps in a Redis list, pops
-    entries STRICTLY older than ``period`` from the head on every
-    acquire, and polls at a fixed ``retry_interval`` when full; the twin
-    keeps the same list and reports the EXACT earliest admission instant
-    instead of a poll hint (``head + period`` — the moment the oldest
-    entry ages out; the reference's poll loop admits at the first tick
-    after that same instant, so the admission ORDER is identical)."""
+    entries older than ``period`` from the head on every acquire, and
+    polls at a fixed ``retry_interval`` when full; the twin keeps the
+    same list and reports the EXACT earliest admission instant instead
+    of a poll hint (``head + period`` — the moment the oldest entry ages
+    out; the reference's poll loop admits at the first tick after that
+    same instant, so the admission ORDER is identical).
+
+    Boundary note: the reference evicts with strict ``>`` against a
+    real-valued wall clock, where landing exactly ON the boundary has
+    measure zero; a deterministic twin that kept ``>`` would deny a
+    caller retrying at exactly the hinted instant forever (a zero-wait
+    livelock). The twin evicts with ``>=`` so ``check(now + retry_after)``
+    always admits — the same now-≥-boundary contract the GCRA limiter
+    (and dogpile's soft expiry) already use."""
 
     rate_limit: int
     period: float
     _window: deque = field(default_factory=deque, repr=False)
 
     def check(self, now: float) -> tuple[bool, float | None]:
-        while self._window and now - self._window[0] > self.period:
+        while self._window and now - self._window[0] >= self.period:
             self._window.popleft()
         if len(self._window) < self.rate_limit:
             self._window.append(now)
@@ -130,10 +138,15 @@ class RequestWeightManager:
     a window STRICTLY older than ``period`` resets both keys.
 
     Note the reference semantics kept deliberately: the window resets
-    lazily (only when a request arrives after expiry), a single request
-    heavier than the full budget waits forever (the reference would too —
-    pinned as the pathological case), and the reset compares with ``>``
-    not ``>=``."""
+    lazily (only when a request arrives after expiry) and a single
+    request heavier than the full budget waits forever (the reference
+    would too — pinned as the pathological case). One deliberate
+    divergence: the reference resets with strict ``>`` against a
+    real-valued wall clock; the deterministic twin resets with ``>=`` so
+    a caller sleeping exactly the reported ``retry_after``
+    (``period − (now − window_start)``, the reference's own hint) is
+    admitted on its retry instead of looping at the boundary forever —
+    the same contract the GCRA limiter uses."""
 
     weight_limit: int
     period: float
@@ -144,7 +157,7 @@ class RequestWeightManager:
         if self._window_start is None:  # SETNX pair
             self._window_start = now
             self._remaining = self.weight_limit
-        if now - self._window_start > self.period:
+        if now - self._window_start >= self.period:
             self._window_start = now
             self._remaining = self.weight_limit
         if self._remaining >= weight:

