@@ -794,7 +794,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r
     return chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
-def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r15
     """A7 — count distinct tuple (select_queries.sql:215-218) per group, with
     the 100 TB fast path declared alongside as an oracle-checkable accuracy
     property: the HLL sketch estimate (approx_count_distinct — one pass,
@@ -892,7 +892,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED r15
     """J2 — left outer join decorating the fact with a dimension
     (aggregations.sql:32-35 analog), aggregated per brand."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1826,10 +1826,9 @@ def _video_keyframes_oracle_sql() -> str:
     """
 
 
-def q_video_keyframes_avc(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
-    # r15 swap-in candidate (rotation discipline: committed + proven this
-    # round, declared no earlier than next — see
-    # _video_keyframes_avc_oracle_sql)
+def q_video_keyframes_avc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECLARED r15 (swap-in for brand_revenue per the rotation discipline:
+    # committed + three-scale-proven in r14, declared r15)
     """Keyframe index over COMPRESSED (avc1) containers (r14 — the
     formula-oracle close of the avc1/avcC leg, previously pytest-only):
     per document-assigned video, a hand-muxed H.264-shaped container —
@@ -1907,10 +1906,10 @@ def _video_keyframes_avc_oracle_sql() -> str:
     """
 
 
-def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
-    # r15 swap-in candidate (rotation discipline: committed + proven this
-    # round, declared no earlier than next — see _winnow_overlap_oracle_sql;
-    # pytest twins: tests/test_winnow.py)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECLARED r15 (swap-in for count_distinct per the rotation discipline:
+    # committed + three-scale-proven in r14, declared r15; pytest twins:
+    # tests/test_winnow.py)
     """Winnowing passage-overlap pairs (Schleimer/Wilkerson/Aiken, SIGMOD
     2003 — the MOSS tier; llmdata/winnow.py): token 4-gram md5 hashes,
     window w = t−k+1 = 5, rightmost-minimal selection, then document pairs
@@ -2904,6 +2903,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # was committed and three-scale-proven in r13 before declaration
         # per the rotation discipline)
         "video_keyframes": q_video_keyframes,
+        # compressed-container keyframe leg (r15 swap-in, brand_revenue →
+        # video_keyframes_avc: the left-outer-decorate J2 family keeps gate
+        # presence through top_customers/region_supplier_volume/top20_other,
+        # and brand_revenue stays pinned hash-exact by tests/
+        # test_operators.py::test_brand_revenue_matches_duckdb_twin; the
+        # avc1/avcC formula oracle was committed + three-scale-proven in
+        # r14 before declaration per the rotation discipline)
+        "video_keyframes_avc": q_video_keyframes_avc,
         # web preprocessing (r13 swap-in, media_decode → web_preprocess:
         # the full encode→bytes→decode codec round trip stays pinned
         # hash-exact by tests/test_codecs.py::test_media_decode_matches_
@@ -2932,6 +2939,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-pair relation both reuse, so each query's bench cost is its
         # own work (the base relation's cost lands on the query that owns it)
         "ngram_jaccard": q_ngram_jaccard,
+        # winnowing passage-overlap (r15 swap-in, count_distinct →
+        # winnow_overlap: A7's exact tuple-distinct + HLL contract stays
+        # pinned hash-exact by tests/test_operators.py::
+        # test_count_distinct_matches_duckdb_twin, and the sketch contract
+        # keeps its own pins in tests/test_sketches.py; winnowing's
+        # full-value twin was committed + three-scale-proven in r14 before
+        # declaration per the rotation discipline — the POSITIONAL
+        # passage-overlap tier had zero gate presence until now)
+        "winnow_overlap": q_winnow_overlap,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         # incremental dedup vs the persisted fingerprint index (r7 swap-in)
@@ -2970,12 +2986,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pk": q_dedup_pk,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
-        # relational core
-        "count_distinct": q_count_distinct,
+        # relational core (count_distinct → winnow_overlap and
+        # brand_revenue → video_keyframes_avc in r15: both rotated-out rows
+        # keep named hash-exact twins in tests/test_operators.py, and their
+        # families keep gate presence — exact distinct through dedup_pk's
+        # tuple dedup + the join/agg rows, J2 left-decorate through
+        # top_customers/region_supplier_volume)
         "props_extract": q_props_extract,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
-        "brand_revenue": q_brand_revenue,
         "region_supplier_volume": q_region_supplier_volume,
         "moving_avg": q_moving_avg,
         # char-LM quality scorer (serve_payload → quality_score in r10:
@@ -3747,6 +3766,38 @@ def _bpe_oracle_sql(n_merges: int, min_pair_count: int) -> str:
     return "WITH " + ",\n        ".join(parts)
 
 
+def _brand_revenue_oracle_sql() -> str:
+    """DuckDB twin of ``q_brand_revenue`` (J2 left-outer decorate) —
+    rotated OUT of the driver gate in r15 (swapped for
+    ``video_keyframes_avc``): executed hash-exact by
+    tests/test_operators.py::test_brand_revenue_matches_duckdb_twin. The
+    J2 family keeps gate presence through top_customers /
+    region_supplier_volume (multi-hop joins over the same fact)."""
+    return f"""
+        SELECT p_brand, CAST({REVENUE_DEC} AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """
+
+
+def _count_distinct_oracle_sql() -> str:
+    """DuckDB twin of ``q_count_distinct`` (A7 exact tuple-distinct +
+    HLL accuracy contract) — rotated OUT of the driver gate in r15
+    (swapped for ``winnow_overlap``): executed hash-exact by
+    tests/test_operators.py::test_count_distinct_matches_duckdb_twin;
+    the sketch contract keeps its own pins in tests/test_sketches.py."""
+    return """
+        SELECT l_returnflag,
+               count(DISTINCT (l_partkey, l_suppkey)) AS n_exact,
+               TRUE AS approx_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """
+
+
 def _gap_detect_oracle_sql() -> str:
     """DuckDB twin of ``q_gap_detect`` (W1) — rotated OUT of the driver
     gate in r13 (swapped for ``stream_rollup_1d``): executed hash-exact
@@ -4139,14 +4190,6 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _span_dedup_oracle_sql(window=8),
         # replays the whole 4-batch ingest protocol from the fingerprint dump
         "corpus_ingest": _corpus_ingest_oracle_sql(),
-        "count_distinct": """
-            SELECT l_returnflag,
-                   count(DISTINCT (l_partkey, l_suppkey)) AS n_exact,
-                   TRUE AS approx_ok
-            FROM lineitem
-            GROUP BY l_returnflag
-            ORDER BY l_returnflag
-        """,
         "props_extract": """
             SELECT event_type,
                    count(*) AS n_rows,
@@ -4181,13 +4224,6 @@ def oracle_sql() -> dict[str, str]:
             FROM rev
             ORDER BY _rev DESC, c_custkey
             LIMIT 10
-        """,
-        "brand_revenue": f"""
-            SELECT p_brand, CAST({REVENUE_DEC} AS DOUBLE) AS revenue,
-                   count(*) AS n_items
-            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
-            GROUP BY p_brand
-            ORDER BY p_brand
         """,
         "region_supplier_volume": f"""
             SELECT n_name,
@@ -4708,6 +4744,14 @@ def oracle_sql() -> dict[str, str]:
         # discipline; the rotated-out embed_knn_join twin lives in
         # _embed_knn_join_oracle_sql, pinned in tests/test_llmdata.py)
         "video_keyframes": _video_keyframes_oracle_sql(),
+        # r15 swap-ins: the avc1/avcC keyframe formula twin and the
+        # winnowing passage-overlap twin (both committed + three-scale-
+        # proven in r14 before declaration per the rotation discipline;
+        # the rotated-out brand_revenue/count_distinct twins live in
+        # _brand_revenue_oracle_sql/_count_distinct_oracle_sql, pinned in
+        # tests/test_operators.py)
+        "video_keyframes_avc": _video_keyframes_avc_oracle_sql(),
+        "winnow_overlap": _winnow_overlap_oracle_sql(),
         # r13 swap-ins: the five-dataset-proven web twin and the daily
         # streamed-conagg twin (both committed + proven one round before
         # declaration per the rotation discipline)

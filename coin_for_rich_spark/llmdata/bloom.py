@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import md5_bucket, md5_bucket_sql
+from .similarity import _MAX_SQL_LITERALS
 
 __all__ = ["bloom_build", "bloom_probe", "bloom_positions"]
 
@@ -92,29 +93,93 @@ def bloom_probe(
     verifier). NULL items probe False.
 
     The sparse bitmap relation COLLECTS into a dense ``n_bits/64``-long
-    array literal (a bounded ≤1024-longs-at-64Kbit collect — index
-    metadata, same budget class as the k-means centroids) and the probe
-    is then pure per-row column algebra over it: ``forall`` of the k
-    positions against ``get(bitmap, pos>>6)``. Zero joins, zero shuffles,
-    zero re-aggregation — an earlier explode+regroup draft k-plicated the
-    full query row through a shuffle AND collapsed duplicate query rows
-    (groupBy over all columns), which is wrong for the duplicate-heavy
-    corpora this probe exists to scan; the literal-bitmap probe preserves
-    input cardinality exactly."""
+    array (bounded — the collect is index metadata, same budget class as
+    the k-means centroids) and the probe is then pure per-row algebra over
+    it. Zero joins, zero shuffles, zero re-aggregation — an earlier
+    explode+regroup draft k-plicated the full query row through a shuffle
+    AND collapsed duplicate query rows (groupBy over all columns), which
+    is wrong for the duplicate-heavy corpora this probe exists to scan;
+    the dense-bitmap probe preserves input cardinality exactly.
+
+    Two physical paths, same rule as every literal-SQL consumer in the
+    package (`similarity._MAX_SQL_LITERALS`): up to the budget the bitmap
+    inlines as a SQL ``array(...)`` literal and the bit test is a codegen'd
+    ``forall``; past it (realistic eval corpora want n_bits ~10⁷–10⁸, a
+    10⁵–10⁶-element literal that would blow Catalyst analysis/codegen) the
+    dense bitmap ships as a numpy broadcast probed in an Arrow
+    ``pandas_udf`` over the SAME JVM-computed k positions — bit-identical
+    output (pinned in tests/test_bloom.py).
+
+    CONTRACT: ``n_bits`` and ``k`` must match the ``bloom_build`` call
+    that produced ``bloom`` — the hash positions are a pure function of
+    (item, i, n_bits), so a mismatched geometry silently probes the wrong
+    bits. A bitmap wider than ``n_bits`` (word_idx out of range) is
+    detected from the collected rows and raises; a mismatched ``k`` is
+    undetectable from the bitmap alone and stays on the caller."""
     _validate(n_bits, k)
+    n_words = n_bits // 64
     words = {int(r["word_idx"]): int(r["bits"]) for r in bloom.collect()}
-    dense = [words.get(i, 0) for i in range(n_bits // 64)]
-    # SQL text rather than python combinators: the probe's bit test needs
-    # an expression-valued shift count, which SQL shiftleft accepts but
-    # the pyspark wrapper restricts to literals
-    arr_sql = "array(" + ", ".join(f"{w}L" for w in dense) + ")"
+    if words and (max(words) >= n_words or min(words) < 0):
+        raise ValueError(
+            f"bloom bitmap has word_idx {max(words)} outside n_bits={n_bits} "
+            f"({n_words} words) — probe geometry must match bloom_build"
+        )
+    dense = [words.get(i, 0) for i in range(n_words)]
     pos_sql = ", ".join(
         md5_bucket_sql(f"concat(`{item_col}`, ':{i}')", n_bits)
         for i in range(k)
     )
+    if n_words > _MAX_SQL_LITERALS:
+        positions = F.when(
+            F.col(item_col).isNotNull(), F.expr(f"array({pos_sql})")
+        )
+        return queries.withColumn(
+            out_col, _probe_udf(dense)(positions)
+        )
+    # SQL text rather than python combinators: the probe's bit test needs
+    # an expression-valued shift count, which SQL shiftleft accepts but
+    # the pyspark wrapper restricts to literals
+    arr_sql = "array(" + ", ".join(f"{w}L" for w in dense) + ")"
     hit_sql = (
         f"coalesce(forall(array({pos_sql}), p -> "
         f"(get({arr_sql}, cast(p div 64 as int)) & "
         f"shiftleft(1L, cast(p % 64 as int))) != 0), false)"
     )
     return queries.withColumn(out_col, F.expr(hit_sql))
+
+
+def _probe_udf(dense: list[int]):
+    """Arrow fallback past the literal budget: the dense bitmap as a
+    numpy uint64 broadcast, bit-tested against the JVM-computed position
+    arrays. Same arithmetic word-for-word as the literal path — the k
+    positions are computed by the identical md5 SQL either way, so the
+    only difference is WHERE the bit test runs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray([w & 0xFFFFFFFFFFFFFFFF for w in dense], dtype=np.uint64)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the hint-based eval-type inference can't resolve 'pd.Series';
+    # the bare pandas_udf defaults to SCALAR (same note as semdedup's
+    # _affinity_udf)
+    @pandas_udf("boolean")
+    def hit(poss):
+        out = []
+        for pos in poss:
+            if pos is None:
+                out.append(False)  # NULL item probes False, as literal path
+                continue
+            p = np.asarray(pos, dtype=np.int64)
+            out.append(
+                bool(
+                    (
+                        (W[p >> 6] >> (p & 63).astype(np.uint64))
+                        & np.uint64(1)
+                    ).all()
+                )
+            )
+        return pd.Series(out, dtype="boolean")
+
+    return hit

@@ -974,6 +974,98 @@ def cross_corpus_contamination(
     )
 
 
+def bloom_prefiltered_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+    exact: bool = True,
+    n_bits: int = 1 << 16,
+    k: int = 5,
+    broadcast_eval: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The Bloom-prefilter → exact-verify decontamination cascade — the
+    composition ``llmdata/bloom.py`` exists for, wired end-to-end.
+
+    Sketch the eval corpus ONCE into an m-bit Bloom filter (shingles plus,
+    when ``exact``, ``'#h:'``-prefixed content hashes — one filter, two
+    namespaces), probe every training document SCAN-SIDE, and run the
+    exact verifier (:func:`cross_corpus_contamination`) only over the
+    Bloom-positive training docs. Because a Bloom filter has no false
+    negatives, every training doc with ≥ ``min_overlap`` shared shingles
+    (or an exact-dup hash) necessarily probes positive on those very
+    items, so the cascade's output is IDENTICAL to running the exact
+    verifier over the whole corpus — pinned in
+    tests/test_llmdata.py::test_bloom_prefilter_cascade_equals_exact.
+    At 100 TB the verifier's shingle
+    join touches only the (tiny) positive slice instead of the full
+    training scan; the probe itself is per-row column algebra with zero
+    joins, and the only shuffle the prefilter adds is the per-doc
+    positive-shingle count (one row per train doc, map-side combined).
+
+    Returns ``(pairs, survivors)``: ``pairs`` is the verified
+    contamination relation (same schema as
+    :func:`cross_corpus_contamination`), ``survivors`` the Bloom-positive
+    (id) relation the verifier was scoped to — callers (and the pin)
+    can count it to SEE that the exact stage touched only positives.
+    """
+    from .bloom import bloom_build, bloom_probe
+
+    e_items = _shingle_index(evalset, text_col, id_col, n).select(
+        F.col("shingle").alias("item")
+    )
+    if exact:
+        e_items = e_items.union(
+            evalset.select(
+                F.concat(F.lit("#h:"), content_hash(text_col)).alias("item")
+            )
+        )
+    bloom = bloom_build(e_items, "item", n_bits=n_bits, k=k)
+    # per-doc positive-shingle count: shingles are distinct per doc by
+    # construction (ngram_shingles array_distincts), so the count of
+    # positive rows IS the distinct positive count, and any (train, eval)
+    # pair sharing >= min_overlap shingles leaves its train doc with >=
+    # min_overlap positives — no pair can be lost at this stage
+    sh_pos = (
+        bloom_probe(
+            _shingle_index(train, text_col, id_col, n),
+            bloom, "shingle", n_bits=n_bits, k=k,
+        )
+        .filter(F.col("member"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("_n_pos"))
+        .filter(F.col("_n_pos") >= min_overlap)
+        .select(F.col("doc").alias(id_col))
+    )
+    survivors = sh_pos
+    if exact:
+        h_pos = (
+            bloom_probe(
+                train.select(
+                    F.col(id_col),
+                    F.concat(F.lit("#h:"), content_hash(text_col)).alias("_i"),
+                ),
+                bloom, "_i", n_bits=n_bits, k=k,
+            )
+            .filter(F.col("member"))
+            .select(id_col)
+        )
+        survivors = sh_pos.union(h_pos).distinct()
+    pairs = cross_corpus_contamination(
+        train.join(survivors, id_col, "semi"),
+        evalset,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        min_overlap=min_overlap,
+        exact=exact,
+        broadcast_eval=broadcast_eval,
+    )
+    return pairs, survivors
+
+
 def pick_canonical(
     clusters: DataFrame,
     docs: DataFrame,

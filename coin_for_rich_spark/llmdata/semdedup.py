@@ -31,11 +31,12 @@ like the near-dup verify fold.
 Scale posture: assignment + centroid-cosine is per-row column algebra
 against k literal centroids (Arrow-UDF fallback past the literal budget,
 same rule as IVF); the rank window shuffles by cell; candidate pairs come
-from the blocked-GEMM kernel (BLAS flops, no all-pairs rows) and only
-same-cell pairs survive into the dominance test. At 100 TB, k grows with
-the corpus (the paper uses ~100k clusters) and the GEMM grid can be
-scoped per cell — the candidate stage is the pluggable part, the
-keep-rule relation is fixed.
+from the CELL-SCOPED blocked-GEMM kernel — ``embedding_neardup_pairs(...,
+block_col="cell")`` groups the block-pair grid on (cell, bi, bj), so
+cross-cell pairs are never computed and dominance flops are Σ(cell²)
+instead of n². That is the paper's entire scaling claim: at 100 TB, k
+grows with the corpus (the paper uses ~100k clusters) and per-cell cost
+stays bounded; the grid auto-sizes from the LARGEST cell, not the corpus.
 """
 
 from __future__ import annotations
@@ -161,44 +162,44 @@ def semdedup(
         aff = _affinity_udf(cents)(F.col("v"))
     else:
         aff = _affinity_expr("v", cents)
-    ranked = (
-        codes.select(F.col(id_col), F.col("v"), aff.alias("_a"))
-        .select(
-            F.col(id_col),
-            F.col("_a.cid").alias("cell"),
-            (-F.col("_a.negcos")).alias("cos_centroid"),
-        )
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("cell").orderBy(
-                    F.col("cos_centroid").asc(), F.col(id_col).asc()
-                )
-            ),
-        )
+    # assign ONCE, persist: the (id, v, cell) relation feeds both the rank
+    # window and the cell-scoped pair kernel — without the persist, the
+    # affinity expression (k·dims flops per row) re-evaluates per consumer
+    assigned = codes.select(F.col(id_col), F.col("v"), aff.alias("_a")).select(
+        F.col(id_col),
+        F.col("v"),
+        F.col("_a.cid").alias("cell"),
+        (-F.col("_a.negcos")).alias("cos_centroid"),
+    ).persist()
+    _INTERMEDIATE_CACHES.append(assigned)
+    ranked = assigned.select(id_col, "cell", "cos_centroid").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("cell").orderBy(
+                F.col("cos_centroid").asc(), F.col(id_col).asc()
+            )
+        ),
     )
+    # CELL-SCOPED pair kernel (the paper's scaling argument made real):
+    # block_col="cell" groups the blocked-GEMM grid on (cell, bi, bj), so
+    # cross-cell pairs are never computed and dominance flops are Σ(cell²),
+    # not n² — pinned in tests/test_semdedup.py (plan key includes `cell`,
+    # and a planted cross-cell near-pair never reaches the candidates)
     pairs = embedding_neardup_pairs(
-        codes, threshold=tau, id_col=id_col, vec_col="v", method="exact"
+        assigned.select(id_col, "v", "cell"),
+        threshold=tau,
+        id_col=id_col,
+        vec_col="v",
+        method="exact",
+        block_col="cell",
     )
-    meta = ranked.select(F.col(id_col), "cell", "rank")
-    p = (
-        pairs.join(
-            meta.select(
-                F.col(id_col).alias("id_a"),
-                F.col("cell").alias("_cell_a"),
-                F.col("rank").alias("_rank_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            meta.select(
-                F.col(id_col).alias("id_b"),
-                F.col("cell").alias("_cell_b"),
-                F.col("rank").alias("_rank_b"),
-            ),
-            "id_b",
-        )
-        .filter(F.col("_cell_a") == F.col("_cell_b"))
+    meta = ranked.select(F.col(id_col), "rank")
+    p = pairs.join(
+        meta.select(F.col(id_col).alias("id_a"), F.col("rank").alias("_rank_a")),
+        "id_a",
+    ).join(
+        meta.select(F.col(id_col).alias("id_b"), F.col("rank").alias("_rank_b")),
+        "id_b",
     )
     dominated = p.select(
         F.when(F.col("_rank_a") < F.col("_rank_b"), F.col("id_b"))

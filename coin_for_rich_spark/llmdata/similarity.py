@@ -254,9 +254,17 @@ def embedding_neardup_pairs(
     method: str = "exact",
     n_planes: int = 4,
     dims: int | None = None,
+    block_col: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine near-duplicate detection (id_a < id_b, cos ≥ t) —
     the embedding tier of the dedup ladder (llmdata.dedup).
+
+    ``block_col`` names a column of ``embeddings`` that scopes the pair
+    space: only same-key pairs are ever CONSIDERED (not merely filtered
+    after the fact). For the exact method the blocked-GEMM grid groups on
+    (key, bi, bj) so flops scale with Σ(key²) instead of n² — this is what
+    makes SemDeDup's cluster step pay for itself at 10⁹ vectors; for LSH
+    the key joins alongside the bucket.
 
     - ``method='exact'`` — exact recall via the blocked-GEMM grid
       (``_gemm_candidates``): distributed block-pair matrix products, no
@@ -271,6 +279,7 @@ def embedding_neardup_pairs(
     """
     v = _as_double(F.col(vec_col))
     base = embeddings.select(
+        *([F.col(block_col).alias("_bk")] if block_col is not None else []),
         F.col(id_col).alias("id"),
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("norm"),
@@ -294,12 +303,16 @@ def embedding_neardup_pairs(
             bucket_col = bucket_of("v", planes)
         base = base.withColumn("_bucket", bucket_col)
         cond = (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a.id") < F.col("b.id"))
+        if block_col is not None:
+            cond = cond & (F.col("a._bk") == F.col("b._bk"))
         a, b = base.alias("a"), base.alias("b")
         cand = a.join(b, cond).select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
     else:
-        cand = _gemm_candidates(embeddings, threshold, id_col, vec_col)
+        cand = _gemm_candidates(
+            embeddings, threshold, id_col, vec_col, block_col=block_col
+        )
     # exact verify: the same sequential fold both engines run — candidate
     # generation (GEMM or LSH) only proposes pairs, never decides them
     av = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
@@ -503,22 +516,42 @@ def _gemm_grid(
     vec_col: str,
     n_blocks: int | None,
     block_budget_bytes: int,
+    block_col: str | None = None,
 ) -> DataFrame:
     """The shared blocked-GEMM grid relation: every vector replicated to
     each block pair it participates in, tagged (bi, bj, side). Auto-sizes
     the grid from (count, dims, parallelism) when ``n_blocks`` is None —
-    see :func:`_gemm_candidates` for the full sizing rationale."""
+    see :func:`_gemm_candidates` for the full sizing rationale.
+
+    With ``block_col``, the grid is CELL-SCOPED: the key column is carried
+    through as ``_bk`` so the kernel groups on (cell, bi, bj) and no
+    cross-cell block pair ever forms. Sizing then uses the LARGEST cell's
+    row count, not the corpus count — a grid sized for n rows would force
+    n·B replication when each group only ever holds one cell's slice."""
     if n_blocks is None:
         # (count, dims) only: the count prunes every column (an upstream
         # computed vector — e.g. the int8 quantize transform — must NOT be
         # evaluated corpus-wide just to size the grid), and dims comes from
         # a single row
-        n = embeddings.count()
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        if block_col is not None:
+            stats = (
+                embeddings.groupBy(block_col)
+                .count()
+                .agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("k"))
+                .first()
+            )
+            n = int(stats["mx"] or 0)
+            # each cell contributes its own B(B+1)/2 groups, so the
+            # parallelism floor is shared across cells
+            par = max(1, math.ceil(par / max(1, int(stats["k"] or 1))))
+        else:
+            n = embeddings.count()
         first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
         n_blocks = _gemm_grid_size(
             n,
             (first["d"] if first is not None else 0) or 0,
-            embeddings.sparkSession.sparkContext.defaultParallelism,
+            par,
             block_budget_bytes,
         )
     grid = F.array(
@@ -530,14 +563,23 @@ def _gemm_grid(
             for q in range(n_blocks)
         ]
     )
+    key_cols = [F.col(block_col).alias("_bk")] if block_col is not None else []
     return (
         embeddings.select(
+            *key_cols,
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
         )
-        .select("id", "v", "_blk", F.explode(grid).alias("_cell"))
         .select(
+            *(["_bk"] if block_col is not None else []),
+            "id",
+            "v",
+            "_blk",
+            F.explode(grid).alias("_cell"),
+        )
+        .select(
+            *(["_bk"] if block_col is not None else []),
             "id",
             "v",
             F.col("_cell.bi").alias("bi"),
@@ -556,6 +598,7 @@ def _gemm_candidates(
     vec_col: str,
     n_blocks: int | None = None,
     block_budget_bytes: int = 1 << 30,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Exact-recall candidate pairs via blocked BLAS matrix products — fully
     distributed, nothing collected to the driver.
@@ -589,14 +632,23 @@ def _gemm_candidates(
     so the budget genuinely bounds the group footprint. Auto-sizing yields
     the same exact result set at every scale because B and the strip size
     only partition the computation, never the semantics.
+
+    ``block_col`` CELL-SCOPES the grid (SemDeDup's contract): the kernel
+    groups on (cell, bi, bj), so pairs can only form between same-cell
+    vectors and total flops scale with Σ(cell²) instead of n². Sizing
+    switches to the largest cell (see :func:`_gemm_grid`).
     """
     eps = 1e-9
-    exploded = _gemm_grid(embeddings, id_col, vec_col, n_blocks, block_budget_bytes)
+    exploded = _gemm_grid(
+        embeddings, id_col, vec_col, n_blocks, block_budget_bytes, block_col
+    )
 
     _norm_rows = _normed_rows
 
     def kernel(key, pdf):
-        diagonal = key[0] == key[1]
+        # grid coordinates are always the LAST two key fields — a leading
+        # block_col key shifts them right by one
+        diagonal = key[-2] == key[-1]
         a = pdf[pdf["side"] == "a"]
         if len(a) == 0:
             return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
@@ -635,7 +687,8 @@ def _gemm_candidates(
             }
         )
 
-    return exploded.groupBy("bi", "bj").applyInPandas(
+    keys = (["_bk"] if block_col is not None else []) + ["bi", "bj"]
+    return exploded.groupBy(*keys).applyInPandas(
         kernel, schema="id_a long, id_b long"
     )
 

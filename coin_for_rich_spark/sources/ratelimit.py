@@ -115,6 +115,15 @@ class SlidingWindowThrottler:
     period: float
     _window: deque = field(default_factory=deque, repr=False)
 
+    def __post_init__(self) -> None:
+        # mirror GCRARateLimiter: a rate_limit < 1 would fall through the
+        # capacity check onto an empty deque (IndexError, not a contract)
+        if self.rate_limit < 1 or self.period <= 0:
+            raise ValueError(
+                f"need rate_limit >= 1 and period > 0, got "
+                f"{self.rate_limit}/{self.period}"
+            )
+
     def check(self, now: float) -> tuple[bool, float | None]:
         while self._window and now - self._window[0] >= self.period:
             self._window.popleft()

@@ -549,6 +549,57 @@ def test_cross_corpus_contamination(spark):
     assert all(tid != 2 and eid != 101 for tid, eid in got)
 
 
+def test_bloom_prefilter_cascade_equals_exact(spark):
+    """The r14 VERDICT ask #7 pin: the Bloom-prefilter → exact-verify
+    cascade over planted contamination returns EXACTLY the exact-only
+    verifier's pairs (no false negatives by construction), and the
+    survivor relation shows the verifier touched only Bloom positives —
+    a strict subset of the training corpus."""
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata import cross_corpus_contamination
+    from coin_for_rich_spark.llmdata.dedup import (
+        bloom_prefiltered_contamination,
+    )
+
+    # 2 contaminated docs (one exact copy, one passage overlap) buried in
+    # 40 clean ones — the shape the cascade exists for
+    rows = [
+        Row(doc_id=1, text="the held out benchmark asks what color the sky is"),
+        Row(doc_id=2, text="students wondered what color the sky is at dusk exactly"),
+    ] + [
+        Row(doc_id=100 + i, text=f"clean training paragraph number {i} about topic {i * 7}")
+        for i in range(40)
+    ]
+    train = spark.createDataFrame(rows)
+    evalset = spark.createDataFrame(
+        [
+            Row(doc_id=900, text="The held out benchmark asks what color the sky is".lower()),
+            Row(doc_id=901, text="another benchmark nobody leaked anywhere at all"),
+        ]
+    )
+    exact_pairs = {
+        (r.train_id, r.eval_id, r.exact_dup, r.n_shared_shingles)
+        for r in cross_corpus_contamination(
+            train, evalset, min_overlap=2
+        ).collect()
+    }
+    pairs_df, survivors = bloom_prefiltered_contamination(
+        train, evalset, min_overlap=2
+    )
+    cascade_pairs = {
+        (r.train_id, r.eval_id, r.exact_dup, r.n_shared_shingles)
+        for r in pairs_df.collect()
+    }
+    assert cascade_pairs == exact_pairs and len(cascade_pairs) >= 2
+    # the scan-scope evidence: the exact verifier saw ONLY Bloom positives
+    surv_ids = {r[0] for r in survivors.collect()}
+    assert {1, 2} <= surv_ids                 # contamination never filtered
+    assert len(surv_ids) < train.count()      # but the scan DID shrink
+    # and at default FPR virtually all clean docs are gone
+    assert len(surv_ids) <= 10, surv_ids
+
+
 def test_quantize_round_trip_error_bound(spark, sf_dir):
     """int8 quantize→dequantize reconstruction error is ≤ scale/2 per
     component, and quantized-corpus kNN agrees with float kNN on top-1."""

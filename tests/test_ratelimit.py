@@ -79,6 +79,18 @@ def test_gcra_rejects_invalid_params():
 # ------------------------------------------------- sliding-window throttler
 
 
+def test_throttler_rejects_invalid_params():
+    """Mirror of GCRA's validation: rate_limit < 1 would fall through the
+    capacity check onto an empty deque (IndexError) instead of a clear
+    contract error."""
+    with pytest.raises(ValueError):
+        SlidingWindowThrottler(rate_limit=0, period=10.0)
+    with pytest.raises(ValueError):
+        SlidingWindowThrottler(rate_limit=3, period=0.0)
+    with pytest.raises(ValueError):
+        SlidingWindowThrottler(rate_limit=-1, period=-5.0)
+
+
 def test_throttler_window_slides():
     th = SlidingWindowThrottler(rate_limit=3, period=10.0)
     for t in (0.0, 1.0, 2.0):

@@ -107,6 +107,62 @@ def test_affinity_udf_matches_expr_path(spark, sf_dir):
         assert ra["negcos"] == rb["negcos"]
 
 
+def test_semdedup_pair_kernel_is_cell_scoped_in_plan(spark):
+    """The r14 verdict's `weak` finding, closed: the pair kernel's
+    FlatMapGroupsInPandas grid key must INCLUDE the cell column — the
+    corpus-global (bi, bj) grid filtered to same-cell pairs afterwards is
+    exactly the plan this pin forbids."""
+    from coin_for_rich_spark.llmdata.similarity import _gemm_candidates
+
+    rows = [(i, [float(i), 1.0, 0.0], i % 3) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, v array<double>, cell int"
+    )
+    cand = _gemm_candidates(df, 0.9, "vec_id", "v", block_col="cell")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    grouped = plan.split("FlatMapGroupsInPandas")[1].splitlines()[0]
+    assert "_bk" in grouped, grouped  # cell key IS part of the grid key
+    assert "bi" in grouped and "bj" in grouped, grouped
+
+
+def test_semdedup_cross_cell_pairs_never_generated(spark):
+    """Semantic half of the cell-scope pin: a planted cosine-identical
+    pair split across cells must be absent from the CANDIDATE stage
+    itself (not filtered later) — blocked-grid groups keyed by cell can
+    never see both sides."""
+    from coin_for_rich_spark.llmdata.similarity import embedding_neardup_pairs
+
+    rows = [
+        (0, [5.0, 0.0], 0),
+        (1, [5.0, 0.0], 1),   # identical vector, DIFFERENT cell
+        (2, [5.0, 0.1], 0),   # near-dup of 0, same cell
+        (3, [0.0, 7.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>, cell int")
+    got = (
+        embedding_neardup_pairs(
+            df, threshold=0.9, id_col="vec_id", vec_col="v",
+            method="exact", block_col="cell",
+        )
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    pairs = set(zip(got.id_a, got.id_b))
+    assert (0, 2) in pairs          # same-cell near-dup found
+    assert (0, 1) not in pairs      # cross-cell identical pair never formed
+    # and without the block the cross-cell pair IS found — proving the
+    # scoping is doing the work, not the threshold
+    allp = (
+        embedding_neardup_pairs(
+            df, threshold=0.9, id_col="vec_id", vec_col="v", method="exact"
+        )
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    assert (0, 1) in set(zip(allp.id_a, allp.id_b))
+
+
 def test_semdedup_rejects_bad_k(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError):
