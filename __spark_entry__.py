@@ -2268,6 +2268,175 @@ def _bloom_probe_oracle_sql() -> str:
     """
 
 
+def q_cms_topgrams(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16 swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next — see _cms_topgrams_oracle_sql;
+    # pytest twins: tests/test_cms.py)
+    """Count-Min-Sketch frequency tier (llmdata/cms.py — the sketch
+    family's third member after HLL distinct-count and Bloom membership):
+    sketch every token 3-gram occurrence of the corpus into a bounded
+    depth×width counter matrix (one explode + one map-side-combined
+    count; mergeable by sum), then estimate the corpus-wide frequency of
+    a probe subset's distinct grams WITHOUT a corpus groupBy. Output
+    carries the exact count next to the estimate plus the
+    ``never_under`` contract column (CMS collisions only ever ADD) — the
+    oracle re-derives matrix, estimates, and deterministic overshoot
+    cell-for-cell, all integer."""
+    from coin_for_rich_spark.llmdata.cms import cms_build, cms_estimate
+    from coin_for_rich_spark.llmdata.textstats import token_ngrams, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(token_ngrams(tokenize(F.col("text")), 3)).alias("gram")
+    )
+    sketch = cms_build(occ, "gram", width=240, depth=4)
+    probe = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(token_ngrams(tokenize(F.col("text")), 3)).alias("gram"))
+        .distinct()
+    )
+    est = cms_estimate(probe, sketch, "gram", width=240, depth=4)
+    true_c = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        est.join(true_c, "gram")
+        .select(
+            "gram",
+            "est",
+            "true_cnt",
+            (F.col("est") >= F.col("true_cnt")).alias("never_under"),
+        )
+        .orderBy("gram")
+    )
+
+
+def _cms_topgrams_oracle_sql() -> str:
+    """DuckDB twin of ``q_cms_topgrams`` — rebuilds the depth×width
+    counter matrix with the same md5-prefix positions and takes the same
+    min-over-rows estimate; every value (including collision overshoot)
+    is an exact integer, so the comparison is bit-for-bit with no float
+    routing anywhere."""
+    return r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ),
+        idx AS (
+            -- range as a LIST function (unnest'ed): the table-function
+            -- form rejects per-row stop arguments
+            SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 3
+        ),
+        occ AS (
+            SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+            FROM idx
+        ),
+        cells AS (
+            SELECT r.i AS row_idx,
+                   ('0x' || substr(md5(gram || ':' || r.i), 1, 15))::BIGINT
+                       % 240 AS col_idx,
+                   count(*) AS cnt
+            FROM occ, range(4) r(i)
+            GROUP BY 1, 2
+        ),
+        probe AS (
+            SELECT DISTINCT gram FROM occ WHERE doc_id % 17 = 0
+        ),
+        ppos AS (
+            SELECT p.gram, r.i AS row_idx,
+                   ('0x' || substr(md5(p.gram || ':' || r.i), 1, 15))::BIGINT
+                       % 240 AS col_idx
+            FROM probe p, range(4) r(i)
+        ),
+        est AS (
+            SELECT gram, min(coalesce(c.cnt, 0)) AS est
+            FROM ppos LEFT JOIN cells c USING (row_idx, col_idx)
+            GROUP BY gram
+        ),
+        truec AS (SELECT gram, count(*) AS true_cnt FROM occ GROUP BY gram)
+        SELECT e.gram, CAST(e.est AS BIGINT) AS est,
+               CAST(t.true_cnt AS BIGINT) AS true_cnt,
+               e.est >= t.true_cnt AS never_under
+        FROM est e JOIN truec t USING (gram)
+        ORDER BY gram
+    """
+
+
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16 swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next — see
+    # _contamination_spans_oracle_sql; pytest twins: tests/test_llmdata.py)
+    """Contamination SEVERITY (llmdata/dedup.py contamination_spans): for
+    every (train, eval) pair sharing token 3-grams across a deterministic
+    eval holdout (doc_id % 23 == 0), the longest contiguous eval passage
+    appearing verbatim in the training doc — diagonal gaps-and-islands
+    over positional shingle matches, max_span_tokens = longest island +
+    n − 1. The span-level refinement presence-tier decontamination can't
+    express: "shares 3 shingles" vs "contains the benchmark's 200-token
+    answer verbatim". Pure integer algebra end to end."""
+    from coin_for_rich_spark.llmdata.dedup import contamination_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    tr = docs.filter(F.col("doc_id") % 23 != 0)
+    return contamination_spans(tr, ev, n=3).orderBy("train_id", "eval_id")
+
+
+def _contamination_spans_oracle_sql() -> str:
+    """DuckDB twin of ``q_contamination_spans`` — positional 3-gram
+    shingles, cross-corpus equi-join, and the same diagonal
+    gaps-and-islands (pos_eval − row_number per (train, eval, diagonal));
+    the 1-based DuckDB positions differ from Spark's 0-based by a
+    constant, which every output column is invariant to (diagonals and
+    consecutiveness only). All integers."""
+    return r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ),
+        idx AS (
+            -- range as a LIST function (unnest'ed): the table-function
+            -- form rejects per-row stop arguments
+            SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 3
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[i:i+2], ' ') AS shingle
+            FROM idx
+        ),
+        tr AS (
+            SELECT doc_id AS train_id, pos AS p_t, shingle
+            FROM g WHERE doc_id % 23 <> 0
+        ),
+        ev AS (
+            SELECT doc_id AS eval_id, pos AS p_e, shingle
+            FROM g WHERE doc_id % 23 = 0
+        ),
+        m AS (
+            SELECT train_id, eval_id, p_t, p_e, p_t - p_e AS d
+            FROM tr JOIN ev USING (shingle)
+        ),
+        isl AS (
+            SELECT train_id, eval_id, d,
+                   p_e - row_number() OVER (
+                       PARTITION BY train_id, eval_id, d ORDER BY p_e
+                   ) AS isl_key
+            FROM m
+        ),
+        runs AS (
+            SELECT train_id, eval_id, d, isl_key, count(*) AS run_len
+            FROM isl GROUP BY ALL
+        )
+        SELECT train_id, eval_id,
+               CAST(max(run_len) + 2 AS BIGINT) AS max_span_tokens,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(run_len) AS BIGINT) AS n_matched_ngrams
+        FROM runs
+        GROUP BY train_id, eval_id
+        ORDER BY train_id, eval_id
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

@@ -89,6 +89,16 @@ def main() -> int:
         probe_pre["spark_shuffle_s"] + probe_post["spark_shuffle_s"]
     ) / 2.0
     norm = round(total / shuffle_ref, 2) if shuffle_ref > 0 else None
+    # HEADLINE round-over-round number (r14 VERDICT ask #6): the ratio of
+    # THIS run's probe-normalized value to the r14 driver bench's 77.0
+    # (BENCH_r14.json value_per_shuffle_unit). Ratios of the normalized
+    # number subtract host drift, so a move here is a plan change, not a
+    # co-tenant burst. Update the constant each round from the driver's
+    # recorded BENCH_r{N}.json.
+    R14_VALUE_PER_SHUFFLE_UNIT = 77.0
+    norm_ratio_vs_r14 = (
+        round(norm / R14_VALUE_PER_SHUFFLE_UNIT, 3) if norm else None
+    )
     # self-describing environment: host load at measurement time, so a
     # round-over-round comparison can tell plan regressions from co-tenant
     # noise without a controlled re-run (the r6 adjudication cost)
@@ -111,6 +121,7 @@ def main() -> int:
                 "probe_pre": probe_pre,
                 "probe_post": probe_post,
                 "value_per_shuffle_unit": norm,
+                "norm_ratio_vs_r14": norm_ratio_vs_r14,
             }
         )
     )

@@ -1066,6 +1066,77 @@ def bloom_prefiltered_contamination(
     return pairs, survivors
 
 
+def contamination_spans(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Contamination SEVERITY — the span-level refinement of
+    :func:`cross_corpus_contamination`: for each (train, eval) pair that
+    shares at least one token n-gram, the length in TOKENS of the longest
+    contiguous eval passage that appears verbatim in the training doc,
+    plus the count of maximal such spans and the total matched n-gram
+    positions. "This doc shares 3 shingles" and "this doc contains the
+    benchmark's entire 200-token answer verbatim" are different decisions
+    (Carlini et al.-style memorization auditing); the presence tier can't
+    tell them apart.
+
+    Method — diagonal islands, pure integer algebra: positional (not
+    distinct) n-gram shingles on both sides join on the shingle string; a
+    contiguous common run of L tokens (L ≥ n) is exactly L−n+1 matches on
+    one DIAGONAL d = pos_train − pos_eval with consecutive eval
+    positions, so islands per (train, eval, d) fall out of the classic
+    gaps-and-islands key ``pos_eval − row_number()`` and
+    ``max_span_tokens = longest island + n − 1``. Within a diagonal,
+    pos_train is determined by pos_eval, so repeated shingles can never
+    double-count a cell. No floats anywhere — the DuckDB twin re-derives
+    every value exactly.
+
+    Scale shape: the eval side broadcasts (same bound as the presence
+    tier); matches are bounded by actual shared-shingle positions, never
+    |train|×|eval|; the islands pass shuffles MATCHES keyed by
+    (train, eval, diagonal) — at 100 TB compose this behind
+    :func:`bloom_prefiltered_contamination`'s prefilter so only Bloom
+    positives reach the positional join."""
+    maybe_bcast = F.broadcast if broadcast_eval else (lambda df: df)
+
+    def _pos_idx(docs: DataFrame, out_id: str) -> DataFrame:
+        narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        return narrow.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(token_ngrams(tokenize(text_col), n)).alias(
+                "pos", "shingle"
+            ),
+        )
+
+    t_idx = _pos_idx(train, "train_id").withColumnRenamed("pos", "p_t")
+    e_idx = _pos_idx(evalset, "eval_id").withColumnRenamed("pos", "p_e")
+    matches = t_idx.join(maybe_bcast(e_idx), "shingle").select(
+        "train_id", "eval_id", "p_t", "p_e", (F.col("p_t") - F.col("p_e")).alias("d")
+    )
+    isl = matches.withColumn(
+        "_isl",
+        F.col("p_e")
+        - F.row_number().over(
+            Window.partitionBy("train_id", "eval_id", "d").orderBy("p_e")
+        ),
+    )
+    runs = isl.groupBy("train_id", "eval_id", "d", "_isl").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return (
+        runs.groupBy("train_id", "eval_id")
+        .agg(
+            (F.max("_len") + F.lit(n - 1)).alias("max_span_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("_len").alias("n_matched_ngrams"),
+        )
+    )
+
+
 def pick_canonical(
     clusters: DataFrame,
     docs: DataFrame,

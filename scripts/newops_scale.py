@@ -34,6 +34,9 @@ QUERIES = {
     "dsir_select": entry_mod.q_dsir_select,
     "semdedup": entry_mod.q_semdedup,
     "bloom_probe": entry_mod.q_bloom_probe,
+    # r15 expansion rows (banked r16 fuel)
+    "cms_topgrams": entry_mod.q_cms_topgrams,
+    "contamination_spans": entry_mod.q_contamination_spans,
 }
 
 

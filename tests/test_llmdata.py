@@ -600,6 +600,51 @@ def test_bloom_prefilter_cascade_equals_exact(spark):
     assert len(surv_ids) <= 10, surv_ids
 
 
+def test_contamination_spans_matches_duckdb_twin(spark, sf_dir, duck):
+    """The span-severity tier's full-value twin: positional shingle join +
+    diagonal gaps-and-islands re-derived exactly (all integers)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_contamination_spans(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    odf = duck.execute(entry_mod._contamination_spans_oracle_sql()).df()
+    problems = compare("contamination_spans", sdf, odf)
+    assert not problems, problems
+
+
+def test_contamination_spans_planted_severity(spark):
+    """A planted verbatim 12-token passage reads back as EXACTLY
+    max_span_tokens=12; an isolated shared 3-gram reads as 3; a doc
+    containing two disjoint leaked passages counts n_spans=2."""
+    from pyspark.sql import Row
+
+    from coin_for_rich_spark.llmdata.dedup import contamination_spans
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    assert len(passage.split()) == 12
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words then {passage} and trailing filler here"),
+            Row(doc_id=2, text="unrelated text sharing only alpha bravo charlie nothing else"),
+            Row(
+                doc_id=3,
+                text=f"{passage} middle gap words xx yy zz golf hotel india juliett kilo lima",
+            ),
+            Row(doc_id=4, text="completely clean document with zero overlap at all"),
+        ]
+    )
+    evalset = spark.createDataFrame([Row(doc_id=900, text=passage)])
+    got = {
+        r.train_id: (r.max_span_tokens, r.n_spans, r.n_matched_ngrams)
+        for r in contamination_spans(train, evalset, n=3).collect()
+    }
+    assert got[1] == (12, 1, 10)  # full passage: 12-3+1 = 10 matched 3-grams
+    assert got[2][0] == 3 and got[2][1] == 1  # lone shared 3-gram
+    assert got[3][0] == 12 and got[3][1] >= 2  # full passage + 6-token suffix rerun
+    assert 4 not in got  # zero shared shingles -> no row at all
+
+
 def test_quantize_round_trip_error_bound(spark, sf_dir):
     """int8 quantize→dequantize reconstruction error is ≤ scale/2 per
     component, and quantized-corpus kNN agrees with float kNN on top-1."""
