@@ -1,14 +1,15 @@
-"""Scale measurement for the round-14 expansion operators.
+"""Scale measurement for the expansion operators (r14 + r15 tiers).
 
-Runs the four new oracle-checked operators (winnow_overlap, dsir_select,
-semdedup, bloom_probe) at the generated sf1 text scale (documents ×10 of
-sf0.1; embeddings as generated) and at sf0.1, min-of-N walls with the
-standard settle guard and host-probe bracketing, and records per-query
-rows so the decade ratios are interpretable. Artifact:
-``.scale/R14_NEWOPS_SCALE.json``.
+Runs the six expansion operators (winnow_overlap, dsir_select, semdedup,
+bloom_probe, cms_topgrams, contamination_spans) at the generated sf1
+text scale (documents ×10 of sf0.1; embeddings as generated) and at
+sf0.1, min-of-N walls with the standard settle guard and host-probe
+bracketing, and records per-query rows so the decade ratios are
+interpretable. Artifact: ``.scale/R15_NEWOPS_SCALE.json``.
 
-Run: ``python scripts/newops_scale.py [--runs N]`` (sf1 dir must exist —
-``scripts/scale_gate.py`` / ``sf1_data.ensure_sf1`` builds it).
+Run: ``python scripts/newops_scale.py [--runs N] [dirtag=DIR ...]
+[query ...]`` (sf1 dir must exist — ``scripts/scale_gate.py`` /
+``sf1_data.ensure_sf1`` builds it; bare query names filter the set).
 """
 
 from __future__ import annotations
@@ -44,7 +45,15 @@ def main() -> int:
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
-    explicit = [a for a in sys.argv[1:] if "=" in a]
+    args = sys.argv[1:]
+    if "--runs" in args:
+        i = args.index("--runs")
+        args = args[:i] + args[i + 2 :]
+    explicit = [a for a in args if "=" in a]
+    names = [a for a in args if "=" not in a and not a.startswith("-")]
+    if names:  # bare names filter the measured query set
+        global QUERIES
+        QUERIES = {k: v for k, v in QUERIES.items() if k in names}
     if explicit:  # e.g. sf10=/root/repo/.scale/sf10 — measure only these
         dirs = dict(a.split("=", 1) for a in explicit)
     else:
@@ -79,7 +88,9 @@ def main() -> int:
                   file=sys.stderr)
     out["probe_post"] = probe(spark, tag="newops_post")
     suffix = "_" + "_".join(sorted(dirs)).upper().replace(".", "") if explicit else ""
-    path = os.path.join(REPO, ".scale", f"R14_NEWOPS_SCALE{suffix}.json")
+    if names:  # subset runs get their own artifact, never clobber the full one
+        suffix += "_" + "_".join(sorted(names)).upper()
+    path = os.path.join(REPO, ".scale", f"R15_NEWOPS_SCALE{suffix}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"json": path}))
