@@ -2437,6 +2437,90 @@ def _contamination_spans_oracle_sql() -> str:
     """
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next — see _warc_extract_oracle_sql;
+    # pytest twins: tests/test_warc.py)
+    """WARC crawl-archive ingest (llmdata/warc.py — the format boundary a
+    web-scale corpus actually arrives through; Common Crawl's record
+    framing + embedded HTTP responses): every document is wrapped as an
+    HTTP 200 response record, 8 consecutive docs muxed per WARC file,
+    then the engine must parse its way BACK through the real bytes —
+    record frames, header grammar, HTTP status line, Content-Length
+    framing — to per-record rows with ABSOLUTE byte offsets. The oracle
+    never parses a byte: it re-derives every offset/length from the
+    serialization formulas (222-byte fixed record header + uri + the
+    Content-Length digits themselves) — the mp4 keyframe posture applied
+    to the crawl boundary. The per-member-gzip leg (the Common Crawl wire
+    shape) and the dead-letter grammar are pinned in tests/test_warc.py."""
+    from coin_for_rich_spark.llmdata.warc import attach_warc_files, warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = warc_records(attach_warc_files(docs))
+    return recs.select(
+        "file_id",
+        "target_uri",
+        "record_offset",
+        "record_length",
+        "warc_type",
+        "record_id",
+        "warc_date",
+        "content_length",
+        "http_status",
+        "http_content_type",
+        F.octet_length(F.col("body")).cast("long").alias("body_bytes"),
+        F.md5(F.col("body")).alias("body_md5"),
+    )
+
+
+def _warc_extract_oracle_sql() -> str:
+    """DuckDB twin of ``q_warc_extract`` — formula-only: HTTP block size
+    N = 77 + digits(B) + B over body bytes B, record frame 222 +
+    len(uri) + digits(N) + N, offsets a cumulative sum over each file's
+    doc_id order. The engine must reach the same integers through real
+    container bytes; md5(body) pins the payload itself, not just its
+    length."""
+    return """
+        WITH r AS (
+            SELECT doc_id,
+                   doc_id // 8 AS file_id,
+                   'http://crawl.example/doc/' || doc_id AS target_uri,
+                   '<html><body><p>' || text || '</p></body></html>' AS html
+            FROM documents
+        ),
+        sz AS (
+            SELECT *,
+                   strlen(html) AS b,
+                   77 + length(CAST(strlen(html) AS VARCHAR)) + strlen(html)
+                       AS n
+            FROM r
+        ),
+        rec AS (
+            SELECT *,
+                   222 + length(target_uri)
+                       + length(CAST(n AS VARCHAR)) + n AS rec_len
+            FROM sz
+        )
+        SELECT CAST(file_id AS BIGINT) AS file_id,
+               target_uri,
+               CAST(coalesce(sum(rec_len) OVER (
+                   PARTITION BY file_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS record_offset,
+               CAST(rec_len AS BIGINT) AS record_length,
+               'response' AS warc_type,
+               'urn:uuid:' || printf('00000000-0000-4000-8000-%012d', doc_id)
+                   AS record_id,
+               '2024-01-01T00:00:00Z' AS warc_date,
+               CAST(n AS BIGINT) AS content_length,
+               CAST(200 AS INT) AS http_status,
+               'text/html; charset=utf-8' AS http_content_type,
+               CAST(b AS BIGINT) AS body_bytes,
+               md5(html) AS body_md5
+        FROM rec
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

@@ -1,0 +1,178 @@
+"""WARC crawl-archive ingest (llmdata/warc.py): formula-oracle gate twin,
+the per-member-gzip wire shape, header-grammar generality, the typed
+dead-letter contract, and the records→documents composition."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from coin_for_rich_spark.llmdata.warc import (
+    doc_record_uuid,
+    http_response,
+    warc_demux,
+    warc_mux,
+    warc_record,
+)
+
+
+def _recs(n: int = 5) -> list[bytes]:
+    return [
+        warc_record(
+            "response",
+            doc_record_uuid(i),
+            http_response(f"<html><body><p>doc {i}</p></body></html>".encode()),
+            target_uri=f"http://crawl.example/doc/{i}",
+        )
+        for i in range(n)
+    ]
+
+
+def test_warc_extract_matches_duckdb_twin(spark, sf_dir, duck):
+    """The gate-style row: engine parses real WARC bytes back to offsets/
+    lengths/status/md5; the oracle predicts every integer from the
+    serialization formulas without touching a byte."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_warc_extract(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    assert (sdf["parse_error"].isna().all() if "parse_error" in sdf else True)
+    odf = duck.execute(entry_mod._warc_extract_oracle_sql()).df()
+    problems = compare("warc_extract", sdf, odf)
+    assert not problems, problems
+
+
+def test_gzip_members_equal_plain_and_slice_standalone():
+    """Per-record gzip members (the Common Crawl shape): same parsed
+    records as the plain stream, and each (offset, length) byte range
+    decompresses STANDALONE to exactly one record — the property remote
+    range-fetch readers rely on."""
+    recs = _recs()
+    plain, gz = warc_mux(recs), warc_mux(recs, gzip_members=True)
+    a, b = warc_demux(plain), warc_demux(gz)
+    assert [r.record_id for r in a] == [r.record_id for r in b]
+    assert [r.body for r in a] == [r.body for r in b]
+    assert all(r.error is None for r in b)
+    for rec, orig in zip(b, recs):
+        member = gz[rec.offset : rec.offset + rec.length]
+        assert zlib.decompress(member, 31) == orig
+    # members tile the file exactly
+    assert b[0].offset == 0
+    assert b[-1].offset + b[-1].length == len(gz)
+    # deterministic bytes (fixture reproducibility across runs/executors)
+    assert gz == warc_mux(recs, gzip_members=True)
+
+
+def test_demux_is_more_general_than_mux():
+    """Scrambled header order, arbitrary case, unknown headers, LF-ish
+    whitespace in values — the demuxer must not depend on the muxer's
+    fixed layout."""
+    block = http_response(b"<p>x</p>", status=301, reason="Moved")
+    raw = (
+        b"WARC/1.0\r\n"
+        b"content-LENGTH: " + str(len(block)).encode() + b"\r\n"
+        b"X-Unknown-Header: whatever\r\n"
+        b"WARC-Target-URI:   http://a/b  \r\n"
+        b"warc-type: response\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"WARC-Record-ID: <urn:uuid:abc>\r\n"
+        b"WARC-Date: 2020-02-02T02:02:02Z\r\n"
+        b"\r\n" + block + b"\r\n\r\n"
+    )
+    (r,) = warc_demux(raw)
+    assert r.error is None
+    assert r.warc_type == "response"
+    assert r.target_uri == "http://a/b"
+    assert r.record_id == "urn:uuid:abc"
+    assert r.http_status == 301
+    assert r.body == b"<p>x</p>"
+    assert r.length == len(raw)
+
+
+def test_non_http_records_carry_block_through():
+    """warcinfo/resource records: NULL http fields, body == raw block."""
+    rec = warc_record(
+        "warcinfo",
+        doc_record_uuid(1),
+        b"software: test\r\n",
+        content_type="application/warc-fields",
+    )
+    (r,) = warc_demux(rec)
+    assert r.error is None
+    assert r.warc_type == "warcinfo"
+    assert r.http_status is None
+    assert r.http_content_type is None
+    assert r.body == b"software: test\r\n"
+
+
+@pytest.mark.parametrize(
+    "mangle, reason",
+    [
+        (lambda raw: b"HARC" + raw[4:], "bad_version_line"),
+        (lambda raw: raw.replace(b"Content-Length", b"X-Len"), "missing_content_length"),
+        (lambda raw: raw[:-10], "truncated_block"),
+        (lambda raw: raw[:-4] + b"XXXX", "missing_record_separator"),
+    ],
+)
+def test_dead_letters_are_typed_not_thrown(mangle, reason):
+    """A structurally broken record becomes ONE typed dead-letter row —
+    and a clean record earlier in the same stream still parses."""
+    good, bad = _recs(2)
+    out = warc_demux(good + mangle(bad))
+    assert len(out) == 2
+    assert out[0].error is None and out[0].http_status == 200
+    assert out[1].error == reason
+    assert out[1].body is None
+
+
+def test_warc_to_documents_roundtrip(spark):
+    """records → documents composition: the html wrapper strips back to
+    the original text and the URL canonicalizes, through real bytes."""
+    from coin_for_rich_spark.llmdata.warc import (
+        attach_warc_files,
+        warc_records,
+        warc_to_documents,
+    )
+
+    texts = ["hello crawl world", "second doc body", "third one"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = (
+        warc_to_documents(warc_records(attach_warc_files(docs, docs_per_file=2)))
+        .orderBy("url")
+        .collect()
+    )
+    # html_text's pinned shape keeps the block-final newline from </p>
+    assert [r.text.rstrip("\n") for r in out] == texts
+    assert [r.url for r in out] == [
+        f"http://crawl.example/doc/{i}" for i in range(3)
+    ]
+    assert out[0].canonical_url == "http://crawl.example/doc/0"
+    # offsets point at real record frames in the muxed file
+    assert out[0].record_offset == 0
+
+
+def test_gzip_leg_through_spark_plumbing(spark):
+    """The mapInPandas demux over per-member-gzip fixture files: same
+    rows as the plain leg, offsets now into the COMPRESSED stream."""
+    from coin_for_rich_spark.llmdata.warc import attach_warc_files, warc_records
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    plain = warc_records(attach_warc_files(docs)).orderBy("target_uri").collect()
+    gz = (
+        warc_records(attach_warc_files(docs, gzip_members=True))
+        .orderBy("target_uri")
+        .collect()
+    )
+    assert [r.target_uri for r in plain] == [r.target_uri for r in gz]
+    assert [bytes(r.body) for r in plain] == [bytes(r.body) for r in gz]
+    assert all(r.parse_error is None for r in gz)
+    # compressed frames are smaller than plain ones for these payloads
+    assert sum(r.record_length for r in gz) < sum(
+        r.record_length for r in plain
+    )
