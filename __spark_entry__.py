@@ -2521,6 +2521,95 @@ def _warc_extract_oracle_sql() -> str:
     """
 
 
+def q_tar_export(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next — see _tar_export_oracle_sql;
+    # pytest twins: tests/test_tarshard.py)
+    """WebDataset-style tar shard export (llmdata/tarshard.py — the
+    training-side boundary: packed corpora ship to data loaders as tar
+    shards of grouped sample files). Every document becomes a
+    ``<id>.json`` + ``<id>.txt`` member pair, 64 docs per shard; the
+    engine WRITES real deterministic ustar bytes (one applyInPandas per
+    shard — the co-locating shuffle is the operator) and then must index
+    its way BACK through them (checksum-verified header walk) to
+    per-member rows with absolute offsets and payload md5s. The oracle
+    never builds a tar: headers are 512-byte blocks, members
+    ``1 + ceil(b/512)`` blocks, archives zero-padded to the 10240-byte
+    record — every offset is a window sum over byte-length algebra."""
+    from coin_for_rich_spark.llmdata.tarshard import (
+        tar_shard_members,
+        tar_shard_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tar_shard_members(tar_shard_write(docs, docs_per_shard=64))
+
+
+def _tar_export_oracle_sql() -> str:
+    """DuckDB twin of ``q_tar_export`` — formula-only: per-member blocks
+    ``1 + (b + 511) // 512``, offsets 512·(window cumulative blocks),
+    shard totals rounded up to the 10240-byte tar record; md5 over the
+    member strings pins the payloads the engine slices out of the real
+    archive bytes."""
+    return """
+        WITH d AS (
+            SELECT doc_id,
+                   doc_id // 64 AS shard_id,
+                   '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}'
+                       AS js,
+                   text
+            FROM documents
+        ),
+        sz AS (
+            SELECT *,
+                   strlen(js) AS bj,
+                   strlen(text) AS bt,
+                   (1 + (strlen(js) + 511) // 512)
+                       + (1 + (strlen(text) + 511) // 512) AS eblocks
+            FROM d
+        ),
+        laid AS (
+            SELECT *,
+                   512 * coalesce(sum(eblocks) OVER (
+                       PARTITION BY shard_id ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS doc_off,
+                   512 * sum(eblocks) OVER (PARTITION BY shard_id) + 1024
+                       AS v
+            FROM sz
+        ),
+        tot AS (
+            SELECT *, v + ((-v) % 10240 + 10240) % 10240 AS total
+            FROM laid
+        ),
+        m AS (
+            SELECT shard_id,
+                   printf('%012d', doc_id) || '.json' AS member_name,
+                   bj AS payload_bytes,
+                   doc_off AS hdr_offset,
+                   md5(js) AS member_md5,
+                   total
+            FROM tot
+            UNION ALL
+            SELECT shard_id,
+                   printf('%012d', doc_id) || '.txt',
+                   bt,
+                   doc_off + 512 * (1 + (bj + 511) // 512),
+                   md5(text),
+                   total
+            FROM tot
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               member_name,
+               CAST(payload_bytes AS BIGINT) AS payload_bytes,
+               CAST(hdr_offset AS BIGINT) AS hdr_offset,
+               CAST(hdr_offset + 512 AS BIGINT) AS data_offset,
+               member_md5,
+               CAST(total AS BIGINT) AS shard_total_bytes
+        FROM m
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 
