@@ -50,6 +50,11 @@ BANKED = {
         entry_mod.q_winnow_overlap,
         entry_mod._winnow_overlap_oracle_sql,
     ),
+    "warc_extract": (
+        entry_mod.q_warc_extract,
+        entry_mod._warc_extract_oracle_sql,
+    ),
+    "tar_export": (entry_mod.q_tar_export, entry_mod._tar_export_oracle_sql),
 }
 
 

@@ -38,6 +38,9 @@ QUERIES = {
     # r15 expansion rows (banked r16 fuel)
     "cms_topgrams": entry_mod.q_cms_topgrams,
     "contamination_spans": entry_mod.q_contamination_spans,
+    # r15 boundary tiers (WARC ingest / tar shard export)
+    "warc_extract": entry_mod.q_warc_extract,
+    "tar_export": entry_mod.q_tar_export,
 }
 
 

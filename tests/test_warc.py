@@ -8,6 +8,8 @@ import zlib
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from coin_for_rich_spark.llmdata.warc import (
     doc_record_uuid,
     http_response,
@@ -176,3 +178,40 @@ def test_gzip_leg_through_spark_plumbing(spark):
     assert sum(r.record_length for r in gz) < sum(
         r.record_length for r in plain
     )
+
+
+def test_crawl_to_corpus_composition(spark):
+    """End-to-end crawl path: WARC bytes → records → documents → exact
+    dedup must agree with exact dedup run directly on the source texts —
+    the evidence that the ingest boundary composes with the curation
+    tiers rather than just existing next to them."""
+    from coin_for_rich_spark.llmdata.dedup import exact_dedup
+    from coin_for_rich_spark.llmdata.warc import (
+        attach_warc_files,
+        warc_records,
+        warc_to_documents,
+    )
+
+    # duplicates planted ACROSS warc-file boundaries (docs_per_file=2)
+    texts = ["same text", "unique one", "same text", "unique two", "same text"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    corpus = warc_to_documents(
+        warc_records(attach_warc_files(docs, docs_per_file=2))
+    ).select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    via_warc = {
+        (r.keep_id, r.n_copies)
+        for r in exact_dedup(corpus).collect()
+    }
+    direct = {
+        (r.keep_id, r.n_copies)
+        for r in exact_dedup(
+            docs.select("doc_id", F.concat("text", F.lit("\n")).alias("text"))
+        ).collect()
+    }
+    assert via_warc == direct
+    assert (0, 3) in via_warc  # the planted triplet collapsed to doc 0
