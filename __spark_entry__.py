@@ -1917,7 +1917,9 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried. The POSITIONAL complement to the set-similarity dedup tiers:
     it finds shared PASSAGES (any common run of ≥ 8 tokens is guaranteed
     caught), not near-identical documents. max_df=50 drops boilerplate
-    fingerprints before the self-join — the tier's quadratic-blowup guard."""
+    fingerprints before the self-join — the tier's quadratic-blowup guard.
+    r15: fingerprints interned to 60-bit ``md5_prefix_long`` integers (8
+    bytes through the exchange/persist/join instead of 16-char hex)."""
     from coin_for_rich_spark.llmdata.winnow import winnow_overlap_pairs
 
     return winnow_overlap_pairs(
@@ -1932,9 +1934,10 @@ def _winnow_overlap_oracle_sql() -> str:
     per-window rightmost-minimal pick via the same
     ``wl − position(reverse(s), min(s))`` formula, row-level DISTINCT for
     the neighbouring-window dedupe) and the pair layer including the
-    max_df boilerplate cap. Fingerprints are compared as fixed-width
-    lowercase-hex strings in both engines, so selection ties resolve
-    identically."""
+    max_df boilerplate cap. Fingerprints are the shared
+    ``md5_prefix_long`` contract (hashing.py): the 60-bit integer value
+    of the 15-hex-char md5 prefix, compared numerically in both engines,
+    so selection ties resolve identically."""
     return r"""
         WITH toks AS (
             SELECT doc_id,
@@ -1946,7 +1949,8 @@ def _winnow_overlap_oracle_sql() -> str:
         hs AS (
             SELECT doc_id,
                    list_transform(range(1, len(tk) - 4 + 2),
-                       i -> substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 16)) AS h
+                       i -> ('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')),
+                                            1, 15))::BIGINT) AS h
             FROM toks WHERE len(tk) >= 4
         ),
         wins AS (

@@ -1,7 +1,7 @@
 """The engine-portable md5-prefix hash family — ONE definition for every
 tier whose DuckDB twin must re-derive hash values exactly (DSIR feature
-buckets, Bloom bit positions; the winnowing tier keeps the raw hex prefix
-as its fingerprint and compares it as a string).
+buckets, Bloom bit positions, and — since r15 — the winnowing tier's
+interned fingerprints).
 
 ``int(md5(x)[:15], 16)`` is computable identically in Spark
 (``conv(substr(md5(x),1,15),16,10)``) and DuckDB

@@ -32,13 +32,18 @@ fingerprint shared by thousands of documents (a license header, a
 navigation bar) would otherwise contribute a quadratic blow-up all by
 itself.
 
-Engine-portability: the k-gram hash is the first 16 hex chars of md5 —
-computed identically by Spark and DuckDB — and hashes are compared as
-fixed-width lowercase-hex STRINGS (lexicographic order == numeric order),
-so the DuckDB oracle re-derives the selection bit-for-bit. Two O(len·w)
-per-row passes; the hash array is materialized as a column between them so
-lambda capture re-reads a bound attribute, not the tokenization tree (the
-quadratic-capture trap documented at textstats.token_ngrams).
+Engine-portability: the k-gram hash is the package's standard
+``md5_prefix_long`` (:mod:`~.hashing` — the 60-bit integer value of the
+15-hex-char md5 prefix, computed identically by Spark and DuckDB), so the
+oracle re-derives the selection bit-for-bit. INT64 fingerprints instead of
+hex strings is the r15 interning pass (the discipline that cut 31–37% off
+the Jaccard/CC tiers at sf10): the per-window min compares 8-byte longs
+instead of 16-char strings, and everything downstream of the scan — the
+fp-keyed exchange, the persisted relation, the self-join key — carries 8
+bytes per fingerprint. Two O(len·w) per-row passes; the hash array is
+materialized as a column between them so lambda capture re-reads a bound
+attribute, not the tokenization tree (the quadratic-capture trap
+documented at textstats.token_ngrams).
 """
 
 from __future__ import annotations
@@ -47,22 +52,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _INTERMEDIATE_CACHES
+from .hashing import md5_prefix_long
 from .textstats import token_ngrams, tokenize
-
-# fingerprint = first 16 hex chars of md5 (64 bits): wide enough that a
-# corpus-scale collision is ~birthday(2^64), cheap enough to shuffle
-_FP_HEX = 16
 
 
 def kgram_hashes(text_col: Column | str, k: int) -> Column:
-    """Array of k-gram fingerprint hashes, one per window start (linear
-    build via token_ngrams' zip_with ladder; empty for docs under k
-    tokens)."""
+    """Array of k-gram fingerprint hashes (60-bit ``md5_prefix_long``
+    values — wide enough that a corpus-scale collision is
+    ~birthday(2^60), 8 bytes on every exchange), one per window start
+    (linear build via token_ngrams' zip_with ladder; empty for docs under
+    k tokens)."""
     toks = tokenize(text_col)
-    return F.transform(
-        token_ngrams(toks, k),
-        lambda g: F.substring(F.md5(g), 1, _FP_HEX),
-    )
+    return F.transform(token_ngrams(toks, k), md5_prefix_long)
 
 
 def _winnow_select(hs_expr: Column, w: int) -> Column:
@@ -100,7 +101,7 @@ def _winnow_select(hs_expr: Column, w: int) -> Column:
             F.array_distinct(
                 F.transform(F.sequence(F.lit(0), nwin - 1), pick)
             ),
-        ).otherwise(F.array().cast("array<struct<pos:long,fp:string>>"))
+        ).otherwise(F.array().cast("array<struct<pos:long,fp:bigint>>"))
 
     return F.get(F.transform(F.array(hs_expr), body), 0)
 
