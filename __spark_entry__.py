@@ -2614,6 +2614,53 @@ def _tar_export_oracle_sql() -> str:
     """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_llmdata.py::test_length_quantiles_matches_duckdb_twin)
+    """Exact per-language doc-length percentiles (llmdata/textstats.py
+    grouped_quantiles — the curation-threshold primitive: published
+    pipelines pick length/score cutoffs as corpus percentiles). One
+    groupBy collapses the corpus to its per-(lang, length) HISTOGRAM —
+    bounded by the value range, not the corpus — then one window over the
+    histogram; the quantile rank is all-integer (``(n·num + den − 1) div
+    den``), so the oracle is bit-exact with zero float routing."""
+    from coin_for_rich_spark.llmdata.textstats import grouped_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_quantiles(docs, F.length("text"), "lang").select(
+        F.col("grp").alias("lang"), "quantile", "value", "n_rows"
+    )
+
+
+def _length_quantiles_oracle_sql() -> str:
+    """DuckDB twin of ``q_length_quantiles`` — same histogram, window,
+    and integer rank formula; every value is an exact integer."""
+    return """
+        WITH hist AS (
+            SELECT lang AS grp, length(text) AS v, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        laid AS (
+            SELECT grp, v,
+                   sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+                   sum(c) OVER (PARTITION BY grp) AS n
+            FROM hist
+        ),
+        p AS (
+            SELECT * FROM (VALUES (50, 100, 'p50'), (90, 100, 'p90'),
+                                  (99, 100, 'p99')) t(num, den, label)
+        )
+        SELECT grp AS lang,
+               label AS quantile,
+               CAST(min(v) AS BIGINT) AS value,
+               CAST(min(n) AS BIGINT) AS n_rows
+        FROM laid CROSS JOIN p
+        WHERE cum >= (n * num + den - 1) // den
+        GROUP BY 1, 2
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

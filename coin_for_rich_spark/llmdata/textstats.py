@@ -349,3 +349,83 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.md5(bag).alias("bag_fingerprint"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
     )
+
+
+def grouped_quantiles(
+    docs: DataFrame,
+    value: Column | str,
+    by: Column | str,
+    probs: list[tuple[int, int, str]] = (
+        (50, 100, "p50"),
+        (90, 100, "p90"),
+        (99, 100, "p99"),
+    ),
+) -> DataFrame:
+    """EXACT per-group quantiles of an integer-valued column without a
+    global sort — the curation-threshold primitive (published pipelines
+    pick length/score cutoffs as corpus percentiles; Gopher's doc-length
+    rules are the canonical example).
+
+    Quantile definition (all-integer, so the DuckDB twin is bit-exact with
+    zero float routing): the ``num/den`` quantile of n values is the
+    smallest value v whose cumulative count reaches ``ceil(n·num/den)`` —
+    computed as ``(n·num + den − 1) div den``, never touching a double
+    (``ceil(0.9 · n)`` in binary floating point overshoots by 1 whenever
+    0.9·n lands on an x.0000…01 representation).
+
+    Scale posture: one groupBy on (group, value) collapses the corpus to
+    its value HISTOGRAM — for real integer measures (doc lengths, token
+    counts) that is ≤ ~10⁶ rows regardless of corpus size — then one
+    window over the histogram per group. The corpus is touched exactly
+    once, in the scan; nothing corpus-sized is ever sorted or shuffled
+    twice. A t-digest/KLL sketch would APPROXIMATE the same numbers in one
+    pass; this tier is exact because the histogram of a bounded integer
+    measure is itself small — the sketch family (HLL/Bloom/CMS) covers the
+    unbounded cases.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value) if isinstance(value, str) else value
+    g = F.col(by) if isinstance(by, str) else by
+    hist = (
+        docs.select(g.alias("grp"), v.cast("long").alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy("grp").orderBy("v")
+    wall = Window.partitionBy("grp")
+    laid = hist.select(
+        "grp",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pstructs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).alias("num"),
+                    F.lit(den).alias("den"),
+                    F.lit(label).alias("label"),
+                )
+                for num, den, label in probs
+            ]
+        )
+    ).alias("p")
+    exp = laid.select("grp", "v", "cum", "n", pstructs).select(
+        "grp",
+        "v",
+        "cum",
+        "n",
+        F.col("p.num").alias("num"),
+        F.col("p.den").alias("den"),
+        F.col("p.label").alias("label"),
+    )
+    # `div` (true integer division) — a double `/` here can land an exact
+    # integer quotient on k−ε and floor() it to k−1
+    rank = F.expr("(n * num + den - 1) div den")
+    return (
+        exp.filter(F.col("cum") >= rank)
+        .groupBy(F.col("grp"), F.col("label").alias("quantile"))
+        .agg(F.min("v").alias("value"), F.min("n").alias("n_rows"))
+    )

@@ -55,6 +55,10 @@ BANKED = {
         entry_mod._warc_extract_oracle_sql,
     ),
     "tar_export": (entry_mod.q_tar_export, entry_mod._tar_export_oracle_sql),
+    "length_quantiles": (
+        entry_mod.q_length_quantiles,
+        entry_mod._length_quantiles_oracle_sql,
+    ),
 }
 
 

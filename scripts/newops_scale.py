@@ -41,6 +41,7 @@ QUERIES = {
     # r15 boundary tiers (WARC ingest / tar shard export)
     "warc_extract": entry_mod.q_warc_extract,
     "tar_export": entry_mod.q_tar_export,
+    "length_quantiles": entry_mod.q_length_quantiles,
 }
 
 

@@ -1333,3 +1333,37 @@ def test_embed_knn_join_matches_duckdb_twin(spark, sf_dir, duck):
     odf = duck.execute(entry_mod._embed_knn_join_oracle_sql()).df()
     problems = compare("embed_knn_join", sdf, odf)
     assert not problems, problems
+
+
+def test_length_quantiles_matches_duckdb_twin(spark, sf_dir, duck):
+    """Exact grouped quantiles (textstats.grouped_quantiles) vs the same
+    all-integer histogram/rank formula in DuckDB — bit-exact, no floats."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_length_quantiles(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    odf = duck.execute(entry_mod._length_quantiles_oracle_sql()).df()
+    problems = compare("length_quantiles", sdf, odf)
+    assert not problems, problems
+
+
+def test_grouped_quantiles_closed_form():
+    """Hand-checkable pin: p50/p90/p99 of 1..100 in one group are exactly
+    50/90/99 (rank = ceil(p·n) with integer arithmetic), and a two-group
+    frame keeps groups independent."""
+    from coin_for_rich_spark.llmdata.textstats import grouped_quantiles
+    from coin_for_rich_spark.session import get_spark
+
+    spark = get_spark("tests")
+    rows = [("a", i) for i in range(1, 101)] + [("b", 7)] * 10
+    df = spark.createDataFrame(rows, "grp_in string, val long")
+    out = {
+        (r.grp, r.quantile): (r.value, r.n_rows)
+        for r in grouped_quantiles(df, "val", "grp_in").collect()
+    }
+    assert out[("a", "p50")] == (50, 100)
+    assert out[("a", "p90")] == (90, 100)
+    assert out[("a", "p99")] == (99, 100)
+    assert out[("b", "p50")] == (7, 10)
+    assert out[("b", "p99")] == (7, 10)
