@@ -215,3 +215,93 @@ def test_crawl_to_corpus_composition(spark):
     }
     assert via_warc == direct
     assert (0, 3) in via_warc  # the planted triplet collapsed to doc 0
+
+
+def test_streaming_warc_ingest_end_to_end(spark, tmp_path):
+    """Crawl archives STREAM in: a file-stream of WARC payloads is
+    demuxed (mapInPandas works unchanged on the streaming relation),
+    composed through warc_to_documents, and fed to the standing
+    corpus-ingest loop — duplicates across micro-batches are suppressed
+    by the fingerprint index, survivors land exactly-once per batch."""
+    import os
+
+    from coin_for_rich_spark.llmdata.dedup_index import build_dedup_index
+    from coin_for_rich_spark.llmdata.warc import (
+        doc_record_uuid,
+        http_response,
+        warc_mux,
+        warc_record,
+        warc_to_documents,
+        warc_records,
+    )
+    from coin_for_rich_spark.streaming.corpus import (
+        read_ingested_corpus,
+        streaming_corpus_ingest,
+    )
+    from coin_for_rich_spark.streaming.source import read_file_stream
+
+    def text(seed: int) -> str:
+        return " ".join(f"w{seed}x{(i * 7) % 97}" for i in range(60))
+
+    def warc_file(docs: list[tuple[int, str]]) -> bytes:
+        return warc_mux(
+            [
+                warc_record(
+                    "response",
+                    doc_record_uuid(i),
+                    http_response(
+                        f"<html><body><p>{t}</p></body></html>".encode()
+                    ),
+                    target_uri=f"http://crawl.example/doc/{i}",
+                )
+                for i, t in docs
+            ],
+            gzip_members=True,
+        )
+
+    # batch 1 re-crawls doc 100's content under a new id (suppressed by
+    # the standing index) and adds one fresh doc
+    chunks = [
+        [(0, warc_file([(100, text(1)), (101, text(2))]))],
+        [(1, warc_file([(200, text(1)), (201, text(3))]))],
+    ]
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    schema = None
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(rows, "file_id long, payload binary").coalesce(1)
+        sub = os.path.join(stage, f"chunk_{i}")
+        df.write.mode("overwrite").parquet(sub)
+        part = next(
+            f
+            for f in os.listdir(sub)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        final = os.path.join(stage, f"{i:03d}.parquet")
+        os.replace(os.path.join(sub, part), final)
+        base = os.stat(stage).st_mtime
+        os.utime(final, (base + 10.0 * (i + 1),) * 2)
+        schema = df.schema
+
+    index_path = str(tmp_path / "idx")
+    build_dedup_index(
+        spark.createDataFrame([], "doc_id long, text string"), index_path
+    )
+    docs_stream = warc_to_documents(
+        warc_records(read_file_stream(spark, stage, schema))
+    ).select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    q = streaming_corpus_ingest(
+        docs_stream, index_path, str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: r.ingest_batch
+        for r in read_ingested_corpus(spark, str(tmp_path / "corpus")).collect()
+    }
+    assert got == {100: 0, 101: 0, 201: 1}
