@@ -296,3 +296,77 @@ def tar_shard_members(shards: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(work, schema=TAR_MEMBERS_SCHEMA)
+
+
+def write_tar_shards(
+    docs: DataFrame,
+    out_dir: str,
+    docs_per_shard: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Materialize the shards as REAL ``shard-%08d.tar`` files under
+    ``out_dir`` and return the per-member manifest (read back from the
+    bytes just written — the audit leg runs on what actually landed).
+
+    Idempotence contract (the exactly-once discipline of the repo's
+    sinks): shard bytes are deterministic (see :func:`tar_shard_write`),
+    the file name is a pure function of the shard id, and the write is
+    write-to-temp + atomic rename — a retried or re-run task replaces a
+    shard with byte-identical content instead of appending or corrupting
+    a half-written file. Readers never observe a partial shard.
+
+    Scale posture: each shard is written by the executor that built it
+    (one os-level write per applyInPandas group — no driver collect); at
+    cluster scale ``out_dir`` is an object-store prefix and the
+    temp+rename becomes the store's atomic-put, with the manifest
+    relation (this function's return value) as the export's commit
+    record.
+    """
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards = tar_shard_write(
+        docs, docs_per_shard, id_col=id_col, text_col=text_col, lang_col=lang_col
+    )
+
+    def land(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, n, payload in zip(
+                pdf["shard_id"], pdf["n_members"], pdf["payload"]
+            ):
+                final = os.path.join(out_dir, f"shard-{int(sid):08d}.tar")
+                tmp = final + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(payload))
+                os.replace(tmp, final)
+                rows.append((int(sid), int(n), final, len(bytes(payload))))
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "n_members", "path", "total_bytes"]
+            )
+
+    landed = shards.mapInPandas(
+        land,
+        schema=(
+            "shard_id long, n_members int, path string, total_bytes long"
+        ),
+    )
+    # force the writes, then index what LANDED (not what was planned)
+    landed.collect()
+    spark = docs.sparkSession
+    paths = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("shard-") and f.endswith(".tar")
+    )
+    files = spark.read.format("binaryFile").load(paths)
+    on_disk = files.select(
+        F.regexp_extract(F.col("path"), r"shard-(\d+)\.tar", 1)
+        .cast("long")
+        .alias("shard_id"),
+        F.col("content").alias("payload"),
+    )
+    return tar_shard_members(on_disk)

@@ -129,3 +129,37 @@ def test_index_verifies_checksums():
 def test_header_rejects_overlong_names():
     with pytest.raises(ValueError, match="100 bytes"):
         tar_header("x" * 101, 0)
+
+
+def test_write_tar_shards_to_disk_idempotent(spark, tmp_path):
+    """The disk sink: real shard-%08d.tar files land atomically, the
+    returned manifest is read back from the landed bytes, a re-run
+    rewrites byte-identical files (exactly-once posture), and stdlib
+    tarfile reads what's on disk."""
+    import os
+
+    from coin_for_rich_spark.llmdata.tarshard import write_tar_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " * (i + 1), "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "export")
+    m1 = write_tar_shards(docs, out, docs_per_shard=4).toPandas()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert files == ["shard-00000000.tar", "shard-00000001.tar", "shard-00000002.tar"]
+    assert len(m1) == 20  # 10 docs x (json + txt)
+    assert not [f for f in os.listdir(out) if ".tmp-" in f]
+    blobs1 = {f: open(os.path.join(out, f), "rb").read() for f in files}
+    with tarfile.open(os.path.join(out, files[0])) as tf:
+        assert tf.extractfile("000000000003.txt").read().startswith(
+            b"document body 3 "
+        )
+    # re-run: byte-identical shards, identical manifest
+    m2 = write_tar_shards(docs, out, docs_per_shard=4).toPandas()
+    blobs2 = {f: open(os.path.join(out, f), "rb").read() for f in files}
+    assert blobs1 == blobs2
+    key = ["shard_id", "member_name"]
+    assert m1.sort_values(key).reset_index(drop=True).equals(
+        m2.sort_values(key).reset_index(drop=True)
+    )
