@@ -319,6 +319,7 @@ WARC_RECORDS_SCHEMA = T.StructType(
         T.StructField("record_id", T.StringType(), True),
         T.StructField("warc_date", T.StringType(), True),
         T.StructField("target_uri", T.StringType(), True),
+        T.StructField("content_type", T.StringType(), True),
         T.StructField("content_length", T.LongType(), True),
         T.StructField("http_status", T.IntegerType(), True),
         T.StructField("http_content_type", T.StringType(), True),
@@ -403,6 +404,7 @@ def warc_records(files: DataFrame) -> DataFrame:
                             r.record_id,
                             r.warc_date,
                             r.target_uri,
+                            r.content_type,
                             r.content_length,
                             r.http_status,
                             r.http_content_type,
@@ -436,6 +438,44 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
         F.col("target_uri").alias("url"),
         canonical_url(F.col("target_uri")).alias("canonical_url"),
         html_text(html).alias("text"),
+        F.col("file_id"),
+        F.col("record_offset"),
+        F.col("record_length"),
+    )
+
+
+def wet_record(
+    doc_id: int, target_uri: str, text: str, warc_date: str = WARC_DATE
+) -> bytes:
+    """One WET-style ``conversion`` record (Common Crawl's pre-extracted
+    plain-text sibling of the WARC response: same framing, text/plain
+    block, no HTTP envelope)."""
+    return warc_record(
+        "conversion",
+        doc_record_uuid(doc_id),
+        text.encode("utf-8"),
+        target_uri=target_uri,
+        content_type="text/plain",
+    )
+
+
+def wet_to_documents(records: DataFrame) -> DataFrame:
+    """WET conversion records → the documents shape: the text IS the
+    block (no HTTP parse, no tag strip) — the fast path when the crawl
+    provider already ran extraction. Same scan-stage column algebra as
+    :func:`warc_to_documents`, zero exchanges."""
+    from .web import canonical_url
+
+    good = records.where(
+        (F.col("parse_error").isNull())
+        & (F.col("warc_type") == "conversion")
+        & F.col("content_type").startswith("text/plain")
+    )
+    return good.select(
+        F.col("record_id"),
+        F.col("target_uri").alias("url"),
+        canonical_url(F.col("target_uri")).alias("canonical_url"),
+        F.decode(F.col("body"), "UTF-8").alias("text"),
         F.col("file_id"),
         F.col("record_offset"),
         F.col("record_length"),

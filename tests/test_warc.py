@@ -305,3 +305,33 @@ def test_streaming_warc_ingest_end_to_end(spark, tmp_path):
         for r in read_ingested_corpus(spark, str(tmp_path / "corpus")).collect()
     }
     assert got == {100: 0, 101: 0, 201: 1}
+
+
+def test_wet_conversion_records_roundtrip(spark):
+    """WET (pre-extracted plain text) leg: conversion records carry the
+    text as the block — wet_to_documents returns it VERBATIM (no HTTP
+    parse, no tag strip), while response records in the same stream stay
+    invisible to the WET path and vice versa."""
+    from coin_for_rich_spark.llmdata.warc import (
+        warc_mux,
+        warc_records,
+        wet_record,
+        wet_to_documents,
+        warc_to_documents,
+    )
+
+    wet = [
+        wet_record(i, f"http://crawl.example/doc/{i}", f"plain text {i}\nline2")
+        for i in range(3)
+    ]
+    resp = _recs(2)  # interleave response records in the same file
+    payload = warc_mux([wet[0], resp[0], wet[1], resp[1], wet[2]])
+    files = spark.createDataFrame(
+        [(0, 5, payload)], "file_id long, n_records int, payload binary"
+    )
+    recs = warc_records(files)
+    docs = wet_to_documents(recs).orderBy("url").collect()
+    assert [r.text for r in docs] == [f"plain text {i}\nline2" for i in range(3)]
+    assert [r.url for r in docs] == [f"http://crawl.example/doc/{i}" for i in range(3)]
+    # the HTTP path sees only the response records
+    assert warc_to_documents(recs).count() == 2
