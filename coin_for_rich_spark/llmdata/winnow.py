@@ -79,29 +79,54 @@ def _winnow_select(hs_expr: Column, w: int) -> Column:
     a bound value the optimizer cannot substitute into, so the k-gram
     hashing runs exactly once per row.
 
-    The rightmost tie-break is ``wl − array_position(reverse(s), min(s))``
-    — position of the LAST occurrence of the minimum — written with the
-    exact same formula the DuckDB twin uses so ties (same hash twice in
-    one window, i.e. a repeated k-gram within w tokens) resolve
-    identically."""
+    Per-window pick (r15 rewrite): for the common H ≥ w case the window's
+    rightmost-minimal is computed with 2w SCALAR ops — ``least`` over w
+    ``get``\\s plus a right-to-left ``when`` chain for the tie-break —
+    instead of slice/reverse/array_position/array_min, each of which
+    ALLOCATES a w-element array per window inside interpreted
+    (non-codegen) higher-order evaluation; the selection stage is ~100%
+    of this operator's wall (sf10 A/B: the pair join is noise), so those
+    four allocations per window were the operator's actual cost. Short
+    docs (H < w: one truncated window) keep the original array formula.
+    The selected (pos, fp) pairs are IDENTICAL to the previous form —
+    the when-chain scanning from the right IS "last occurrence of the
+    minimum", the twin's ``wl − position(reverse(s), min(s))`` — so the
+    DuckDB oracle is untouched and pins the rewrite."""
 
     def body(hs: Column) -> Column:
         H = F.size(hs)
-        nwin = F.greatest(F.lit(1), H - (w - 1))
-        wl = F.least(F.lit(w), H)
 
-        def pick(i: Column) -> Column:
-            s = F.slice(hs, i + 1, wl)
-            minv = F.array_min(s)
-            pos = i + wl - F.array_position(F.reverse(s), minv)
+        def pick_fast(i: Column) -> Column:
+            vals = [F.get(hs, i + j) for j in range(w)]
+            minv = F.least(*vals)
+            pos = None
+            for j in range(w - 1, 0, -1):
+                clause = (vals[j] == minv, i + j)
+                pos = F.when(*clause) if pos is None else pos.when(*clause)
+            pos = pos.otherwise(i)
             return F.struct(pos.cast("long").alias("pos"), minv.alias("fp"))
 
-        return F.when(
-            H > 0,
-            F.array_distinct(
-                F.transform(F.sequence(F.lit(0), nwin - 1), pick)
-            ),
-        ).otherwise(F.array().cast("array<struct<pos:long,fp:bigint>>"))
+        # H < w: the single truncated window [0, H)
+        short_min = F.array_min(hs)
+        short_pos = H - F.array_position(F.reverse(hs), short_min)
+        return (
+            F.when(
+                H >= w,
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(0), H - w), pick_fast)
+                ),
+            )
+            .when(
+                H > 0,
+                F.array(
+                    F.struct(
+                        short_pos.cast("long").alias("pos"),
+                        short_min.alias("fp"),
+                    )
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<pos:long,fp:bigint>>"))
+        )
 
     return F.get(F.transform(F.array(hs_expr), body), 0)
 
