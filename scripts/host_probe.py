@@ -115,7 +115,11 @@ def probe_spark_shuffle(spark) -> float:
             .collect()
         )
 
-    return _min_of(3, work)
+    # min-of-5 (was 3): HOST_PROBE.jsonl showed 19% same-day CV on this
+    # leg at 3 reps — a co-tenant burst spanning all three reps poisons
+    # the bench denominator; two extra ~1 s reps are cheap insurance.
+    # The workload and units are unchanged, only the estimator tightens.
+    return _min_of(5, work)
 
 
 def probe(spark=None, tag: str | None = None, append: bool = True) -> dict:
