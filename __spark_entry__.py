@@ -2661,6 +2661,105 @@ def _length_quantiles_oracle_sql() -> str:
     """
 
 
+def _pii_synth_text(d):
+    """Deterministic PII-bearing enrichment of the documents text, built
+    from doc_id with the SAME arithmetic in Spark and the oracle (the
+    attach_real_avc_video pattern: the synthetic generator is shared SQL,
+    so the oracle tests the DETECTION algebra, not the generator). Every
+    doc gains an email + URL; every 3rd a 16-digit card candidate (Luhn
+    validity falls out of the digits — a deterministic ~10% split); every
+    4th an E.164 phone; every 5th an IPv4."""
+    ds = d.cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), ds, F.lit("@mail.example.com"),
+        F.lit(" see https://ex.example.org/d/"), ds,
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" card 4"),
+                F.lpad(((d * 7919) % F.lit(10**15)).cast("string"), 15, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" tel +1415555"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" host "), (d % 256).cast("string"),
+                F.lit("."), ((d * 7) % 256).cast("string"),
+                F.lit("."), ((d * 13) % 256).cast("string"),
+                F.lit("."), ((d * 29) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_pii.py::test_pii_audit_matches_duckdb_twin)
+    """Typed PII audit + redaction (llmdata/pii.py): per-document counts
+    of email / URL / IPv4 / Luhn-validated card / phone / digit-run
+    classes plus the sequentially-redacted text, over a deterministic
+    doc_id-derived enrichment of the corpus (the raw synthetic text
+    contains no PII). Counts are independent per class on the raw text;
+    card candidates split valid/invalid by a pure column-algebra Luhn
+    fold. One select, zero exchanges, zero Python UDFs."""
+    from coin_for_rich_spark.llmdata.pii import pii_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id", _pii_synth_text(F.col("doc_id")).alias("text")
+    )
+    return pii_audit(synth)
+
+
+def _pii_audit_oracle_sql() -> str:
+    """DuckDB twin of ``q_pii_audit`` — the synthetic enrichment mirrored
+    expression-for-expression, the SELECT list built from the SHARED
+    pattern fragments (llmdata.pii.pii_oracle_exprs), so the pattern
+    strings cannot drift between engines."""
+    from coin_for_rich_spark.llmdata.pii import pii_oracle_exprs
+
+    cols = ",\n               ".join(
+        f"{sql} AS {name}" for name, sql in pii_oracle_exprs().items()
+    )
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com'
+                        || ' see https://ex.example.org/d/'
+                        || CAST(doc_id AS VARCHAR)
+                        || CASE WHEN doc_id % 3 = 0
+                           THEN ' card 4' || lpad(CAST((doc_id * 7919)
+                                % 1000000000000000 AS VARCHAR), 15, '0')
+                           ELSE '' END
+                        || CASE WHEN doc_id % 4 = 0
+                           THEN ' tel +1415555'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                        || CASE WHEN doc_id % 5 = 0
+                           THEN ' host ' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                                || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                                || '.' || CAST((doc_id * 29) % 256 AS VARCHAR)
+                           ELSE '' END
+                       AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {cols}
+        FROM synth
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

@@ -59,6 +59,7 @@ BANKED = {
         entry_mod.q_length_quantiles,
         entry_mod._length_quantiles_oracle_sql,
     ),
+    "pii_audit": (entry_mod.q_pii_audit, entry_mod._pii_audit_oracle_sql),
 }
 
 
