@@ -2760,6 +2760,122 @@ def _pii_audit_oracle_sql() -> str:
     """
 
 
+#: q_gopher_filter thresholds: tightened from the paper defaults so every
+#: corpus-sensitive rule exercises BOTH branches on the synthetic
+#: word-salad distribution (n_tokens 10–99, mwl 3.7–5.3, stopwords 0–8,
+#: dup3 0–0.07, top-token 0.09–0.30 at sf0.01 — measured before choosing);
+#: symbol/alpha rules cannot fire on all-alpha salads and keep their
+#: planted-text branch coverage in tests/test_gopher.py instead.
+_GOPHER_GATE_THRESHOLDS = dict(
+    min_tokens=30,
+    min_mean_word_len=4.0,
+    min_stopwords=2,
+    max_dup_ngram_frac=0.02,
+    max_top_token_frac=0.20,
+)
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_gopher.py::test_gopher_filter_matches_duckdb_twin)
+    """Gopher-style rule-based quality DECISION (llmdata/gopher.py): per
+    document, the full signal row, a comma-joined reject_reasons audit
+    trail in fixed rule order, and the keep verdict — composed from the
+    SAME signal formulas doc_profile pins hash-exact (tokenize guard,
+    match_tokens stopword normalization, 3-gram dup fraction, sorted-run
+    top-token multiplicity). One fused select, zero exchanges, zero UDFs."""
+    from coin_for_rich_spark.llmdata.gopher import gopher_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_filter(docs, **_GOPHER_GATE_THRESHOLDS)
+
+
+def _gopher_filter_oracle_sql() -> str:
+    """DuckDB twin of ``q_gopher_filter`` — the signal formulas written
+    from first principles (same guarded tokenization and normalization the
+    doc_profile oracle uses), thresholds injected from the SHARED
+    ``_GOPHER_GATE_THRESHOLDS`` dict so engine and oracle cannot drift."""
+    th = {**__import__(
+        "coin_for_rich_spark.llmdata.gopher", fromlist=["GOPHER_DEFAULTS"]
+    ).GOPHER_DEFAULTS, **_GOPHER_GATE_THRESHOLDS}
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) > 0
+                        THEN regexp_split_to_array(trim(text), '\\s+')
+                        ELSE []::VARCHAR[] END AS toks,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '([^\\p{{L}}\\p{{N}}\\s])', 1))
+                       AS n_punct
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS DOUBLE) / len(toks)
+                   ELSE 0.0 END AS mean_word_len,
+                   CAST(len(list_filter(
+                       list_transform(toks, x -> lower(regexp_replace(x,
+                           '(^[^\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}]+$)',
+                           '', 'g'))),
+                       x -> x IN ('the', 'and', 'of', 'to', 'in', 'is',
+                                  'that', 'with', 'for', 'on')))
+                       AS BIGINT) AS n_stopwords,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars
+                        ELSE 0.0 END AS symbol_ratio,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(len(list_filter(toks,
+                           x -> regexp_matches(x, '\\p{{L}}'))) AS DOUBLE)
+                       / len(toks)
+                   ELSE 0.0 END AS alpha_word_frac,
+                   CASE WHEN len(toks) >= 3 THEN
+                       1.0 - CAST(len(list_distinct(
+                           [array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)])) AS DOUBLE)
+                           / (len(toks) - 2)
+                   ELSE 0.0 END AS dup_ngram_frac,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(list_max(list_transform(list_distinct(toks),
+                           u -> len(list_filter(toks, x -> x = u))))
+                           AS DOUBLE) / len(toks)
+                   ELSE 0.0 END AS top_token_frac
+            FROM t
+        ),
+        r AS (
+            SELECT *,
+                   list_filter([
+                       CASE WHEN n_tokens < {th["min_tokens"]}
+                              OR n_tokens > {th["max_tokens"]}
+                            THEN 'word_count' END,
+                       CASE WHEN mean_word_len < {th["min_mean_word_len"]}
+                              OR mean_word_len > {th["max_mean_word_len"]}
+                            THEN 'mean_word_len' END,
+                       CASE WHEN n_stopwords < {th["min_stopwords"]}
+                            THEN 'stopwords' END,
+                       CASE WHEN symbol_ratio > {th["max_symbol_ratio"]}
+                            THEN 'symbol_ratio' END,
+                       CASE WHEN alpha_word_frac < {th["min_alpha_word_frac"]}
+                            THEN 'alpha_words' END,
+                       CASE WHEN dup_ngram_frac > {th["max_dup_ngram_frac"]}
+                            THEN 'dup_ngrams' END,
+                       CASE WHEN top_token_frac > {th["max_top_token_frac"]}
+                            THEN 'top_token' END
+                   ], x -> x IS NOT NULL) AS reasons
+            FROM s
+        )
+        SELECT doc_id, n_tokens, mean_word_len, n_stopwords, symbol_ratio,
+               alpha_word_frac, dup_ngram_frac, top_token_frac,
+               coalesce(array_to_string(reasons, ','), '') AS reject_reasons,
+               CAST(len(reasons) AS BIGINT) AS n_rules_failed,
+               len(reasons) = 0 AS keep
+        FROM r
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

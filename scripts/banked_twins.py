@@ -60,6 +60,10 @@ BANKED = {
         entry_mod._length_quantiles_oracle_sql,
     ),
     "pii_audit": (entry_mod.q_pii_audit, entry_mod._pii_audit_oracle_sql),
+    "gopher_filter": (
+        entry_mod.q_gopher_filter,
+        entry_mod._gopher_filter_oracle_sql,
+    ),
 }
 
 
