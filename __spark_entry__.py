@@ -2876,6 +2876,128 @@ def _gopher_filter_oracle_sql() -> str:
     """
 
 
+#: q_c4_clean rules: segment path (the corpus has no physical lines) with
+#: the three corpus-sensitive rules tuned to fire BOTH ways on the salad
+#: distribution (measured before choosing at sf0.01: keep rate 53.2%,
+#: min_lines rejects 218/500, banned_phrase 18/500, 450/500 docs lose at
+#: least one line to word_count). terminal-punct / banned-token / curly
+#: cannot fire on an all-alpha single-space corpus and keep planted-text
+#: branch coverage in tests/test_c4.py instead (same posture as the
+#: gopher gate's symbol rules).
+_C4_GATE_RULES = dict(
+    min_line_words=12,
+    min_lines=4,
+    require_terminal_punct=False,
+    banned_page_phrases=("table table",),
+)
+_C4_GATE_K = 12
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_c4.py::test_c4_clean_matches_duckdb_twin)
+    """C4-style line repair + page decision (llmdata/c4.py): the REWRITE
+    tier below the Gopher gate — per document, drop lines failing the
+    line rules (word floor; banned token; terminal punct when enabled),
+    rebuild clean_text from survivors in order, and reject pages the
+    rewrite hollowed out (min_lines) or that carry a banned phrase /
+    curly brace. Line structure is the package's deterministic 12-token
+    segmentation (the corpus has no physical lines). Everything in-row:
+    one projection of higher-order-function algebra, zero exchanges,
+    zero UDFs."""
+    from coin_for_rich_spark.llmdata.c4 import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_clean(docs, segment_tokens=_C4_GATE_K, **_C4_GATE_RULES)
+
+
+def _c4_clean_oracle_sql() -> str:
+    """DuckDB twin of ``q_c4_clean`` — the segment construction and every
+    rule written from first principles (list_slice spans over the
+    single-space split, word counts on the space-collapsed trimmed line),
+    thresholds injected from the SHARED ``_C4_GATE_RULES`` dict so engine
+    and oracle cannot drift. The empty-survivor page needs an explicit
+    coalesce: DuckDB ``array_to_string([])`` is NULL where Spark
+    ``array_join`` is ''."""
+    from coin_for_rich_spark.llmdata.c4 import C4_DEFAULTS
+
+    r = {**C4_DEFAULTS, **_C4_GATE_RULES}
+    # this twin transcribes the GATE config; the punct rule is disabled
+    # there (n_drop_no_punct hardcoded 0 below) — keep the two in sync
+    assert not r["require_terminal_punct"]
+    k = _C4_GATE_K
+    banned = ", ".join(
+        f"'{t}'" for t in r["banned_line_tokens"]
+    )
+    wc = (
+        "(CASE WHEN trim({s}) = '' THEN 0"
+        " ELSE len(regexp_split_to_array(trim({s}), ' +')) END)"
+    )
+    bad = (
+        "list_has_any(regexp_split_to_array(lower(trim({s})), ' +'),"
+        f" [{banned}])"
+    )
+    drop = f"({wc} < {r['min_line_words']} OR {bad})"
+    phrase_hits = " OR ".join(
+        f"contains(lower(text), '{p}')" for p in r["banned_page_phrases"]
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, text,
+                   list_transform(
+                       range(0, greatest(
+                           CAST(ceil(len(toks) / {k}.0) AS INT), 1)),
+                       i -> array_to_string(
+                           list_slice(toks, i*{k} + 1, (i+1)*{k}), ' ')
+                   ) AS segs
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, text, segs,
+                   list_filter(segs, x -> NOT {drop.format(s='x')}) AS kept,
+                   len(list_filter(segs,
+                       x -> {wc.format(s='x')} < {r['min_line_words']}))
+                       AS n_drop_short,
+                   len(list_filter(segs, x -> {bad.format(s='x')}))
+                       AS n_drop_banned_token
+            FROM s
+        ),
+        p AS (
+            SELECT doc_id,
+                   CAST(len(segs) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(n_drop_short AS BIGINT) AS n_drop_short,
+                   CAST(0 AS BIGINT) AS n_drop_no_punct,
+                   CAST(n_drop_banned_token AS BIGINT)
+                       AS n_drop_banned_token,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text,
+                   list_filter([
+                       CASE WHEN len(kept) < {r['min_lines']}
+                            THEN 'min_lines' END,
+                       CASE WHEN {phrase_hits}
+                            THEN 'banned_phrase' END,
+                       CASE WHEN contains(text, '{{')
+                              OR contains(text, '}}')
+                            THEN 'curly_brace' END
+                   ], x -> x IS NOT NULL) AS reasons
+            FROM r
+        )
+        SELECT doc_id, n_lines, n_lines_kept, n_drop_short,
+               n_drop_no_punct, n_drop_banned_token, clean_text,
+               coalesce(array_to_string(reasons, ','), '')
+                   AS page_reject_reasons,
+               CAST(len(reasons) AS BIGINT) AS n_page_rules_failed,
+               len(reasons) = 0 AS keep
+        FROM p
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

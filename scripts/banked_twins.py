@@ -64,13 +64,20 @@ BANKED = {
         entry_mod.q_gopher_filter,
         entry_mod._gopher_filter_oracle_sql,
     ),
+    "c4_clean": (entry_mod.q_c4_clean, entry_mod._c4_clean_oracle_sql),
 }
 
 
 def main() -> int:
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(BANKED)
     spark = get_spark("banked-twins")
+    # a subset run MERGES into the standing artifact (a fresh dict here
+    # would silently discard the other rows' standing proof)
+    path = os.path.join(REPO, ".scale", "R15_BANKED_TWINS.json")
     out: dict = {"ts": time.time(), "results": {}}
+    if set(names) != set(BANKED) and os.path.exists(path):
+        with open(path) as fh:
+            out["results"] = json.load(fh).get("results", {})
     failures = 0
     for sf_dir in SCALES:
         duck = duck_connect(sf_dir)
@@ -97,7 +104,6 @@ def main() -> int:
             print(f"{status} {key} ({out['results'][key]['rows']} rows, {wall}s)")
             if problems:
                 failures += 1
-    path = os.path.join(REPO, ".scale", "R15_BANKED_TWINS.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"{failures} failures -> {path}")
