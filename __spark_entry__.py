@@ -2998,6 +2998,151 @@ def _c4_clean_oracle_sql() -> str:
     """
 
 
+#: q_bm25_topk: queries derive deterministically from the corpus itself
+#: (every 97th doc contributes its first 8 raw tokens), so the oracle can
+#: rebuild them in SQL; k/k1/b shared here so engine and oracle cannot
+#: drift.
+_BM25_GATE = dict(k=10, k1=1.2, b=0.75)
+_BM25_QUERY_STRIDE = 97
+_BM25_QUERY_TOKENS = 8
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_bm25.py::test_bm25_topk_matches_duckdb_twin)
+    """BM25 keyword top-k (llmdata/bm25.py): the LEXICAL retrieval tier
+    beside the embedding ANN family — index-once (postings + doc_freq,
+    one corpus shuffle) / query-many (query idf broadcast onto the
+    postings scan, salted two-phase top-k). Scores follow the
+    quality_score float contract: exact integer inputs, DECIMAL(38,18)
+    order-free summation, round-6 emission, (score DESC, doc_id ASC)
+    deterministic ranking."""
+    from coin_for_rich_spark.llmdata.bm25 import bm25_index, bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter(
+        F.col("doc_id") % _BM25_QUERY_STRIDE == 3
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                1,
+                _BM25_QUERY_TOKENS,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return bm25_topk(bm25_index(docs), queries, **_BM25_GATE)
+
+
+def _bm25_topk_oracle_sql() -> str:
+    """DuckDB twin of ``q_bm25_topk`` — postings, document frequencies,
+    avgdl, idf, and the tf normalization rebuilt from first principles
+    over the raw documents view; float parity per the module contract
+    (identical literal injection from the SHARED ``_BM25_GATE``, the
+    same ((N − df) + 0.5) association, DECIMAL(38,18) summation, round-6
+    emission). The only residual divergence is the last-ulp freedom of
+    the two engines' ln(), absorbed by the 1e-6 grid."""
+    k = _BM25_GATE["k"]
+    k1 = _BM25_GATE["k1"]
+    b = _BM25_GATE["b"]
+    stride, qtok = _BM25_QUERY_STRIDE, _BM25_QUERY_TOKENS
+    return f"""
+        WITH terms AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           CASE WHEN length(trim(text)) > 0
+                                THEN regexp_split_to_array(trim(text),
+                                                           '\\s+')
+                                ELSE []::VARCHAR[] END,
+                           t -> lower(regexp_replace(t,
+                               '(^[^\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}]+$)',
+                               '', 'g'))),
+                       t -> t != '') AS terms
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, terms, CAST(len(terms) AS BIGINT) AS dl
+            FROM terms
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl
+            FROM dl
+        ),
+        postings AS (
+            SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, dl, unnest(terms) AS term FROM dl)
+            GROUP BY doc_id, dl, term
+        ),
+        doc_freq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM postings GROUP BY term
+        ),
+        queries AS (
+            SELECT doc_id AS query_id,
+                   array_to_string(
+                       regexp_split_to_array(trim(text), '\\s+')[1:{qtok}],
+                       ' ') AS qtext
+            FROM documents WHERE doc_id % {stride} = 3
+        ),
+        qterms AS (
+            SELECT DISTINCT query_id, term
+            FROM (
+                SELECT query_id,
+                       unnest(list_filter(
+                           list_transform(
+                               CASE WHEN length(trim(qtext)) > 0
+                                    THEN regexp_split_to_array(
+                                        trim(qtext), '\\s+')
+                                    ELSE []::VARCHAR[] END,
+                               t -> lower(regexp_replace(t,
+                                   '(^[^\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}]+$)',
+                                   '', 'g'))),
+                           t -> t != '')) AS term
+                FROM queries
+            )
+        ),
+        qidf AS (
+            SELECT q.query_id, q.term,
+                   ln(1.0 + ((s.n - CAST(f.df AS DOUBLE)) + 0.5)
+                            / (CAST(f.df AS DOUBLE) + 0.5)) AS idf
+            FROM qterms q
+            JOIN doc_freq f USING (term)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT q.query_id, p.doc_id,
+                   round(CAST(sum(CAST(
+                       q.idf * ((CAST(p.tf AS DOUBLE) * {k1 + 1.0!r})
+                           / (CAST(p.tf AS DOUBLE)
+                              + {k1!r} * ({1.0 - b!r}
+                                  + {b!r} * (CAST(p.dl AS DOUBLE)
+                                             / s.avgdl))))
+                       AS DECIMAL(38,18))) AS DOUBLE), 6) AS score,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched
+            FROM postings p
+            JOIN qidf q USING (term)
+            CROSS JOIN stats s
+            GROUP BY q.query_id, p.doc_id
+        ),
+        ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, doc_id, score, n_terms_matched, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

@@ -65,6 +65,7 @@ BANKED = {
         entry_mod._gopher_filter_oracle_sql,
     ),
     "c4_clean": (entry_mod.q_c4_clean, entry_mod._c4_clean_oracle_sql),
+    "bm25_topk": (entry_mod.q_bm25_topk, entry_mod._bm25_topk_oracle_sql),
 }
 
 
