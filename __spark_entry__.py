@@ -3143,6 +3143,92 @@ def _bm25_topk_oracle_sql() -> str:
     """
 
 
+#: q_pmi_collocations: the corpus vocabulary is small, so every adjacent
+#: pair clears a low floor — min_count=5 still exercises the floor (rare
+#: pairs at sf0.001 fall below it) and top_m=50 cuts inside the ranked
+#: list at every scale.
+_PMI_GATE = dict(top_m=50, min_count=5)
+
+
+def q_pmi_collocations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_collocations.py::test_pmi_matches_duckdb_twin)
+    """PMI collocation mining (llmdata/collocations.py): top-m adjacent
+    bigrams by pointwise mutual information — in-row pair construction,
+    one hash-agg per count relation, min_count floor before the
+    vocabulary joins, TakeOrdered global cut. Single-ln score (no float
+    summation), round-6 emission, (pmi DESC, w1, w2) total order."""
+    from coin_for_rich_spark.llmdata.collocations import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, **_PMI_GATE)
+
+
+def _pmi_collocations_oracle_sql() -> str:
+    """DuckDB twin of ``q_pmi_collocations`` — unigram/bigram counts,
+    totals, and the PINNED PMI association ``(c_pair/T2) /
+    ((c_w1/T1)·(c_w2/T1))`` rebuilt from the raw documents view;
+    thresholds injected from the SHARED ``_PMI_GATE`` dict. The only
+    cross-engine freedom is the last ulp of ln(), absorbed by the
+    round-6 grid."""
+    m = _PMI_GATE["top_m"]
+    mc = _PMI_GATE["min_count"]
+    return f"""
+        WITH terms AS (
+            SELECT list_filter(
+                       list_transform(
+                           CASE WHEN length(trim(text)) > 0
+                                THEN regexp_split_to_array(trim(text),
+                                                           '\\s+')
+                                ELSE []::VARCHAR[] END,
+                           t -> lower(regexp_replace(t,
+                               '(^[^\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}]+$)',
+                               '', 'g'))),
+                       t -> t != '') AS terms
+            FROM documents
+        ),
+        uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c_w
+            FROM (SELECT unnest(terms) AS w FROM terms)
+            GROUP BY w
+        ),
+        pairs AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+            FROM (
+                SELECT t.terms[i] AS w1, t.terms[i + 1] AS w2
+                FROM terms t, unnest(range(1, len(t.terms))) AS r(i)
+            )
+            GROUP BY w1, w2
+        ),
+        totals AS (
+            SELECT (SELECT CAST(sum(c_w) AS DOUBLE) FROM uni) AS t1,
+                   (SELECT CAST(sum(c_pair) AS DOUBLE) FROM pairs) AS t2
+        ),
+        scored AS (
+            SELECT p.w1, p.w2, p.c_pair, u1.c_w AS c_w1, u2.c_w AS c_w2,
+                   round(ln(
+                       (CAST(p.c_pair AS DOUBLE) / t.t2)
+                       / ((CAST(u1.c_w AS DOUBLE) / t.t1)
+                          * (CAST(u2.c_w AS DOUBLE) / t.t1))
+                   ), 6) AS pmi
+            FROM pairs p
+            JOIN uni u1 ON p.w1 = u1.w
+            JOIN uni u2 ON p.w2 = u2.w
+            CROSS JOIN totals t
+            WHERE p.c_pair >= {mc}
+        )
+        SELECT w1, w2, c_pair, c_w1, c_w2, pmi,
+               CAST(row_number() OVER (
+                   ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+        FROM scored
+        ORDER BY pmi DESC, w1 ASC, w2 ASC
+        LIMIT {m}
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

@@ -66,6 +66,10 @@ BANKED = {
     ),
     "c4_clean": (entry_mod.q_c4_clean, entry_mod._c4_clean_oracle_sql),
     "bm25_topk": (entry_mod.q_bm25_topk, entry_mod._bm25_topk_oracle_sql),
+    "pmi_collocations": (
+        entry_mod.q_pmi_collocations,
+        entry_mod._pmi_collocations_oracle_sql,
+    ),
 }
 
 
