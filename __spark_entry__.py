@@ -3229,6 +3229,118 @@ def _pmi_collocations_oracle_sql() -> str:
     """
 
 
+#: q_sft_render: conversations derive deterministically from the corpus
+#: (the c4 12-token segmentation, roles alternating user/assistant from
+#: segment 0), so the oracle rebuilds them in SQL; segment width shared
+#: here.
+_SFT_GATE_K = 12
+
+
+def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_sft.py::test_sft_render_matches_duckdb_twin)
+    """SFT chat-template assembly (llmdata/sft.py): conversations render
+    through the fixed ChatML-shaped template into ONE training string
+    per doc with the loss-mask character spans over assistant-turn
+    content — the artifact supervised fine-tuning consumes. One in-row
+    linear fold (struct-accumulator `aggregate`): zero exchanges, zero
+    UDFs, zero windows."""
+    from coin_for_rich_spark.llmdata.sft import chat_render
+
+    k = _SFT_GATE_K
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.split(F.col("text"), " ", -1).alias("_toks"),
+    )
+    nseg = F.ceil(F.size("_toks") / F.lit(float(k))).cast("int")
+    convs = toked.select(
+        "conv_id",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(nseg - 1, F.lit(0))),
+            lambda i: F.struct(
+                F.when(i % 2 == 0, F.lit("user"))
+                .otherwise(F.lit("assistant"))
+                .alias("role"),
+                F.array_join(
+                    F.slice("_toks", i * k + 1, F.lit(k)), " "
+                ).alias("content"),
+            ),
+        ).alias("turns"),
+    )
+    return chat_render(convs, id_col="conv_id")
+
+
+def _sft_render_oracle_sql() -> str:
+    """DuckDB twin of ``q_sft_render`` — the segment-to-turns derivation,
+    the template pieces, the prefix-sum character offsets, and the
+    span/audit columns rebuilt from the raw documents view (window
+    prefix sums over exploded turns stand in for the engine's in-row
+    fold; both compute the same offsets). Spans and text are compared
+    byte-for-byte."""
+    k = _SFT_GATE_K
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(
+                           CAST(ceil(len(toks) / {k}.0) AS INT), 1)),
+                       i -> array_to_string(
+                           list_slice(toks, i*{k} + 1, (i+1)*{k}), ' ')
+                   ) AS segs
+            FROM t
+        ),
+        turns AS (
+            SELECT doc_id, i,
+                   CASE WHEN i % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   segs[i + 1] AS content
+            FROM segs, unnest(range(0, len(segs))) AS r(i)
+        ),
+        pieces AS (
+            SELECT doc_id, i, role, content,
+                   '<|im_start|>' || role || chr(10) || content
+                       || '<|im_end|>' || chr(10) AS piece,
+                   length('<|im_start|>' || role || chr(10)) AS head_len
+            FROM turns
+        ),
+        offs AS (
+            SELECT *,
+                   coalesce(sum(length(piece)) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS off
+            FROM pieces
+        ),
+        spans AS (
+            SELECT doc_id, i, role, piece, content,
+                   off + head_len AS s,
+                   off + head_len + length(content) AS e
+            FROM offs
+        )
+        SELECT doc_id AS conv_id,
+               string_agg(piece, '' ORDER BY i) AS text,
+               coalesce(string_agg(
+                   CASE WHEN role = 'assistant'
+                        THEN s || '-' || e END, ',' ORDER BY i), '')
+                   AS loss_spans,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_assistant_turns,
+               CAST(sum(length(piece)) AS BIGINT) AS n_chars,
+               CAST(coalesce(sum(CASE WHEN role = 'assistant'
+                        THEN length(content) END), 0) AS BIGINT)
+                   AS loss_chars
+        FROM spans
+        GROUP BY doc_id
+    """
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize targets for image rows (declarative dims).
 

@@ -70,6 +70,7 @@ BANKED = {
         entry_mod.q_pmi_collocations,
         entry_mod._pmi_collocations_oracle_sql,
     ),
+    "sft_render": (entry_mod.q_sft_render, entry_mod._sft_render_oracle_sql),
 }
 
 
