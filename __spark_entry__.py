@@ -3229,6 +3229,153 @@ def _pmi_collocations_oracle_sql() -> str:
     """
 
 
+#: q_intra_dedup segment width: 2-token spans repeat WITHIN salad docs
+#: often enough to exercise both branches (measured at sf0.01 before
+#: choosing: 250/13715 lines dropped across 181/500 docs; k=3 drops only
+#: 3 lines, k=4 zero).
+_INTRA_GATE_K = 2
+
+
+def q_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_llmdata.py::test_intra_dedup_matches_duckdb_twin)
+    """Intra-document repeated-line removal (llmdata/dedup.py
+    intra_doc_line_dedup): first occurrence of each normalized line
+    survives, later repeats inside the SAME document drop, document
+    rebuilt in order — the repetition REWRITE line_dedup deliberately
+    exempts. Window over (doc, line-hash) — skew bounded by one line's
+    repeats within one doc — plus the per-doc rebuild: two shuffles."""
+    from coin_for_rich_spark.llmdata.dedup import (
+        explode_token_segments,
+        intra_doc_line_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return intra_doc_line_dedup(
+        explode_token_segments(docs, k=_INTRA_GATE_K)
+    )
+
+
+def _intra_dedup_oracle_sql() -> str:
+    """DuckDB twin of ``q_intra_dedup`` — the k-token segmentation,
+    the first-occurrence rule over the lower(trim(line)) identity, and
+    the in-order reassembly rebuilt from the raw documents view."""
+    k = _INTRA_GATE_K
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(
+                           CAST(ceil(len(toks) / {k}.0) AS INT), 1)),
+                       i -> array_to_string(
+                           list_slice(toks, i*{k} + 1, (i+1)*{k}), ' ')
+                   ) AS segs
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, i AS pos, segs[i + 1] AS line
+            FROM segs, unnest(range(0, len(segs))) AS r(i)
+        ),
+        occ AS (
+            SELECT doc_id, pos, line,
+                   CASE WHEN trim(line) != '' THEN
+                       row_number() OVER (
+                           PARTITION BY doc_id, lower(trim(line))
+                           ORDER BY pos) > 1
+                   ELSE FALSE END AS dropped
+            FROM e
+        )
+        SELECT doc_id,
+               coalesce(string_agg(
+                   CASE WHEN NOT dropped THEN line END, chr(10)
+                   ORDER BY pos), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lines_dropped
+        FROM occ
+        GROUP BY doc_id
+    """
+
+
+_TFIDF_GATE_N = 3
+
+
+def q_tfidf_keywords(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_bm25.py::test_tfidf_keywords_matches_duckdb_twin)
+    """Per-doc keyword extraction (llmdata/bm25.py tfidf_keywords): top-3
+    terms per document by tf·idf off the SAME standing index bm25_topk
+    queries — one term-keyed join, one balanced doc-keyed window, single
+    ln per row (no summation), round-6, (score DESC, term ASC)
+    deterministic ranks."""
+    from coin_for_rich_spark.llmdata.bm25 import bm25_index, tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(bm25_index(docs), top_n=_TFIDF_GATE_N)
+
+
+def _tfidf_keywords_oracle_sql() -> str:
+    """DuckDB twin of ``q_tfidf_keywords`` — postings / doc_freq / N and
+    the shared bm25 idf rebuilt from the raw documents view (the same
+    CTE construction the bm25_topk twin pins), tf·idf at round-6, ranks
+    by the same total order."""
+    n = _TFIDF_GATE_N
+    return f"""
+        WITH terms AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           CASE WHEN length(trim(text)) > 0
+                                THEN regexp_split_to_array(trim(text),
+                                                           '\\s+')
+                                ELSE []::VARCHAR[] END,
+                           t -> lower(regexp_replace(t,
+                               '(^[^\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}]+$)',
+                               '', 'g'))),
+                       t -> t != '') AS terms
+            FROM documents
+        ),
+        postings AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(terms) AS term FROM terms)
+            GROUP BY doc_id, term
+        ),
+        doc_freq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM postings GROUP BY term
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM terms
+        ),
+        scored AS (
+            SELECT p.doc_id, p.term, p.tf, f.df,
+                   round(CAST(p.tf AS DOUBLE) * ln(1.0 +
+                       ((s.n - CAST(f.df AS DOUBLE)) + 0.5)
+                       / (CAST(f.df AS DOUBLE) + 0.5)), 6) AS score
+            FROM postings p
+            JOIN doc_freq f USING (term)
+            CROSS JOIN stats s
+        ),
+        ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df, score, rank
+        FROM ranked WHERE rank <= {n}
+    """
+
+
 #: q_sft_render: conversations derive deterministically from the corpus
 #: (the c4 12-token segmentation, roles alternating user/assistant from
 #: segment 0), so the oracle rebuilds them in SQL; segment width shared

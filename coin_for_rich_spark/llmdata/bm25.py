@@ -51,7 +51,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.windowed import topn_per_key
@@ -176,8 +176,6 @@ def bm25_topk(
         k,
         salted=True,
     )
-    from pyspark.sql import Window
-
     # rank over the ≤ k×|queries| survivors only — bounded window
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
@@ -185,3 +183,47 @@ def bm25_topk(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     )
+
+
+def tfidf_keywords(index: BM25Index, top_n: int = 5) -> DataFrame:
+    """Per-document keyword extraction off the SAME standing index:
+    top-``top_n`` terms per doc by ``tf · idf`` (the bm25 idf, so one
+    index serves retrieval AND tagging) — ``(doc_id, term, tf, df,
+    score, rank)``, score rounded to 6 decimals, rank 1-based by
+    (score DESC, term ASC).
+
+    Shape: one term-keyed shuffle join (postings × doc_freq — the
+    vocabulary side is too large to assume broadcastable at corpus
+    scale; AQE broadcasts it when it is), then the per-doc window —
+    doc-keyed, naturally balanced (a doc holds at most its own distinct
+    terms), so no salting is needed. The score is a single multiply of
+    an exact integer by one ln — no float summation, no DECIMAL routing.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.lit(float(index.n_docs)) - F.col("df").cast("double"))
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    scored = index.postings.join(index.doc_freq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("score"),
+    )
+    top = topn_per_key(
+        scored,
+        ["doc_id"],
+        [F.col("score").desc(), F.col("term").asc()],
+        top_n,
+        salted=False,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

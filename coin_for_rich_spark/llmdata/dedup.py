@@ -203,6 +203,59 @@ def line_dedup(
     )
 
 
+def intra_doc_line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    out_delimiter: str = "\n",
+) -> DataFrame:
+    """INTRA-document repeated-line removal with reassembly — the
+    repetition REWRITE (Rae et al. 2021's "remove duplicated passages
+    within a page") that :func:`line_dedup` deliberately does NOT do
+    (its count is distinct-documents, exempting intra-doc repeats for
+    the quality SIGNALS). Here the first occurrence of each normalized
+    line (same :func:`content_hash` identity) survives, every later
+    repeat inside the SAME document is dropped, and the document is
+    rebuilt from survivors in original order. Blank lines are exempt —
+    the same paragraph-structure rule as :func:`line_dedup`.
+
+    Input/output contracts match :func:`line_dedup`: the exploded
+    ``(id_col, pos, line)`` relation in, one row per document
+    ``(id_col, clean_text, n_lines, n_lines_dropped)`` out.
+
+    Scale shape (100 TB): occurrence numbering is a window over
+    ``(document, line-hash)`` — keys at least as fine as the document,
+    so partitions are bounded by a single line's repeat count within one
+    document, never by corpus hot lines (the skew that forces
+    :func:`line_dedup` through its agg+join instead); then the same
+    per-document rebuild groupBy. Two shuffles, no corpus-wide window,
+    no self-join.
+    """
+    marked = lines.withColumn(
+        "_h", F.when(F.trim(F.col("line")) != "", content_hash("line"))
+    )
+    occ_w = Window.partitionBy(id_col, "_h").orderBy("pos")
+    flagged = marked.withColumn(
+        "_dropped",
+        F.when(
+            F.col("_h").isNotNull(),
+            F.row_number().over(occ_w) > 1,
+        ).otherwise(F.lit(False)),
+    )
+    kept = F.when(
+        ~F.col("_dropped"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+            ),
+            out_delimiter,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_dropped").cast("long")).alias("n_lines_dropped"),
+    )
+
+
 def repeated_span_dedup(
     docs: DataFrame,
     window: int = 20,

@@ -71,6 +71,14 @@ BANKED = {
         entry_mod._pmi_collocations_oracle_sql,
     ),
     "sft_render": (entry_mod.q_sft_render, entry_mod._sft_render_oracle_sql),
+    "tfidf_keywords": (
+        entry_mod.q_tfidf_keywords,
+        entry_mod._tfidf_keywords_oracle_sql,
+    ),
+    "intra_dedup": (
+        entry_mod.q_intra_dedup,
+        entry_mod._intra_dedup_oracle_sql,
+    ),
 }
 
 

@@ -174,6 +174,50 @@ def test_bm25_terms_are_normalized(spark):
     assert p[0]["dl"] == 3
 
 
+# ------------------------------------------------------------ keywords
+
+
+def test_tfidf_keywords_matches_duckdb_twin(spark, sf_dir, duck):
+    """The banked r16-fuel row, hash-exact vs its first-principles DuckDB
+    twin — also proven at sf0.001/0.01/0.1 this round (COVERAGE.md)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_tfidf_keywords(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    assert sdf.groupby("doc_id")["rank"].max().le(3).all()
+    odf = duck.execute(entry_mod._tfidf_keywords_oracle_sql()).df()
+    problems = compare("tfidf_keywords", sdf, odf)
+    assert not problems, problems
+
+
+def test_tfidf_keywords_formula_and_ties(spark):
+    """tf·idf ranks the doc-specific rare term over the corpus-wide
+    common one; equal (tf, df) profiles tie and break by term asc."""
+    from coin_for_rich_spark.llmdata.bm25 import tfidf_keywords
+
+    rows = [
+        (1, "common zebra common common"),
+        (2, "common common yak xylophone"),
+        (3, "common filler other words"),
+    ]
+    out = tfidf_keywords(bm25_index(_docs(spark, rows)), top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {
+        d: min(rs, key=lambda r: r["rank"])["term"]
+        for d, rs in by_doc.items()
+    }
+    assert top1[1] == "zebra"  # df=1 beats tf=3 of the df=3 term
+    # doc 2: 'xylophone' and 'yak' both (tf=1, df=1) — exact tie, term asc
+    d2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert [r["term"] for r in d2] == ["xylophone", "yak"]
+    assert d2[0]["score"] == d2[1]["score"]
+    with pytest.raises(ValueError, match="top_n"):
+        tfidf_keywords(bm25_index(_docs(spark, rows)), top_n=0)
+
+
 # ---------------------------------------------------------------- plan
 
 

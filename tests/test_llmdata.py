@@ -88,6 +88,50 @@ def test_line_dedup_all_boilerplate_doc_rebuilds_empty(spark):
     assert out[1]["clean_text"] == "" and out[1]["n_lines_dropped"] == 1
 
 
+def test_intra_dedup_matches_duckdb_twin(spark, sf_dir, duck):
+    """The banked r16-fuel row, hash-exact vs its first-principles DuckDB
+    twin (rebuilt text AND drop counts) — also proven at
+    sf0.001/0.01/0.1 this round (COVERAGE.md)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_intra_dedup(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    # the k=2 gate segmentation must exercise BOTH branches
+    assert (sdf["n_lines_dropped"] > 0).any()
+    assert (sdf["n_lines_dropped"] == 0).any()
+    odf = duck.execute(entry_mod._intra_dedup_oracle_sql()).df()
+    problems = compare("intra_dedup", sdf, odf)
+    assert not problems, problems
+
+
+def test_intra_doc_line_dedup_semantics(spark):
+    """First occurrence survives, later intra-doc repeats drop (the
+    exact case line_dedup exempts), normalized identity, blank lines
+    exempt, order preserved."""
+    from coin_for_rich_spark.llmdata import explode_lines, intra_doc_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="echo\nalpha\nEcho \necho\nbeta"),
+            Row(doc_id=2, text="zeta\n\n\nzeta"),  # blanks exempt, zeta drops
+            Row(doc_id=3, text="unique\nlines\nonly"),
+            # cross-doc repeats are NOT this operator's business
+            Row(doc_id=4, text="unique"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in intra_doc_line_dedup(explode_lines(df)).collect()
+    }
+    assert out[1]["clean_text"] == "echo\nalpha\nbeta"
+    assert out[1]["n_lines"] == 5 and out[1]["n_lines_dropped"] == 2
+    assert out[2]["clean_text"] == "zeta\n\n"
+    assert out[2]["n_lines_dropped"] == 1
+    assert out[3]["n_lines_dropped"] == 0
+    assert out[4]["clean_text"] == "unique"  # doc 3's copy is untouched
+
+
 def test_explode_token_segments_covers_text_exactly(spark):
     from coin_for_rich_spark.llmdata import explode_token_segments
 
