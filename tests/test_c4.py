@@ -143,6 +143,44 @@ def test_c4_defaults_are_the_published_set():
     }
 
 
+# --------------------------------------------------------- composition
+
+
+def test_c4_then_gopher_composition(spark):
+    """The pipeline contract: C4 REPAIRS first, Gopher GATES the
+    rewritten text — and the order matters. A page whose raw text fails
+    Gopher (boilerplate-flooded: dup 3-grams over threshold) passes once
+    C4 has stripped the repeated junk lines, which a gate-on-raw run
+    would have rejected."""
+    from coin_for_rich_spark.llmdata.c4 import c4_clean
+    from coin_for_rich_spark.llmdata.gopher import gopher_filter
+
+    line1 = "the finding that distributed engines shuffle with " + " ".join(
+        f"alpha{i} bravo{i} charlie{i}" for i in range(10)
+    ) + " ends well."
+    line2 = "and the optimizer prunes columns for " + " ".join(
+        f"delta{i} echoes{i} foxtrot{i}" for i in range(10)
+    ) + " ends too."
+    junk = "buy now click here."  # short line, C4 word-floor drops it
+    raw = "\n".join([line1] + [junk] * 30 + [line2])
+    docs = spark.createDataFrame(
+        [(1, raw)], "doc_id bigint, text string"
+    )
+
+    gate_on_raw = gopher_filter(docs).collect()[0]
+    assert not gate_on_raw["keep"]
+    assert "dup_ngrams" in gate_on_raw["reject_reasons"]
+
+    repaired = c4_clean(docs, min_line_words=5, min_lines=2).select(
+        "doc_id", "clean_text"
+    )
+    assert "buy now" not in repaired.collect()[0]["clean_text"]
+    gate_on_clean = gopher_filter(
+        repaired, text_col="clean_text"
+    ).collect()[0]
+    assert gate_on_clean["keep"], gate_on_clean["reject_reasons"]
+
+
 # ---------------------------------------------------------------- plan
 
 
