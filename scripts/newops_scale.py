@@ -42,6 +42,21 @@ QUERIES = {
     "warc_extract": entry_mod.q_warc_extract,
     "tar_export": entry_mod.q_tar_export,
     "length_quantiles": entry_mod.q_length_quantiles,
+    # r15 continuation pipeline tiers (banked r16+ fuel). NOTE on
+    # bm25_topk: the GATE derivation scales query count with the corpus
+    # (every 97th doc), and the saturated ~16-word vocabulary makes every
+    # query match nearly every doc — the measured wall is the
+    # O(queries×docs) score space, i.e. the designed worst case, not the
+    # sparse-overlap shape of a real corpus. Disclosed so decade ratios
+    # read correctly.
+    "pii_audit": entry_mod.q_pii_audit,
+    "gopher_filter": entry_mod.q_gopher_filter,
+    "c4_clean": entry_mod.q_c4_clean,
+    "bm25_topk": entry_mod.q_bm25_topk,
+    "pmi_collocations": entry_mod.q_pmi_collocations,
+    "sft_render": entry_mod.q_sft_render,
+    "tfidf_keywords": entry_mod.q_tfidf_keywords,
+    "intra_dedup": entry_mod.q_intra_dedup,
 }
 
 
