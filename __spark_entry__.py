@@ -3229,6 +3229,74 @@ def _pmi_collocations_oracle_sql() -> str:
     """
 
 
+#: q_hard_negatives band: measured on the sf0.01 top-20 neighbor cosines
+#: before choosing (span 0.178–0.513, median 0.256, p90 0.326) so all
+#: three cuts fire — below-lo discards, in-band keeps, ≥hi "disguised
+#: positive" exclusions.
+_HARDNEG_GATE = dict(n_neg=3, sim_lo=0.22, sim_hi=0.35, knn_k=20)
+
+
+def q_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:  # UNDECLARED
+    # r16+ swap-in candidate (rotation discipline: committed + proven this
+    # round, declared no earlier than next; pytest twin:
+    # tests/test_llmdata.py::test_hard_negatives_matches_duckdb_twin)
+    """Hard-negative mining (llmdata/similarity.py hard_negatives): per
+    anchor, the 3 hardest negatives from its 20 exact nearest neighbors
+    with cosine in [0.22, 0.35) — similar enough to be informative,
+    below the positive band. Same blocked-GEMM candidate shape as
+    embed_knn_join; band + rank on the round-6 emission; per-anchor
+    window bounded by knn_k."""
+    from coin_for_rich_spark.llmdata.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, **_HARDNEG_GATE)
+
+
+def _hard_negatives_oracle_sql() -> str:
+    """DuckDB twin of ``q_hard_negatives`` — the embed_knn_join twin's
+    full-pairwise construction (zero-norm clamp, full-precision knn_k
+    ranking, round-6 emission) composed with the band filter and the
+    rounded re-rank, thresholds injected from the SHARED
+    ``_HARDNEG_GATE`` dict."""
+    g = _HARDNEG_GATE
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) = 0 AS is_zero
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+                   CASE WHEN a.is_zero OR b.is_zero THEN 0.0
+                        ELSE list_cosine_similarity(a.e, b.e)
+                   END AS cos_full
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT vec_id, nbr, round(cos_full, 6) AS cosine
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos_full DESC, nbr) AS rk
+                FROM pairs
+            ) WHERE rk <= {g["knn_k"]}
+        ),
+        band AS (
+            SELECT vec_id, nbr, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine DESC, nbr) AS BIGINT) AS neg_rank
+            FROM knn
+            WHERE cosine >= {g["sim_lo"]!r} AND cosine < {g["sim_hi"]!r}
+        )
+        SELECT vec_id, nbr, cosine, neg_rank
+        FROM band WHERE neg_rank <= {g["n_neg"]}
+    """
+
+
 #: q_intra_dedup segment width: 2-token spans repeat WITHIN salad docs
 #: often enough to exercise both branches (measured at sf0.01 before
 #: choosing: 250/13715 lines dropped across 181/500 docs; k=3 drops only

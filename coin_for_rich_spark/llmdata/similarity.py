@@ -25,7 +25,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -490,6 +490,65 @@ def knn_join(
             F.round(F.col("t.cos"), 6).alias("cosine"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    n_neg: int = 3,
+    sim_lo: float = 0.2,
+    sim_hi: float = 0.9,
+    knn_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    block_budget_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``n_neg`` HARDEST negatives — neighbors whose cosine lies in
+    ``[sim_lo, sim_hi)``: similar enough to be informative, strictly
+    below the near-dup/positive band at ``sim_hi`` (training on a
+    disguised positive as a negative is the classic contrastive-data
+    bug; the random easy negative below ``sim_lo`` teaches nothing).
+    Returns ``(id_col, nbr, cosine, neg_rank)``, neg_rank 1-based by
+    (cosine DESC, nbr ASC).
+
+    Contract (documented, not hidden): candidates come from the
+    anchor's ``knn_k`` exact nearest neighbors (:func:`knn_join`'s
+    blocked-GEMM grid — ≤ n·B·k shuffle rows, never the n² score
+    matrix), so the result is exact as long as the anchor has fewer
+    than ``knn_k − n_neg`` neighbors at or above ``sim_hi``; size
+    ``knn_k`` to the expected duplicate multiplicity. Band comparison
+    and ranking run on the ROUND-6 cosine knn_join emits (cross-engine
+    boundary stability); the per-anchor window sees ≤ ``knn_k`` rows —
+    bounded, skew-free.
+    """
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1, got {n_neg}")
+    if knn_k < n_neg:
+        raise ValueError(
+            f"knn_k ({knn_k}) must be >= n_neg ({n_neg})"
+        )
+    if not sim_lo < sim_hi:
+        raise ValueError(
+            f"need sim_lo < sim_hi, got [{sim_lo}, {sim_hi})"
+        )
+    nn = knn_join(
+        embeddings,
+        k=knn_k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks,
+        block_budget_bytes=block_budget_bytes,
+    )
+    band = nn.filter(
+        (F.col("cosine") >= sim_lo) & (F.col("cosine") < sim_hi)
+    ).select(id_col, "nbr", "cosine")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("nbr").asc()
+    )
+    return band.withColumn(
+        "neg_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("neg_rank") <= n_neg)
 
 
 def _gemm_grid_size(

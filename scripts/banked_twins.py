@@ -79,6 +79,10 @@ BANKED = {
         entry_mod.q_intra_dedup,
         entry_mod._intra_dedup_oracle_sql,
     ),
+    "hard_negatives": (
+        entry_mod.q_hard_negatives,
+        entry_mod._hard_negatives_oracle_sql,
+    ),
 }
 
 

@@ -88,6 +88,61 @@ def test_line_dedup_all_boilerplate_doc_rebuilds_empty(spark):
     assert out[1]["clean_text"] == "" and out[1]["n_lines_dropped"] == 1
 
 
+def test_hard_negatives_matches_duckdb_twin(spark, sf_dir, duck):
+    """The banked r16-fuel row, hash-exact vs its first-principles DuckDB
+    twin (the embed_knn_join pairwise construction + band + re-rank) —
+    also proven at sf0.001/0.01/0.1 this round (COVERAGE.md)."""
+    import __spark_entry__ as entry_mod
+    from selfcheck import compare
+
+    sdf = entry_mod.q_hard_negatives(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    assert sdf["cosine"].between(0.22, 0.35, inclusive="left").all()
+    odf = duck.execute(entry_mod._hard_negatives_oracle_sql()).df()
+    problems = compare("hard_negatives", sdf, odf)
+    assert not problems, problems
+
+
+def test_hard_negatives_excludes_disguised_positives(spark):
+    """A planted near-duplicate of the anchor (cosine ≈ 1, above hi)
+    must NOT appear as a negative; the in-band vectors do, hardest
+    first; the orthogonal easy vector (below lo) is excluded."""
+    import math
+
+    import pytest as _pytest
+
+    from coin_for_rich_spark.llmdata.similarity import hard_negatives
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, vec(0.0)),            # anchor
+        (1, vec(0.001)),          # near-dup, cos ~ 1 -> excluded (>= hi)
+        (2, vec(0.9)),            # cos ~ 0.62 -> in band, hardest
+        (3, vec(1.2)),            # cos ~ 0.36 -> in band
+        (4, [0.0, 0.0, 1.0, 0.0]),  # orthogonal -> below lo
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = [
+        r
+        for r in hard_negatives(
+            df, n_neg=2, sim_lo=0.1, sim_hi=0.9, knn_k=4
+        ).collect()
+        if r["vec_id"] == 0
+    ]
+    assert [r["nbr"] for r in sorted(out, key=lambda r: r["neg_rank"])] == [
+        2,
+        3,
+    ]
+    with _pytest.raises(ValueError, match="sim_lo < sim_hi"):
+        hard_negatives(df, sim_lo=0.5, sim_hi=0.5)
+    with _pytest.raises(ValueError, match="knn_k"):
+        hard_negatives(df, n_neg=5, knn_k=3)
+
+
 def test_intra_dedup_matches_duckdb_twin(spark, sf_dir, duck):
     """The banked r16-fuel row, hash-exact vs its first-principles DuckDB
     twin (rebuilt text AND drop counts) — also proven at
