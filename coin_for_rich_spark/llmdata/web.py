@@ -160,3 +160,78 @@ def canonicalize_urls(
         canon.alias("canonical_url"),
         F.regexp_extract(canon, r"^[a-z0-9+.-]+://([^/?]+)", 1).alias("domain"),
     )
+
+
+# ------------------------------------------------------------- mojibake
+#
+# UTF-8 text mis-decoded as Latin-1 ("café" -> "cafÃ©")
+# is the classic crawl corruption. Because Latin-1 maps bytes to code
+# points 1:1, a mojibake'd string's CHARACTERS are exactly the original
+# UTF-8 BYTES — so a character-class regex over the string IS an exact
+# UTF-8 validator for the recoded bytes, and the repair (re-encode
+# Latin-1, re-decode UTF-8) is total on rows that pass it. The gate
+# matters: Spark 4's `decode` RAISES on malformed input
+# (MALFORMED_CHARACTER_CODING), so an ungated recode of a corpus with
+# one stray 'Ã' would fail the whole job.
+#
+# The validator transcribes RFC 3629's well-formed byte sequences
+# (overlongs excluded via the C2 / E0-A0 / F0-90 floors, surrogates via
+# the ED-9F cap, > U+10FFFF via the F4-8F cap) and requires at least ONE
+# multi-byte sequence — an all-ASCII string round-trips identically and
+# must not be flagged. Built programmatically so the source stays ASCII.
+
+
+def _r(a: int, b: int | None = None) -> str:
+    return f"\\u{a:04x}" if b is None else f"[\\u{a:04x}-\\u{b:04x}]"
+
+
+_CONT = _r(0x80, 0xBF)  # one continuation byte
+_UTF8_SEQ = (
+    "(?:" + _r(0xC2, 0xDF) + _CONT
+    + "|" + _r(0xE0) + _r(0xA0, 0xBF) + _CONT
+    + "|" + _r(0xE1, 0xEC) + _CONT + "{2}"
+    + "|" + _r(0xED) + _r(0x80, 0x9F) + _CONT
+    + "|" + _r(0xEE, 0xEF) + _CONT + "{2}"
+    + "|" + _r(0xF0) + _r(0x90, 0xBF) + _CONT + "{2}"
+    + "|" + _r(0xF1, 0xF3) + _CONT + "{3}"
+    + "|" + _r(0xF4) + _r(0x80, 0x8F) + _CONT + "{2}"
+    + ")"
+)
+_ASCII = _r(0x00, 0x7F)
+_MOJIBAKE_GATE = (
+    "^(?:" + _ASCII + "|" + _UTF8_SEQ + ")*" + _UTF8_SEQ
+    + "(?:" + _ASCII + "|" + _UTF8_SEQ + ")*$"
+)
+
+
+def fix_mojibake(text_col: Column | str) -> Column:
+    """Repaired text: Latin-1 -> UTF-8 recode when (and only when) the
+    string is a valid mojibake image — otherwise the input unchanged.
+    One layer per application (double-encoded text needs two passes); a
+    REPAIRED string no longer matches the gate, so the fix is stable."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(
+        c.rlike(_MOJIBAKE_GATE),
+        F.decode(F.encode(c, "ISO-8859-1"), "UTF-8"),
+    ).otherwise(c)
+
+
+def mojibake_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text, fixed_text, was_mojibake, n_chars_before,
+    n_chars_after) — the repair plus the audit columns a curation run
+    reports on. Pure per-row column algebra: zero exchanges, zero UDFs;
+    the char-count delta equals the number of repaired sequences'
+    continuation bytes."""
+    fixed = fix_mojibake(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        fixed.alias("fixed_text"),
+        (fixed != F.col(text_col)).alias("was_mojibake"),
+        F.length(text_col).cast("long").alias("n_chars_before"),
+        F.length(fixed).cast("long").alias("n_chars_after"),
+    )
