@@ -1592,10 +1592,25 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "text", F.regexp_replace("text", "\x1f", " ")
     )
+    # ONE corpus-scale tokenize → explode → count for the whole
+    # train+encode pipeline (r15 optimization round, guide §2.4): the
+    # trainer's word-count relation IS encode's vocabulary (same tokenize,
+    # same empty-token filter), so sharing the persisted relation removes a
+    # full corpus tokenize + posexplode + distinct exchange from the encode
+    # plan. Registered in the intermediate-cache registry so bench passes
+    # drain it like every other operator-internal persist.
+    from coin_for_rich_spark.llmdata.bpe import _word_counts_df
+    from coin_for_rich_spark.llmdata.dedup import _INTERMEDIATE_CACHES
+
+    wc = _word_counts_df(docs, "text").persist()
+    _INTERMEDIATE_CACHES.append(wc)
     model = train_bpe(
-        docs, n_merges=_BPE_GATE_MERGES, min_pair_count=_BPE_GATE_MIN_PAIR
+        docs,
+        n_merges=_BPE_GATE_MERGES,
+        min_pair_count=_BPE_GATE_MIN_PAIR,
+        word_counts=wc,
     )
-    enc = encode_bpe(docs, model)
+    enc = encode_bpe(docs, model, vocab=wc)
     return enc.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),

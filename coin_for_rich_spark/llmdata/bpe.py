@@ -133,16 +133,26 @@ def train_bpe(
     min_pair_count: int = 2,
     strategy: str = "auto",
     driver_vocab_limit: int = 1_000_000,
+    word_counts: DataFrame | None = None,
 ) -> BPEModel:
-    """Learn ``n_merges`` BPE merges from the corpus (one corpus pass)."""
+    """Learn ``n_merges`` BPE merges from the corpus (one corpus pass).
+
+    ``word_counts`` lets a caller that ALSO encodes hand in the
+    (word, cnt) relation so the corpus-scale tokenize → explode → count
+    aggregation runs once for the whole train+encode pipeline (the caller
+    owns its persistence and lifetime; it must equal
+    ``_word_counts_df(docs, text_col)``, i.e. distinct non-empty
+    ``tokenize`` words with occurrence counts)."""
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    wc = _word_counts_df(docs, text_col)
+    caller_owned = word_counts is not None
+    wc = word_counts if caller_owned else _word_counts_df(docs, text_col)
     if strategy == "auto":
         # persist BEFORE the sizing count, or the corpus-scale word-count
         # aggregation runs twice (limit above a groupBy doesn't
         # short-circuit the scan) — the 'corpus touched once' contract
-        wc = wc.persist()
+        if not caller_owned:
+            wc = wc.persist()
         strategy = (
             "driver" if wc.limit(driver_vocab_limit + 1).count() <= driver_vocab_limit
             else "distributed"
@@ -153,7 +163,8 @@ def train_bpe(
             return BPEModel(_train_bpe_py(counts, n_merges, min_pair_count))
         return BPEModel(_train_bpe_distributed(wc, n_merges, min_pair_count))
     finally:
-        wc.unpersist()
+        if not caller_owned:
+            wc.unpersist()
 
 
 def _train_bpe_distributed(
@@ -214,6 +225,7 @@ def encode_bpe(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab_bytes: int = 64 << 20,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize every document: (id_col, tokens array<string>, n_tokens).
 
@@ -279,8 +291,16 @@ def encode_bpe(
             "pos", "word"
         ),
     )
-    vocab = positions.select("word").distinct().persist()
-    _INTERMEDIATE_CACHES.append(vocab)
+    if vocab is None:
+        vocab = positions.select("word").distinct().persist()
+        _INTERMEDIATE_CACHES.append(vocab)
+    else:
+        # caller-supplied distinct-word relation (e.g. the train pass's
+        # word-count aggregation): the corpus-scale tokenize + distinct
+        # exchange drops out of this plan entirely; the caller owns the
+        # relation's persistence/lifetime and guarantees it equals
+        # positions.select("word").distinct()
+        vocab = vocab.select("word")
     # one vocab-sized pass over the CACHED word list: UTF-8 bytes of the
     # word + its tokens (tokens partition the word's bytes, + up to 5 B for
     # the </w> marker), ~16 B per array element for offsets/pointers
