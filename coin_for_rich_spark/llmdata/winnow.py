@@ -48,6 +48,9 @@ documented at textstats.token_ngrams).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +134,40 @@ def _winnow_select(hs_expr: Column, w: int) -> Column:
     return F.get(F.transform(F.array(hs_expr), body), 0)
 
 
+def _fp_set_udf(w: int):
+    """Vectorized DISTINCT-selected-fingerprint kernel (r15 optimization
+    round, guide §4.2): the pair tier only consumes the SET of selected
+    fingerprints per document — winnowing's positional tie-break picks a
+    *position*, never a different *value*, so the distinct-fp set is
+    exactly the set of per-window minima. That reduces selection to a
+    sliding-window min + unique, which numpy runs as two C loops per row
+    instead of Catalyst evaluating a 2w-op interpreted expression chain
+    per window inside ``transform`` (higher-order lambdas never enter
+    whole-stage codegen). The k-gram md5 hashing stays in the JVM
+    (codegen'd) — only the H-element hash array crosses the Arrow
+    boundary, not the text. Result set identical by construction; the
+    DuckDB twin (full positional selection, then DISTINCT fp) pins it."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    @F.pandas_udf("array<bigint>")
+    def fps(hs: pd.Series) -> pd.Series:
+        empty = np.empty(0, dtype=np.int64)
+        out = []
+        for h in hs:
+            a = np.asarray(h, dtype=np.int64)
+            n = a.shape[0]
+            if n == 0:
+                out.append(empty)
+            elif n < w:
+                # one truncated window [0, n): its min is the only pick
+                out.append(a.min(keepdims=True))
+            else:
+                out.append(np.unique(sliding_window_view(a, w).min(axis=1)))
+        return pd.Series(out)
+
+    return fps
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
@@ -186,12 +223,7 @@ def winnow_overlap_pairs(
     fpd = (
         docs.select(
             F.col(id_col),
-            F.array_distinct(
-                F.transform(
-                    _winnow_select(kgram_hashes(text_col, k), w),
-                    lambda x: x["fp"],
-                )
-            ).alias("__fps"),
+            _fp_set_udf(w)(kgram_hashes(text_col, k)).alias("__fps"),
         )
         .select(
             F.col(id_col),
