@@ -17,8 +17,22 @@ guard itself is cheap.
 from __future__ import annotations
 
 from contextlib import contextmanager
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: per-session memo of planned partition counts keyed by the ANALYZED
+#: plan's semanticHash: ``df.rdd.getNumPartitions()`` runs full physical
+#: planning on the driver (~40 ms per call), and the guard is called with
+#: the same few scan-projections dozens of times per session (every
+#: operator build, every bench pass). The partition count of a given
+#: logical plan is deterministic within a session (same files, same
+#: splits confs), so the memo can never serve a wrong answer to the same
+#: plan; semanticHash is ~2 ms. Keyed weakly by session so a stopped
+#: session's entries die with it.
+_PLANNED_PARTITIONS: "WeakKeyDictionary[SparkSession, dict[int, int]]" = (
+    WeakKeyDictionary()
+)
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -27,7 +41,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     full-width parallelism of a compute-heavy downstream stage. Never
     shrinks, never reshuffles an already-wide input."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        memo = _PLANNED_PARTITIONS.setdefault(df.sparkSession, {})
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # noqa: BLE001 — introspection is best-effort
+        memo, key = None, None
+    if memo is not None and key in memo:
+        n = memo[key]
+    else:
+        n = df.rdd.getNumPartitions()
+        if memo is not None:
+            memo[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
