@@ -1423,7 +1423,12 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = _exact_jaccard_pairs(spark, sf_dir)
-    clusters = dedup_clusters(pairs, method="star")
+    # method="auto" (r15 optimization round): size-gated driver
+    # union-find under the 2M-edge budget, distributed star past it —
+    # identical labels by construction (pinned in tests), so the
+    # oracle row is unchanged while the per-round shuffle + fixed-point
+    # jobs drop out at bounded pair volumes.
+    clusters = dedup_clusters(pairs, method="auto")
     assigned = leakage_safe_split(
         docs, _SPLIT_FRACTIONS, clusters=clusters, seed=7
     )
@@ -1503,7 +1508,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg per cluster — skew-immune. The oracle recomputes components via a
     recursive transitive closure and the keep row via a length/id ranking."""
     pairs = _exact_jaccard_pairs(spark, sf_dir)
-    clusters = dedup_clusters(pairs, method="star")
+    # method="auto": see q_leakage_split — same size-gated fast path,
+    # same labels, distributed star tier intact past the edge budget
+    clusters = dedup_clusters(pairs, method="auto")
     docs = load_table(spark, sf_dir, "documents")
     keep = pick_canonical(clusters, docs).select("cluster_id", "keep_id")
     return clusters.join(keep, "cluster_id").select(

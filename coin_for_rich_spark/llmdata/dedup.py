@@ -849,12 +849,65 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
+def _cc_driver(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Driver union-find over a BOUNDED edge list — the small-graph fast
+    path of ``dedup_clusters`` (r15 optimization round). Identical output
+    to the distributed methods by construction: connected components with
+    label = component minimum, cluster_size = component cardinality.
+    Union-find with path compression is O(E·α); the caller has already
+    size-gated the collect (same driver/distributed discipline as
+    ``bpe.train_bpe``'s vocab limit), so the edge list is a few MB, and
+    every per-round shuffle + fixed-point probe job of the iterative
+    methods collapses into one collect + one createDataFrame."""
+    spark = pairs.sparkSession
+    pdf = pairs.select(
+        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+    ).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+        a, b = int(a), int(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final find() is already the label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        else:
+            parent.setdefault(a, ra)
+    nodes = set(map(int, pdf["a"].to_numpy())) | set(map(int, pdf["b"].to_numpy()))
+    labels = {n: find(n) for n in nodes}
+    sizes: dict[int, int] = {}
+    for lbl in labels.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    rows = [(n, lbl, sizes[lbl]) for n, lbl in labels.items()]
+    return spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, cluster_size long"
+    )
+
+
+#: edge budget for the driver union-find fast path: 2M (a, b) int64 pairs
+#: collect as ~32 MB — trivially driver-safe at any deployment size, while
+#: a corpus whose near-dup PAIR relation exceeds it takes the distributed
+#: star/label tier it was designed for.
+_CC_DRIVER_EDGE_LIMIT = 2_000_000
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
     method: str = "label",
+    driver_edge_limit: int = _CC_DRIVER_EDGE_LIMIT,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id,
     cluster_size), cluster_id = the component's minimum doc id.
@@ -880,8 +933,17 @@ def dedup_clusters(
     iterative-Spark failure mode). On a cluster, swap localCheckpoint for a
     reliable ``checkpoint`` dir; the loop is otherwise unchanged.
     """
-    if method not in ("label", "star"):
-        raise ValueError(f"unknown method {method!r} (label | star)")
+    if method not in ("label", "star", "auto"):
+        raise ValueError(f"unknown method {method!r} (label | star | auto)")
+    if method == "auto":
+        # size-gated driver fast path (same discipline as train_bpe's
+        # driver_vocab_limit): bounded edge lists union-find on the driver
+        # in one collect; past the budget, the distributed star tier runs
+        # unchanged. Identity of the three methods is pinned in tests.
+        n_edges = pairs.limit(driver_edge_limit + 1).count()
+        if n_edges <= driver_edge_limit:
+            return _cc_driver(pairs, a_col, b_col)
+        method = "star"
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

@@ -30,6 +30,31 @@ def test_dedup_clusters_chain_converges(spark):
     assert all(r.cluster_id == 0 and r.cluster_size == 10 for r in rows)
 
 
+def test_dedup_clusters_auto_matches_star_and_label(spark, sf_dir):
+    """The r15 size-gated driver union-find ('auto' under the edge budget)
+    must produce the identical (doc_id, cluster_id, cluster_size) relation
+    as both distributed methods — chains, self-pairs, disjoint components —
+    and must route to the distributed star tier past the budget."""
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(9)]  # 10-node chain
+        + [Row(doc_a=100, doc_b=101), Row(doc_a=7, doc_b=7)]  # + self-pair
+    )
+    want = sorted(
+        map(tuple, dedup_clusters(pairs, method="label").collect())
+    )
+    got_auto = sorted(map(tuple, dedup_clusters(pairs, method="auto").collect()))
+    got_star = sorted(map(tuple, dedup_clusters(pairs, method="star").collect()))
+    assert got_auto == want == got_star
+    # over-budget: auto degrades to the distributed star tier, same result
+    got_big = sorted(
+        map(
+            tuple,
+            dedup_clusters(pairs, method="auto", driver_edge_limit=3).collect(),
+        )
+    )
+    assert got_big == want
+
+
 def test_pack_sequences_partition_invariant(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     a = sorted(map(tuple, pack_sequences(docs, 512, n_partitions=2).collect()))
