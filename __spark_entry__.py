@@ -1753,7 +1753,14 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = quantize_embeddings(emb).select(
         "vec_id", F.col("qvec").alias("embedding")
     )
-    return embedding_neardup_pairs(codes, threshold=0.4, method="exact")
+    # int_exact (r15 optimization round): the int8 codes make every dot and
+    # norm an exact integer in float64, so the GEMM kernel's cosine is the
+    # sequential verify fold bit-for-bit and the verify join stage (two
+    # corpus-side joins + a per-pair interpreted fold) drops out of the
+    # plan — same pairs, same rounded cosines, fewer exchanges.
+    return embedding_neardup_pairs(
+        codes, threshold=0.4, method="exact", int_exact=True
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -192,6 +192,10 @@ def semdedup(
         vec_col="v",
         method="exact",
         block_col="cell",
+        # the codes are integer-valued (int8 quantize), so the kernel's
+        # cosine is the verify fold's value bit-for-bit and the verify
+        # join stage drops out (similarity.int_exact contract)
+        int_exact=True,
     )
     meta = ranked.select(F.col(id_col), "rank")
     p = pairs.join(

@@ -255,6 +255,7 @@ def embedding_neardup_pairs(
     n_planes: int = 4,
     dims: int | None = None,
     block_col: str | None = None,
+    int_exact: bool = False,
 ) -> DataFrame:
     """All-pairs cosine near-duplicate detection (id_a < id_b, cos ≥ t) —
     the embedding tier of the dedup ladder (llmdata.dedup).
@@ -276,7 +277,27 @@ def embedding_neardup_pairs(
       cost scale path: at 10⁹ vectors the bucket self-join shuffles each
       vector once, and missed-pair probability is tuned via fewer planes /
       multiple plane sets, never by scanning all pairs.
+
+    ``int_exact=True`` (exact method only) is the caller's assertion that
+    every vector component is INTEGER-valued (the int8 storage codes) —
+    dot products and norms are then exact in float64 in any summation
+    order, so the GEMM kernel's cosine IS the verify fold's value
+    bit-for-bit and the verify join stage is skipped entirely (see
+    ``_gemm_candidates(exact_cosine=...)``). Results are identical; the
+    plan drops two corpus-side joins and the per-pair fold.
     """
+    if int_exact and method == "exact":
+        cand = _gemm_candidates(
+            embeddings,
+            threshold,
+            id_col,
+            vec_col,
+            block_col=block_col,
+            exact_cosine=True,
+        )
+        return cand.filter(F.col("cosine") >= threshold).select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        )
     v = _as_double(F.col(vec_col))
     base = embeddings.select(
         *([F.col(block_col).alias("_bk")] if block_col is not None else []),
@@ -658,6 +679,7 @@ def _gemm_candidates(
     n_blocks: int | None = None,
     block_budget_bytes: int = 1 << 30,
     block_col: str | None = None,
+    exact_cosine: bool = False,
 ) -> DataFrame:
     """Exact-recall candidate pairs via blocked BLAS matrix products — fully
     distributed, nothing collected to the driver.
@@ -696,6 +718,19 @@ def _gemm_candidates(
     groups on (cell, bi, bj), so pairs can only form between same-cell
     vectors and total flops scale with Σ(cell²) instead of n². Sizing
     switches to the largest cell (see :func:`_gemm_grid`).
+
+    ``exact_cosine=True`` (r15 optimization round) is the INTEGER-VECTOR
+    decide-in-kernel mode: the caller asserts every vector component is
+    integer-valued (e.g. the int8 storage codes), which makes every dot
+    product and squared norm an exact integer in float64 REGARDLESS of
+    summation order — so the kernel's cosine ``dot / (sqrt(na²)·sqrt(nb²))``
+    is bit-identical to the sequential verify fold (IEEE sqrt / multiply /
+    divide are correctly rounded, single-rounded operations on identical
+    operands). The kernel then emits (id_a, id_b, cosine) with the EXACT
+    ``>= threshold`` filter (no ε) and the caller's verify join stage —
+    two corpus-side joins plus a per-pair interpreted fold — drops out of
+    the plan entirely. Never set it for float-valued vectors, where GEMM
+    and the fold genuinely differ in the last ulps.
     """
     eps = 1e-9
     exploded = _gemm_grid(
@@ -703,6 +738,52 @@ def _gemm_candidates(
     )
 
     _norm_rows = _normed_rows
+
+    def kernel_cos(key, pdf):
+        diagonal = key[-2] == key[-1]
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+        a = pdf[pdf["side"] == "a"]
+        if len(a) == 0:
+            return empty
+        a_ids = a["id"].to_numpy()
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a["v"]])
+        na = np.sqrt((A * A).sum(axis=1))
+        if diagonal:
+            b_ids, B, nb = a_ids, A, na
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if len(b) == 0:
+                return empty
+            b_ids = b["id"].to_numpy()
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in b["v"]])
+            nb = np.sqrt((B * B).sum(axis=1))
+        chunk = max(1, int(block_budget_bytes // (max(1, B.shape[0]) * 8 * 3)))
+        outs_x, outs_y, outs_c = [], [], []
+        for s in range(0, A.shape[0], chunk):
+            # raw integer dots (exact in float64), then the verify fold's
+            # own formula dot / (na*nb) on identical operands
+            C = (A[s : s + chunk] @ B.T) / np.outer(na[s : s + chunk], nb)
+            ai, bi = np.nonzero(C >= threshold)
+            x, y, c = a_ids[s : s + chunk][ai], b_ids[bi], C[ai, bi]
+            if diagonal:
+                keep = x < y
+                x, y, c = x[keep], y[keep], c[keep]
+            outs_x.append(np.minimum(x, y))
+            outs_y.append(np.maximum(x, y))
+            outs_c.append(c)
+        if not outs_x:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(outs_x),
+                "id_b": np.concatenate(outs_y),
+                "cosine": np.concatenate(outs_c),
+            }
+        )
 
     def kernel(key, pdf):
         # grid coordinates are always the LAST two key fields — a leading
@@ -747,6 +828,10 @@ def _gemm_candidates(
         )
 
     keys = (["_bk"] if block_col is not None else []) + ["bi", "bj"]
+    if exact_cosine:
+        return exploded.groupBy(*keys).applyInPandas(
+            kernel_cos, schema="id_a long, id_b long, cosine double"
+        )
     return exploded.groupBy(*keys).applyInPandas(
         kernel, schema="id_a long, id_b long"
     )

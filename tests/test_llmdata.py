@@ -440,6 +440,35 @@ def test_jaccard_on_over_cap_typo_raises(dup_heavy_docs):
         ngram_jaccard_pairs(dup_heavy_docs, on_over_cap="LSH")
 
 
+def test_embed_neardup_int_exact_matches_verify_fold(spark, sf_dir):
+    """The r15 decide-in-kernel mode (int_exact=True over int8 codes) must
+    reproduce the verify-fold path's pairs AND rounded cosines bit-for-bit
+    — the integer-dot exactness argument made testable."""
+    from coin_for_rich_spark.llmdata import embedding_neardup_pairs
+    from coin_for_rich_spark.llmdata.similarity import quantize_embeddings
+    from coin_for_rich_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings(emb).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    fold = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(
+            codes, threshold=0.4, method="exact"
+        ).collect()
+    }
+    kernel = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(
+            codes, threshold=0.4, method="exact", int_exact=True
+        ).collect()
+    }
+    assert len(fold) > 0
+    assert kernel == fold  # exact dict equality: same pairs, same doubles
+
+
 def test_embed_neardup_lsh_is_subset_of_exact(spark, sf_dir):
     from coin_for_rich_spark.llmdata import embedding_neardup_pairs
     from coin_for_rich_spark.sources import load_table
