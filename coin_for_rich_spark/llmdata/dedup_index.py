@@ -115,10 +115,20 @@ def load_index_meta(path: str) -> dict:
 
 
 def _index_rows(
-    docs: DataFrame, text_col: str, id_col: str, meta: dict
+    docs: DataFrame, text_col: str, id_col: str, meta: dict,
+    persist_sigs: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three index relations for a document set, under ``meta``'s
-    geometry: (exact, bands, sigs)."""
+    geometry: (exact, bands, sigs).
+
+    ``persist_sigs`` caches the signature relation (r15 optimization
+    round): bands derive FROM sigs, so every consumer pattern that touches
+    both legs — the probe's band join + signature join, the build's two
+    leg writes — otherwise runs the shingle + num_perm-permutation MinHash
+    pipeline twice over the same documents. The relation is |docs| rows ×
+    (num_perm longs), tiny next to the corpus. Caller owns the lifetime
+    (unpersist after materializing, or register in the shared cache
+    registry)."""
     narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     exact = narrow.select(
         _norm_hash(text_col).alias("content_hash"), F.col(id_col).alias("doc")
@@ -126,6 +136,8 @@ def _index_rows(
     sigs = minhash_signatures(
         narrow, text_col, id_col, n=meta["n"], num_perm=meta["num_perm"]
     )
+    if persist_sigs:
+        sigs = sigs.persist()
     bands = _band_buckets(sigs, meta["num_perm"], meta["bands"])
     return exact, bands, sigs
 
@@ -172,8 +184,13 @@ def build_dedup_index(
         "version": 1,
     }
     os.makedirs(path, exist_ok=True)
-    exact, band_rows, sigs = _index_rows(docs, text_col, id_col, meta)
-    _write_legs(exact, band_rows, sigs, path, mode="overwrite")
+    exact, band_rows, sigs = _index_rows(
+        docs, text_col, id_col, meta, persist_sigs=True
+    )
+    try:
+        _write_legs(exact, band_rows, sigs, path, mode="overwrite")
+    finally:
+        sigs.unpersist()
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(meta, f)
 
@@ -195,8 +212,13 @@ def append_to_index(
             f"dedup index at {path} stores {want} doc ids; appending "
             f"{got} ids would fork the leg schemas"
         )
-    exact, band_rows, sigs = _index_rows(docs, text_col, id_col, meta)
-    _write_legs(exact, band_rows, sigs, path, mode="append")
+    exact, band_rows, sigs = _index_rows(
+        docs, text_col, id_col, meta, persist_sigs=True
+    )
+    try:
+        _write_legs(exact, band_rows, sigs, path, mode="append")
+    finally:
+        sigs.unpersist()
 
 
 def compact_dedup_index(
@@ -295,6 +317,13 @@ def incremental_dedup(
         idx_bands = idx_bands.join(excl, "doc", "left_anti")
         idx_sigs = idx_sigs.join(excl, "doc", "left_anti")
 
+    # NOT persist_sigs here (measured, r15 optimization round): the band
+    # and signature legs do recompute the batch's MinHash pipeline, but
+    # they execute inside one job tree where the recompute overlaps across
+    # cores; forcing materialization serializes the probe into two waves
+    # and measured consistently slower (sf0.1 wash, sf1 2.57 -> 2.81 s).
+    # The sequential build/append writes keep the persist — there the two
+    # leg writes are separate jobs with nothing to overlap.
     new_exact, new_bands, new_sigs = _index_rows(new_docs, text_col, id_col, meta)
     if probe_bands is not None:
         new_bands = new_bands.filter(F.col("band") < probe_bands)
