@@ -263,9 +263,10 @@ def encode_bpe(
     ranks = model.ranks
     merge_list = model.merges
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def one_factory():
         # replay-in-order encoding (equivalent to rank-based, cheaper here
-        # since the full table is at hand)
+        # since the full table is at hand) — ONE definition shared by the
+        # driver-dict and executor mapInPandas paths, so they cannot fork
         cache: dict[str, list[str]] = {}
 
         def one(word: str) -> list[str]:
@@ -279,6 +280,10 @@ def encode_bpe(
                 got = cache[word] = syms
             return got
 
+        return one
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        one = one_factory()
         for pdf in batches:
             yield pd.DataFrame(
                 {"word": pdf["word"], "toks": [one(w) for w in pdf["word"]]}
@@ -317,12 +322,43 @@ def encode_bpe(
         ).first()["b"]
         or 0
     )
+    if est_bytes <= broadcast_vocab_bytes:
+        # decide-in-scan regime (r15 optimization round, guide §2.4/§4.2):
+        # a vocab under the broadcast budget is by definition collectable —
+        # encode it ON THE DRIVER (the same replay fold the executor path
+        # runs), broadcast the word→tokens dict, and rebuild every document
+        # in ONE Arrow pass over its JVM-tokenized token array. The old
+        # broadcast-join plan still paid a posexplode of every occurrence,
+        # an occurrence-scale groupBy(doc) shuffle, and a per-doc
+        # array_sort; all of that drops out — same tokens, same order (the
+        # token array IS the document order), zero exchanges.
+        one = one_factory()
+        table = {r["word"]: one(r["word"]) for r in vocab.collect()}
+        bc = docs.sparkSession.sparkContext.broadcast(table)
+
+        @F.pandas_udf("array<string>")
+        def enc_doc(tok_arrs: pd.Series) -> pd.Series:
+            t = bc.value
+            # t.get-with-skip mirrors the join path's inner-join semantics
+            # for a contract-violating vocab (unknown words drop); with the
+            # derived-from-docs vocab every word is present
+            return tok_arrs.map(
+                lambda arr: [
+                    p
+                    for w in arr
+                    for p in (t.get(w) or ())
+                ]
+            )
+
+        return docs.select(
+            F.col(id_col),
+            enc_doc(
+                F.filter(tokenize(text_col), lambda w: w != "")
+            ).alias("tokens"),
+        ).withColumn("n_tokens", F.size("tokens"))
     encoded = vocab.mapInPandas(enc, schema="word string, toks array<string>")
-    joined_vocab = (
-        F.broadcast(encoded) if est_bytes <= broadcast_vocab_bytes else encoded
-    )
     per_doc = (
-        positions.join(joined_vocab, "word")
+        positions.join(encoded, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(

@@ -93,11 +93,16 @@ def test_empty_and_untrained_edges(spark):
 
 
 def test_encode_plan_is_broadcast_and_distinct_words_only(spark):
+    """Under-budget regime (r15 rewrite): the vocab is driver-encoded and
+    broadcast as a dict, and every document rebuilds in ONE Arrow pass —
+    the plan must carry NO exchange and no join at all (the old plan's
+    posexplode + occurrence-scale groupBy(doc) shuffle are gone)."""
     docs = _docs(spark, [(i, "alpha beta gamma delta " * 5) for i in range(50)])
     model = train_bpe(docs, n_merges=6, strategy="driver", min_pair_count=1)
     out = encode_bpe(docs, model)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan  # vocab→corpus decorate is broadcast
+    assert "ArrowEvalPython" in plan  # the one Arrow rebuild pass
+    assert "Exchange" not in plan and "Join" not in plan
     rows = out.collect()
     assert len(rows) == 50 and all(r.n_tokens == rows[0].n_tokens for r in rows)
 
