@@ -34,6 +34,9 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,6 +112,48 @@ def _code_ngrams(text_col: str, order: int) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+def _code_ngrams_arrow(text_col: str, order: int) -> Column:
+    """Vectorized twin of :func:`_code_ngrams` (r15 optimization round,
+    guide §4.2): the per-char split + per-char interpreted transform + the
+    zip_with packing ladder were the dominant cost of both the training
+    and the scoring corpus pass (~n_chars short-string allocations per
+    document inside non-codegen higher-order evaluation). Normalization
+    stays in the JVM — ``lower(trim(text))`` — so the engine's exact
+    space-only trim and Unicode lower semantics are untouched; the UDF
+    only maps the normalized string to codepoints (UTF-32 view — one
+    codepoint per element, exactly what ``split('')`` + ``ascii()``
+    yield, astral plane included), remaps space to the ▁ placeholder,
+    and packs the n-gram windows with three vectorized shifts. Bijective
+    identity with the JVM path is pinned in tests (ASCII, CJK, emoji,
+    combining marks, empty/whitespace edges)."""
+    space = ord(_SPACE_SYM)
+    empty = np.empty(0, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def pack(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if not s:
+                out.append(empty)
+                continue
+            a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            a[a == 32] = space
+            n = a.shape[0]
+            if n < order:
+                out.append(empty)
+                continue
+            p = a[: n - order + 1].copy()
+            for j in range(1, order):
+                p <<= _CODE_BITS
+                p += a[j : n - order + 1 + j]
+            out.append(p)
+        return pd.Series(out)
+
+    return pack(F.lower(F.trim(F.col(text_col))))
+
+
 def _decode_udf(n_chars: int):
     """Arrow-vectorized decode of packed codes back to the space-joined
     string form — used ONLY to derive the model-sized string views of the
@@ -175,7 +220,7 @@ def train_char_lm(
         # aggregates fixed-width longs — the per-occurrence string
         # construction was the training constant, not the (tiny) shuffle
         counts = (
-            narrow.select(F.explode(_code_ngrams(text_col, order)).alias("code"))
+            narrow.select(F.explode(_code_ngrams_arrow(text_col, order)).alias("code"))
             .groupBy("code")
             .agg(F.count(F.lit(1)).alias("c"))
             .persist()
@@ -307,7 +352,7 @@ def score_char_lm(
         # to the string path, minus every per-occurrence string)
         occ = narrow.select(
             F.col(id_col),
-            F.explode(_code_ngrams(text_col, lm.order)).alias("code"),
+            F.explode(_code_ngrams_arrow(text_col, lm.order)).alias("code"),
         )
         probe = (
             occ.join(F.broadcast(lm.ngrams_enc), "code", "left")

@@ -21,6 +21,47 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_code_ngrams_arrow_matches_jvm_path(spark):
+    """The r15 vectorized packer must be the JVM zip_with ladder's
+    bijective twin on every character class the gates exercise: ASCII,
+    accents, CJK, astral-plane emoji, combining marks after İ-lowering,
+    NBSP (NOT trimmed — trim is space-only), tabs/newlines inside text,
+    and the empty/too-short edges."""
+    from coin_for_rich_spark.llmdata.quality import (
+        _code_ngrams,
+        _code_ngrams_arrow,
+    )
+
+    rows = [
+        (0, "abc abc xyz"),
+        (1, ""),
+        (2, "   "),
+        (3, "ab"),
+        (4, "héllo wörld"),
+        (5, "日本語 テスト 123"),
+        (6, "emoji 😀🚀 end"),
+        (7, "ıİßÅ ẞ mixed"),
+        (8, "a\xa0b nbsp"),
+        (9, "\t leading tab\nnewline "),
+        (10, None),
+    ]
+    docs = _docs(spark, rows)
+    for order in (2, 3):
+        got = {
+            r.doc_id: list(r.a)
+            for r in docs.select(
+                "doc_id", _code_ngrams_arrow("text", order).alias("a")
+            ).collect()
+        }
+        want = {
+            r.doc_id: list(r.j)
+            for r in docs.select(
+                "doc_id", _code_ngrams("text", order).alias("j")
+            ).collect()
+        }
+        assert got == want
+
+
 def test_smoothed_probabilities_hand_computed(spark):
     """Train on 'abab': trigrams {'a b a':1, 'b a b':1}, alphabet {a, b}
     (final chars), contexts {'a b':1, 'b a':1}. With alpha=0.5, V=2:
