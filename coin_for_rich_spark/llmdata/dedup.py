@@ -25,6 +25,9 @@ dedup pipelines use on cluster engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -296,21 +299,33 @@ def repeated_span_dedup(
     Scale shape (100 TB): occurrence rows are linear in corpus tokens
     (one per window start); the only corpus-global statistic is the
     per-span-value (count, min-(doc,pos)) hash aggregate — map-side
-    combinable, keyed on a 128-BIT hash (two independent xxhash64
-    lanes, 16 bytes — not the span string, whose shuffle weight is
-    ~10× that), so a boilerplate span repeated 10⁹ times is ONE
-    reduced row, not a skew cliff. Hash-key trade, quantified: two
-    DISTINCT span values colliding in both lanes would merge their
-    duplicate sets (spuriously deleting a non-duplicated span); the
-    birthday bound is ~n²/2¹²⁹, i.e. ~1e-13 at the 100 TB posture's
-    ~1e13 windows — where a single 64-bit key would already expect
-    millions of collisions (~n²/2⁶⁵ ≈ 3e6), which is why the key is
-    128-bit. The string-keyed semantics the docstring, Python twin,
-    and DuckDB oracle pin are therefore exact up to that bound. The
-    join-back carries only values that cleared count >= 2 (AQE broadcasts
-    it when small), the per-doc merge is bounded by document length, and
-    the interval merge + token filter are pure array algebra — no window
-    over the corpus, no all-pairs, no Python in the row path.
+    combinable, keyed on a 128-BIT key (two independent 64-bit lanes,
+    16 bytes — not the span string, whose shuffle weight is ~10× that),
+    so a boilerplate span repeated 10⁹ times is ONE reduced row, not a
+    skew cliff.
+
+    Key construction (r15 optimization round): tokens contain no
+    whitespace, so the space-join is INJECTIVE and span-string equality
+    is exactly token-SEQUENCE equality — the key may therefore be built
+    from the token sequence directly. Each token hashes once per lane in
+    the JVM (xxhash64, two seeds); each window key is a positional
+    polynomial combine of its w token hashes (odd multiplier, mod 2⁶⁴)
+    computed VECTORIZED in one Arrow pass — w multiply-adds over flat
+    int64 arrays instead of the previous w-deep concat_ws ladder that
+    allocated an ~w·token_len string per window before hashing it
+    (measured ~90% of this operator's scan stage). Hash-key trade,
+    quantified: two DISTINCT token sequences colliding in BOTH lanes
+    would merge their duplicate sets (spuriously deleting a
+    non-duplicated span); per lane a collision needs the sequences'
+    hash-difference polynomial to vanish mod 2⁶⁴ (~2⁻⁶⁴ for
+    non-adversarial corpora, the same random-oracle-style argument the
+    previous string-hash bound made), so the joint 128-bit birthday
+    bound stays ~n²/2¹²⁹ ≈ 1e-13 at the posture's ~1e13 windows. The
+    string-keyed semantics the docstring, Python twin, and DuckDB oracle
+    pin are therefore exact up to that bound. The join-back carries only
+    values that cleared count >= 2 (AQE broadcasts it when small), the
+    per-doc merge is bounded by document length, and the interval merge
+    + token filter are pure array algebra.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2 tokens, got {window}")
@@ -320,19 +335,60 @@ def repeated_span_dedup(
         F.col(id_col),
         F.filter(tokenize(text_col), lambda t: t != "").alias("_toks"),
     )
+    # per-token hash lanes in the JVM (one xxhash64 per token per lane),
+    # window keys as a vectorized polynomial combine — see the docstring's
+    # key-construction paragraph
+    c1, c2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F  # odd multipliers
+
+    _empty64 = np.empty(0, dtype=np.int64)
+
+    @F.pandas_udf("struct<wh:array<bigint>,wh2:array<bigint>>")
+    def _win_keys(l1: pd.Series, l2: pd.Series) -> pd.DataFrame:
+        m1 = np.uint64(c1)
+        m2 = np.uint64(c2)
+        o1, o2 = [], []
+        for a1, a2 in zip(l1, l2):
+            n = len(a1)
+            if n < w:
+                o1.append(_empty64)
+                o2.append(_empty64)
+                continue
+            u1 = np.asarray(a1, dtype=np.int64).view(np.uint64)
+            u2 = np.asarray(a2, dtype=np.int64).view(np.uint64)
+            k = n - w + 1
+            h1 = np.zeros(k, dtype=np.uint64)
+            h2 = np.zeros(k, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(w):
+                    h1 *= m1
+                    h1 += u1[j : k + j]
+                    h2 *= m2
+                    h2 += u2[j : k + j]
+            o1.append(h1.view(np.int64))
+            o2.append(h2.view(np.int64))
+        return pd.DataFrame({"wh": o1, "wh2": o2})
+
     occ = (
         base.select(
             F.col(id_col),
-            F.posexplode(token_ngrams(F.col("_toks"), w)).alias("_pos", "_win"),
+            _win_keys(
+                F.transform(F.col("_toks"), lambda t: F.xxhash64(t)),
+                F.transform(
+                    F.col("_toks"), lambda t: F.xxhash64(F.lit(0x5EED), t)
+                ),
+            ).alias("_wk"),
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.arrays_zip(F.col("_wk.wh"), F.col("_wk.wh2"))
+            ).alias("_pos", "_k"),
         )
         .select(
             F.col(id_col),
             "_pos",
-            # 128-bit key: two independent xxhash64 lanes (the second seeds
-            # the hash stream with a literal, so the lanes share no collision
-            # structure) — see the docstring's collision-bound paragraph
-            F.xxhash64("_win").alias("_wh"),
-            F.xxhash64(F.lit(0x5EED), "_win").alias("_wh2"),
+            F.col("_k.wh").alias("_wh"),
+            F.col("_k.wh2").alias("_wh2"),
         )
         # ONE explicit span-key exchange, shared by both consumers (r13
         # VERDICT ask #4): the duplicate-count aggregate requires this
