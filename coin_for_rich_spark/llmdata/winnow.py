@@ -134,35 +134,52 @@ def _winnow_select(hs_expr: Column, w: int) -> Column:
     return F.get(F.transform(F.array(hs_expr), body), 0)
 
 
-def _fp_set_udf(w: int):
-    """Vectorized DISTINCT-selected-fingerprint kernel (r15 optimization
-    round, guide §4.2): the pair tier only consumes the SET of selected
-    fingerprints per document — winnowing's positional tie-break picks a
-    *position*, never a different *value*, so the distinct-fp set is
-    exactly the set of per-window minima. That reduces selection to a
-    sliding-window min + unique, which numpy runs as two C loops per row
-    instead of Catalyst evaluating a 2w-op interpreted expression chain
-    per window inside ``transform`` (higher-order lambdas never enter
-    whole-stage codegen). The k-gram md5 hashing stays in the JVM
-    (codegen'd) — only the H-element hash array crosses the Arrow
-    boundary, not the text. Result set identical by construction; the
-    DuckDB twin (full positional selection, then DISTINCT fp) pins it."""
+def _fp_set_fused_udf(k: int, w: int):
+    """Fully fused pair-tier selection kernel (r15 optimization round,
+    second pass): k-gram build + md5 + window-min + unique in ONE Arrow
+    hop over the token array. The fingerprint contract is unchanged —
+    ``int(md5(kgram)[:15 hex], 16)`` equals the first 60 bits of the
+    digest, i.e. ``int.from_bytes(md5(b).digest()[:8], 'big') >> 4`` on
+    the identical UTF-8 bytes (md5 is md5 in any engine), so the selected
+    sets are bit-identical to the JVM ``md5_prefix_long`` path (pinned by
+    test and by the DuckDB twin re-deriving the full selection). vs the
+    previous split (JVM k-gram strings + md5 + Arrow window-min): the
+    interpreted concat ladder and the per-window conv()/substring drop
+    out, and only the token array crosses the boundary. Measured
+    alternating min-of-4 on the selection stage: sf1 1.54 -> 0.95 s."""
+    from hashlib import md5
+
     from numpy.lib.stride_tricks import sliding_window_view
 
+    empty = np.empty(0, dtype=np.int64)
+
     @F.pandas_udf("array<bigint>")
-    def fps(hs: pd.Series) -> pd.Series:
-        empty = np.empty(0, dtype=np.int64)
+    def fps(toks: pd.Series) -> pd.Series:
         out = []
-        for h in hs:
-            a = np.asarray(h, dtype=np.int64)
-            n = a.shape[0]
-            if n == 0:
+        for arr in toks:
+            nt = len(arr)
+            if nt < k:
                 out.append(empty)
-            elif n < w:
-                # one truncated window [0, n): its min is the only pick
-                out.append(a.min(keepdims=True))
+                continue
+            nh = nt - k + 1
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        md5(
+                            (" ".join(arr[i : i + k])).encode()
+                        ).digest()[:8],
+                        "big",
+                    )
+                    >> 4
+                    for i in range(nh)
+                ),
+                dtype=np.int64,
+                count=nh,
+            )
+            if nh < w:
+                out.append(hs.min(keepdims=True))
             else:
-                out.append(np.unique(sliding_window_view(a, w).min(axis=1)))
+                out.append(np.unique(sliding_window_view(hs, w).min(axis=1)))
         return pd.Series(out)
 
     return fps
@@ -223,7 +240,7 @@ def winnow_overlap_pairs(
     fpd = (
         docs.select(
             F.col(id_col),
-            _fp_set_udf(w)(kgram_hashes(text_col, k)).alias("__fps"),
+            _fp_set_fused_udf(k, w)(tokenize(text_col)).alias("__fps"),
         )
         .select(
             F.col(id_col),

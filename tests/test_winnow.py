@@ -56,6 +56,49 @@ def test_dsir_select_matches_duckdb_twin(spark, sf_dir, duck):
 # ------------------------------------------------- winnowing contracts
 
 
+def test_fused_fp_kernel_matches_jvm_selection(spark, sf_dir):
+    """The r15 fused Python kernel (k-gram + md5 + window-min + unique in
+    one Arrow hop) must select the exact fingerprint SETS the JVM
+    md5_prefix_long + positional selection path derives — including the
+    digest-prefix identity (first 60 bits of the digest == the 15-hex-char
+    prefix value)."""
+    from pyspark.sql import functions as F
+
+    from coin_for_rich_spark.llmdata.winnow import (
+        _fp_set_fused_udf,
+        _winnow_select,
+        kgram_hashes,
+    )
+    from coin_for_rich_spark.llmdata.textstats import tokenize
+    from coin_for_rich_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = 4, 5
+    jvm = {
+        (r.doc_id, r.fp)
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        _winnow_select(kgram_hashes("text", k), w),
+                        lambda x: x["fp"],
+                    )
+                )
+            ).alias("fp"),
+        ).collect()
+    }
+    fused = {
+        (r.doc_id, r.fp)
+        for r in docs.select(
+            "doc_id",
+            F.explode(_fp_set_fused_udf(k, w)(tokenize("text"))).alias("fp"),
+        ).collect()
+    }
+    assert len(jvm) > 0
+    assert fused == jvm
+
+
 def test_winnow_detection_guarantee(spark):
     """Paper §2 detection: two documents sharing a run of ≥ t tokens share
     at least one fingerprint — whatever surrounds the run."""
