@@ -3703,7 +3703,15 @@ _STREAM_N_CHUNKS = 4
 # count is sized to the keyspace instead of inheriting the batch-wide 32
 # (which pays 32 commits x 4 batches of pure overhead). At production scale
 # this knob goes UP with the keyspace — sized, not defaulted.
-_STREAM_STATE_PARTITIONS = 8
+# state-store partitions for the stream gate rows, sized to the KEYSPACE
+# (5 symbols / (user, event_type) pairs — see scoped_shuffle_partitions'
+# rationale: every partition commits per micro-batch regardless of data,
+# so the floor cost is partitions × commits). r15 optimization round:
+# 8 → 4 measured −9% on the stateful rows (alternating min-of-3,
+# hold_back + rollup_5m 5.45 → 4.98 s) with results identical — state
+# partitioning never affects grouping correctness, only parallelism. At
+# production keyspaces (thousands of hot symbols) this knob goes UP.
+_STREAM_STATE_PARTITIONS = 4
 
 
 def _staged_stream(spark: SparkSession, sf_dir: str):
