@@ -1142,17 +1142,33 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step). The raw pair listing is the operator's API
     (llmdata.dedup.minhash_pairs), value-checked in tests/test_llmdata.py."""
     docs = load_table(spark, sf_dir, "documents")
-    # both pair sets feed two set-comparison branches each — persist and
-    # materialize each ONCE (the count), then the semi/anti joins read the
-    # cache; leaving materialization to the final combined plan would race
-    # the uncached relation across concurrent stages and recompute it
-    found = minhash_pairs(docs, threshold=0.2).select("doc_a", "doc_b").persist()
-    exact = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    n_exact = exact.count()
-    n_hits = exact.join(found, ["doc_a", "doc_b"], "left_semi").count()
-    n_extra = found.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    # ONE full-outer join computes all three set statistics (|exact|,
+    # |exact ∩ found|, |found \ exact|) in a single job — the old shape ran
+    # three actions (count + semi-join count + anti-join count) against a
+    # persisted `found`, i.e. three scheduler round-trips and a cache write
+    # for what is one relational question (r15 optimization round, guide
+    # §2.4: same exchanges, one pass). `found` has exactly one consumer now
+    # so the persist goes too; `exact` stays the shared per-(session, sf)
+    # cached relation.
+    found = (
+        minhash_pairs(docs, threshold=0.2)
+        .select("doc_a", "doc_b", F.lit(1).alias("_f"))
+    )
+    exact = (
+        _exact_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(1).alias("_e"))
+    )
+    stats = (
+        exact.join(found, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("_e").alias("n_exact"),
+            F.count(F.when(F.col("_e").isNotNull() & F.col("_f").isNotNull(), 1)).alias("n_hits"),
+            F.count(F.when(F.col("_e").isNull(), 1)).alias("n_extra"),
+        )
+        .first()
+    )
     return spark.createDataFrame(
-        [(n_exact, n_hits >= 0.8 * n_exact, n_extra == 0)],
+        [(stats["n_exact"], stats["n_hits"] >= 0.8 * stats["n_exact"], stats["n_extra"] == 0)],
         "n_exact_pairs bigint, recall_ok boolean, precision_ok boolean",
     )
 
