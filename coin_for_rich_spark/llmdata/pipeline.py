@@ -10,6 +10,11 @@ global window.
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -447,6 +452,29 @@ def span_corruption(
     if span_len < 1:
         raise ValueError("span_len must be >= 1")
     narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    from pyspark.sql.types import LongType
+
+    if isinstance(docs.schema[id_col].dataType, LongType):
+        # everything here is a pure per-document function, so the whole
+        # constructor runs as ONE Arrow pass with ZERO exchanges (r15
+        # optimization round, guide §4.2 + §8: per-doc work must not
+        # shuffle). The old plan paid a corpus-wide doc-keyed Exchange,
+        # two Windows (run numbering), an ObjectHashAggregate reassembly
+        # (collect_list of (pos, elem) structs — every token twice), and
+        # a join back to the id base. The mask draw re-derives Spark's
+        # xxhash64(doc_id BIGINT, block BIGINT, seed INT) chain in
+        # vectorized numpy (hashLong → hashLong → hashInt, the SAME
+        # closed form the DuckDB oracle twin re-derives in SQL CTEs), and
+        # the tokenizer replicates split(trim(text), '\s+') exactly:
+        # Spark's trim strips 0x20 only, Java's \s is the ASCII class
+        # [ \t\n\x0B\f\r]. Exactness is pinned by the hash-exact oracle
+        # twin at three scales plus the value tests in
+        # tests/test_pipeline.py (density edges, seed variation,
+        # determinism). Non-long id types keep the relational plan below
+        # (their hash chain differs per type).
+        return _span_corruption_arrow(
+            narrow, density, span_len, seed, text_col, id_col
+        )
     toks = narrow.select(
         F.col(id_col),
         F.posexplode(F.filter(tokenize(text_col), lambda w: w != "")).alias(
@@ -507,4 +535,130 @@ def span_corruption(
             F.concat(F.col("_tgt"), F.array(closing)), empty
         ).alias("target_tokens"),
         F.coalesce(F.col("n_masked"), F.lit(0)).alias("n_masked"),
+    )
+
+
+# Spark's XXH64 primes (public constants of the algorithm; same values the
+# DuckDB oracle twin's closed-form CTEs use)
+_XXH64_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH64_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH64_P3 = np.uint64(0x165667B19E3779F9)
+_XXH64_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH64_P5 = np.uint64(0x27D4EB2F165667C5)
+# the ENGINE's \s on the ENGINE's trim: Spark trim strips only 0x20; Java's
+# default \s is the ASCII class INCLUDING vertical tab (RE2/Python classes
+# differ — \x0B matters here, unicode whitespace must NOT match)
+_TOK_SPLIT = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _xxh64_rotl(v: np.ndarray, r: int) -> np.ndarray:
+    return (v << np.uint64(r)) | (v >> np.uint64(64 - r))
+
+
+def _xxh64_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XXH64_P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XXH64_P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_long(v: np.ndarray, seed: np.ndarray | np.uint64) -> np.ndarray:
+    """Spark's XxHash64.hashLong(v, seed) — one 8-byte value, full
+    avalanche; vectorized mod-2⁶⁴ (exactly the oracle twin's CTE chain)."""
+    h = seed + _XXH64_P5 + np.uint64(8)
+    k1 = _xxh64_rotl(v * _XXH64_P2, 31) * _XXH64_P1
+    h = h ^ k1
+    h = _xxh64_rotl(h, 27) * _XXH64_P1 + _XXH64_P4
+    return _xxh64_fmix(h)
+
+
+def _xxh64_int(i: int, seed: np.ndarray) -> np.ndarray:
+    """Spark's XxHash64.hashInt(i, seed) — the trailing 4-byte literal."""
+    h = seed + _XXH64_P5 + np.uint64(4)
+    h = h ^ np.uint64(((i & 0xFFFFFFFF) * 0x9E3779B185EBCA87) & ((1 << 64) - 1))
+    h = _xxh64_rotl(h, 23) * _XXH64_P2 + _XXH64_P3
+    return _xxh64_fmix(h)
+
+
+def _span_corruption_arrow(
+    narrow: DataFrame,
+    density: float,
+    span_len: int,
+    seed: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One-Arrow-pass span corruption for long ids — see span_corruption's
+    dispatch comment for the exactness argument and plan-shape rationale."""
+    thr = int(density * 1_000_000)
+    w = int(span_len)
+    out_type = (
+        "struct<input_tokens:array<string>,target_tokens:array<string>,"
+        "n_masked:bigint>"
+    )
+
+    @F.pandas_udf(out_type)
+    def build(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        inputs, targets, masks = [], [], []
+        u64 = np.uint64
+        with np.errstate(over="ignore"):
+            for did, t in zip(ids, texts):
+                t2 = t.strip(" ") if t is not None else ""
+                toks = (
+                    [x for x in _TOK_SPLIT.split(t2) if x] if t2 else []
+                )
+                n = len(toks)
+                if n == 0:
+                    # the relational plan's left-join-miss branch: no
+                    # closing sentinel for a tokenless doc
+                    inputs.append([])
+                    targets.append([])
+                    masks.append(0)
+                    continue
+                nb = (n + w - 1) // w
+                h_doc = _xxh64_long(
+                    u64(int(did) & 0xFFFFFFFFFFFFFFFF), u64(42)
+                )
+                blocks = np.arange(nb, dtype=np.uint64)
+                h = _xxh64_int(seed, _xxh64_long(blocks, h_doc))
+                # pmod: numpy int64 % follows the divisor's sign, exactly
+                # Spark's pmod for a positive modulus
+                mb = (h.view(np.int64) % 1_000_000) < thr
+                masked = np.repeat(mb, w)[:n]
+                start = masked.copy()
+                start[1:] &= ~masked[:-1]
+                starts_idx = np.flatnonzero(start)
+                nruns = starts_idx.shape[0]
+                toks_arr = np.array(toks, dtype=object)
+                sentinels = np.array(
+                    [f"<extra_id_{j}>" for j in range(nruns)], dtype=object
+                )
+                inp = toks_arr.copy()
+                inp[starts_idx] = sentinels
+                inputs.append(inp[~masked | start].tolist())
+                m_toks = toks_arr[masked]
+                tgt = np.insert(
+                    m_toks, np.flatnonzero(start[masked]), sentinels
+                ).tolist()
+                tgt.append(f"<extra_id_{nruns}>")
+                targets.append(tgt)
+                masks.append(int(masked.sum()))
+        return pd.DataFrame(
+            {
+                "input_tokens": inputs,
+                "target_tokens": targets,
+                "n_masked": masks,
+            }
+        )
+
+    res = narrow.select(
+        F.col(id_col), build(F.col(id_col), F.col(text_col)).alias("_sc")
+    )
+    return res.select(
+        id_col,
+        F.col("_sc.input_tokens").alias("input_tokens"),
+        F.col("_sc.target_tokens").alias("target_tokens"),
+        F.col("_sc.n_masked").alias("n_masked"),
     )

@@ -264,8 +264,13 @@ def train_char_lm(
             ngrams_enc=ngrams_enc.persist(),
             contexts_enc=contexts_enc.persist(),
         )
-        lm.ngrams_enc.count()  # materialize before releasing raw counts
-        lm.contexts_enc.count()
+        # materialize BOTH model caches in ONE job before releasing the raw
+        # counts (one scheduler round-trip instead of two — the union's
+        # subtrees are the two persisted plans, so executing it fills both
+        # caches; r15 optimization round)
+        lm.ngrams_enc.select(F.lit(1).alias("_x")).unionAll(
+            lm.contexts_enc.select(F.lit(1).alias("_x"))
+        ).count()
         counts.unpersist()
         return lm
     counts = (
