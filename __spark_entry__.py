@@ -1142,28 +1142,32 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step). The raw pair listing is the operator's API
     (llmdata.dedup.minhash_pairs), value-checked in tests/test_llmdata.py."""
     docs = load_table(spark, sf_dir, "documents")
-    # ONE full-outer join computes all three set statistics (|exact|,
-    # |exact ∩ found|, |found \ exact|) in a single job — the old shape ran
-    # three actions (count + semi-join count + anti-join count) against a
-    # persisted `found`, i.e. three scheduler round-trips and a cache write
-    # for what is one relational question (r15 optimization round, guide
-    # §2.4: same exchanges, one pass). `found` has exactly one consumer now
-    # so the persist goes too; `exact` stays the shared per-(session, sf)
-    # cached relation.
-    found = (
-        minhash_pairs(docs, threshold=0.2)
-        .select("doc_a", "doc_b", F.lit(1).alias("_f"))
+    # ONE union + hash-aggregate computes all three set statistics
+    # (|exact|, |exact ∩ found|, |found \ exact|) in a single job — the
+    # old shape ran three actions (count + semi-join count + anti-join
+    # count) against a persisted `found`, i.e. three scheduler round-trips
+    # and a cache write for what is one relational question (r15
+    # optimization round, guide §2.4: one pass, one exchange). The union
+    # form beats a full-outer join here: full outer cannot broadcast and
+    # forces a sort-merge (two sorted exchanges), while the union's pair
+    # groupBy is a map-side-combinable hash aggregate. Both pair sets are
+    # distinct on (doc_a, doc_b), so max() per side marks membership
+    # exactly. `found` has one consumer now, so its persist goes too;
+    # `exact` stays the shared per-(session, sf) cached relation.
+    found = minhash_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b", F.lit(0).alias("_e"), F.lit(1).alias("_f")
     )
-    exact = (
-        _exact_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b", F.lit(1).alias("_e"))
+    exact = _exact_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("_e"), F.lit(0).alias("_f")
     )
     stats = (
-        exact.join(found, ["doc_a", "doc_b"], "full_outer")
+        exact.unionByName(found)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("_e").alias("e"), F.max("_f").alias("f"))
         .agg(
-            F.count("_e").alias("n_exact"),
-            F.count(F.when(F.col("_e").isNotNull() & F.col("_f").isNotNull(), 1)).alias("n_hits"),
-            F.count(F.when(F.col("_e").isNull(), 1)).alias("n_extra"),
+            F.sum("e").alias("n_exact"),
+            F.sum(F.col("e") * F.col("f")).alias("n_hits"),
+            F.sum(F.when(F.col("e") == 0, 1).otherwise(0)).alias("n_extra"),
         )
         .first()
     )

@@ -21,16 +21,18 @@ selection rules (minimum, rightmost tie-break) are load-bearing: they make
 neighbouring windows usually re-select the SAME hash, which is where the
 w-fold row reduction comes from.
 
-Scale posture (100 TB): fingerprint selection is pure per-row column
-algebra inside the scan stage — the corpus-sized relation that leaves the
-scan is the SELECTED fingerprints (w-fold fewer rows than a full k-gram
-posting list), already `(doc, pos, fp)`-shaped. The pair layer is one
-equi-join on the 16-hex-char fingerprint key with a document-frequency cap
-(``max_df``) filtering boilerplate fingerprints BEFORE the join — the same
+Scale posture (100 TB): fingerprint selection is pure per-row work inside
+the scan stage — the corpus-sized relation that leaves the scan is the
+SELECTED fingerprints (w-fold fewer rows than a full k-gram posting
+list). The pair layer is ONE fp-keyed exchange feeding an inverted
+doc-list fold (the exact-Jaccard count plan's shape), with the
+document-frequency cap (``max_df``) applied per posting via an
+fp-partition window count BEFORE any doc list is built — the same
 hot-key guard discipline as the exact-Jaccard tier's candidate cap: a
 fingerprint shared by thousands of documents (a license header, a
 navigation bar) would otherwise contribute a quadratic blow-up all by
-itself.
+itself, and under the window guard its postings spill through the sort
+and are dropped without ever materializing a df-sized list.
 
 Engine-portability: the k-gram hash is the package's standard
 ``md5_prefix_long`` (:mod:`~.hashing` — the 60-bit integer value of the
@@ -39,8 +41,8 @@ oracle re-derives the selection bit-for-bit. INT64 fingerprints instead of
 hex strings is the r15 interning pass (the discipline that cut 31–37% off
 the Jaccard/CC tiers at sf10): the per-window min compares 8-byte longs
 instead of 16-char strings, and everything downstream of the scan — the
-fp-keyed exchange, the persisted relation, the self-join key — carries 8
-bytes per fingerprint. Two O(len·w) per-row passes; the hash array is
+fp-keyed exchange and the doc-list fold — carries 8 bytes per
+fingerprint. Two O(len·w) per-row passes; the hash array is
 materialized as a column between them so lambda capture re-reads a bound
 attribute, not the tokenization tree (the quadratic-capture trap
 documented at textstats.token_ngrams).
@@ -54,7 +56,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _INTERMEDIATE_CACHES
+from ..functions.partitioning import ensure_parallelism
+
 from .hashing import md5_prefix_long
 from .textstats import token_ngrams, tokenize
 
@@ -199,7 +202,11 @@ def winnow_fingerprints(
     if not (1 <= k <= t):
         raise ValueError(f"need 1 <= k <= t, got k={k} t={t}")
     w = t - k + 1
-    staged = docs.select(
+    # widen a tiny scan first (the shingle-index discipline): selection is
+    # the CPU-bound stage and otherwise inherits the scan's partition
+    # count — 1 for a small parquet file, i.e. a serial selection pass
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    staged = narrow.select(
         F.col(id_col),
         _winnow_select(kgram_hashes(text_col, k), w).alias("__sel"),
     )
@@ -231,51 +238,64 @@ def winnow_overlap_pairs(
     (same discipline as the exact-Jaccard candidate cap)."""
     if not (1 <= k <= t):
         raise ValueError(f"need 1 <= k <= t, got k={k} t={t}")
+    from pyspark.sql import Window
+
     w = t - k + 1
     # distinct fps AND the per-doc distinct-fp count both come out of the
     # per-row selection array — (id, fp, n_fp) is distinct by construction
     # and carries n_fp on every row, so the pair aggregate reads it back
-    # with min() instead of window-counting or re-joining a per-doc
-    # relation (zero exchanges before the pair join itself)
+    # with min() instead of re-joining a per-doc relation.
+    #
+    # Pair tier = ONE linear pipeline over ONE fp-keyed exchange (r15
+    # optimization round, third pass — the exact-Jaccard count plan's
+    # inverted-doc-list shape): an fp-partition window count gives df per
+    # posting with no extra exchange, the max_df boilerplate guard and the
+    # df >= 2 filter apply BEFORE any doc list is built (a hot fingerprint
+    # spills through the window sort instead of materializing a df-sized
+    # list — the memory posture the old broadcast anti-join bought, kept),
+    # and the surviving ≤ max_df doc lists explode into ordered pairs.
+    # Replaces the old persist + hot-fp aggregate + broadcast anti-join +
+    # self-join: no cache materialization, no broadcast build, and the
+    # scan→winnow pipeline runs exactly once per pass. Widen a tiny scan
+    # first: the fused selection UDF is the CPU-bound stage and otherwise
+    # inherits the scan's partition count (1 for a small parquet file — a
+    # SERIAL Python pass; at corpus scale the scan is naturally wide and
+    # this is a no-op).
+    fps = _fp_set_fused_udf(k, w)(tokenize(text_col))
     fpd = (
-        docs.select(
-            F.col(id_col),
-            _fp_set_fused_udf(k, w)(tokenize(text_col)).alias("__fps"),
-        )
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col),
-            F.size("__fps").alias("n_fp"),
-            F.explode("__fps").alias("fp"),
+            F.size(fps).alias("n_fp"),
+            F.explode(fps).alias("fp"),
         )
-        # fp-keyed shuffle + persist: the relation has FOUR consumers (the
-        # hot-fp aggregate and both self-join sides, each with its
-        # anti-join guard), and the optimizer's anti-join push-down breaks
-        # the subplan identity exchange-reuse would need — without the
-        # persist the plan re-runs the scan→winnow→explode pipeline four
-        # times. Registered in the dedup tier's cache registry (drained by
-        # release_intermediate_caches once results are materialized). The
-        # persisted relation is the SELECTED fingerprints — w-fold smaller
-        # than the k-gram postings — already partitioned on the join key.
         .repartition(F.col("fp"))
-        .persist()
     )
-    _INTERMEDIATE_CACHES.append(fpd)
-    hot = fpd.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") > max_df
-    )
-    fpk = fpd.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
-    a, b = fpk.alias("a"), fpk.alias("b")
+    fpk = fpd.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    grouped = fpk.groupBy("fp").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("doc"), F.col("n_fp").alias("n"))
+            )
+        ).alias("docs")
+    ).select("docs", F.size("docs").alias("df"))
+    # suffix length computed exactly (df - i - 1), not an INT_MAX sentinel —
+    # see the Jaccard count plan's interpreted-Slice overflow note
     return (
-        a.join(b, "fp")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+        grouped.select("docs", "df", F.posexplode("docs").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("docs", F.col("i") + 2, F.col("df") - F.col("i") - 1)
+            ).alias("b"),
         )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
-            F.min("a.n_fp").alias("n_fp_a"),
-            F.min("b.n_fp").alias("n_fp_b"),
+            F.min("a.n").alias("n_fp_a"),
+            F.min("b.n").alias("n_fp_b"),
         )
         .filter(F.col("n_shared") >= min_shared)
     )
