@@ -165,16 +165,26 @@ def _fp_set_fused_udf(k: int, w: int):
                 out.append(empty)
                 continue
             nh = nt - k + 1
+            # every k-gram is a contiguous SLICE of the once-joined token
+            # stream: tokens are whitespace-free (tokenize splits on \s+)
+            # and UTF-8 continuation bytes are >= 0x80, so every 0x20 byte
+            # in the joined stream is exactly a separator — gram i spans
+            # [start of token i, end of token i+k-1). Hashing memoryview
+            # slices of one buffer replaces nh per-gram join+encode
+            # allocations (measured 2.2 -> 1.1 ms/doc, bit-identical: the
+            # same bytes reach md5). A vectorized numpy MD5 was tried and
+            # measured 4.5x SLOWER than hashlib's C loop (64 rounds of
+            # batch-sized temporaries are memory-bound) — don't retry it.
+            full = " ".join(arr).encode()
+            b = np.frombuffer(full, dtype=np.uint8)
+            sep = np.flatnonzero(b == 32)
+            gs = np.concatenate(([0], sep + 1))[:nh]
+            ge = np.concatenate((sep, [b.shape[0]]))[k - 1 :]
+            mv = memoryview(full)
             hs = np.fromiter(
                 (
-                    int.from_bytes(
-                        md5(
-                            (" ".join(arr[i : i + k])).encode()
-                        ).digest()[:8],
-                        "big",
-                    )
-                    >> 4
-                    for i in range(nh)
+                    int.from_bytes(md5(mv[s:e]).digest()[:8], "big") >> 4
+                    for s, e in zip(gs.tolist(), ge.tolist())
                 ),
                 dtype=np.int64,
                 count=nh,
