@@ -88,7 +88,10 @@ from coin_for_rich_spark.llmdata import (
     cross_split_pairs,
 )
 from coin_for_rich_spark.llmdata.textstats import LANG_MARKERS, STOPWORDS
-from coin_for_rich_spark.functions.partitioning import scoped_shuffle_partitions
+from coin_for_rich_spark.functions.partitioning import (
+    ensure_parallelism,
+    scoped_shuffle_partitions,
+)
 from coin_for_rich_spark.plans import read_ohlcvs, serialize_candles
 from coin_for_rich_spark.sources import (
     build_fetch_plan,
@@ -732,7 +735,12 @@ def q_web_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     param sort, opaque-id passthrough. Every output string oracle-exact."""
     from coin_for_rich_spark.llmdata.web import canonical_url, html_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the ~15-regex extraction ladder below is pure compute over a compact
+    # narrow scan — widen it or it runs single-core (guide §2 / r15
+    # continuation: 0.96 → 0.61 s; no-op on a naturally wide corpus scan)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), key="doc_id"
+    )
     sid = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit(_WEB_HTML_P1), sid, F.lit(_WEB_HTML_P2), sid,
@@ -829,7 +837,10 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON wire-format handling (§2.7 row_to_json's read twin): typed
     from_json extraction of the props payload, aggregated per event_type.
     Integer sums are exact; the mean is one double division of exact ints."""
-    ev = load_table(spark, sf_dir, "events")
+    # per-row JSON parse over a single-row-group scan: widen before the
+    # parse+partial-agg stage (r15 continuation: 0.57 → 0.45 s; no-op on a
+    # naturally wide scan)
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"), key="user_id")
     k = F.from_json("props", "k BIGINT").getField("k")
     return (
         ev.withColumn("k", k)
@@ -846,7 +857,13 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate showcase over the fact table (A-family): decimal-exact sums
     and explicit sum/count averages."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # the decimal partial aggregation is the whole query; over a
+    # single-row-group fact scan it runs single-core — widen first (hash on
+    # the high-cardinality orderkey, NOT the 4-value group key; r15
+    # continuation: 1.48 → 0.80 s, no-op on a naturally wide scan)
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem"), key="l_orderkey"
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -868,7 +885,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — fact ⋈ dims with broadcast (select_queries.sql:83-96 analog):
     top-10 customers by decimal-exact revenue."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # widen the fact on the JOIN key: the exchange is reused by the
+    # l_orderkey join (same key, target = shuffle partitions), so this
+    # costs nothing extra when the planner shuffle-joins, and when AQE
+    # broadcasts the other side it parallelizes the probe+partial-agg
+    # stage that otherwise inherits the single-row-group scan's 1 task
+    # (r15 continuation: 1.68 → 1.19 s; no-op on a naturally wide scan)
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem"), key="l_orderkey"
+    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -1769,7 +1794,12 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replicates the same quantize arithmetic and cosine-on-codes.
     The LSH-blocked variant trades recall for fewer flops (subset property
     tested in pytest)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # quantization + GEMM batching inherit the scan's partitioning; a
+    # single-row-group embeddings file serializes them — widen first
+    # (r15 continuation: 1.13 → 0.82 s; no-op on a naturally wide scan)
+    emb = ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings"), key="vec_id"
+    )
     codes = quantize_embeddings(emb).select(
         "vec_id", F.col("qvec").alias("embedding")
     )

@@ -35,24 +35,39 @@ _PLANNED_PARTITIONS: "WeakKeyDictionary[SparkSession, dict[int, int]]" = (
 )
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition ``df`` up to the session's core count iff the
-    planned scan has fewer partitions — i.e., trade one small shuffle for
-    full-width parallelism of a compute-heavy downstream stage. Never
-    shrinks, never reshuffles an already-wide input."""
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """Repartition ``df`` up to the session's core count iff the planned
+    scan has fewer partitions — i.e., trade one small shuffle for full-width
+    parallelism of a compute-heavy downstream stage. Never shrinks, never
+    reshuffles an already-wide input.
+
+    ``key=None`` repartitions round-robin; passing a high-cardinality
+    column name hash-partitions instead, which (a) skips the local
+    sort-before-repartition every keyless repartition pays (SPARK-23207 —
+    that sort runs on the NARROW input, i.e. serially, which on a
+    single-row-group fact scan costs more than the widening saves), and
+    (b) when ``key`` is the downstream join/group key and the target equals
+    ``spark.sql.shuffle.partitions``, the exchange is REUSED by the join
+    instead of being an extra hop (guide §2.4)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         memo = _PLANNED_PARTITIONS.setdefault(df.sparkSession, {})
-        key = df._jdf.queryExecution().analyzed().semanticHash()
+        memo_key = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # noqa: BLE001 — introspection is best-effort
-        memo, key = None, None
-    if memo is not None and key in memo:
-        n = memo[key]
+        memo, memo_key = None, None
+    if memo is not None and memo_key in memo:
+        n = memo[memo_key]
     else:
         n = df.rdd.getNumPartitions()
         if memo is not None:
-            memo[key] = n
+            memo[memo_key] = n
     if n < target:
+        if key is not None:
+            return df.repartition(target, key)
         return df.repartition(target)
     return df
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from coin_for_rich_spark.functions.partitioning import ensure_parallelism
+
 # Marker lexicons for the n-gram/stopword language-ID heuristic. Tiny on
 # purpose: language ID here is a deterministic scoring operator, not a model.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -233,7 +235,15 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     because the aliases are multi-referenced and non-cheap; values are
     bit-identical — same expressions, evaluated once.
     """
-    staged = docs.select(
+    # compute-bound per-row stage over a compact input: widen a narrow scan
+    # before the ladder or the whole projection runs at 1/cores of the
+    # machine (hash on the id — no round-robin pre-sort; no-op at corpus
+    # scale where the scan is naturally wide). Measured r15: full profile
+    # 1.80 → 0.67 s at sf0.1.
+    narrow = ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), key=id_col
+    )
+    staged = narrow.select(
         F.col(id_col), F.col(text_col), tokenize(text_col).alias("__dp_toks")
     )
     toks = F.col("__dp_toks")

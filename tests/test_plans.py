@@ -125,8 +125,12 @@ def test_candles_all_is_one_scan_two_exchanges(spark, sf_dir):
 
 
 def test_doc_profile_is_exchange_free(spark, sf_dir):
-    """The fused text-analysis scan is pure per-row algebra — any Exchange
-    in its plan means a join/shuffle crept back in."""
+    """The fused text-analysis scan is pure per-row algebra — no join and
+    no data-dependent shuffle may creep into its plan. The ONE allowed
+    Exchange is the compute-widening repartition on the id (r15: a
+    single-row-group scan otherwise serializes the whole ladder onto one
+    core; the widener no-ops on a naturally wide corpus scan, so at scale
+    the plan is exchange-free again)."""
     from coin_for_rich_spark.llmdata import doc_profile
     from coin_for_rich_spark.sources import load_table
 
@@ -134,7 +138,13 @@ def test_doc_profile_is_exchange_free(spark, sf_dir):
         doc_profile(load_table(spark, sf_dir, "documents"))
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan
+    assert "Join" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert len(exchanges) <= 1
+    for ln in exchanges:
+        assert "hashpartitioning(doc_id" in ln, ln
 
 
 def test_corpus_curation_plan_carries_no_broadcast_hints(spark, sf_dir):
