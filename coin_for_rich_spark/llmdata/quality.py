@@ -328,11 +328,153 @@ def release_char_lm(lm: CharLM) -> None:
             pass
 
 
+#: Driver-model budget for the scorer fast path: max rows collected across
+#: the (code, logp) + (ctxc, logp_unseen) relations. 2M rows ≈ 50 MB of
+#: (int64, Decimal) pairs — the same bounded-collect posture as
+#: train_bpe.driver_vocab_limit and dedup_clusters' auto tier. A reference
+#: alphabet big enough to blow this (≳2M distinct trigrams) falls back to
+#: the broadcast-join relational plan unchanged.
+_SCORE_DRIVER_MODEL_LIMIT = 2_000_000
+
+
+def _collect_model_scaled(lm: CharLM, limit: int):
+    """Collect the packed-code model as {code: scaled_logp} dicts, where
+    scaled values are the EXACT integers ``cast(logp as decimal(38,18)) ×
+    10^18`` — computed by the JVM itself (model-sized projection over the
+    persisted relations), so the fast path sums the very same decimals the
+    relational plan sums and no double→decimal cast is ever re-implemented
+    in Python. Returns None when either relation exceeds ``limit``."""
+    floor = -math.log(lm.vocab_size) if lm.vocab_size > 1 else 0.0
+    # the floor's JVM decimal cast rides the model collect (every row
+    # carries it; we read one) instead of costing its own driver job
+    ng = lm.ngrams_enc.select(
+        "code",
+        F.col("logp").cast("decimal(38,18)").alias("d"),
+        F.lit(floor).cast("decimal(38,18)").alias("f"),
+    ).take(limit + 1)
+    if len(ng) > limit:
+        return None
+    cx = lm.contexts_enc.select(
+        "ctxc", F.col("logp_unseen").cast("decimal(38,18)").alias("d")
+    ).take(limit + 1)
+    if len(cx) > limit:
+        return None
+    import decimal as _dec
+
+    # explicit wide context: scaleb under the default 28-digit context
+    # would round a full-precision decimal(38,18); logp values carry ~20
+    # significant digits so this is belt-and-braces, not a live bug
+    c = _dec.Context(prec=60)
+    ng_map = {int(r["code"]): int(r["d"].scaleb(18, c)) for r in ng}
+    cx_map = {int(r["ctxc"]): int(r["d"].scaleb(18, c)) for r in cx}
+    floor_scaled = int(ng[0]["f"].scaleb(18, c)) if ng else None
+    return ng_map, cx_map, floor_scaled
+
+
+def _score_driver_model(
+    docs: DataFrame,
+    lm: CharLM,
+    ng_map: dict,
+    cx_map: dict,
+    floor_scaled: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One-Arrow-pass scorer over a driver-collected model (guide §4.2 +
+    §8: decide with the broadcast proxy, never shuffle occurrences). Per
+    document: pack code n-grams exactly as :func:`_code_ngrams_arrow`
+    (normalization stays in the JVM), look each occurrence up in the model
+    / context / floor ladder, and sum the pre-scaled EXACT decimal
+    integers with Python int arithmetic — bit-identical to the relational
+    plan's decimal(38,18) sum (decimal addition is order-free and the
+    scaled values are the JVM's own cast output). The double division and
+    exp stay outside: cross_entropy = −(sum→double)/n with float() being
+    the same correctly-rounded decimal→double conversion as Decimal.toDouble,
+    and perplexity = JVM exp over that double."""
+    import decimal as _dec
+
+    order = lm.order
+    space = ord(_SPACE_SYM)
+    # sorted model arrays for vectorized lookup; scaled values stay Python
+    # ints (|logp|·10^18 can exceed int64)
+    ng_codes = np.sort(np.fromiter(ng_map.keys(), dtype=np.int64, count=len(ng_map)))
+    ng_scaled = [ng_map[int(c)] for c in ng_codes]
+    cx_codes = np.sort(np.fromiter(cx_map.keys(), dtype=np.int64, count=len(cx_map)))
+    cx_scaled = [cx_map[int(c)] for c in cx_codes]
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_ngrams bigint, cross_entropy double"
+
+    def score_batches(batches):
+        ctx = _dec.Context(prec=60)
+        for pdf in batches:
+            ids = pdf[id_col]
+            n_out = np.zeros(len(pdf), dtype=np.int64)
+            ce_out: list = [None] * len(pdf)
+            for i, s in enumerate(pdf["_norm"]):
+                if not s:
+                    continue
+                a = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                a[a == 32] = space
+                n = a.shape[0]
+                if n < order:
+                    continue
+                p = a[: n - order + 1].copy()
+                for j in range(1, order):
+                    p <<= _CODE_BITS
+                    p += a[j : n - order + 1 + j]
+                # model / context / floor ladder, vectorized
+                total = 0
+                k = np.searchsorted(ng_codes, p)
+                k[k == len(ng_codes)] = max(len(ng_codes) - 1, 0)
+                hit = (
+                    ng_codes[k] == p if len(ng_codes) else np.zeros(len(p), bool)
+                )
+                hk, hc = np.unique(k[hit], return_counts=True)
+                for kk, cc in zip(hk, hc):
+                    total += ng_scaled[kk] * int(cc)
+                miss = p[~hit] >> _CODE_BITS
+                if miss.size:
+                    m = np.searchsorted(cx_codes, miss)
+                    m[m == len(cx_codes)] = max(len(cx_codes) - 1, 0)
+                    chit = (
+                        cx_codes[m] == miss
+                        if len(cx_codes)
+                        else np.zeros(len(miss), bool)
+                    )
+                    mk, mc = np.unique(m[chit], return_counts=True)
+                    for kk, cc in zip(mk, mc):
+                        total += cx_scaled[kk] * int(cc)
+                    total += floor_scaled * int((~chit).sum())
+                n_ng = len(p)
+                n_out[i] = n_ng
+                # −(decimal sum → double) / n: float(Decimal) is the same
+                # correctly-rounded conversion as BigDecimal.doubleValue
+                ce_out[i] = -float(
+                    ctx.create_decimal(total).scaleb(-18, ctx)
+                ) / float(n_ng)
+            yield pd.DataFrame(
+                {id_col: ids, "n_ngrams": n_out, "cross_entropy": ce_out}
+            )
+
+    scored = docs.select(
+        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_norm")
+    ).mapInPandas(score_batches, out_schema)
+    return scored.select(
+        id_col,
+        "n_ngrams",
+        "cross_entropy",
+        F.exp("cross_entropy").alias("perplexity"),
+    )
+
+
 def score_char_lm(
     docs: DataFrame,
     lm: CharLM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_model_limit: int | None = _SCORE_DRIVER_MODEL_LIMIT,
 ) -> DataFrame:
     """Cross-entropy of every document under the model.
 
@@ -341,8 +483,40 @@ def score_char_lm(
     too short to contain one n-gram score NULL (no evidence either way —
     callers decide their fate explicitly; length filters are a different
     operator).
-    """
+
+    ``driver_model_limit`` — when the packed model fits under this row
+    budget it is collected once and every document scores in ONE Arrow
+    pass (no occurrence explode, no broadcast joins, no doc-keyed
+    exchange); past the budget — or with ``None`` — the broadcast-join
+    relational plan below runs unchanged. Results are bit-identical: the
+    fast path sums the JVM's own decimal(38,18) casts of the same logp
+    doubles (see :func:`_score_driver_model`)."""
     narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    if lm.ngrams_enc is not None and driver_model_limit is not None:
+        model = _collect_model_scaled(lm, driver_model_limit)
+        if model is not None:
+            ng_map, cx_map, floor_scaled = model
+            if floor_scaled is None:
+                # empty model (empty reference corpus): the floor literal
+                # could not ride the collect — one 1-row job derives it
+                if lm.vocab_size > 1:
+                    import decimal as _dec
+
+                    fd = (
+                        lm.ngrams_enc.sparkSession.range(1)
+                        .select(
+                            F.lit(-math.log(lm.vocab_size))
+                            .cast("decimal(38,18)")
+                            .alias("d")
+                        )
+                        .first()["d"]
+                    )
+                    floor_scaled = int(fd.scaleb(18, _dec.Context(prec=60)))
+                else:
+                    floor_scaled = 0
+            return _score_driver_model(
+                narrow, lm, ng_map, cx_map, floor_scaled, text_col, id_col
+            )
     # PER-OCCURRENCE probe, no (doc, ngram) pre-aggregate (r13 VERDICT ask
     # #5): the model and context relations are bounded (≈ alphabet^order
     # rows) and broadcast, so every occurrence row probes two broadcast

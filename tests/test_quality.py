@@ -126,14 +126,72 @@ def test_in_domain_scores_below_gibberish(spark):
 
 
 def test_model_joins_are_broadcast_and_deterministic(spark):
+    # driver_model_limit=None pins the RELATIONAL plan (the over-budget
+    # fallback); the default fast path's shape is pinned separately below
     ref = _docs(spark, [(i, f"sample text number {i} with words") for i in range(10)])
     lm = train_char_lm(ref)
     try:
         batch = _docs(spark, [(i, f"text {i} words sample") for i in range(20)])
-        out = score_char_lm(batch, lm)
+        out = score_char_lm(batch, lm, driver_model_limit=None)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") >= 2  # ngram + context legs
         assert sorted(out.collect()) == sorted(out.collect())
+    finally:
+        release_char_lm(lm)
+
+
+def test_driver_model_fast_path_matches_relational_bit_exact(spark):
+    """The r15 driver-model scorer must equal the broadcast-join plan
+    BIT-FOR-BIT (cross_entropy/perplexity doubles compared with ==, not
+    approx) on a corpus that exercises every ladder rung: seen trigrams,
+    unseen trigram in a seen context, unseen context (global floor),
+    too-short docs, NULL text, unicode/astral chars, and repeats of the
+    same trigram (the n·dec(lp) = Σ dec(lp) exactness claim)."""
+    ref = _docs(
+        spark,
+        [(i, t) for i, t in enumerate(
+            ["abab abab", "the quick brown fox", "héllo wörld 😀",
+             "日本語 テスト", "spaces   collapse not", "abc " * 20]
+        )],
+    )
+    lm = train_char_lm(ref, order=3, alpha=0.5)
+    try:
+        batch = _docs(
+            spark,
+            [
+                (1, "aba"), (2, "abb"), (3, "zzz qqq vvv"), (4, "a"),
+                (5, ""), (6, None), (7, "the quick brown fox " * 10),
+                (8, "héllo 😀 wörld"), (9, "abababababab"),
+                (10, "\t tab\nnewline\xa0nbsp "),
+            ],
+        )
+        fast = score_char_lm(batch, lm).collect()
+        slow = score_char_lm(batch, lm, driver_model_limit=None).collect()
+        # fast plan: one Arrow pass, no joins, no occurrence explode
+        plan = score_char_lm(batch, lm)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan and "Generate" not in plan
+        f = {r.doc_id: r for r in fast}
+        s = {r.doc_id: r for r in slow}
+        assert set(f) == set(s)
+        for k in f:
+            assert f[k].n_ngrams == s[k].n_ngrams
+            assert f[k].cross_entropy == s[k].cross_entropy  # bit-exact
+            assert f[k].perplexity == s[k].perplexity
+    finally:
+        release_char_lm(lm)
+
+
+def test_driver_model_budget_falls_back_to_relational(spark):
+    ref = _docs(spark, [(0, "abcdef abcdef")])
+    lm = train_char_lm(ref)
+    try:
+        batch = _docs(spark, [(1, "abcdef"), (2, "zz")])
+        out = score_char_lm(batch, lm, driver_model_limit=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2  # over budget → joins
+        got = {r.doc_id: r.cross_entropy for r in out.collect()}
+        want = {r.doc_id: r.cross_entropy for r in score_char_lm(batch, lm).collect()}
+        assert got == want
     finally:
         release_char_lm(lm)
 
