@@ -1066,7 +1066,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep_ids = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     evalset = hash_sample(docs)
-    train = docs.join(evalset.select("doc_id"), "doc_id", "left_anti")
+    # the holdout draw is a PURE deterministic predicate on md5(doc_id), so
+    # the training split is its complement FILTER, not an anti-join — at
+    # 100 TB that anti-join is a corpus-scale exchange for information the
+    # scan already has (guide §2.4: remove shuffles outright). The coalesce
+    # keeps the anti-join's NULL-id semantics: a NULL id matches nothing,
+    # so the anti-join KEPT it, and NOT(NULL-predicate) must too.
+    _is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0")
+    train = docs.filter(~F.coalesce(_is_eval, F.lit(False)))
     contaminated = (
         cross_corpus_contamination(
             train, evalset, min_overlap=5, broadcast_eval=False
