@@ -177,8 +177,12 @@ def line_dedup(
     (3) the per-document rebuild groupBy. No window over the corpus, no
     all-pairs anything; per-document state is bounded by document length.
     """
+    # the hash is an INTERNAL exchange/join key, never emitted — carry the
+    # 16 raw md5 bytes instead of the 32-char hex string (unhex is a
+    # bijection, so boilerplate membership is bit-identical; the
+    # count-distinct exchange ships half the key bytes — guide §2.3)
     marked = lines.withColumn(
-        "_h", F.when(F.trim(F.col("line")) != "", content_hash("line"))
+        "_h", F.when(F.trim(F.col("line")) != "", F.unhex(content_hash("line")))
     )
     boiler = (
         marked.filter(F.col("_h").isNotNull())
@@ -233,8 +237,10 @@ def intra_doc_line_dedup(
     per-document rebuild groupBy. Two shuffles, no corpus-wide window,
     no self-join.
     """
+    # internal window key only — raw md5 bytes, not hex (same bijection
+    # note as line_dedup's _h; the window exchange ships half the key)
     marked = lines.withColumn(
-        "_h", F.when(F.trim(F.col("line")) != "", content_hash("line"))
+        "_h", F.when(F.trim(F.col("line")) != "", F.unhex(content_hash("line")))
     )
     occ_w = Window.partitionBy(id_col, "_h").orderBy("pos")
     flagged = marked.withColumn(
@@ -1123,11 +1129,13 @@ def cross_corpus_contamination(
     )
     if not exact:
         return shingle_hits.withColumn("exact_dup", F.lit(False))
+    # internal join key only — raw md5 bytes, not hex (bijective; halves
+    # the train-side key bytes when the eval side is too big to broadcast)
     t_hash = train.select(
-        F.col(id_col).alias("train_id"), content_hash(text_col).alias("_h")
+        F.col(id_col).alias("train_id"), F.unhex(content_hash(text_col)).alias("_h")
     )
     e_hash = evalset.select(
-        F.col(id_col).alias("eval_id"), content_hash(text_col).alias("_h")
+        F.col(id_col).alias("eval_id"), F.unhex(content_hash(text_col)).alias("_h")
     )
     exact_pairs = t_hash.join(maybe_bcast(e_hash), "_h").select(
         "train_id", "eval_id", F.lit(True).alias("exact_dup")
