@@ -83,6 +83,44 @@ def _floor_minute(t) -> dt.datetime | None:
     return t.replace(second=0, microsecond=0)
 
 
+def _aligned_tick_bounds(interval, start, end):
+    """The tick-level [lo, hi) window EXACTLY equivalent to the bucket
+    bounds ``start ≤ bucket ≤ end`` for this interval's bucketing: since
+    bucket(ts) is the largest bucket-aligned instant ≤ ts,
+
+        bucket ≥ start ⟺ ts ≥ ceil_align(start)
+        bucket ≤ end   ⟺ ts <  floor_align(end) + width
+
+    Fixed widths align to TS_BUCKET_ORIGIN (Monday-aligned weeks included);
+    '1M' aligns to calendar month starts. Naive datetimes, UTC semantics —
+    the same frame the bucketing expressions use."""
+    from ..functions.timeutils import TS_BUCKET_ORIGIN
+
+    width = INTERVAL_SECONDS[interval]
+    epoch = dt.datetime(1970, 1, 1)
+    lo = hi = None
+    if width is not None:
+        if start is not None:
+            e = int((start - epoch).total_seconds())
+            r = (e - TS_BUCKET_ORIGIN) % width
+            lo = epoch + dt.timedelta(seconds=e if r == 0 else e - r + width)
+        if end is not None:
+            e = int((end - epoch).total_seconds())
+            f = e - ((e - TS_BUCKET_ORIGIN) % width)
+            hi = epoch + dt.timedelta(seconds=f + width)
+    else:  # calendar month
+        if start is not None:
+            if (start.day, start.hour, start.minute, start.second, start.microsecond) == (1, 0, 0, 0, 0):
+                lo = start
+            else:
+                lo = (start.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+                      + dt.timedelta(days=32)).replace(day=1)
+        if end is not None:
+            hi = (end.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+                  + dt.timedelta(days=32)).replace(day=1)
+    return lo, hi
+
+
 def read_ohlcvs(
     ticks: DataFrame,
     symbol: str,
@@ -118,6 +156,28 @@ def read_ohlcvs(
             now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         end = _floor_minute(now) - dt.timedelta(minutes=1)
 
+    # On the raw-rollup route, replace the post-agg bucket bounds with their
+    # EXACT tick-level equivalents (guide §6): the bucket bounds sit on a
+    # derived column (two to_unix_timestamp + mod chains per row, never
+    # pushed to the scan), while ``bucket ≥ start ⟺ ts ≥ ceil_align(start)``
+    # and ``bucket ≤ end ⟺ ts < floor_align(end) + width`` — because
+    # bucket = align_floor(ts) is the largest aligned instant ≤ ts. The
+    # replacement is bit-identical (every kept bucket aggregates its
+    # complete tick set — the bounds are bucket-aligned so no bucket is
+    # split), strictly cheaper per row (two plain timestamp compares), and
+    # PushedFilters gains the ts range so a properly laid-out deployment
+    # skips row groups outside the chart window instead of aggregating the
+    # entire tick history.
+    raw_route = not (rollups and interval in rollups)
+    bucket_bounds_replaced = False
+    if raw_route and (start is not None or end is not None):
+        tick_time = rollup_kwargs.get("time_col", "ts")
+        lo, hi = _aligned_tick_bounds(interval, start, end)
+        if lo is not None:
+            ticks = ticks.filter(F.col(tick_time) >= F.lit(lo))
+        if hi is not None:
+            ticks = ticks.filter(F.col(tick_time) < F.lit(hi))
+        bucket_bounds_replaced = True
     rel = route_interval(ticks.filter(F.col(key_col) == symbol), interval,
                          rollups=rollups, keys=[key_col], **rollup_kwargs)
     if rollups and interval in rollups:
@@ -127,7 +187,7 @@ def read_ohlcvs(
     # a stored column) so the scan PRUNES instead of reading the rollup's
     # whole history, then drop dt from the serve schema
     has_dt = "dt" in rel.columns
-    if start is not None:
+    if start is not None and not bucket_bounds_replaced:
         rel = rel.filter(F.col("bucket") >= F.lit(start))
         if has_dt:
             from ..sources.store import utc_day
@@ -135,7 +195,7 @@ def read_ohlcvs(
             rel = rel.filter(
                 F.col("dt") >= utc_day(F.lit(start).cast("timestamp"))
             )
-    if end is not None:
+    if end is not None and not bucket_bounds_replaced:
         rel = rel.filter(F.col("bucket") <= F.lit(end))
         if has_dt:
             from ..sources.store import utc_day

@@ -355,3 +355,50 @@ def test_serve_loop_invalid_interval_errors_without_loop():
     # hidden list.remove ValueError (senders.py:135)
     with _pytest.raises(ValueError):
         sl.unsubscribe("binance", "ETH", "USDT", "1m")
+
+
+def test_tick_bound_replacement_equals_bucket_bounds(spark):
+    """The r15 raw-route pushdown: replacing the post-agg bucket bounds
+    with their aligned tick-level equivalents must be EXACTLY equivalent
+    for every interval, including non-aligned request bounds, Monday-origin
+    weeks, and the calendar-month edge over a leap February — and the ts
+    range must reach the parquet-scannable tick filter (no derived
+    expressions)."""
+    import datetime as dt
+
+    from coin_for_rich_spark.functions.timeutils import INTERVAL_SECONDS
+    from coin_for_rich_spark.operators.candles import ohlcv_rollup
+    from coin_for_rich_spark.plans.reader import _aligned_tick_bounds
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=131 * i), "s", 1.0 + i % 7, float(i % 5))
+        for i in range(900)
+    ]
+    ticks = spark.createDataFrame(
+        rows, "ts timestamp, symbol string, price double, volume double"
+    )
+    cases = [
+        ("2024-01-04 07:23:00", "2024-02-17 19:41:00"),  # unaligned both
+        ("2024-02-29 23:59:00", "2024-03-02 00:00:00"),  # leap-month edge
+        (None, "2024-01-29 00:00:00"),
+    ]
+    for iv in INTERVAL_SECONDS:
+        for st, en in cases:
+            std = dt.datetime.fromisoformat(st) if st else None
+            end = dt.datetime.fromisoformat(en) if en else None
+            old = ohlcv_rollup(ticks, iv, keys=["symbol"])
+            if std is not None:
+                old = old.filter(F.col("bucket") >= F.lit(std))
+            if end is not None:
+                old = old.filter(F.col("bucket") <= F.lit(end))
+            lo, hi = _aligned_tick_bounds(iv, std, end)
+            t2 = ticks
+            if lo is not None:
+                t2 = t2.filter(F.col("ts") >= F.lit(lo))
+            if hi is not None:
+                t2 = t2.filter(F.col("ts") < F.lit(hi))
+            new = ohlcv_rollup(t2, iv, keys=["symbol"])
+            assert sorted(map(tuple, old.collect())) == sorted(
+                map(tuple, new.collect())
+            ), (iv, st, en)
