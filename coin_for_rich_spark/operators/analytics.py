@@ -181,14 +181,20 @@ def geo_daily_return(
     forward-filled prev_close is never 0) and factor rows with NULL ln
     dropped.
     """
-    daily = ohlcv_rollup(df, "1D", keys=list(keys), time_col=time_col,
-                         price_col=price_col, **rollup_kwargs)
     if now is None:
         now = df.select(F.max(time_col)).first()[0]
     cutoff = F.date_sub(F.lit(now).cast("timestamp").cast("date"), lookback_days)
-    recent = daily.filter(
-        (F.col("bucket") >= cutoff.cast("timestamp")) & (F.col("close") != 0)
-    ).select(*keys, "bucket", "close")
+    # the cutoff is a midnight instant and 1D buckets are midnight floors
+    # (the bucket origin is phase-neutral for day widths), so
+    # ``bucket >= cutoff ⟺ ts >= cutoff`` EXACTLY — apply the window to the
+    # ticks, where the constant-folded literal pushes to the parquet scan,
+    # instead of rolling up the entire history and filtering the derived
+    # bucket (guide §6; same move as reader._aligned_tick_bounds, pinned
+    # equivalent there for every interval)
+    windowed = df.filter(F.col(time_col) >= cutoff.cast("timestamp"))
+    daily = ohlcv_rollup(windowed, "1D", keys=list(keys), time_col=time_col,
+                         price_col=price_col, **rollup_kwargs)
+    recent = daily.filter(F.col("close") != 0).select(*keys, "bucket", "close")
     # last_bucket="drop": PostgreSQL eliminates the select-list SRF row when
     # LEAD(bucket) is NULL, so the reference's close_filled CTE drops each
     # key's FINAL daily bucket — the most recent day's return never enters
