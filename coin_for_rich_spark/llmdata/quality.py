@@ -154,6 +154,49 @@ def _code_ngrams_arrow(text_col: str, order: int) -> Column:
     return pack(F.lower(F.trim(F.col(text_col))))
 
 
+def _code_counts_arrow(narrow: DataFrame, text_col: str, order: int) -> DataFrame:
+    """Per-task partial (code, c) counts — the training corpus pass with
+    the occurrence stream never leaving Arrow (r15 continuation 2).
+
+    The packed-codepoint pass already crosses the Python boundary to build
+    each document's code array; the old plan then shipped EVERY occurrence
+    back to the JVM (explode → codegen hash agg). Since the aggregate is a
+    plain count, the kernel can do the partial aggregation itself
+    (np.unique over the concatenated task batches) and emit one
+    model-sized partial per task — the same map-side-combine posture, with
+    the occurrence-scale explode and JVM hash agg replaced by a C-loop
+    unique. Counts are exact integers either way; the final
+    ``groupBy(code).sum`` reduces |distinct × tasks| rows."""
+    space = ord(_SPACE_SYM)
+
+    def count_batches(batches):
+        chunks = []
+        for pdf in batches:
+            for s in pdf["_norm"]:
+                if not s:
+                    continue
+                a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                a[a == 32] = space
+                n = a.shape[0]
+                if n < order:
+                    continue
+                p = a[: n - order + 1].copy()
+                for j in range(1, order):
+                    p <<= _CODE_BITS
+                    p += a[j : n - order + 1 + j]
+                chunks.append(p)
+        if chunks:
+            codes, counts = np.unique(np.concatenate(chunks), return_counts=True)
+            yield pd.DataFrame({"code": codes, "c": counts})
+
+    partials = narrow.select(
+        F.lower(F.trim(F.col(text_col))).alias("_norm")
+    ).mapInPandas(count_batches, "code bigint, c bigint")
+    return partials.groupBy("code").agg(F.sum("c").alias("c"))
+
+
 def _decode_udf(n_chars: int):
     """Arrow-vectorized decode of packed codes back to the space-joined
     string form — used ONLY to derive the model-sized string views of the
@@ -219,12 +262,10 @@ def train_char_lm(
         # packed-codepoint path (r14): the corpus pass explodes and
         # aggregates fixed-width longs — the per-occurrence string
         # construction was the training constant, not the (tiny) shuffle
-        counts = (
-            narrow.select(F.explode(_code_ngrams_arrow(text_col, order)).alias("code"))
-            .groupBy("code")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .persist()
-        )
+        # the whole corpus pass stays in Arrow: per-task partial counts,
+        # then a model-sized sum (see _code_counts_arrow — exact integers,
+        # identical to the explode + JVM count it replaces)
+        counts = _code_counts_arrow(narrow, text_col, order).persist()
         # alphabet = distinct final characters across the model rows
         # (model-sized job); contexts likewise derive from the counts
         vocab_size = (
