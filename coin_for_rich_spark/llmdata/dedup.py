@@ -1487,11 +1487,30 @@ def _minhash_pairs_wide(
         ).select(
             F.col(id_col).alias("doc"), ngram_shingles(text_col, n).alias("sh")
         )
-    a = shingled.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # ONE verify join, not two (r15 continuation 2): joining the candidate
+    # pairs to per-side copies of `shingled` evaluated the corpus-wide
+    # shingle projection TWICE, and whenever the planner build-sided the
+    # corpus copy the whole shingle relation was broadcast/shuffled for a
+    # handful of pairs (the guide §8 anti-pattern). Exploding each pair
+    # into its two member docs joins the corpus relation ONCE — the tiny
+    # exploded-candidate side is what gets built/broadcast — and the
+    # pair-sized regroup carries only candidate docs' shingle arrays.
+    # first(ignorenulls) is deterministic here: each pair-group has exactly
+    # one row per side (doc_a < doc_b, one shingle row per doc).
+    cand2 = cand.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    )
     verified = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        cand2.join(shingled, "doc")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc") == F.col("doc_a"), F.col("sh")), True
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("doc") == F.col("doc_b"), F.col("sh")), True
+            ).alias("sh_b"),
+        )
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("sz_a", F.size("sh_a"))
         .withColumn("sz_b", F.size("sh_b"))
