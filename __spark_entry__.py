@@ -3763,12 +3763,14 @@ _STREAM_N_CHUNKS = 4
 # state-store partitions for the stream gate rows, sized to the KEYSPACE
 # (5 symbols / (user, event_type) pairs — see scoped_shuffle_partitions'
 # rationale: every partition commits per micro-batch regardless of data,
-# so the floor cost is partitions × commits). r15 optimization round:
-# 8 → 4 measured −9% on the stateful rows (alternating min-of-3,
-# hold_back + rollup_5m 5.45 → 4.98 s) with results identical — state
-# partitioning never affects grouping correctness, only parallelism. At
-# production keyspaces (thousands of hot symbols) this knob goes UP.
-_STREAM_STATE_PARTITIONS = 4
+# so the floor cost is partitions × commits). r15 set 8 → 4 on a −9%
+# same-session A/B, but the r15 driver run contradicted it (stream tier
+# +19%); the r16 exonerate-or-revert A/B (scripts/r16_ab.py, 3 alternating
+# rounds of all six rows) read a WASH on per-row mins (24.43 s at 4 vs
+# 24.26 s at 8) with the worst row (stream_upsert_ingest: more parallel
+# COPY legs) favoring 8 — reverted to the r14 value, since the burden of
+# proof sits on the change. At production keyspaces this knob goes UP.
+_STREAM_STATE_PARTITIONS = 8
 
 
 def _staged_stream(spark: SparkSession, sf_dir: str):
