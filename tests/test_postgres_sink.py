@@ -663,3 +663,49 @@ def test_null_tiebreak_parity_with_parquet_twin(spark, pg, tmp_path):
         sink.merge(batch, 0)
         got = _fetch(pg, f"SELECT v FROM {name}")[0][0]
         assert float(got) == pq_v, (name, got, pq_v)
+
+
+def test_stage_source_widens_narrow_batches_only(spark):
+    """The COPY stage's parallelism is the batch's partition count; a
+    single-file micro-batch scans as ONE partition and would serialize the
+    whole per-row text encode onto one core. _stage_source must widen a
+    narrow batch to min(stage_parallelism, defaultParallelism) and leave an
+    already-wide batch untouched (the production stream shape — no extra
+    exchange)."""
+    from coin_for_rich_spark.streaming.jdbc import PgWireMergeSink
+
+    sink = PgWireMergeSink(
+        ["-h", "/nonexistent", "-p", "5432"], "t_sp", pk=("k",),
+        mode="upsert", tiebreak_col="seq", stage_parallelism=4,
+    )
+    dp = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(f"k{i}", i, float(i)) for i in range(100)],
+        "k string, seq int, v double",
+    ).coalesce(1)
+    widened = sink._stage_source(narrow)
+    assert widened.rdd.getNumPartitions() == min(4, dp)
+    wide = narrow.repartition(8)
+    assert sink._stage_source(wide) is wide
+
+
+def test_pgwire_sink_single_partition_batch_merges_identically(spark, pg):
+    """End-to-end through the widened staging path: a 1-partition batch
+    (the local micro-batch shape) must merge to the same state as the
+    8-partition batch of the same rows."""
+    from coin_for_rich_spark.streaming.jdbc import PgWireMergeSink
+
+    rows = [(f"k{i % 40}", i, float(i)) for i in range(400)]
+    schema = "k string, seq int, v double"
+    states = {}
+    for t, nparts in (("t_np1", 1), ("t_np8", 8)):
+        _sql(pg, f"DROP TABLE IF EXISTS {t};"
+                 f"CREATE TABLE {t} (k text PRIMARY KEY, seq int,"
+                 " v double precision)")
+        sink = PgWireMergeSink(pg, t, pk=("k",), mode="upsert",
+                               tiebreak_col="seq")
+        batch = spark.createDataFrame(rows, schema)
+        batch = batch.coalesce(1) if nparts == 1 else batch.repartition(8)
+        sink.merge(batch, 0)
+        states[t] = sorted(_fetch(pg, f"SELECT * FROM {t}"))
+    assert states["t_np1"] == states["t_np8"] and len(states["t_np1"]) == 40
