@@ -137,65 +137,109 @@ def _winnow_select(hs_expr: Column, w: int) -> Column:
     return F.get(F.transform(F.array(hs_expr), body), 0)
 
 
-def _fp_set_fused_udf(k: int, w: int):
-    """Fully fused pair-tier selection kernel (r15 optimization round,
-    second pass): k-gram build + md5 + window-min + unique in ONE Arrow
-    hop over the token array. The fingerprint contract is unchanged —
+def _doc_fp_set(arr, k: int, w: int):
+    """The per-document fused selection core: k-gram build + md5 +
+    window-min + unique over one token array, or None when the document
+    is shorter than k tokens. The fingerprint contract is unchanged —
     ``int(md5(kgram)[:15 hex], 16)`` equals the first 60 bits of the
     digest, i.e. ``int.from_bytes(md5(b).digest()[:8], 'big') >> 4`` on
     the identical UTF-8 bytes (md5 is md5 in any engine), so the selected
     sets are bit-identical to the JVM ``md5_prefix_long`` path (pinned by
-    test and by the DuckDB twin re-deriving the full selection). vs the
-    previous split (JVM k-gram strings + md5 + Arrow window-min): the
-    interpreted concat ladder and the per-window conv()/substring drop
-    out, and only the token array crosses the boundary. Measured
-    alternating min-of-4 on the selection stage: sf1 1.54 -> 0.95 s."""
+    test and by the DuckDB twin re-deriving the full selection)."""
     from hashlib import md5
 
     from numpy.lib.stride_tricks import sliding_window_view
 
+    nt = len(arr)
+    if nt < k:
+        return None
+    nh = nt - k + 1
+    # every k-gram is a contiguous SLICE of the once-joined token
+    # stream: tokens are whitespace-free (tokenize splits on \s+)
+    # and UTF-8 continuation bytes are >= 0x80, so every 0x20 byte
+    # in the joined stream is exactly a separator — gram i spans
+    # [start of token i, end of token i+k-1). Hashing memoryview
+    # slices of one buffer replaces nh per-gram join+encode
+    # allocations (measured 2.2 -> 1.1 ms/doc, bit-identical: the
+    # same bytes reach md5). A vectorized numpy MD5 was tried and
+    # measured 4.5x SLOWER than hashlib's C loop (64 rounds of
+    # batch-sized temporaries are memory-bound) — don't retry it.
+    full = " ".join(arr).encode()
+    b = np.frombuffer(full, dtype=np.uint8)
+    sep = np.flatnonzero(b == 32)
+    gs = np.concatenate(([0], sep + 1))[:nh]
+    ge = np.concatenate((sep, [b.shape[0]]))[k - 1 :]
+    mv = memoryview(full)
+    hs = np.fromiter(
+        (
+            int.from_bytes(md5(mv[s:e]).digest()[:8], "big") >> 4
+            for s, e in zip(gs.tolist(), ge.tolist())
+        ),
+        dtype=np.int64,
+        count=nh,
+    )
+    if nh < w:
+        return hs.min(keepdims=True)
+    return np.unique(sliding_window_view(hs, w).min(axis=1))
+
+
+def _fp_set_fused_udf(k: int, w: int):
+    """Fully fused pair-tier selection kernel (r15 optimization round,
+    second pass): :func:`_doc_fp_set` in ONE Arrow hop over the token
+    array — vs the previous split (JVM k-gram strings + md5 + Arrow
+    window-min) the interpreted concat ladder and the per-window
+    conv()/substring drop out, and only the token array crosses the
+    boundary. Measured alternating min-of-4 on the selection stage:
+    sf1 1.54 -> 0.95 s."""
     empty = np.empty(0, dtype=np.int64)
 
     @F.pandas_udf("array<bigint>")
     def fps(toks: pd.Series) -> pd.Series:
         out = []
         for arr in toks:
-            nt = len(arr)
-            if nt < k:
-                out.append(empty)
-                continue
-            nh = nt - k + 1
-            # every k-gram is a contiguous SLICE of the once-joined token
-            # stream: tokens are whitespace-free (tokenize splits on \s+)
-            # and UTF-8 continuation bytes are >= 0x80, so every 0x20 byte
-            # in the joined stream is exactly a separator — gram i spans
-            # [start of token i, end of token i+k-1). Hashing memoryview
-            # slices of one buffer replaces nh per-gram join+encode
-            # allocations (measured 2.2 -> 1.1 ms/doc, bit-identical: the
-            # same bytes reach md5). A vectorized numpy MD5 was tried and
-            # measured 4.5x SLOWER than hashlib's C loop (64 rounds of
-            # batch-sized temporaries are memory-bound) — don't retry it.
-            full = " ".join(arr).encode()
-            b = np.frombuffer(full, dtype=np.uint8)
-            sep = np.flatnonzero(b == 32)
-            gs = np.concatenate(([0], sep + 1))[:nh]
-            ge = np.concatenate((sep, [b.shape[0]]))[k - 1 :]
-            mv = memoryview(full)
-            hs = np.fromiter(
-                (
-                    int.from_bytes(md5(mv[s:e]).digest()[:8], "big") >> 4
-                    for s, e in zip(gs.tolist(), ge.tolist())
-                ),
-                dtype=np.int64,
-                count=nh,
-            )
-            if nh < w:
-                out.append(hs.min(keepdims=True))
-            else:
-                out.append(np.unique(sliding_window_view(hs, w).min(axis=1)))
+            sel = _doc_fp_set(arr, k, w)
+            out.append(empty if sel is None else sel)
         return pd.Series(out)
 
     return fps
+
+
+def _fp_postings_fused(k: int, w: int, id_col: str):
+    """The posting-relation form of the fused kernel (r16): ONE
+    mapInPandas pass emitting the exploded ``(id, n_fp, fp)`` rows
+    directly. The previous shape — ``select(size(udf), explode(udf))`` —
+    planned as a Project + Generate pair whose UDF expression was
+    extracted into TWO ArrowEvalPython nodes, i.e. the whole md5
+    selection ran twice per document (guide §4.4's duplication, which
+    neither a staged projection nor asNondeterministic removed because
+    the two consumers live in different operators). Emitting postings
+    from the kernel leaves exactly one Python evaluation in the plan and
+    drops the Generate. n_fp is the selected-set size and empty docs emit
+    nothing — byte-identical to the size+explode semantics."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            sizes: list = []
+            fps_chunks: list = []
+            for did, arr in zip(pdf[id_col], pdf["__toks"]):
+                sel = _doc_fp_set(arr, k, w)
+                if sel is None or sel.shape[0] == 0:
+                    continue
+                m = int(sel.shape[0])
+                ids.extend([did] * m)
+                sizes.extend([m] * m)
+                fps_chunks.append(sel)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_fp": np.asarray(sizes, dtype=np.int32),
+                        "fp": np.concatenate(fps_chunks),
+                    }
+                )
+
+    return gen
 
 
 def winnow_fingerprints(
@@ -270,14 +314,17 @@ def winnow_overlap_pairs(
     # first: the fused selection UDF is the CPU-bound stage and otherwise
     # inherits the scan's partition count (1 for a small parquet file — a
     # SERIAL Python pass; at corpus scale the scan is naturally wide and
-    # this is a no-op).
-    fps = _fp_set_fused_udf(k, w)(tokenize(text_col))
+    # this is a no-op). The kernel emits the exploded (id, n_fp, fp)
+    # postings itself (_fp_postings_fused): the former size+explode pair
+    # evaluated the md5 selection TWICE per document (two ArrowEvalPython
+    # nodes — guide §4.4; measured r16: postings stage 1.30 → 0.55 s).
+    id_type = docs.schema[id_col].dataType.simpleString()
     fpd = (
         ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col),
-            F.size(fps).alias("n_fp"),
-            F.explode(fps).alias("fp"),
+        .select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .mapInPandas(
+            _fp_postings_fused(k, w, id_col),
+            f"{id_col} {id_type}, n_fp int, fp bigint",
         )
         .repartition(F.col("fp"))
     )
