@@ -99,6 +99,15 @@ def main() -> int:
     norm_ratio_vs_r14 = (
         round(norm / R14_VALUE_PER_SHUFFLE_UNIT, 3) if norm else None
     )
+    # r16 refresh (r15 VERDICT ask #9): the same trend ratio against the
+    # LATEST driver run's recorded normalization (BENCH_r15.json:
+    # value_per_shuffle_unit 72.18, nonstream_per_shuffle_unit_min 55.68).
+    # ADDITIVE — the r14-anchored fields above keep their definition for
+    # cross-round continuity.
+    R15_VALUE_PER_SHUFFLE_UNIT = 72.18
+    norm_ratio_vs_r15 = (
+        round(norm / R15_VALUE_PER_SHUFFLE_UNIT, 3) if norm else None
+    )
     # r15 instrument hardening. Two measured defects in the mean-probe
     # normalization, both visible in .scale/HOST_PROBE.jsonl (10 same-day
     # rows: shuffle-probe CV 19%, larger than the bench sum's own spread):
@@ -130,6 +139,12 @@ def main() -> int:
         if ns_norm_min
         else None
     )
+    R15_NONSTREAM_PER_SHUFFLE_UNIT_MIN = 55.68
+    ns_ratio_vs_r15 = (
+        round(ns_norm_min / R15_NONSTREAM_PER_SHUFFLE_UNIT_MIN, 3)
+        if ns_norm_min
+        else None
+    )
     # self-describing environment: host load at measurement time, so a
     # round-over-round comparison can tell plan regressions from co-tenant
     # noise without a controlled re-run (the r6 adjudication cost)
@@ -153,11 +168,13 @@ def main() -> int:
                 "probe_post": probe_post,
                 "value_per_shuffle_unit": norm,
                 "norm_ratio_vs_r14": norm_ratio_vs_r14,
+                "norm_ratio_vs_r15": norm_ratio_vs_r15,
                 "stream_fixed_s": stream_fixed,
                 "nonstream_s": nonstream,
                 "shuffle_ref_min_s": round(shuffle_ref_min, 3),
                 "nonstream_per_shuffle_unit_min": ns_norm_min,
                 "nonstream_ratio_vs_r14": ns_ratio_vs_r14,
+                "nonstream_ratio_vs_r15": ns_ratio_vs_r15,
             }
         )
     )

@@ -161,17 +161,25 @@ def _code_counts_arrow(narrow: DataFrame, text_col: str, order: int) -> DataFram
     The packed-codepoint pass already crosses the Python boundary to build
     each document's code array; the old plan then shipped EVERY occurrence
     back to the JVM (explode → codegen hash agg). Since the aggregate is a
-    plain count, the kernel can do the partial aggregation itself
-    (np.unique over the concatenated task batches) and emit one
-    model-sized partial per task — the same map-side-combine posture, with
-    the occurrence-scale explode and JVM hash agg replaced by a C-loop
-    unique. Counts are exact integers either way; the final
-    ``groupBy(code).sum`` reduces |distinct × tasks| rows."""
+    plain count, the kernel can do the partial aggregation itself and emit
+    one model-sized partial per task — the same map-side-combine posture,
+    with the occurrence-scale explode and JVM hash agg replaced by a
+    C-loop unique. Counts are exact integers either way; the final
+    ``groupBy(code).sum`` reduces |distinct × tasks| rows.
+
+    Memory posture (r16, ADVICE fix): the occurrence stream is reduced
+    PER ARROW BATCH (np.unique over one batch's occurrences, then a
+    sorted-merge into the model-sized accumulator), so the task's peak
+    holds one batch's occurrences plus the distinct-code accumulator —
+    NOT the whole task's concatenated occurrence stream, which at ~8
+    bytes/char peaked at multiple GB per Python worker on a ~128 MB text
+    partition (the 100 TB design point's OOM risk)."""
     space = ord(_SPACE_SYM)
 
     def count_batches(batches):
-        chunks = []
+        acc_codes = acc_counts = None
         for pdf in batches:
+            chunks = []
             for s in pdf["_norm"]:
                 if not s:
                     continue
@@ -187,9 +195,25 @@ def _code_counts_arrow(narrow: DataFrame, text_col: str, order: int) -> DataFram
                     p <<= _CODE_BITS
                     p += a[j : n - order + 1 + j]
                 chunks.append(p)
-        if chunks:
+            if not chunks:
+                continue
             codes, counts = np.unique(np.concatenate(chunks), return_counts=True)
-            yield pd.DataFrame({"code": codes, "c": counts})
+            if acc_codes is None:
+                acc_codes, acc_counts = codes, counts
+            else:
+                # merge two (sorted-unique, counts) partials: both inputs
+                # are sorted, so one stable argsort of the concatenation +
+                # reduceat over the group starts is the exact merged count
+                merged = np.concatenate((acc_codes, codes))
+                weights = np.concatenate((acc_counts, counts))
+                order_ = np.argsort(merged, kind="stable")
+                merged = merged[order_]
+                weights = weights[order_]
+                uniq, starts = np.unique(merged, return_index=True)
+                acc_codes = uniq
+                acc_counts = np.add.reduceat(weights, starts)
+        if acc_codes is not None:
+            yield pd.DataFrame({"code": acc_codes, "c": acc_counts})
 
     partials = narrow.select(
         F.lower(F.trim(F.col(text_col))).alias("_norm")

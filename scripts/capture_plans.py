@@ -26,7 +26,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("coin_for_rich_spark-plans")

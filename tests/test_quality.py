@@ -247,3 +247,54 @@ def test_space_contexts_stay_distinct(spark):
         from coin_for_rich_spark.llmdata import release_char_lm
 
         release_char_lm(lm)
+
+
+def test_code_counts_per_batch_merge_is_exact(spark):
+    """The training counts kernel reduces PER Arrow batch and merges the
+    sorted partials (r16 memory fix — the old form concatenated the whole
+    task's occurrence stream before one np.unique). With a 2-row Arrow
+    batch size the merge path runs many times per task; the counts must
+    equal the JVM explode+count of the same packed n-grams exactly."""
+    from coin_for_rich_spark.functions.partitioning import scoped_conf
+    from coin_for_rich_spark.llmdata.quality import (
+        _code_counts_arrow,
+        _code_ngrams,
+    )
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the cat sat on the mat",
+                "el perro y el gato",
+                "ein Haus aus Holz",
+                "naïve café déjà vu",
+                "漢字 かな मिश्रित 文",
+                "aaa bbb aaa bbb aaa",
+                "",
+                None,
+                "ab",  # shorter than order
+                "🚀🌕 astral 🚀🌕 repeat",
+            ]
+        )
+    ] * 5
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {
+        (r["code"], r["c"])
+        for r in docs.select(
+            F.explode(_code_ngrams("text", 3)).alias("code")
+        )
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    with scoped_conf(
+        spark, **{"spark.sql.execution.arrow.maxRecordsPerBatch": "2"}
+    ):
+        arrow = {
+            (r["code"], r["c"])
+            for r in _code_counts_arrow(
+                docs.select("doc_id", "text"), "text", 3
+            ).collect()
+        }
+    assert arrow == jvm and len(jvm) > 0
