@@ -62,6 +62,7 @@ from coin_for_rich_spark.llmdata import (
     line_dedup,
     extract_media_features,
     hash_sample,
+    hash_sample_predicate,
     repeated_span_dedup,
     materialize_ann_index,
     pick_canonical,
@@ -1069,11 +1070,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the holdout draw is a PURE deterministic predicate on md5(doc_id), so
     # the training split is its complement FILTER, not an anti-join — at
     # 100 TB that anti-join is a corpus-scale exchange for information the
-    # scan already has (guide §2.4: remove shuffles outright). The coalesce
-    # keeps the anti-join's NULL-id semantics: a NULL id matches nothing,
-    # so the anti-join KEPT it, and NOT(NULL-predicate) must too.
-    _is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0")
-    train = docs.filter(~F.coalesce(_is_eval, F.lit(False)))
+    # scan already has (guide §2.4: remove shuffles outright). The predicate
+    # is hash_sample's OWN (hash_sample_predicate — r15 ADVICE: a hand-copied
+    # expression silently stops being the complement if the sample's default
+    # geometry ever changes). The coalesce keeps the anti-join's NULL-id
+    # semantics: a NULL id matches nothing, so the anti-join KEPT it, and
+    # NOT(NULL-predicate) must too.
+    train = docs.filter(
+        ~F.coalesce(hash_sample_predicate("doc_id"), F.lit(False))
+    )
     contaminated = (
         cross_corpus_contamination(
             train, evalset, min_overlap=5, broadcast_eval=False

@@ -1497,6 +1497,12 @@ def _minhash_pairs_wide(
     # pair-sized regroup carries only candidate docs' shingle arrays.
     # first(ignorenulls) is deterministic here: each pair-group has exactly
     # one row per side (doc_a < doc_b, one shingle row per doc).
+    # PRECONDITION (r15 ADVICE): ids must be unique in `docs`/`shingled` —
+    # with duplicate ids the regroup would pick one shingle array
+    # nondeterministically where the old two-join plan emitted multiplied
+    # per-row pairs. Every corpus entrypoint in this package holds unique
+    # ids by contract (the gate corpus keys on doc_id); a caller feeding
+    # duplicated ids must dedup `shingled` on doc first.
     cand2 = cand.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc")
     )

@@ -23,6 +23,19 @@ from .dedup import _INTERMEDIATE_CACHES
 from .textstats import tokenize
 
 
+def hash_sample_predicate(
+    id_col: str = "doc_id",
+    hex_chars: tuple[str, ...] = ("0",),
+) -> Column:
+    """THE membership predicate behind :func:`hash_sample` — exposed so a
+    caller that needs the sample's COMPLEMENT can filter on ``~coalesce(
+    predicate, false)`` against the very expression the sample uses,
+    instead of hand-copying it (a copied predicate silently stops being
+    the complement the moment hash_sample's default geometry changes)."""
+    first_hex = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return first_hex.isin(*hex_chars)
+
+
 def hash_sample(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -38,8 +51,7 @@ def hash_sample(
     holdout split must have. No shuffle; the predicate pushes to the scan
     stage.
     """
-    first_hex = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
-    return docs.filter(first_hex.isin(*hex_chars))
+    return docs.filter(hash_sample_predicate(id_col, hex_chars))
 
 
 def stratified_hash_sample(

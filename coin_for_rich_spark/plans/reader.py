@@ -100,14 +100,24 @@ def _aligned_tick_bounds(interval, start, end):
     epoch = dt.datetime(1970, 1, 1)
     lo = hi = None
     if width is not None:
+        # microsecond-exact arithmetic (r15 ADVICE): int(total_seconds())
+        # truncated a sub-second start, widening the window by one leading
+        # bucket vs the bucket-bound semantics. Integer microseconds keep
+        # whole-second inputs bit-identical and make fractional inputs
+        # exact (read_ohlcvs floors to the minute first, so this is a
+        # direct-caller hardening, not a behavior change there).
+        width_us = width * 1_000_000
+        origin_us = TS_BUCKET_ORIGIN * 1_000_000
         if start is not None:
-            e = int((start - epoch).total_seconds())
-            r = (e - TS_BUCKET_ORIGIN) % width
-            lo = epoch + dt.timedelta(seconds=e if r == 0 else e - r + width)
+            e = (start - epoch) // dt.timedelta(microseconds=1)
+            r = (e - origin_us) % width_us
+            lo = epoch + dt.timedelta(
+                microseconds=e if r == 0 else e - r + width_us
+            )
         if end is not None:
-            e = int((end - epoch).total_seconds())
-            f = e - ((e - TS_BUCKET_ORIGIN) % width)
-            hi = epoch + dt.timedelta(seconds=f + width)
+            e = (end - epoch) // dt.timedelta(microseconds=1)
+            f = e - ((e - origin_us) % width_us)
+            hi = epoch + dt.timedelta(microseconds=f + width_us)
     else:  # calendar month
         if start is not None:
             if (start.day, start.hour, start.minute, start.second, start.microsecond) == (1, 0, 0, 0, 0):

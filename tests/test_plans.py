@@ -188,3 +188,27 @@ def test_materialized_route_prunes_dt_partitions(spark, sf_dir):
     assert "PartitionFilters: [isnotnull(dt#" in plan or (
         "PartitionFilters: [" in plan and "dt#" in plan
     ), "materialized route scan lost its dt partition filters"
+
+
+def test_oversized_build_side_still_takes_sort_merge(spark, sf_dir):
+    """The session allows shuffled-hash joins (preferSortMergeJoin=false,
+    guide §3.1) — that posture is only scale-safe because the planner's
+    size conditions keep OVERSIZED build sides on sort-merge. Pin it: with
+    a 1-byte local-hash budget (autoBroadcastJoinThreshold=1 — no side can
+    build a local map, and neither side of a fact×fact join is 3× smaller)
+    the join must plan as SortMergeJoin, not ShuffledHashJoin."""
+    from coin_for_rich_spark.functions.partitioning import scoped_conf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select("l_orderkey", "o_custkey", "l_quantity")
+    with scoped_conf(
+        spark, **{"spark.sql.autoBroadcastJoinThreshold": "1"}
+    ):
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # sanity: the knob this test guards really is off in the session
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
